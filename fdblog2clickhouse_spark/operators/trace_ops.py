@@ -1,4 +1,445 @@
-"""Placeholder — filled in per SURVEY.md §7 build plan."""
+"""Trace-log pipeline semantics over the `events` table (SURVEY §2.1).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+`events` plays the FDB trace-log table the reference ingests
+(trace-converter.py:85-93): event_id≙ID, ts≙Time, user_id≙Machine,
+event_type≙Type, with severity derived the way FDB severity codes
+work (errors are Severity 40, routine events 10). The queries are the
+OLAP surface the reference promises over ingested traces
+(README.md:10,139,230-236): normalization, partition stats (its
+PARTITION BY toYYYYMM law), rollups, time buckets, top-k, CDC-latest
+dedup, sessionization, JSON payload extraction, gap diagnostics.
+
+Determinism rules (see functions/hashing.py): money via integer
+cents; timestamps exported as epoch-µs BIGINT (`unix_micros` ≡
+DuckDB `epoch_us`) because raw timestamp dtypes (ns vs µs) hash
+differently across engines; every tie-broken window orders by a
+unique key so row_number/rank are total orders.
+
+Scale notes: all aggregations are partial-agg friendly (map-side
+combine); window functions partition by user_id/event keys, which at
+100 TB distributes by key hash — no global windows except the final
+top-k rank over an already-aggregated handful of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import cents, cents_sql
+from ..sources.tables import table
+
+# Derived severity: reference severity codes (error→40, else 10).
+# (A function, not a module constant: Column construction needs an
+# active SparkContext.)
+def _sev():
+    return F.when(F.col("event_type") == "error", F.lit(40)).otherwise(F.lit(10))
+
+
+_SEV_SQL = "CASE WHEN event_type = 'error' THEN 40 ELSE 10 END"
+
+_US = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+_US_SQL = lambda e: f"epoch_us({e})"  # noqa: E731
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------- trace_normalize
+
+def trace_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's column trim + type coercion
+    (trace-converter.py:114-119) as a declarative projection."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        F.col("event_id").alias("id"),
+        _US("ts").alias("time_us"),
+        F.concat(F.lit("machine-"), F.col("user_id").cast("string")).alias("machine"),
+        _sev().cast("int").alias("severity"),
+        F.col("event_type").alias("type"),
+        F.lit("default").alias("log_group"),
+    )
+
+
+_TRACE_NORMALIZE_SQL = f"""
+SELECT event_id AS id,
+       {_US_SQL('ts')} AS time_us,
+       'machine-' || CAST(user_id AS VARCHAR) AS machine,
+       CAST({_SEV_SQL} AS INT) AS severity,
+       event_type AS type,
+       'default' AS log_group
+FROM events
+"""
+
+
+# -------------------------------------------- trace_partition_stats
+
+def trace_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row/machine/time stats per toYYYYMM(Time) partition — the
+    MergeTree partitioning law (trace-converter.py:23,49-52)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy((F.year("ts") * 100 + F.month("ts")).cast("int").alias("yyyymm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_machines"),
+            F.min(_US("ts")).alias("min_time_us"),
+            F.max(_US("ts")).alias("max_time_us"),
+        )
+        .orderBy("yyyymm")
+    )
+
+
+_TRACE_PARTITION_STATS_SQL = f"""
+SELECT CAST(year(ts) * 100 + month(ts) AS INT) AS yyyymm,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_machines,
+       MIN({_US_SQL('ts')}) AS min_time_us,
+       MAX({_US_SQL('ts')}) AS max_time_us
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------- severity_rollup
+
+def severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree-style rollup by severity × type
+    (reference README.md:233-235)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(_sev().cast("int").alias("severity"), F.col("event_type").alias("type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_c"),
+        )
+        .select(
+            "severity",
+            "type",
+            "n",
+            (F.col("value_c") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+_SEVERITY_ROLLUP_SQL = f"""
+SELECT CAST({_SEV_SQL} AS INT) AS severity,
+       event_type AS type,
+       COUNT(*) AS n,
+       SUM({cents_sql('value')}) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------ events_per_minute
+
+def events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling per-minute rollup (the materialized-view use case)."""
+    e = _events(spark, sf_dir)
+    agg = e.groupBy(
+        F.unix_micros(F.date_trunc("minute", F.col("ts"))).alias("minute_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("value_c"),
+    )
+    return agg.select(
+        "minute_us",
+        "n",
+        (F.col("value_c") / F.lit(100.0)).alias("total_value"),
+        (F.col("value_c") / F.col("n") / F.lit(100.0)).alias("avg_value"),
+    )
+
+
+_EVENTS_PER_MINUTE_SQL = f"""
+WITH agg AS (
+  SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+         COUNT(*) AS n,
+         SUM({cents_sql('value')}) AS value_c
+  FROM events GROUP BY 1
+)
+SELECT minute_us, n, value_c / 100.0 AS total_value,
+       value_c / n / 100.0 AS avg_value
+FROM agg
+"""
+
+
+# -------------------------------------------------- top_event_types
+
+def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k types. rank() over a fully-aggregated (tiny)
+    relation — the only global window in the module, applied after
+    map-side-combinable aggregation so it never sees raw rows."""
+    e = _events(spark, sf_dir)
+    counts = e.groupBy(F.col("event_type").alias("type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("type"))
+    return counts.select("type", "n", F.rank().over(w).alias("rnk")).where(
+        F.col("rnk") <= 3
+    )
+
+
+_TOP_EVENT_TYPES_SQL = """
+WITH counts AS (
+  SELECT event_type AS type, COUNT(*) AS n FROM events GROUP BY 1
+), ranked AS (
+  SELECT type, n, RANK() OVER (ORDER BY n DESC, type ASC) AS rnk FROM counts
+)
+SELECT type, n, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+# ----------------------------------------------- error_rate_by_user
+
+def error_rate_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_errors",
+            (F.col("n_errors") / F.col("n_events")).alias("error_rate"),
+        )
+    )
+
+
+_ERROR_RATE_SQL = """
+WITH agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events, CAST(n_errors AS BIGINT) AS n_errors,
+       n_errors / n_events AS error_rate
+FROM agg
+"""
+
+
+# --------------------------------------------- events_dedup_latest
+
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert semantics: latest record per (machine, type) key —
+    what a ReplacingMergeTree would keep. Window partitions by the
+    key, so at scale this is a key-distributed shuffle, no global
+    sort."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.desc(_US("ts")), F.desc("event_id"))
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            _US("ts").alias("time_us"),
+            cents(F.col("value")).alias("value_c"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("time_us").alias("last_time_us"),
+            (F.col("value_c") / F.lit(100.0)).alias("last_value"),
+        )
+    )
+
+
+_EVENTS_DEDUP_LATEST_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_type, event_id,
+         {_US_SQL('ts')} AS time_us,
+         {cents_sql('value')} AS value_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY {_US_SQL('ts')} DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS last_event_id,
+       time_us AS last_time_us, value_c / 100.0 AS last_value
+FROM t WHERE rn = 1
+"""
+
+
+# -------------------------------------------- event_sessionization
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30min
+    silence. lag + running sum over per-user windows (key-distributed
+    at scale; ROWS frame stated explicitly so engines agree)."""
+    e = _events(spark, sf_dir)
+    order = [F.asc("us"), F.asc("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = e.select("user_id", "event_id", _US("ts").alias("us"))
+    flagged = t.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w_lag).isNull()
+            | ((F.col("us") - F.lag("us").over(w_lag)) > _SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_sess").over(w_sum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+    )
+
+
+_EVENT_SESSIONIZATION_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_US_SQL('ts')} AS us FROM events
+), l AS (
+  SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev_us
+  FROM t
+), f AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM l
+), s AS (
+  SELECT *, SUM(new_sess) OVER (
+    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(us) AS session_start_us,
+       MAX(us) AS session_end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------- json_extract_props
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace payload parsing: extract the numeric `k` field from the
+    JSON `props` column, bucket it, aggregate. Regex extraction is
+    used (identical semantics in both engines); NULLIF guards ANSI
+    cast of non-matches."""
+    e = _events(spark, sf_dir)
+    k = F.nullif(F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")).cast(
+        "int"
+    )
+    t = e.select(k.alias("k"), cents(F.col("value")).alias("value_c")).where(
+        F.col("k").isNotNull()
+    )
+    return (
+        t.groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.sum("value_c").alias("value_c"),
+        )
+        .select(
+            "k_bucket",
+            "n",
+            "n_distinct_k",
+            (F.col("value_c") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+_JSON_EXTRACT_PROPS_SQL = f"""
+WITH t AS (
+  SELECT CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS k,
+         {cents_sql('value')} AS value_c
+  FROM events
+)
+SELECT k % 10 AS k_bucket,
+       COUNT(*) AS n,
+       COUNT(DISTINCT k) AS n_distinct_k,
+       SUM(value_c) / 100.0 AS total_value
+FROM t WHERE k IS NOT NULL GROUP BY 1
+"""
+
+
+# --------------------------------------------- user_activity_gap
+
+def user_activity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-machine inter-event gap diagnostics (ops health view)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    t = e.select("user_id", "event_id", _US("ts").alias("us"))
+    gaps = t.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("sum_gap_us"),
+        )
+        .where(F.col("n_gaps") >= 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("max_gap_us") / F.lit(1_000_000.0)).alias("max_gap_s"),
+            (F.col("sum_gap_us") / F.col("n_gaps") / F.lit(1_000_000.0)).alias(
+                "avg_gap_s"
+            ),
+        )
+    )
+
+
+_USER_ACTIVITY_GAP_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_US_SQL('ts')} AS us FROM events
+), g AS (
+  SELECT user_id,
+         us - LAG(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS gap_us
+  FROM t
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_events, COUNT(gap_us) AS n_gaps,
+         MAX(gap_us) AS max_gap_us, SUM(gap_us) AS sum_gap_us
+  FROM g GROUP BY 1
+)
+SELECT user_id, n_events,
+       max_gap_us / 1000000.0 AS max_gap_s,
+       sum_gap_us / n_gaps / 1000000.0 AS avg_gap_s
+FROM agg WHERE n_gaps >= 1
+"""
+
+
+QUERIES = {
+    "trace_normalize": trace_normalize,
+    "trace_partition_stats": trace_partition_stats,
+    "severity_rollup": severity_rollup,
+    "events_per_minute": events_per_minute,
+    "top_event_types": top_event_types,
+    "error_rate_by_user": error_rate_by_user,
+    "events_dedup_latest": events_dedup_latest,
+    "event_sessionization": event_sessionization,
+    "json_extract_props": json_extract_props,
+    "user_activity_gap": user_activity_gap,
+}
+
+ORACLE = {
+    "trace_normalize": _TRACE_NORMALIZE_SQL,
+    "trace_partition_stats": _TRACE_PARTITION_STATS_SQL,
+    "severity_rollup": _SEVERITY_ROLLUP_SQL,
+    "events_per_minute": _EVENTS_PER_MINUTE_SQL,
+    "top_event_types": _TOP_EVENT_TYPES_SQL,
+    "error_rate_by_user": _ERROR_RATE_SQL,
+    "events_dedup_latest": _EVENTS_DEDUP_LATEST_SQL,
+    "event_sessionization": _EVENT_SESSIONIZATION_SQL,
+    "json_extract_props": _JSON_EXTRACT_PROPS_SQL,
+    "user_activity_gap": _USER_ACTIVITY_GAP_SQL,
+}

@@ -30,7 +30,22 @@ DIMENSIONS = {"region", "nation", "customer", "supplier", "part"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}")
+    if name == "events":
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+    convert exactly to a µs timestamp (the data is µs-aligned; at
+    worst this truncates sub-µs, matching DuckDB's fetch precision).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
