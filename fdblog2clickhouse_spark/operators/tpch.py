@@ -128,12 +128,394 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# ------------------------------------------------------------------ q3
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority. customer is a dim → broadcast; orders⋈lineitem
+    is the fact-fact shuffle join (AQE handles skew). Top-10 with a
+    total-order tiebreak so the result set is engine-deterministic."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < _ts("1998-06-15"))
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _ts("1998-06-15"))
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    ).agg(
+        F.sum(
+            cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+        ).alias("rev_c")
+    )
+    return (
+        agg.select(
+            "l_orderkey",
+            (F.col("rev_c") / F.lit(10000.0)).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+WITH agg AS (
+  SELECT l_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o_orderpriority,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-15'
+    AND l_shipdate > TIMESTAMP '1998-06-15'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, rev_c / 10000.0 AS revenue, o_orderdate, o_orderpriority
+FROM agg ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ q4
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking. The reference data model has no
+    commit/receipt dates, so "late" ≙ a lineitem shipped >60 days
+    after the order date. LEFT SEMI join keeps the probe side lean."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-07-01"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------------ q5
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: 6-way join. All four dims broadcast;
+    the only shuffle is orders⋈lineitem."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.sum(
+            cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+        ).alias("rev_c")
+    )
+    return agg.select("n_name", (F.col("rev_c") / F.lit(10000.0)).alias("revenue")).orderBy(
+        F.desc("revenue"), F.asc("n_name")
+    )
+
+
+_Q5_SQL = f"""
+WITH agg AS (
+  SELECT n_name,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT n_name, rev_c / 10000.0 AS revenue
+FROM agg ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# ----------------------------------------------------------------- q10
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1998-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-07-01"))
+    )
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(
+            cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+        ).alias("rev_c")
+    )
+    return (
+        agg.select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_c") / F.lit(10000.0)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate < TIMESTAMP '1998-07-01'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c_custkey, c_name, rev_c / 10000.0 AS revenue, c_acctbal, n_name
+FROM agg ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+# ----------------------------------------------------------------- q12
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipmode priority classes, adapted: no l_shipmode column, so
+    lines are classed slow/fast by ship lag (>45 days after order).
+    Dates are midnight-aligned so datediff ≡ DuckDB date_diff."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
+    classed = joined.select(
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 45, F.lit("slow")
+        )
+        .otherwise(F.lit("fast"))
+        .alias("ship_class"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_high"),
+    )
+    return (
+        classed.groupBy("ship_class")
+        .agg(
+            F.sum("is_high").cast("long").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("is_high")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+_Q12_SQL = """
+WITH classed AS (
+  SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 45
+              THEN 'slow' ELSE 'fast' END AS ship_class,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_high
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT ship_class,
+       CAST(SUM(is_high) AS BIGINT) AS high_line_count,
+       CAST(SUM(1 - is_high) AS BIGINT) AS low_line_count
+FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+# ----------------------------------------------------------------- q13
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: left outer join (keeps
+    zero-order customers) then a second aggregation over counts."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ----------------------------------------------------------------- q14
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share. part is a dim → broadcast. The ratio is
+    exact-int sums combined with fixed double ops (deterministic)."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    joined = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    rev = cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+            "promo_c"
+        ),
+        F.sum(rev).alias("total_c"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_c") / F.col("total_c")).alias("promo_revenue_pct")
+    )
+
+
+_Q14_SQL = f"""
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN p_type = 'PROMO'
+             THEN {cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})
+             ELSE 0 END) AS promo_c,
+    SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS total_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT 100.0 * promo_c / total_c AS promo_revenue_pct FROM agg
+"""
+
+
+# ----------------------------------------------------------------- q18
+
+_Q18_QTY_THRESHOLD = 300
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: group-having over lineitem feeds a
+    semi-join back into the fact join (two shuffles on l_orderkey,
+    co-partitioned so AQE can reuse the exchange)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_c"))
+        .where(F.col("qty_c") > _Q18_QTY_THRESHOLD * 100)
+        .select("l_orderkey")
+    )
+    joined = (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+    ).agg((F.sum(cents(F.col("l_quantity"))) / F.lit(100.0)).alias("sum_qty"))
+    return agg.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       SUM({cents_sql('l_quantity')}) / 100.0 AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY 1 HAVING SUM({cents_sql('l_quantity')}) > {_Q18_QTY_THRESHOLD * 100}
+)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q4": tpch_q4,
+    "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q10": tpch_q10,
+    "tpch_q12": tpch_q12,
+    "tpch_q13": tpch_q13,
+    "tpch_q14": tpch_q14,
+    "tpch_q18": tpch_q18,
 }
 
 ORACLE = {
     "tpch_q1": _Q1_SQL,
+    "tpch_q3": _Q3_SQL,
+    "tpch_q4": _Q4_SQL,
+    "tpch_q5": _Q5_SQL,
     "tpch_q6": _Q6_SQL,
+    "tpch_q10": _Q10_SQL,
+    "tpch_q12": _Q12_SQL,
+    "tpch_q13": _Q13_SQL,
+    "tpch_q14": _Q14_SQL,
+    "tpch_q18": _Q18_SQL,
 }
