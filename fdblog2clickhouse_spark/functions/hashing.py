@@ -36,6 +36,11 @@ def h32_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
 
 
+def h32_spark_sql(expr: str) -> str:
+    """Same hash, Spark SQL string form (for generated expressions)."""
+    return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def h32_seeded(col: Column, seed: int) -> Column:
     return h32(F.concat(F.lit(f"{seed}|"), col))
 

@@ -1,4 +1,408 @@
-"""Placeholder — filled in per SURVEY.md §7 build plan."""
+"""Deduplication operators over `documents` (SURVEY §2.3).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+The LLM-training-data dedup family, each built the way it distributes
+at 100 TB:
+
+- exact: hash-groupBy on a normalized-text digest (one shuffle on the
+  digest; at scale this is the cheapest possible dedup).
+- MinHash+LSH: shingle → 16-perm signature → 4 bands → bucket join.
+  Candidate generation shuffles on band_key only, so work is bounded
+  by bucket sizes, never all-pairs. Verification joins shingle sets
+  for candidate pairs only.
+- SimHash: 32-bit fingerprint, 4×8-bit band blocking (any pair with
+  Hamming distance ≤ 3 shares ≥ 1 band by pigeonhole), Hamming
+  verify on candidates.
+- n-gram Jaccard: char-5-gram sets, language-blocked pair join.
+- embedding cosine: exact-pair scan on integer-quantized vectors
+  (the brute-force baseline; ann_lsh_topk in similarity.py is the
+  scale path).
+
+Cross-engine determinism: hashes are md5-derived (functions/
+hashing.py); MinHash "permutations" are lexicographic minima of
+seeded md5 hex strings (identical in any engine); vectors are
+quantized to integers so dot products are exact and order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32_spark_sql, h32_sql
+from ..functions.text import (
+    char_ngrams_expr,
+    norm_text,
+    norm_text_sql,
+    shingles_cte_sql,
+    shingles_expr,
+    tokens,
+)
+from ..sources.tables import table
+
+_N_PERM = 16
+_N_BANDS = 4  # 4 rows per band
+_JACCARD_THRESHOLD = 0.5
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4  # 8 bits each
+_HAMMING_MAX = 3
+_COSINE_THRESHOLD = 0.45
+_QUANT = 10_000
+
+
+# ---------------------------------------------------- dedup_exact
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5 of normalized text. Output: one row per
+    distinct content, with group size and canonical (min) doc_id."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(norm_text(F.col("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT md5({norm_text_sql('text')}) AS text_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------- dedup_minhash_lsh
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("t")).where(F.size("t") >= 3)
+    return (
+        t.select("doc_id", F.explode(F.expr(shingles_expr("t", 3))).alias("s"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir).cache()
+
+    # 16-perm MinHash signature: lexicographic min of seeded md5.
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"s{i}")
+            for i in range(_N_PERM)
+        ]
+    )
+    # 4 bands of 4 rows; band key hashes the concatenated rows.
+    rows_per_band = _N_PERM // _N_BANDS
+    bands = None
+    for b in range(_N_BANDS):
+        cols = [f"s{b * rows_per_band + j}" for j in range(rows_per_band)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("", *cols)).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+    # Verify candidates with exact Jaccard over shingle sets.
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("da"))
+        .join(sb, (F.col("sb.doc_id") == F.col("db")) & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = (
+        inter.join(ca, F.col("ca.doc_id") == F.col("da"))
+        .join(cb, F.col("cb.doc_id") == F.col("db"))
+        .select(
+            "da",
+            "db",
+            (F.col("i") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+
+
+_DEDUP_MINHASH_SQL = f"""
+WITH {shingles_cte_sql('documents', 'text', 3)},
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"MIN(md5('{i}|' || s)) AS s{i}" for i in range(_N_PERM))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(
+      "SELECT doc_id, " + str(b) + " AS band, md5("
+      + " || ".join(f"s{b * (_N_PERM // _N_BANDS) + j}" for j in range(_N_PERM // _N_BANDS))
+      + ") AS band_key FROM sig"
+      for b in range(_N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT da, db, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = da
+  JOIN sh sb ON sb.doc_id = db AND sa.s = sb.s
+  GROUP BY 1, 2
+)
+SELECT da, db, i / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# -------------------------------------------------- dedup_simhash
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .select("doc_id", F.expr(h32_spark_sql("tok")).alias("h"))
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(case when (shiftright(h, {i}) & 1) = 1 then 1 else -1 end)"
+            ).alias(f"b{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+    )
+    return bit_sums.select("doc_id", F.expr(f"CAST({sh_expr} AS BIGINT)").alias("sh"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_df(spark, sf_dir).cache()
+    # 4 bands of 8 bits: pairs at Hamming ≤ 3 must share a band.
+    bands = None
+    for b in range(_SIMHASH_BANDS):
+        part = sim.select(
+            "doc_id",
+            "sh",
+            F.lit(b).alias("band"),
+            F.expr(f"(shiftright(sh, {8 * b}) & 255)").alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "da",
+        "db",
+        F.expr("CAST(bit_count(sha ^ shb) AS INT)").alias("hamming"),
+    ).where(F.col("hamming") <= _HAMMING_MAX)
+
+
+_SIMHASH_CTE = f"""
+toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {h32_sql('tok')} AS h FROM toks
+), bit_sums AS (
+  SELECT doc_id,
+         {', '.join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(_SIMHASH_BITS))}
+  FROM hashed GROUP BY doc_id
+), sim AS (
+  SELECT doc_id,
+         CAST({' + '.join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS))} AS BIGINT) AS sh
+  FROM bit_sums
+)"""
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, sh, {b} AS band, (sh >> {8 * b}) & 255 AS band_val FROM sim" for b in range(_SIMHASH_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sha, b.sh AS shb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT da, db, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= {_HAMMING_MAX}
+"""
+
+
+# -------------------------------------------- dedup_ngram_jaccard
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard within language blocks. Blocking keys the
+    pair join so candidate space is per-language, the way a
+    distributed implementation bounds the quadratic term."""
+    d = table(spark, sf_dir, "documents")
+    nt = d.select(
+        "doc_id", "lang", norm_text(F.col("text")).alias("nt")
+    ).where(F.length("nt") >= 5)
+    grams = nt.select(
+        "doc_id", "lang", F.explode(F.expr(char_ngrams_expr("nt", 5))).alias("g")
+    ).distinct()
+    cnt = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        ga.join(
+            gb,
+            (F.col("ga.lang") == F.col("gb.lang"))
+            & (F.col("ga.g") == F.col("gb.g"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(F.col("ga.doc_id").alias("da"), F.col("gb.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("da"))
+        .join(cb, F.col("cb.doc_id") == F.col("db"))
+        .select(
+            "da",
+            "db",
+            (F.col("i") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+_DEDUP_NGRAM_SQL = f"""
+WITH nt AS (
+  SELECT doc_id, lang, {norm_text_sql('text')} AS nt FROM documents
+), idx AS (
+  SELECT doc_id, lang, nt, unnest(generate_series(1, length(nt)-4)) AS i
+  FROM nt WHERE length(nt) >= 5
+), grams AS (
+  SELECT DISTINCT doc_id, lang, substr(nt, i, 5) AS g FROM idx
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM grams a JOIN grams b
+    ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db, i / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ------------------------------------------- embedding_neardup
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized embeddings (+ exact integer squared norm).
+    Quantization makes dot products exact and summation-order-free —
+    the cross-engine determinism backbone for all vector ops."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _QUANT, 0).cast("long"),
+    )
+    return e.select("vec_id", "label", q.alias("q")).withColumn(
+        "nq",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+_QUANT_CTE = f"""
+qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, label, q,
+         list_sum(list_transform(q, x -> x * x)) AS nq
+  FROM qv
+)"""
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qn = _quantized(spark, sf_dir)
+    a = qn.select(
+        F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    b = qn.select(
+        F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    cos = (
+        _dot("qa", "qb").cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    ).alias("cosine")
+    return pairs.select("va", "vb", cos).where(F.col("cosine") >= _COSINE_THRESHOLD)
+
+
+_EMBEDDING_NEARDUP_SQL = f"""
+WITH {_QUANT_CTE}
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+         / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= {_COSINE_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "embedding_neardup": embedding_neardup,
+}
+
+ORACLE = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+    "dedup_simhash": _DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+}
