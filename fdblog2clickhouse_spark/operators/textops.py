@@ -1,4 +1,297 @@
-"""Placeholder — filled in per SURVEY.md §7 build plan."""
+"""Text analysis over `documents` (SURVEY §2.5).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+LLM-data-pipeline text operators: token counting (whitespace +
+BPE-ish regex), composite quality scoring, marker-token language ID
+with a confusion rollup, order-free content fingerprinting, and
+corpus stats. Everything is built-in-function column algebra (no
+Python UDFs — whole-stage codegen end to end), with DuckDB-mirrored
+semantics: integer counts aggregated exactly, double post-ops in a
+fixed operation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32_spark_sql, h32_sql
+from ..functions.text import (
+    char_ngrams_expr,
+    norm_text,
+    norm_text_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources.tables import table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other glyphs.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_STOPWORDS = (
+    "the", "a", "and", "of", "to", "in", "is", "for", "on", "with",
+)
+
+# marker tokens per language for the heuristic language-ID
+_LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "es": ("el", "la", "los", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "les", "et", "une"),
+    "zh": ("de", "shi", "bu", "wo"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def _in_list_sql(items) -> str:
+    return ", ".join(f"'{x}'" for x in items)
+
+
+# ----------------------------------------------------- token_count
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    t = d.select(
+        "doc_id",
+        nt.alias("nt"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("nt"), F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("nt").alias("n_chars_norm"),
+        (F.length("nt") / F.size("toks")).alias("avg_token_len"),
+    )
+
+
+_TOKEN_COUNT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {norm_text_sql('text')} AS nt,
+         {tokens_sql('text')} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(nt, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+       CAST(length(nt) AS INT) AS n_chars_norm,
+       length(nt) / len(toks) AS avg_token_len
+FROM t
+"""
+
+
+# ----------------------------------------------- text_quality_score
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality: length saturation, non-alnum density,
+    stopword ratio. Fixed double op order keeps engines identical."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", norm_text(F.col("text")).alias("nt"), tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 1)
+    stop_expr = f"size(filter(toks, x -> x IN ({_in_list_sql(_STOPWORDS)})))"
+    m = t.select(
+        "doc_id",
+        F.length("nt").alias("n_chars"),
+        F.size("toks").alias("n_tokens"),
+        (
+            F.length("nt")
+            - F.length(F.regexp_replace(F.col("nt"), "[^a-z0-9 ]", ""))
+        ).alias("n_punct"),
+        F.expr(stop_expr).alias("n_stop"),
+    )
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    punct_ratio = F.col("n_punct") / F.col("n_chars")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            F.lit(0.4) * len_score
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+            + F.lit(0.3) * stop_ratio
+        ).alias("quality_score"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {norm_text_sql('text')} AS nt, {tokens_sql('text')} AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(length(nt) AS INT) AS n_chars,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(length(nt) - length(regexp_replace(nt, '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+         CAST(len(list_filter(toks, x -> x IN ({_in_list_sql(_STOPWORDS)}))) AS INT) AS n_stop
+  FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id, n_chars, n_tokens,
+       n_punct / n_chars AS punct_ratio,
+       n_stop / n_tokens AS stopword_ratio,
+       0.4 * least(n_chars / 500.0, 1.0)
+         + 0.3 * (1.0 - n_punct / n_chars)
+         + 0.3 * (n_stop / n_tokens) AS quality_score
+FROM m
+"""
+
+
+# -------------------------------------------------- lang_id_ngram
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID vs the labeled `lang`: a confusion
+    rollup (lang × pred_lang → count). Argmax resolves ties by the
+    fixed _LANG_ORDER preference, identically in both engines."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", tokens(norm_text(F.col("text"))).alias("toks"))
+    counts = t.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(
+                f"size(filter(toks, x -> x IN ({_in_list_sql(_LANG_MARKERS[lg])})))"
+            ).alias(f"c_{lg}")
+            for lg in _LANG_ORDER
+        ],
+    )
+    all_cols = [f"c_{lg}" for lg in _LANG_ORDER]
+    g = F.greatest(*[F.col(c) for c in all_cols])
+    pred = F.when(g == 0, F.lit("unknown"))
+    for lg in _LANG_ORDER:
+        pred = pred.when(F.col(f"c_{lg}") == g, F.lit(lg))
+    return (
+        counts.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _pred_sql() -> str:
+    cases = " ".join(
+        f"WHEN c_{lg} = g THEN '{lg}'" for lg in _LANG_ORDER
+    )
+    return f"CASE WHEN g = 0 THEN 'unknown' {cases} END"
+
+
+_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {tokens_sql(norm_text_sql('text'))} AS toks
+  FROM documents
+), counts AS (
+  SELECT doc_id, lang,
+         {', '.join(f"CAST(len(list_filter(toks, x -> x IN ({_in_list_sql(_LANG_MARKERS[lg])}))) AS INT) AS c_{lg}" for lg in _LANG_ORDER)}
+  FROM t
+), gm AS (
+  SELECT *, greatest({', '.join(f'c_{lg}' for lg in _LANG_ORDER)}) AS g FROM counts
+)
+SELECT lang, {_pred_sql()} AS pred_lang, COUNT(*) AS n
+FROM gm GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------ doc_fingerprint
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint from the char-5-gram hash set: XOR-fold
+    (commutative → shuffle-order-free), min-hash, and distinct count.
+    A cheap containment/equality digest for corpus-level comparison."""
+    d = table(spark, sf_dir, "documents")
+    nt = d.select("doc_id", norm_text(F.col("text")).alias("nt")).where(
+        F.length("nt") >= 5
+    )
+    grams = nt.select(
+        "doc_id", F.explode(F.expr(char_ngrams_expr("nt", 5))).alias("g")
+    ).distinct()
+    hashed = grams.select("doc_id", F.expr(h32_spark_sql("g")).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.min("h").alias("min_hash"),
+        F.expr("bit_xor(h)").alias("xor_fingerprint"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+WITH nt AS (
+  SELECT doc_id, {norm_text_sql('text')} AS nt FROM documents
+), idx AS (
+  SELECT doc_id, nt, unnest(generate_series(1, length(nt)-4)) AS i
+  FROM nt WHERE length(nt) >= 5
+), grams AS (
+  SELECT DISTINCT doc_id, substr(nt, i, 5) AS g FROM idx
+), hashed AS (
+  SELECT doc_id, {h32_sql('g')} AS h FROM grams
+)
+SELECT doc_id, COUNT(*) AS n_grams, MIN(h) AS min_hash,
+       bit_xor(h) AS xor_fingerprint
+FROM hashed GROUP BY 1
+"""
+
+
+# ---------------------------------------------- doc_stats_by_lang
+
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    agg = t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        (F.col("sum_chars") / F.col("n_docs")).alias("avg_chars"),
+        (F.col("sum_tokens") / F.col("n_docs")).alias("avg_tokens"),
+    ).orderBy("lang", "source")
+
+
+_DOC_STATS_SQL = f"""
+WITH t AS (
+  SELECT lang, source, n_chars,
+         CAST(len({tokens_sql('text')}) AS INT) AS n_tokens
+  FROM documents
+), agg AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         SUM(n_chars) AS sum_chars, SUM(n_tokens) AS sum_tokens
+  FROM t GROUP BY 1, 2
+)
+SELECT lang, source, n_docs,
+       CAST(sum_chars AS BIGINT) AS sum_chars,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       sum_chars / n_docs AS avg_chars,
+       sum_tokens / n_docs AS avg_tokens
+FROM agg ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "token_count": token_count,
+    "text_quality_score": text_quality_score,
+    "lang_id_ngram": lang_id_ngram,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_stats_by_lang": doc_stats_by_lang,
+}
+
+ORACLE = {
+    "token_count": _TOKEN_COUNT_SQL,
+    "text_quality_score": _QUALITY_SQL,
+    "lang_id_ngram": _LANG_ID_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "doc_stats_by_lang": _DOC_STATS_SQL,
+}
