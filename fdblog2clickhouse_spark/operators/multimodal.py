@@ -1,4 +1,184 @@
-"""Placeholder — filled in per SURVEY.md §7 build plan."""
+"""Multimodal binary-column plumbing (SURVEY §2.6).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Image/audio/video payloads are opaque `binary` columns with typed
+metadata — the Spark-side schema, partitioning, and Arrow/Pandas-UDF
+batch shapes are real and tested; the actual media DECODE step is
+stubbed (the container has no image/audio libs) behind an import-try
+so the pipeline shape is production-true.
+
+Deterministic fake payloads are derived from `documents` (md5-based
+bytes, varying length by modality) so the metadata path is
+oracle-checkable and the chunker has real bytes to move through
+mapInPandas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.hashing import h32
+from ..sources.tables import table
+
+try:  # real decoders are not available in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_IMAGE_DECODER = True
+except ImportError:
+    HAVE_IMAGE_DECODER = False
+
+_CHUNK_BYTES = 16
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload. STUB: requires an image library that
+    is not baked into this environment; the surrounding plumbing
+    (schema, batching, partitioning) is real."""
+    if not HAVE_IMAGE_DECODER:
+        raise NotImplementedError(
+            "image decode requires PIL; install an image codec to enable"
+        )
+    raise NotImplementedError("wire to Image.open(BytesIO(payload)) when enabled")
+
+
+# ------------------------------------------------ payload synthesis
+
+def with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic fake binary payload + modality.
+    payload = unhex(repeat(md5(text), 1 + doc_id % 3)) → 16/32/48
+    bytes; modality cycles image/audio/video."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+        F.unhex(
+            F.repeat(F.md5(F.col("text")), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+        ).alias("payload"),
+        F.col("text"),
+    )
+
+
+# --------------------------------------------- multimodal_metadata
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction over the opaque payload: length,
+    content checksum, modality-specific fake dimensions. Pure column
+    algebra (JVM-side); the decode that would fill real dimensions is
+    the stubbed step."""
+    p = with_payload(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").alias("payload_len"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+        F.when(F.col("media_type") == "image", (h32(F.col("text")) % 1920).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("width"),
+        F.when(F.col("media_type") == "image", (h32(F.concat(F.lit("h|"), F.col("text"))) % 1080).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("height"),
+        F.when(
+            F.col("media_type") == "audio",
+            (F.lit(8000) + h32(F.concat(F.lit("sr|"), F.col("text"))) % 40000).cast("int"),
+        )
+        .otherwise(F.lit(None).cast("int"))
+        .alias("sample_rate"),
+    )
+
+
+_METADATA_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         unhex(repeat(md5(text), CAST(1 + doc_id % 3 AS INT))) AS payload,
+         text
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(octet_length(payload) AS INT) AS payload_len,
+       md5(hex(payload)) AS payload_md5,
+       CASE WHEN media_type = 'image'
+            THEN CAST((('0x' || substr(md5(text), 1, 8))::BIGINT) % 1920 AS INT)
+            ELSE NULL END AS width,
+       CASE WHEN media_type = 'image'
+            THEN CAST((('0x' || substr(md5('h|' || text), 1, 8))::BIGINT) % 1080 AS INT)
+            ELSE NULL END AS height,
+       CASE WHEN media_type = 'audio'
+            THEN CAST(8000 + (('0x' || substr(md5('sr|' || text), 1, 8))::BIGINT) % 40000 AS INT)
+            ELSE NULL END AS sample_rate
+FROM p
+"""
+
+
+# ------------------------------------------------ multimodal_chunk
+
+_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_len", IntegerType()),
+        StructField("chunk", BinaryType()),
+    ]
+)
+
+
+def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched chunker: fixed-size byte windows per payload —
+    the frame-sampling / audio-windowing analog. Runs per-partition;
+    no driver involvement."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "media_type": [],
+            "chunk_idx": [],
+            "chunk_len": [],
+            "chunk": [],
+        }
+        for doc_id, media_type, payload in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            b = bytes(payload)
+            for idx in range(0, len(b), _CHUNK_BYTES):
+                chunk = b[idx : idx + _CHUNK_BYTES]
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(media_type)
+                out["chunk_idx"].append(idx // _CHUNK_BYTES)
+                out["chunk_len"].append(len(chunk))
+                out["chunk"].append(chunk)
+        yield pd.DataFrame(out)
+
+
+def multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas chunking of binary payloads (rows-only check:
+    binary output columns are not hash-stable across engines, and the
+    point here is the Arrow batch plumbing)."""
+    p = with_payload(spark, sf_dir).select("doc_id", "media_type", "payload")
+    return p.mapInPandas(_chunk_batches, schema=_CHUNK_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_chunk": multimodal_chunk,
+}
+
+ORACLE = {
+    "multimodal_metadata": _METADATA_SQL,
+}

@@ -1,0 +1,171 @@
+"""ClickHouse sink: schema management + JSONEachRow HTTP inserts
+(SURVEY §2.8).
+
+Re-expresses the reference's sink surface Spark-first:
+- DDL generation from a declared column-spec table
+  (≙ trace-converter.py:20-61 `clickhouse_schema`/`create_schema`):
+  MergeTree, PARTITION BY toYYYYMM(time), ORDER BY (time), per-column
+  codecs/comments, CREATE ... IF NOT EXISTS.
+- JSONEachRow encoding (≙ trace-converter.py:66-72 `insert_trace`)
+  done DISTRIBUTED: to_json(struct(*)) per row JVM-side, POSTed per
+  partition from executors — no driver collect. ClickHouse is built
+  for many concurrent bulk inserts (reference README.md:193-206), so
+  per-partition POSTs of tens of thousands of rows is exactly the
+  ingestion pattern it wants.
+- HTTP basic auth via env or args (≙ trace-converter.py:11-17).
+
+`requests` is import-gated; dry_run mode spools the exact payloads to
+local files so tests (and air-gapped runs) exercise the full path
+minus the socket.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:
+    import requests
+
+    HAVE_REQUESTS = True
+except ImportError:  # pragma: no cover - baked-in envs usually have it
+    requests = None
+    HAVE_REQUESTS = False
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    name: str
+    ch_type: str
+    codec: str = "CODEC(ZSTD)"
+    comment: str = ""
+
+
+# The reference's trace column set (trace-converter.py:85-93).
+TRACE_COLUMNS = [
+    ColumnSpec("severity", "UInt32", "CODEC(Delta, ZSTD)", "Event Severity Code"),
+    ColumnSpec("machine", "String", "CODEC(ZSTD)", "Machine ID for Event"),
+    ColumnSpec("log_group", "String", "CODEC(ZSTD)", "Group for Event Type"),
+    ColumnSpec("time", "DateTime", "CODEC(ZSTD)", "Event Timestamp"),
+    ColumnSpec("type", "String", "CODEC(ZSTD)", "Event Type"),
+    ColumnSpec("id", "Nullable(String)", "CODEC(ZSTD)", "Event Identifier"),
+]
+
+
+def mergetree_ddl(
+    table: str,
+    columns: list[ColumnSpec],
+    *,
+    partition_expr: str = "toYYYYMM(time)",
+    order_by: str = "(time)",
+    index_granularity: int = 8192,
+) -> str:
+    """MergeTree CREATE TABLE DDL from a column-spec table."""
+    lines = []
+    for i, c in enumerate(columns):
+        lead = "  ( " if i == 0 else "  , "
+        lines.append(
+            f"{lead}`{c.name}`".ljust(20)
+            + f" {c.ch_type}".ljust(20)
+            + f" COMMENT '{c.comment}'".ljust(32)
+            + f" {c.codec}"
+        )
+    body = "\n".join(lines)
+    return (
+        f"CREATE TABLE IF NOT EXISTS `{table}`\n"
+        f"{body}\n"
+        f"  ) ENGINE = MergeTree()\n"
+        f"    PARTITION BY\n      {partition_expr}\n"
+        f"    ORDER BY\n      {order_by}\n"
+        f"    SETTINGS\n      index_granularity={index_granularity}"
+    )
+
+
+def jsoneachrow(df: DataFrame) -> DataFrame:
+    """Encode rows as JSONEachRow lines, JVM-side, fully distributed.
+    Returns a single-string-column DataFrame ('line')."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+
+
+def _post_lines(lines: list[str], url: str, params: dict, auth, spool_dir: str | None):
+    payload = "\n".join(lines)
+    if spool_dir is not None:
+        os.makedirs(spool_dir, exist_ok=True)
+        fname = os.path.join(spool_dir, f"batch-{uuid.uuid4().hex}.jsonl")
+        with open(fname, "w") as f:
+            f.write(payload)
+        return
+    if not HAVE_REQUESTS:
+        raise RuntimeError("requests not available; use dry_run spooling")
+    r = requests.post(url, params=params, data=payload.encode(), auth=auth)
+    r.raise_for_status()
+
+
+@dataclass
+class ClickHouseHttpSink:
+    """HTTP sink with the reference's env-var surface. dry_run spools
+    payloads to `spool_dir` instead of POSTing."""
+
+    addr: str = field(default_factory=lambda: os.environ.get("CLICKHOUSE_ADDR", ""))
+    database: str = field(default_factory=lambda: os.environ.get("CLICKHOUSE_DB", ""))
+    table: str = field(default_factory=lambda: os.environ.get("CLICKHOUSE_TABLE", ""))
+    user: str | None = field(default_factory=lambda: os.environ.get("CLICKHOUSE_USER"))
+    password: str | None = field(
+        default_factory=lambda: os.environ.get("CLICKHOUSE_PASS")
+    )
+    spool_dir: str | None = None  # set → dry run
+
+    @property
+    def _auth(self):
+        if self.user is not None and self.password is not None:
+            return (self.user, self.password)
+        return None
+
+    def create_schema(self, columns: list[ColumnSpec]) -> str:
+        ddl = mergetree_ddl(self.table, columns)
+        if self.spool_dir is None:
+            _post_lines(
+                [f"CREATE DATABASE IF NOT EXISTS {self.database}"],
+                self.addr,
+                {},
+                self._auth,
+                None,
+            )
+            _post_lines([ddl], self.addr, {"database": self.database}, self._auth, None)
+        return ddl
+
+    def insert(self, df: DataFrame, *, batch_size: int = 50_000) -> None:
+        """Distributed JSONEachRow insert: each partition POSTs its
+        own bulk batches straight from the executor."""
+        url = self.addr
+        params = {
+            "database": self.database,
+            "query": f"INSERT INTO {self.table} FORMAT JSONEachRow",
+        }
+        auth = self._auth
+        spool = self.spool_dir
+        lines_df = jsoneachrow(df)
+
+        def send_partition(rows):
+            buf: list[str] = []
+            for row in rows:
+                buf.append(row["line"])
+                if len(buf) >= batch_size:
+                    _post_lines(buf, url, params, auth, spool)
+                    buf = []
+            if buf:
+                _post_lines(buf, url, params, auth, spool)
+
+        lines_df.foreachPartition(send_partition)
+
+    def foreach_batch(self):
+        """Adapter for streaming: writeStream.foreachBatch(sink.foreach_batch())."""
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.insert(batch_df)
+
+        return _fn

@@ -1,4 +1,115 @@
-"""Placeholder — filled in per SURVEY.md §7 build plan."""
+"""Streaming queries exposed through the driver contract (SURVEY §2.7).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Both run real Structured Streaming under Trigger.AvailableNow so the
+callables return a finite, deterministic DataFrame:
+
+- streaming_trace_ingest [rows-only]: events → trace-shaped JSON log
+  files on disk → file-source stream → normalize → memory sink. The
+  full reference ingestion path, end to end.
+- streaming_windowed_counts [oracle]: watermarked tumbling-window
+  aggregation in complete mode; under AvailableNow the final state
+  equals the batch aggregation, so plain SQL is a valid oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import cents, cents_sql
+from ..sources.tables import table
+from .ingest import normalize_trace, read_trace_stream
+
+
+def _export_trace_logs(spark: SparkSession, sf_dir: str, log_dir: str) -> None:
+    """Write events as rotated trace-log JSON files (the reference's
+    input format: one JSON object per line, several files ≙ several
+    rotations)."""
+    e = table(spark, sf_dir, "events")
+    trace = e.select(
+        F.when(F.col("event_type") == "error", F.lit(40))
+        .otherwise(F.lit(10))
+        .alias("Severity"),
+        F.concat(F.lit("machine-"), F.col("user_id").cast("string")).alias("Machine"),
+        F.lit("default").alias("LogGroup"),
+        (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("Time"),
+        F.col("event_type").alias("Type"),
+        F.col("event_id").cast("string").alias("ID"),
+    )
+    trace.coalesce(4).write.mode("overwrite").json(log_dir)
+
+
+def streaming_trace_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="trace_ingest_")
+    log_dir = os.path.join(base, "logs")
+    _export_trace_logs(spark, sf_dir, log_dir)
+
+    stream = normalize_trace(read_trace_stream(spark, log_dir))
+    name = f"trace_ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows over the events stream.
+    Windows are epoch-aligned, so date_trunc('hour') is the exact
+    batch equivalent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(f"{sf_dir}/events*.parquet")  # glob: file source needs a dir/glob
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_c"),
+        )
+    )
+    name = f"windowed_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "n",
+        (F.col("value_c") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+_WINDOWED_COUNTS_SQL = f"""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       COUNT(*) AS n,
+       SUM({cents_sql('value')}) / 100.0 AS total_value
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "streaming_trace_ingest": streaming_trace_ingest,
+    "streaming_windowed_counts": streaming_windowed_counts,
+}
+
+ORACLE = {
+    "streaming_windowed_counts": _WINDOWED_COUNTS_SQL,
+}

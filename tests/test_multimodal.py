@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests (SURVEY §2.6)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from fdblog2clickhouse_spark.operators import multimodal
+
+from .oracle import compare
+
+
+def test_metadata_oracle_parity(spark, sf_oracle):
+    df = multimodal.multimodal_metadata(spark, sf_oracle)
+    compare(df, multimodal.ORACLE["multimodal_metadata"], sf_oracle)
+
+
+def test_chunker_reassembles(spark, sf_smoke):
+    """Chunks must reassemble exactly into the payload (Arrow round-trip
+    fidelity for binary columns)."""
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.with_payload(spark, sf_smoke).collect()
+    }
+    chunks = multimodal.multimodal_chunk(spark, sf_smoke).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(payloads)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        joined = b"".join(bytes(r["chunk"]) for r in rows)
+        assert joined == payloads[doc_id]
+        assert all(r["chunk_len"] == len(bytes(r["chunk"])) for r in rows)
+
+
+def test_payload_checksum_is_real_md5(spark, sf_smoke):
+    rows = multimodal.multimodal_metadata(spark, sf_smoke).limit(5).collect()
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.with_payload(spark, sf_smoke).collect()
+    }
+    for r in rows:
+        expect = hashlib.md5(payloads[r["doc_id"]].hex().upper().encode()).hexdigest()
+        assert r["payload_md5"] == expect
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00" * 16)

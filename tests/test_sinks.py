@@ -1,0 +1,84 @@
+"""Sink & schema-management tests (SURVEY §2.8) — parity with the
+reference's DDL/JSONEachRow/partitioning behavior."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from fdblog2clickhouse_spark.operators.trace_ops import trace_normalize
+from fdblog2clickhouse_spark.sinks.clickhouse import (
+    TRACE_COLUMNS,
+    ClickHouseHttpSink,
+    jsoneachrow,
+    mergetree_ddl,
+)
+from fdblog2clickhouse_spark.sinks.mergetree import read_mergetree, write_mergetree
+from fdblog2clickhouse_spark.sources.tables import table
+
+
+def test_ddl_structure():
+    ddl = mergetree_ddl("cluster01", TRACE_COLUMNS)
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS `cluster01`")
+    for c in TRACE_COLUMNS:
+        assert f"`{c.name}`" in ddl
+        assert c.ch_type in ddl
+    assert "ENGINE = MergeTree()" in ddl
+    assert "toYYYYMM(time)" in ddl
+    assert "ORDER BY" in ddl and "(time)" in ddl
+    assert "index_granularity=8192" in ddl
+
+
+def test_jsoneachrow_roundtrip(spark, sf_smoke):
+    df = trace_normalize(spark, sf_smoke).limit(50)
+    lines = [r["line"] for r in jsoneachrow(df).collect()]
+    assert len(lines) == 50
+    parsed = [json.loads(x) for x in lines]
+    assert all(set(p) <= {"id", "time_us", "machine", "severity", "type", "log_group"}
+               for p in parsed)
+    assert {p["severity"] for p in parsed} <= {10, 40}
+
+
+def test_http_sink_dry_run_spools_full_table(spark, sf_smoke):
+    spool = tempfile.mkdtemp(prefix="ch_spool_")
+    sink = ClickHouseHttpSink(
+        addr="http://localhost:8123", database="testing", table="cluster01",
+        spool_dir=spool,
+    )
+    df = trace_normalize(spark, sf_smoke)
+    sink.insert(df)
+    lines = []
+    for fname in glob.glob(f"{spool}/batch-*.jsonl"):
+        with open(fname) as f:
+            lines.extend(x for x in f.read().splitlines() if x)
+    assert len(lines) == df.count()
+    ids = {json.loads(x)["id"] for x in lines}
+    assert len(ids) == df.count()
+
+
+def test_mergetree_sink_sorted_partitions(spark, sf_smoke):
+    out = os.path.join(tempfile.mkdtemp(prefix="mt_"), "events_mt")
+    e = table(spark, sf_smoke, "events").select(
+        F.col("ts").alias("time"), "event_id", "event_type", "value"
+    )
+    write_mergetree(e, out, mode="overwrite")
+    back = read_mergetree(spark, out)
+    assert back.count() == e.count()
+    assert glob.glob(f"{out}/yyyymm=*"), "expected toYYYYMM partition dirs"
+    # rows inside each file are time-sorted (ORDER BY law)
+    for pdir in glob.glob(f"{out}/yyyymm=*"):
+        part = spark.read.parquet(pdir)
+        times = [r["time"] for r in part.select("time").collect()]
+        # per-file ordering: read each parquet file separately
+        for fpath in glob.glob(f"{pdir}/*.parquet"):
+            ft = [r["time"] for r in spark.read.parquet(fpath).select("time").collect()]
+            assert ft == sorted(ft)
+    # partition pruning: a month filter must prune input files
+    months = sorted(int(p.split("=")[1]) for p in
+                    (os.path.basename(x) for x in glob.glob(f"{out}/yyyymm=*")))
+    plan = back.where(F.col("yyyymm") == months[0])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or back.where(F.col("yyyymm") == months[0]).count() > 0
