@@ -41,6 +41,15 @@ from ..sources.tables import table
 
 _N_PERM = 16
 _N_BANDS = 4  # 4 rows per band
+
+# Affine MinHash permutations perm_i(h) = (a_i*h + b_i) mod p over the
+# 32-bit md5-derived shingle hash. One md5 per shingle (not one per
+# permutation) — 16x less hashing — and pure BIGINT arithmetic that is
+# bit-identical in Spark and DuckDB. a_i < 2^30 and h < 2^32 keep
+# a_i*h + b_i < 2^63 (no overflow in either engine).
+_MINHASH_P = 4294967311  # smallest prime > 2^32
+_MINHASH_A = [(2 * i + 1) * 40503597 % (1 << 30) | 1 for i in range(_N_PERM)]
+_MINHASH_B = [(i * 97 + 31) * 1234577 % (1 << 30) for i in range(_N_PERM)]
 _JACCARD_THRESHOLD = 0.5
 _SIMHASH_BITS = 32
 _SIMHASH_BANDS = 4  # 8 bits each
@@ -75,37 +84,62 @@ FROM documents GROUP BY 1
 
 # ---------------------------------------------- dedup_minhash_lsh
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with its DISTINCT shingle set as an array.
+    Array-native on purpose: at 100 TB an exploded (doc_id, shingle)
+    table is a ~10x row amplification that would be shuffled several
+    times; keeping the set in-row costs zero shuffles and stays in
+    whole-stage codegen."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens(F.col("text")).alias("t")).where(F.size("t") >= 3)
-    return (
-        t.select("doc_id", F.explode(F.expr(shingles_expr("t", 3))).alias("s"))
-        .distinct()
+    return t.select(
+        "doc_id", F.array_distinct(F.expr(shingles_expr("t", 3))).alias("sh")
     )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir).cache()
+    docs = _doc_shingles(spark, sf_dir).cache()
 
-    # 16-perm MinHash signature: lexicographic min of seeded md5.
-    sig = sh.groupBy("doc_id").agg(
+    # 16-perm MinHash signature: explode the in-row shingle set, hash
+    # each shingle ONCE (md5-derived h32), apply 16 affine integer
+    # permutations, and take 16 vectorized MINs in ONE hash
+    # aggregate. min() is commutative, so map-side partial
+    # aggregation reduces the shuffle to one 16-bigint row per doc
+    # per partition — the shingle blow-up never crosses the network.
+    # (A per-row array_min(transform(...)) variant avoids the shuffle
+    # entirely but runs interpreted, ~2x slower end-to-end; measured.)
+    hv = docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.expr(h32_spark_sql("s")).alias("h")
+    )
+    sig = hv.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"s{i}")
+            F.min(
+                (F.lit(_MINHASH_A[i]) * F.col("h") + F.lit(_MINHASH_B[i])) % F.lit(_MINHASH_P)
+            ).alias(f"s{i}")
             for i in range(_N_PERM)
         ]
     )
-    # 4 bands of 4 rows; band key hashes the concatenated rows.
+    # 4 bands of 4 rows via one posexplode (single pass; no unionAll
+    # re-computation of the signature per band).
     rows_per_band = _N_PERM // _N_BANDS
-    bands = None
-    for b in range(_N_BANDS):
-        cols = [f"s{b * rows_per_band + j}" for j in range(rows_per_band)]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("", *cols)).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"s{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
 
+    # The only required shuffle: hash-partition by band key. Bucket
+    # sizes bound the candidate space — never all-pairs.
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -118,39 +152,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Verify candidates with exact Jaccard over shingle sets.
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("da"))
-        .join(sb, (F.col("sb.doc_id") == F.col("db")) & (F.col("sa.s") == F.col("sb.s")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # Verify candidates with exact Jaccard via array_intersect on the
+    # in-row shingle sets (CPU-only; candidate side is small after
+    # LSH, so AQE broadcasts it into the doc-array joins).
+    pairs = (
+        cand.join(docs.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")), "da")
+        .join(docs.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db")
     )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = (
-        inter.join(ca, F.col("ca.doc_id") == F.col("da"))
-        .join(cb, F.col("cb.doc_id") == F.col("db"))
-        .select(
-            "da",
-            "db",
-            (F.col("i") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))).alias("jaccard"),
-        )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = pairs.select(
+        "da",
+        "db",
+        (inter / (F.size("sha") + F.size("shb") - inter)).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
 
 
 _DEDUP_MINHASH_SQL = f"""
 WITH {shingles_cte_sql('documents', 'text', 3)},
+hv AS (
+  SELECT doc_id, {h32_sql('s')} AS h FROM sh
+),
 sig AS (
   SELECT doc_id,
-         {', '.join(f"MIN(md5('{i}|' || s)) AS s{i}" for i in range(_N_PERM))}
-  FROM sh GROUP BY doc_id
+         {', '.join(f"MIN(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {_MINHASH_P}) AS s{i}" for i in range(_N_PERM))}
+  FROM hv GROUP BY doc_id
 ),
 bands AS (
   {' UNION ALL '.join(
       "SELECT doc_id, " + str(b) + " AS band, md5("
-      + " || ".join(f"s{b * (_N_PERM // _N_BANDS) + j}" for j in range(_N_PERM // _N_BANDS))
+      + " || '|' || ".join(
+          f"CAST(s{b * (_N_PERM // _N_BANDS) + j} AS VARCHAR)"
+          for j in range(_N_PERM // _N_BANDS)
+      )
       + ") AS band_key FROM sig"
       for b in range(_N_BANDS)
   )}
@@ -177,12 +211,16 @@ WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
 # -------------------------------------------------- dedup_simhash
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: dedup tokens IN-ROW (array_distinct — no
+    distinct shuffle), explode, then ONE vectorized hash aggregate
+    computing all 32 signed bit counts. Map-side partial aggregation
+    means the shuffle carries one 32-int row per doc per partition,
+    never the exploded token table."""
     d = table(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .distinct()
-        .select("doc_id", F.expr(h32_spark_sql("tok")).alias("h"))
-    )
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    ).select("doc_id", F.expr(h32_spark_sql("tok")).alias("h"))
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.expr(
@@ -198,17 +236,17 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cache the fingerprint table (doc_id + one BIGINT — tiny even at
+    # 100 TB of input) so the hash pass runs once, not per join side.
     sim = _simhash_df(spark, sf_dir).cache()
-    # 4 bands of 8 bits: pairs at Hamming ≤ 3 must share a band.
-    bands = None
-    for b in range(_SIMHASH_BANDS):
-        part = sim.select(
-            "doc_id",
-            "sh",
-            F.lit(b).alias("band"),
-            F.expr(f"(shiftright(sh, {8 * b}) & 255)").alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # 4 bands of 8 bits via one posexplode: pairs at Hamming ≤ 3 must
+    # share a band (pigeonhole). One shuffle total — the band join.
+    band_vals = F.array(
+        *[F.expr(f"(shiftright(sh, {8 * b}) & 255)") for b in range(_SIMHASH_BANDS)]
+    )
+    bands = sim.select(
+        "doc_id", "sh", F.posexplode(band_vals).alias("band", "band_val")
+    )
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
