@@ -494,17 +494,393 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
 """
 
 
+# ------------------------------------------------------------------ q7
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations, both directions. supplier,
+    customer, nation are broadcast dims; the only shuffle is
+    lineitem⋈orders plus the final small group-by."""
+    n1, n2 = "NATION_1", "NATION_2"
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    nn = table(spark, sf_dir, "nation")
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    ns = nn.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nn.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
+        .join(broadcast(nc), F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    agg = joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.sum(
+            cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+        ).alias("rev_c")
+    )
+    return agg.select(
+        "supp_nation",
+        "cust_nation",
+        "l_year",
+        (F.col("rev_c") / F.lit(10000.0)).alias("revenue"),
+    ).orderBy("supp_nation", "cust_nation", "l_year")
+
+
+_Q7_SQL = f"""
+WITH agg AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  GROUP BY 1, 2, 3
+)
+SELECT supp_nation, cust_nation, l_year, rev_c / 10000.0 AS revenue
+FROM agg ORDER BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------------ q8
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share: fraction of a region's revenue for one
+    part type supplied by one nation, per year. Exact integer sums on
+    both numerator and denominator keep the ratio bit-stable."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nn = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    ns = nn.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nn.select("n_nationkey", "n_regionkey")
+    joined = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(nc), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    rev = cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+    agg = joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).alias(
+            "nation_c"
+        ),
+        F.sum(rev).alias("total_c"),
+    )
+    return agg.select(
+        "o_year", (F.col("nation_c") / F.col("total_c")).alias("mkt_share")
+    ).orderBy("o_year")
+
+
+_Q8_SQL = f"""
+WITH agg AS (
+  SELECT year(o_orderdate) AS o_year,
+         SUM(CASE WHEN ns.n_name = 'NATION_3'
+              THEN {cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})
+              ELSE 0 END) AS nation_c,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS total_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT o_year, nation_c / total_c AS mkt_share FROM agg ORDER BY 1
+"""
+
+
+# ----------------------------------------------------------------- q15
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue: the revenue 'view' is one
+    shuffle-agg; its scalar MAX is broadcast back (no second pass over
+    lineitem)."""
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+        ).alias("rev_c")
+    )
+    top = rev.join(broadcast(rev.agg(F.max("rev_c").alias("max_c"))), F.col("rev_c") == F.col("max_c"))
+    return (
+        top.join(broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, rev_c / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ----------------------------------------------------------------- q17
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue for one brand (avg-yearly lost
+    revenue). The correlated avg subquery becomes a per-part
+    aggregate joined back on l_partkey. The 0.2*avg threshold is
+    compared in exact integers (qty_c * 5 * n < sum_c) so both
+    engines agree bit-for-bit."""
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    l = table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    joined = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part, l.l_partkey == F.col("pp_key"))
+        .where(cents(F.col("l_quantity")) * F.lit(5) * F.col("n_li") < F.col("sum_qty_c"))
+    )
+    agg = joined.agg(F.sum(cents(F.col("l_extendedprice"))).alias("ep_c"))
+    return agg.select((F.col("ep_c") / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly"))
+
+
+_Q17_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS pp_key,
+         SUM({cents_sql('l_quantity')}) AS sum_qty_c,
+         COUNT(*) AS n_li
+  FROM lineitem GROUP BY 1
+)
+SELECT SUM({cents_sql('l_extendedprice')}) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pp_key
+WHERE p_brand = 'Brand#12'
+  AND {cents_sql('l_quantity')} * 5 * n_li < sum_qty_c
+"""
+
+
+# ----------------------------------------------------------------- q19
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under a disjunction of brand/size/quantity
+    ranges (adapted: no p_container/l_shipmode in schema). One
+    broadcast join; the OR-of-ANDs predicate stays in the scan-side
+    filter so Catalyst can prune part early."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    joined = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    agg = joined.where(cond).agg(
+        F.sum(
+            cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+        ).alias("rev_c")
+    )
+    return agg.select((F.col("rev_c") / F.lit(10000.0)).alias("revenue"))
+
+
+_Q19_SQL = f"""
+SELECT SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ----------------------------------------------------------------- q21
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting, adapted: 'late' means
+    shipped > 60 days after order date (schema has no commit/receipt
+    dates). The spec's EXISTS / NOT EXISTS pair over lineitem
+    self-joins is re-expressed as ONE per-order aggregate (distinct
+    suppliers vs distinct late suppliers) — same result, one shuffle
+    instead of three fact-fact self-joins; this is the formulation
+    that survives 100 TB."""
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = table(spark, sf_dir, "lineitem")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(late, F.col("l_suppkey")).alias("late_suppkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_suppkey").alias("n_late"),
+            F.min("late_suppkey").alias("late_supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+_Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                             THEN l_suppkey END) AS n_late,
+         MIN(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 100
+"""
+
+
+# ----------------------------------------------------------------- q22
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity, adapted: country code is
+    c_nationkey (schema has no c_phone) and 'dormant' means no
+    orders since 1999 (every synthetic customer has some order).
+    Customers with above-average positive balance and no recent
+    orders: scalar-avg broadcast + left_anti join on filtered
+    orders. The avg compare is exact integers (bal_c * n > sum_c)."""
+    nations = [1, 2, 3, 4, 5, 6, 7]
+    c = table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= _ts("1999-01-01"))
+    stats = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents(F.col("c_acctbal"))).alias("sum_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    cand = c.join(broadcast(stats)).where(
+        cents(F.col("c_acctbal")) * F.col("n_pos") > F.col("sum_c")
+    )
+    no_orders = cand.join(o, cand.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents(F.col("c_acctbal"))) / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_SQL = f"""
+WITH c AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+), stats AS (
+  SELECT SUM({cents_sql('c_acctbal')}) AS sum_c, COUNT(*) AS n_pos
+  FROM c WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+       COUNT(*) AS numcust,
+       SUM({cents_sql('c_acctbal')}) / 100.0 AS totacctbal
+FROM c, stats
+WHERE {cents_sql('c_acctbal')} * n_pos > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q7": tpch_q7,
+    "tpch_q8": tpch_q8,
     "tpch_q10": tpch_q10,
     "tpch_q12": tpch_q12,
     "tpch_q13": tpch_q13,
     "tpch_q14": tpch_q14,
+    "tpch_q15": tpch_q15,
+    "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
+    "tpch_q19": tpch_q19,
+    "tpch_q21": tpch_q21,
+    "tpch_q22": tpch_q22,
 }
 
 ORACLE = {
@@ -513,9 +889,16 @@ ORACLE = {
     "tpch_q4": _Q4_SQL,
     "tpch_q5": _Q5_SQL,
     "tpch_q6": _Q6_SQL,
+    "tpch_q7": _Q7_SQL,
+    "tpch_q8": _Q8_SQL,
     "tpch_q10": _Q10_SQL,
     "tpch_q12": _Q12_SQL,
     "tpch_q13": _Q13_SQL,
     "tpch_q14": _Q14_SQL,
+    "tpch_q15": _Q15_SQL,
+    "tpch_q17": _Q17_SQL,
     "tpch_q18": _Q18_SQL,
+    "tpch_q19": _Q19_SQL,
+    "tpch_q21": _Q21_SQL,
+    "tpch_q22": _Q22_SQL,
 }
