@@ -181,6 +181,102 @@ SELECT q_id, n_id, bucket, cosine, rank FROM ranked WHERE rank <= {_LSH_TOPK}
 """.replace("{PLANES}", _planes_values_sql())
 
 
+# ---------------------------------------------------- ann_ivf_topk
+
+_N_CENTROIDS = 8
+_N_PROBE = 2
+_IVF_TOPK = 3
+# Deterministic coarse "codebook": the vectors with these ids act as
+# centroids (a k-means++ seed step without RNG — reproducible in both
+# engines; at scale the codebook would come from a training job and
+# be a broadcast table exactly like this one).
+_CENTROID_IDS = list(range(100, 100 + _N_CENTROIDS))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its
+    nearest coarse centroid (broadcast codebook, one row per vector —
+    no shuffle); each query probes its nprobe nearest lists and ranks
+    only vectors in those lists. At 100 TB the inverted lists are the
+    partition key: a query touches nprobe/k of the data instead of
+    all of it."""
+    qn = _quantized(spark, sf_dir)
+    cent = qn.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    scored = qn.select(
+        F.col("vec_id").alias("v_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    ).crossJoin(broadcast(cent))
+    cos = _cosine_cols()
+    wa = Window.partitionBy("v_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    assign = (
+        scored.select("v_id", "c_id", cos)
+        .withColumn("crank", F.row_number().over(wa))
+    )
+    lists = assign.where(F.col("crank") == 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    )
+    probes = assign.where(
+        (F.col("v_id") < _N_QUERIES) & (F.col("crank") <= _N_PROBE)
+    ).select(F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list"))
+
+    qv = qn.select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    nv = qn.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    cands = (
+        nv.join(lists, "n_id")
+        .join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "list_id", "qb", "nb")
+        .join(broadcast(qv), "q_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cands.select("q_id", "n_id", "list_id", _cosine_cols())
+        .withColumn("rank", F.row_number().over(wq).cast("int"))
+        .where(F.col("rank") <= _IVF_TOPK)
+    )
+
+
+_ANN_IVF_SQL = f"""
+WITH {_QUANT_CTE},
+cent AS (
+  SELECT vec_id AS c_id, q, nq FROM qn
+  WHERE vec_id IN ({', '.join(map(str, _CENTROID_IDS))})
+),
+assign AS (
+  SELECT v.vec_id AS v_id, c.c_id,
+         {_COS_SQL.format(a='v', b='c')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_COS_SQL.format(a='v', b='c')} DESC, c.c_id ASC
+         ) AS crank
+  FROM qn v JOIN cent c ON TRUE
+),
+lists AS (SELECT v_id AS n_id, c_id AS list_id FROM assign WHERE crank = 1),
+probes AS (
+  SELECT v_id AS q_id, c_id AS probe_list FROM assign
+  WHERE v_id < {_N_QUERIES} AND crank <= {_N_PROBE}
+),
+pairs AS (
+  SELECT p.q_id, l.n_id, l.list_id,
+         {_COS_SQL.format(a='q', b='n')} AS cosine
+  FROM lists l
+  JOIN probes p ON l.list_id = p.probe_list AND l.n_id <> p.q_id
+  JOIN qn n ON n.vec_id = l.n_id
+  JOIN qn q ON q.vec_id = p.q_id
+), ranked AS (
+  SELECT q_id, n_id, list_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id, list_id, cosine, rank FROM ranked WHERE rank <= {_IVF_TOPK}
+"""
+
+
 # --------------------------------------------- embedding_norm_stats
 
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,11 +317,13 @@ FROM agg ORDER BY label
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
 }
 
 ORACLE = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,
 }

@@ -11,7 +11,7 @@ fixed operation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32_spark_sql, h32_sql
@@ -280,12 +280,52 @@ FROM agg ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------ token_histogram
+
+_VOCAB_TOPN = 200
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-N tokens by document frequency (the
+    vocab-building pass of an LLM data pipeline). Tokens are
+    deduped in-row first (array_distinct), so the shuffle carries
+    one row per (doc, distinct token) and the groupBy benefits from
+    map-side combine; the rank window runs over the already-tiny
+    aggregated relation."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.array_distinct(tokens(norm_text(F.col("text"))))).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _VOCAB_TOPN)
+    )
+
+
+_TOKEN_HISTOGRAM_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({tokens_sql(norm_text_sql('text'))}) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS doc_freq FROM tok WHERE tok <> '' GROUP BY 1
+), ranked AS (
+  SELECT tok, doc_freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, tok ASC) AS INT) AS rnk
+  FROM counts
+)
+SELECT tok, doc_freq, rnk FROM ranked WHERE rnk <= {_VOCAB_TOPN}
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprint": doc_fingerprint,
     "doc_stats_by_lang": doc_stats_by_lang,
+    "token_histogram": token_histogram,
 }
 
 ORACLE = {
@@ -294,4 +334,5 @@ ORACLE = {
     "lang_id_ngram": _LANG_ID_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,
+    "token_histogram": _TOKEN_HISTOGRAM_SQL,
 }

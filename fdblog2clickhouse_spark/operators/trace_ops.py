@@ -418,6 +418,108 @@ FROM agg WHERE n_gaps >= 1
 """
 
 
+# --------------------------------------------- events_rollup_cube
+
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over severity × event_type — the
+    materialized-view rollup-table surface ClickHouse serves with
+    SummingMergeTree + WITH ROLLUP (reference README.md:230-236).
+    Subtotal levels are disambiguated by grouping_id so NULL group
+    keys hash identically across engines."""
+    e = _events(spark, sf_dir)
+    sev = (
+        F.when(F.col("event_type") == "error", F.lit(40)).otherwise(F.lit(10))
+    ).alias("severity")
+    return (
+        e.select(sev, "event_type", "value")
+        .rollup("severity", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("gid", "severity", "event_type")
+    )
+
+
+_EVENTS_ROLLUP_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN event_type = 'error' THEN 40 ELSE 10 END AS severity,
+         event_type, value
+  FROM events
+)
+SELECT severity, event_type,
+       CAST(GROUPING(severity, event_type) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       SUM({cents_sql('value')}) / 100.0 AS total_value
+FROM base
+GROUP BY ROLLUP (severity, event_type)
+ORDER BY gid, severity, event_type
+"""
+
+
+# ----------------------------------------------- events_asof_join
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the latest view by the
+    same user at or before its timestamp. Spark has no ASOF JOIN
+    operator, so it is expressed as a union + last(ignorenulls) over
+    a user-partitioned window — ONE shuffle on user_id, no range
+    self-join blow-up; this is the composition that scales (a range
+    join would be quadratic per user). Oracle uses DuckDB's native
+    ASOF JOIN."""
+    e = _events(spark, sf_dir)
+    logins = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        _US("ts").alias("us"),
+        F.lit(0).alias("kind"),
+        _US("ts").alias("login_us"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    targets = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        _US("ts").alias("us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("login_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.asc("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = logins.unionByName(targets).withColumn(
+        "last_login_us", F.last("login_us", ignorenulls=True).over(w)
+    )
+    return joined.where(
+        (F.col("kind") == 1) & F.col("last_login_us").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        "last_login_us",
+        ((F.col("us") - F.col("last_login_us")) / F.lit(1000000.0)).alias(
+            "secs_since_login"
+        ),
+    )
+
+
+_EVENTS_ASOF_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id, {_US_SQL('ts')} AS purchase_us FROM events
+  WHERE event_type = 'purchase'
+), l AS (
+  SELECT user_id, {_US_SQL('ts')} AS login_us FROM events
+  WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.purchase_us,
+       l.login_us AS last_login_us,
+       (p.purchase_us - l.login_us) / 1000000.0 AS secs_since_login
+FROM p ASOF JOIN l
+  ON p.user_id = l.user_id AND p.purchase_us >= l.login_us
+"""
+
+
 QUERIES = {
     "trace_normalize": trace_normalize,
     "trace_partition_stats": trace_partition_stats,
@@ -429,6 +531,8 @@ QUERIES = {
     "event_sessionization": event_sessionization,
     "json_extract_props": json_extract_props,
     "user_activity_gap": user_activity_gap,
+    "events_rollup_cube": events_rollup_cube,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLE = {
@@ -442,4 +546,6 @@ ORACLE = {
     "event_sessionization": _EVENT_SESSIONIZATION_SQL,
     "json_extract_props": _JSON_EXTRACT_PROPS_SQL,
     "user_activity_gap": _USER_ACTIVITY_GAP_SQL,
+    "events_rollup_cube": _EVENTS_ROLLUP_SQL,
+    "events_asof_join": _EVENTS_ASOF_SQL,
 }

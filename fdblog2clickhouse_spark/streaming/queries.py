@@ -105,11 +105,84 @@ FROM events GROUP BY 1
 """
 
 
+_SESSION_GAP_MIN = 30
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via session_window: per-user
+    sessions close when no event arrives for 30 minutes. This is
+    Structured Streaming's merging-session state store doing the work
+    of a custom stateful operator; under AvailableNow + complete mode
+    the final state equals the batch gap-sessionization, so a plain
+    SQL cumulative-gap rewrite is a valid oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(f"{sf_dir}/events*.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+# session_window semantics: an event at ts extends the session to
+# ts+gap (end-exclusive); a new session starts when the inter-event
+# gap is >= the gap duration. The batch rewrite marks session breaks
+# with lag() and a running sum, and reconstructs end = last_ts + gap.
+_SESSIONIZE_SQL = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {_SESSION_GAP_MIN * 60} * 1000000 OR
+                   LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM t
+), sessioned AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {_SESSION_GAP_MIN * 60} * 1000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_sessionize": streaming_sessionize,
 }
 
 ORACLE = {
     "streaming_windowed_counts": _WINDOWED_COUNTS_SQL,
+    "streaming_sessionize": _SESSIONIZE_SQL,
 }
