@@ -520,6 +520,90 @@ FROM p ASOF JOIN l
 """
 
 
+# ------------------------------------------ value_percentiles_by_type
+
+_PCTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linearly-interpolated percentiles of value per event
+    type (ClickHouse quantile() surface). Interpolation is written
+    out manually — rank window + conditional aggregation — with the
+    identical operation order in both engines, because built-in
+    percentile functions don't promise bit-identical float paths.
+    Values are integer cents, so ranks and the lo/hi picks are
+    exact; only the final interpolation is float."""
+    e = _events(spark, sf_dir)
+    t = e.select(F.col("event_type").alias("type"), cents(F.col("value")).alias("v"))
+    wr = Window.partitionBy("type").orderBy("v")
+    wn = Window.partitionBy("type")
+    r = t.select(
+        "type",
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs, posts = [], []
+    for label, p in _PCTS:
+        lo_rn = F.expr(_pct_lo_rn(p))
+        aggs.append(F.max(F.when(F.col("rn") == lo_rn, F.col("v"))).alias(f"{label}_lo"))
+        aggs.append(
+            F.max(F.when(F.col("rn") == lo_rn + 1, F.col("v"))).alias(f"{label}_hi")
+        )
+        posts.append(F.expr(_pct_interp(label, p)).alias(label))
+    agg = r.groupBy("type", "n").agg(*aggs)
+    return agg.select("type", F.col("n").alias("n_events"), *posts).orderBy("type")
+
+
+# The interpolation expressions are the SAME SQL text in Spark and
+# DuckDB, with every float operand cast to DOUBLE explicitly — both
+# engines parse bare `0.5`/`100.0` literals as DECIMAL, and decimal
+# vs double arithmetic rounds differently.
+
+def _pct_idx(p: float) -> str:
+    return f"(CAST(n - 1 AS DOUBLE) * CAST({p} AS DOUBLE))"
+
+
+def _pct_lo_rn(p: float) -> str:
+    return f"CAST(floor({_pct_idx(p)}) AS BIGINT) + 1"
+
+
+def _pct_interp(label: str, p: float) -> str:
+    idx = _pct_idx(p)
+    hi = f"COALESCE({label}_hi, {label}_lo)"
+    return (
+        f"(CAST({label}_lo AS DOUBLE) + ({idx} - floor({idx}))"
+        f" * CAST({hi} - {label}_lo AS DOUBLE)) / CAST(100 AS DOUBLE)"
+    )
+
+
+def _pct_sql() -> str:
+    sel_agg, sel_post = [], []
+    for label, p in _PCTS:
+        lo_rn = _pct_lo_rn(p)
+        sel_agg.append(f"MAX(CASE WHEN rn = {lo_rn} THEN v END) AS {label}_lo")
+        sel_agg.append(f"MAX(CASE WHEN rn = {lo_rn} + 1 THEN v END) AS {label}_hi")
+        sel_post.append(f"{_pct_interp(label, p)} AS {label}")
+    return f"""
+WITH t AS (
+  SELECT event_type AS type, {cents_sql('value')} AS v FROM events
+), r AS (
+  SELECT type, v,
+         ROW_NUMBER() OVER (PARTITION BY type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY type) AS n
+  FROM t
+), agg AS (
+  SELECT type, n, {', '.join(sel_agg)}
+  FROM r GROUP BY type, n
+)
+SELECT type, n AS n_events, {', '.join(sel_post)}
+FROM agg ORDER BY type
+"""
+
+
+_VALUE_PCT_SQL = _pct_sql()
+
+
 QUERIES = {
     "trace_normalize": trace_normalize,
     "trace_partition_stats": trace_partition_stats,
@@ -533,6 +617,7 @@ QUERIES = {
     "user_activity_gap": user_activity_gap,
     "events_rollup_cube": events_rollup_cube,
     "events_asof_join": events_asof_join,
+    "value_percentiles_by_type": value_percentiles_by_type,
 }
 
 ORACLE = {
@@ -548,4 +633,5 @@ ORACLE = {
     "user_activity_gap": _USER_ACTIVITY_GAP_SQL,
     "events_rollup_cube": _EVENTS_ROLLUP_SQL,
     "events_asof_join": _EVENTS_ASOF_SQL,
+    "value_percentiles_by_type": _VALUE_PCT_SQL,
 }

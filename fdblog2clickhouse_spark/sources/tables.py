@@ -27,12 +27,24 @@ TABLE_NAMES = [
 DIMENSIONS = {"region", "nation", "customer", "supplier", "part"}
 
 
+# DataFrame handles are lazy plans; memoizing them per (session, path)
+# skips repeated file listing + footer/schema reads when many queries
+# touch the same tables (the driver runs 40+ queries per session).
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}")
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -176,13 +176,71 @@ FROM sessioned GROUP BY user_id, session_id
 """
 
 
+def _error_count_fn(key, pdfs, state):
+    """Per-user stateful error counter (applyInPandasWithState body).
+    State is one BIGINT; emits the running total once per batch —
+    the custom-stateful-operator escape hatch for semantics that
+    session_window/windowed aggs can't express."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_errors": [total]})
+
+
+def streaming_stateful_error_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running error counts. The single-file AvailableNow source
+    yields one micro-batch, so the emitted running totals equal the
+    batch group-by — a valid SQL oracle while still exercising the
+    real state-store path (Arrow-batched, per-key state, executor-side
+    Python)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    errors = raw.where(F.col("event_type") == "error").select("user_id", "event_id")
+    counted = errors.groupBy("user_id").applyInPandasWithState(
+        _error_count_fn,
+        outputStructType="user_id long, n_errors long",
+        stateStructType="cnt long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_errors_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STATEFUL_ERRORS_SQL = """
+SELECT user_id, COUNT(*) AS n_errors
+FROM events WHERE event_type = 'error' GROUP BY 1
+"""
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_sessionize": streaming_sessionize,
+    "streaming_stateful_error_count": streaming_stateful_error_count,
 }
 
 ORACLE = {
     "streaming_windowed_counts": _WINDOWED_COUNTS_SQL,
     "streaming_sessionize": _SESSIONIZE_SQL,
+    "streaming_stateful_error_count": _STATEFUL_ERRORS_SQL,
 }
