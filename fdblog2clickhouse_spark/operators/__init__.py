@@ -17,11 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _collect() -> tuple[dict, dict]:
     from . import dedup, multimodal, similarity, textops, tpch, trace_ops
+    from ..sources import trace_json
     from ..streaming import queries as streaming_queries
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
-    for mod in (trace_ops, tpch, dedup, similarity, textops, multimodal, streaming_queries):
+    for mod in (
+        trace_ops,
+        tpch,
+        dedup,
+        similarity,
+        textops,
+        multimodal,
+        streaming_queries,
+        trace_json,
+    ):
         for k, v in mod.QUERIES.items():
             if k in queries:
                 raise ValueError(f"duplicate query key {k!r}")

@@ -1,0 +1,82 @@
+"""Physical-plan shape guards (SURVEY §3 scale laws).
+
+Correctness tests can pass with a plan that would collapse at 100 TB;
+these tests pin the plan properties that matter at scale: dimension
+joins stay broadcast, filters reach the parquet scan, projections
+prune columns, and nothing degenerates into a cartesian product or a
+row-at-a-time Python eval in the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fdblog2clickhouse_spark import operators
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = operators.all_queries()[name](spark, sf_dir)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+BROADCAST_QUERIES = ["tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q14"]
+
+
+@pytest.mark.parametrize("name", BROADCAST_QUERIES)
+def test_dim_joins_broadcast(spark, sf_smoke, name):
+    plan = _plan(spark, name, sf_smoke)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+
+
+def test_q6_filter_pushdown(spark, sf_smoke):
+    plan = _plan(spark, "tpch_q6", sf_smoke)
+    assert "PushedFilters: [" in plan
+    # at least one real pushed filter (not just the empty list)
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line and "[]" not in line
+    ]
+    assert pushed, f"q6 filters not pushed to scan\n{plan}"
+
+
+def test_q6_column_pruning(spark, sf_smoke):
+    plan = _plan(spark, "tpch_q6", sf_smoke)
+    reads = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert reads, plan
+    # q6 needs only shipdate/discount/quantity/extendedprice
+    assert all(line.count(",") <= 3 for line in reads), f"q6 over-reads columns\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q1",
+        "severity_rollup",
+        "dedup_exact",
+        "token_count",
+        "events_per_minute",
+    ],
+)
+def test_no_python_eval_in_hot_path(spark, sf_smoke, name):
+    """Pure-SQL operators must stay JVM-side: no BatchEvalPython
+    (row-at-a-time UDF) nodes anywhere in their plans."""
+    plan = _plan(spark, name, sf_smoke)
+    assert "BatchEvalPython" not in plan, f"{name}: python UDF in hot path\n{plan}"
+
+
+def test_partial_aggregation_present(spark, sf_smoke):
+    """Map-side combine before the shuffle on the big aggregations."""
+    for name in ["tpch_q1", "dedup_exact", "severity_rollup"]:
+        plan = _plan(spark, name, sf_smoke)
+        assert "partial" in plan.lower(), f"{name}: no partial aggregation\n{plan}"
+
+
+def test_minhash_single_fact_shuffle(spark, sf_smoke):
+    """The MinHash signature must shuffle signatures, not shingles:
+    exactly one hash-aggregate pair (partial+final) feeding the band
+    explode, and no re-computation per band (no unionAll fan-out)."""
+    plan = _plan(spark, "dedup_minhash_lsh", sf_smoke)
+    assert "Union" not in plan, f"band fan-out reintroduced unionAll\n{plan}"
