@@ -428,12 +428,97 @@ WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOU
 """
 
 
+# --------------------------------------------- dedup_cluster_labels
+
+_MAX_CC_ITERS = 20
+
+
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SimHash near-dup graph: every
+    doc gets the min doc_id of its component as cluster label — the
+    step that turns pairwise near-dup evidence into keep/drop groups.
+
+    Iterative min-label propagation: per round, every vertex takes
+    the min of its own label and its neighbors' labels (one join +
+    one groupBy per round), stopping when a round changes nothing.
+    Near-dup components are dense (band-collision cliques), so the
+    diameter — and the round count — stays small; at 100 TB scale
+    the same loop runs with checkpointed labels per round (the
+    alternating large-star/small-star variant halves rounds but has
+    identical shuffle structure). The driver-side loop only ever
+    collects ONE scalar (the changed-row count) per round.
+
+    Oracle: DuckDB recursive-CTE transitive closure, min reachable id.
+    """
+    pairs = dedup_simhash(spark, sf_dir).select("da", "db")
+    # localCheckpoint (not cache): iterative plans must TRUNCATE
+    # lineage each round, or round N's plan embeds N copies of the
+    # whole upstream DAG and the driver OOMs just materializing it.
+    edges = (
+        pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
+        .withColumnRenamed("da", "src")
+        .withColumnRenamed("db", "dst")
+        .localCheckpoint()
+    )
+    d = table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+
+    for _ in range(_MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("doc_id", F.col("label").alias("cluster"))
+
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT da, db FROM ({_DEDUP_SIMHASH_SQL}) s),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION
+  SELECT db AS src, da AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+minreach AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY 1)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(mr.m, d.doc_id)) AS BIGINT) AS cluster
+FROM documents d LEFT JOIN minreach mr USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_neardup": embedding_neardup,
+    "dedup_cluster_labels": dedup_cluster_labels,
 }
 
 ORACLE = {
@@ -442,4 +527,5 @@ ORACLE = {
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+    "dedup_cluster_labels": _CLUSTER_SQL,
 }

@@ -319,6 +319,64 @@ SELECT tok, doc_freq, rnk FROM ranked WHERE rnk <= {_VOCAB_TOPN}
 """
 
 
+# ------------------------------------------------- corpus_select
+
+_CORPUS_QUALITY_MIN = 0.5
+
+
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE declarative plan:
+    exact-dedup to canonical docs, score quality, keep docs above
+    threshold — the select step that feeds a training run. Composing
+    the operators keeps everything in a single Catalyst plan, so the
+    normalize/md5 work is shared and the dedup groupBy and quality
+    scan pipeline into two total shuffles."""
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "lang", "source", F.md5(norm_text(F.col("text"))).alias("h")
+    )
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("cid"))
+    q = text_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    return (
+        hashed.join(canon, "h")
+        .where(F.col("doc_id") == F.col("cid"))
+        .join(q, "doc_id")
+        .where(F.col("quality_score") >= _CORPUS_QUALITY_MIN)
+        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+    )
+
+
+_CORPUS_SELECT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {norm_text_sql('text')} AS nt, {tokens_sql('text')} AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(length(nt) AS INT) AS n_chars,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(length(nt) - length(regexp_replace(nt, '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+         CAST(len(list_filter(toks, x -> x IN ({_in_list_sql(_STOPWORDS)}))) AS INT) AS n_stop
+  FROM t WHERE len(toks) >= 1
+), q AS (
+  SELECT doc_id, n_tokens,
+         0.4 * least(n_chars / 500.0, 1.0)
+           + 0.3 * (1.0 - n_punct / n_chars)
+           + 0.3 * (n_stop / n_tokens) AS quality_score
+  FROM m
+), hashed AS (
+  SELECT doc_id, lang, source, md5({norm_text_sql('text')}) AS h
+  FROM documents
+), canon AS (
+  SELECT h, MIN(doc_id) AS cid FROM hashed GROUP BY 1
+)
+SELECT hashed.doc_id, lang, source, n_tokens, quality_score
+FROM hashed
+JOIN canon USING (h)
+JOIN q ON q.doc_id = hashed.doc_id
+WHERE hashed.doc_id = cid AND quality_score >= {_CORPUS_QUALITY_MIN}
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -326,6 +384,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_stats_by_lang": doc_stats_by_lang,
     "token_histogram": token_histogram,
+    "corpus_select": corpus_select,
 }
 
 ORACLE = {
@@ -335,4 +394,5 @@ ORACLE = {
     "doc_fingerprint": _FINGERPRINT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,
     "token_histogram": _TOKEN_HISTOGRAM_SQL,
+    "corpus_select": _CORPUS_SELECT_SQL,
 }

@@ -12,14 +12,11 @@ from __future__ import annotations
 import pytest
 
 from fdblog2clickhouse_spark import operators
+from fdblog2clickhouse_spark.plans import formatted_plan
 
 
 def _plan(spark, name, sf_dir) -> str:
-    df = operators.all_queries()[name](spark, sf_dir)
-    jvm = spark._jvm
-    return df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    return formatted_plan(operators.all_queries()[name](spark, sf_dir))
 
 
 BROADCAST_QUERIES = ["tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q14"]

@@ -1,19 +1,13 @@
 #!/usr/bin/env python3
 """Physical-plan audit for the headline queries (SURVEY §7 step 7).
 
-For each headline query at sf0.1, prints a compact scorecard:
-  - parquet scans: PushedFilters present? ReadSchema column count
-    (column pruning check).
-  - join strategies used (BroadcastHashJoin vs SortMergeJoin) and
-    exchange (shuffle) count.
-  - WholeStageCodegen span count (JVM codegen coverage).
+Prints a per-query scorecard (see plans/audit.py for the signals).
 Run with AUDIT_FULL=1 to also dump the formatted plans.
 """
 
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -36,6 +30,7 @@ NAMES = [
 
 def main() -> None:
     from fdblog2clickhouse_spark import operators
+    from fdblog2clickhouse_spark.plans import formatted_plan, plan_scorecard
     from fdblog2clickhouse_spark.session import get_spark
 
     spark = get_spark("explain-audit")
@@ -43,24 +38,15 @@ def main() -> None:
     queries = operators.all_queries()
 
     for name in NAMES:
-        df = queries[name](spark, SF)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
-        scans = re.findall(r"Scan parquet[\s\S]*?(?=\n\(\d+\)|\Z)", plan)
-        pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
-        empty_pushed = len(re.findall(r"PushedFilters: \[\]", plan))
-        read_cols = [
-            len(m.split(","))
-            for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        ]
-        bhj = plan.count("BroadcastHashJoin")
-        smj = plan.count("SortMergeJoin")
-        exch = plan.count("Exchange")
-        wsc = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+        plan = formatted_plan(queries[name](spark, SF))
+        s = plan_scorecard(plan)
         print(
-            f"{name:22s} scans={len(scans)} pushed={pushed} nopush={empty_pushed} "
-            f"readcols={read_cols} BHJ={bhj} SMJ={smj} exch={exch} codegen={wsc}"
+            f"{name:22s} scans={s['scans']} pushed={s['pushed_filters']} "
+            f"nopush={s['unpushed_scans']} readcols={s['read_cols']} "
+            f"BHJ={s['broadcast_joins']} SMJ={s['sortmerge_joins']} "
+            f"exch={s['exchanges']} codegen={s['codegen_spans']}"
+            + (" CARTESIAN!" if s["cartesian"] else "")
+            + (" PYEVAL!" if s["python_eval"] else "")
         )
         if os.environ.get("AUDIT_FULL"):
             print(plan)
