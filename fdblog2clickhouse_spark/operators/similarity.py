@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.hashing import h32_spark_sql, h32_sql
 from .dedup import _QUANT_CTE, _dot, _quantized
 
 _N_PLANES = 8
@@ -314,11 +315,89 @@ FROM agg ORDER BY label
 """
 
 
+# --------------------------------------------- embedding_centroids
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise: posexplode the quantized
+    vector and aggregate exact integer sums per (label, position) —
+    the single-shuffle k-means M-step. Integer sums are order-free,
+    so the centroid is bit-stable however the shuffle lands."""
+    qn = _quantized(spark, sf_dir)
+    el = qn.select("label", F.posexplode("q").alias("pos", "v"))
+    return (
+        el.groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .select(
+            "label",
+            "pos",
+            "n",
+            (F.col("sum_v") / F.col("n") / F.lit(float(10_000))).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+_CENTROIDS_SQL = f"""
+WITH {_QUANT_CTE},
+el AS (
+  SELECT label,
+         unnest(generate_series(0, len(q)-1)) AS pos,
+         unnest(q) AS v
+  FROM qn
+)
+SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n,
+       SUM(v) / COUNT(*) / 10000.0 AS centroid
+FROM el GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------- stratified_sample
+
+_SAMPLE_PCT = 10  # keep h32(vec_id) % 100 < 10 → deterministic ~10%
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a fixed
+    md5-derived slice per label stratum. No RNG, no sampleBy seed
+    drift — the same rows are kept on any cluster, any partitioning,
+    any run; the per-stratum summary proves the rate lands."""
+    qn = _quantized(spark, sf_dir)
+    keyed = qn.select(
+        "vec_id", "label", F.expr(h32_spark_sql("CAST(vec_id AS STRING)")).alias("hk")
+    )
+    kept = keyed.where(F.col("hk") % 100 < _SAMPLE_PCT)
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum("vec_id").alias("id_checksum"),
+        )
+        .orderBy("label")
+    )
+
+
+_STRATIFIED_SQL = f"""
+WITH keyed AS (
+  SELECT vec_id, label, {h32_sql('CAST(vec_id AS VARCHAR)')} AS hk
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_sampled,
+       MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+       SUM(vec_id) AS id_checksum
+FROM keyed WHERE hk % 100 < {_SAMPLE_PCT}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
+    "embedding_centroids": embedding_centroids,
+    "stratified_sample": stratified_sample,
 }
 
 ORACLE = {
@@ -326,4 +405,6 @@ ORACLE = {
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,
+    "embedding_centroids": _CENTROIDS_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
 }

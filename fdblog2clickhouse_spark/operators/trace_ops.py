@@ -604,6 +604,39 @@ FROM agg ORDER BY type
 _VALUE_PCT_SQL = _pct_sql()
 
 
+# ------------------------------------------------------ events_cube
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over severity × event_type — all four grouping sets
+    in one pass (Spark expands to a single expand+aggregate, not four
+    scans)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(_sev().cast("int").alias("severity"), "event_type", "value")
+        .cube("severity", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("gid", "severity", "event_type")
+    )
+
+
+_EVENTS_CUBE_SQL = f"""
+WITH base AS (
+  SELECT CAST({_SEV_SQL} AS INT) AS severity, event_type, value FROM events
+)
+SELECT severity, event_type,
+       CAST(GROUPING(severity, event_type) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       SUM({cents_sql('value')}) / 100.0 AS total_value
+FROM base
+GROUP BY CUBE (severity, event_type)
+ORDER BY gid, severity, event_type
+"""
+
+
 QUERIES = {
     "trace_normalize": trace_normalize,
     "trace_partition_stats": trace_partition_stats,
@@ -618,6 +651,7 @@ QUERIES = {
     "events_rollup_cube": events_rollup_cube,
     "events_asof_join": events_asof_join,
     "value_percentiles_by_type": value_percentiles_by_type,
+    "events_cube": events_cube,
 }
 
 ORACLE = {
@@ -634,4 +668,5 @@ ORACLE = {
     "events_rollup_cube": _EVENTS_ROLLUP_SQL,
     "events_asof_join": _EVENTS_ASOF_SQL,
     "value_percentiles_by_type": _VALUE_PCT_SQL,
+    "events_cube": _EVENTS_CUBE_SQL,
 }
