@@ -1,0 +1,128 @@
+"""CLI entrypoint with the reference's operational surface.
+
+Mirrors trace-converter.py's modes (trace-converter.py:94-107:
+``--print-schema``, ``--create-schema``, ``--delete-logs``, plus a
+trace file argument) and entrypoint.sh's watch loop
+(entrypoint.sh:18-29: inotifywait on $LOG_DIR) — Spark-first:
+
+  trace-convert --print-schema            →  print-schema
+  trace-convert --create-schema           →  create-schema
+  trace-convert [--delete-logs] f.json    →  ingest [--delete-logs] PATH
+  entrypoint.sh watch loop                →  watch [--once] LOG_DIR
+
+Connection config comes from the same env vars the reference reads
+(CLICKHOUSE_ADDR/DB/TABLE/USER/PASS, trace-converter.py:11-17).
+``--spool-dir`` makes every mode a dry run writing payload files
+instead of POSTing (air-gapped testing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .sinks.clickhouse import TRACE_COLUMNS, ClickHouseHttpSink, mergetree_ddl
+
+
+def _sink(args) -> ClickHouseHttpSink:
+    return ClickHouseHttpSink(spool_dir=args.spool_dir)
+
+
+def _spark():
+    from .session import get_spark
+
+    spark = get_spark("trace-convert")
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_print_schema(args) -> int:
+    table = args.table or _sink(args).table or "trace"
+    print(mergetree_ddl(table, TRACE_COLUMNS))
+    return 0
+
+
+def cmd_create_schema(args) -> int:
+    ddl = _sink(args).create_schema(TRACE_COLUMNS)
+    if args.spool_dir:
+        print(ddl)
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    """One batch: read trace JSON (file or dir), normalize, insert."""
+    from pyspark.sql import functions as F
+
+    from .sources.trace_json import read_trace_batch
+    from .streaming.ingest import normalize_trace
+
+    spark = _spark()
+    df = normalize_trace(read_trace_batch(spark, args.path))
+    sink = _sink(args)
+    sink.insert(df)
+    if args.delete_logs:
+        # the reference removes the source file after a 200
+        # (trace-converter.py:129-130)
+        import glob as _glob
+        import os as _os
+
+        for f in _glob.glob(f"{args.path}/*.json") or [args.path]:
+            if _os.path.isfile(f):
+                _os.remove(f)
+    print(f"ingested rows: {df.count()}")
+    return 0
+
+
+def cmd_watch(args) -> int:
+    """The inotify loop, Spark-native: file-source stream + foreachBatch
+    into the ClickHouse sink. --once drains what exists and exits
+    (AvailableNow); otherwise runs until interrupted."""
+    from .streaming.ingest import normalize_trace, read_trace_stream
+
+    spark = _spark()
+    stream = normalize_trace(
+        read_trace_stream(spark, args.log_dir, delete_logs=args.delete_logs)
+    )
+    sink = _sink(args)
+    writer = (
+        stream.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", args.checkpoint)
+    )
+    if args.once:
+        q = writer.trigger(availableNow=True).start()
+    else:
+        q = writer.start()
+    q.awaitTermination()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="trace-convert")
+    p.add_argument("--spool-dir", default=None, help="dry run: write payloads here")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("print-schema")
+    sp.add_argument("--table", default=None)
+    sp.set_defaults(fn=cmd_print_schema)
+
+    sc = sub.add_parser("create-schema")
+    sc.set_defaults(fn=cmd_create_schema)
+
+    si = sub.add_parser("ingest")
+    si.add_argument("path")
+    si.add_argument("--delete-logs", action="store_true")
+    si.set_defaults(fn=cmd_ingest)
+
+    sw = sub.add_parser("watch")
+    sw.add_argument("log_dir")
+    sw.add_argument("--once", action="store_true")
+    sw.add_argument("--delete-logs", action="store_true")
+    sw.add_argument("--checkpoint", default="/tmp/trace-convert-ckpt")
+    sw.set_defaults(fn=cmd_watch)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

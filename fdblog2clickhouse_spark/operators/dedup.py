@@ -450,10 +450,12 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB recursive-CTE transitive closure, min reachable id.
     """
-    pairs = dedup_simhash(spark, sf_dir).select("da", "db")
     # localCheckpoint (not cache): iterative plans must TRUNCATE
     # lineage each round, or round N's plan embeds N copies of the
     # whole upstream DAG and the driver OOMs just materializing it.
+    # Checkpoint pairs BEFORE the union too — otherwise both union
+    # branches re-run the whole SimHash band join.
+    pairs = dedup_simhash(spark, sf_dir).select("da", "db").localCheckpoint()
     edges = (
         pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
         .withColumnRenamed("da", "src")

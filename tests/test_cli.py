@@ -1,0 +1,42 @@
+"""CLI parity tests: the reference's operational modes end to end
+(dry-run spool — no network)."""
+
+from __future__ import annotations
+
+import os
+
+from fdblog2clickhouse_spark import cli
+
+
+def test_print_schema_matches_reference_shape(capsys):
+    rc = cli.main(["print-schema", "--table", "trace"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # the reference's load-bearing DDL elements (trace-converter.py:20-61)
+    assert "CREATE TABLE IF NOT EXISTS `trace`" in out
+    assert "ENGINE = MergeTree()" in out
+    assert "toYYYYMM(time)" in out
+    assert "index_granularity=8192" in out
+    assert "CODEC(Delta, ZSTD)" in out
+    assert "Nullable(String)" in out
+
+
+def test_ingest_spools_jsoneachrow(spark, sf_smoke, tmp_path, capsys):
+    from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
+
+    log_dir = str(tmp_path / "logs")
+    spool = str(tmp_path / "spool")
+    _export_trace_logs(spark, sf_smoke, log_dir)
+
+    rc = cli.main(["--spool-dir", spool, "ingest", log_dir])
+    assert rc == 0
+    batches = os.listdir(spool)
+    assert batches, "no payload spooled"
+    n_lines = 0
+    for b in batches:
+        with open(os.path.join(spool, b)) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        assert all(ln.startswith("{") for ln in lines)  # JSONEachRow
+        n_lines += len(lines)
+    n_events = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    assert n_lines == n_events

@@ -71,6 +71,34 @@ def test_partial_aggregation_present(spark, sf_smoke):
         assert "partial" in plan.lower(), f"{name}: no partial aggregation\n{plan}"
 
 
+def test_bucketed_join_no_exchange(spark, sf_smoke, tmp_path):
+    """Facts written bucketed on the join key must join WITHOUT any
+    exchange — the co-located join path that makes orders⋈lineitem
+    survive 100 TB. (Broadcast is disabled for the check so the plan
+    can't cheat; bucket-pruned SortMergeJoin must appear.)"""
+    from fdblog2clickhouse_spark.plans import formatted_plan
+    from fdblog2clickhouse_spark.sinks.bucketed import bucketed_join, write_bucketed
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    write_bucketed(
+        table(spark, sf_smoke, "orders"), "b_orders", "o_orderkey", n_buckets=4
+    )
+    l = table(spark, sf_smoke, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(l, "b_lineitem", "o_orderkey", n_buckets=4)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_minhash_single_fact_shuffle(spark, sf_smoke):
     """The MinHash signature must shuffle signatures, not shingles:
     exactly one hash-aggregate pair (partial+final) feeding the band

@@ -26,8 +26,9 @@ def main() -> int:
     import __spark_entry__ as mod
     from tests.oracle import compare
 
+    cpus = os.environ.get("DRIVER_SIM_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
