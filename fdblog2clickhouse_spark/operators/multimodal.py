@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -174,9 +175,61 @@ def multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInPandas(_chunk_batches, schema=_CHUNK_SCHEMA)
 
 
+# ---------------------------------------- multimodal_feature_extract
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_entropy", DoubleType()),
+        StructField("distinct_bytes", IntegerType()),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over raw payload bytes —
+    numpy histogram + entropy per payload, vectorized per batch. This
+    is the REAL feature path (unlike decode, nothing to stub: bytes
+    math needs no media codec); swap the body for a model/codec call
+    and the Spark plumbing is unchanged."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "media_type": [], "n_bytes": [],
+            "byte_mean": [], "byte_entropy": [], "distinct_bytes": [],
+        }
+        for doc_id, media_type, payload in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            hist = np.bincount(b, minlength=256)
+            p = hist[hist > 0] / float(b.size)
+            out["doc_id"].append(doc_id)
+            out["media_type"].append(media_type)
+            out["n_bytes"].append(int(b.size))
+            out["byte_mean"].append(float(b.mean()))
+            out["byte_entropy"].append(float(-(p * np.log2(p)).sum()))
+            out["distinct_bytes"].append(int((hist > 0).sum()))
+        yield pd.DataFrame(out)
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the binary column
+    (rows-only: float features from numpy are not hash-comparable to
+    SQL, but tests/test_multimodal.py checks values against a pure
+    Python reference)."""
+    p = with_payload(spark, sf_dir).select("doc_id", "media_type", "payload")
+    return p.mapInPandas(_feature_batches, schema=_FEATURE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_chunk": multimodal_chunk,
+    "multimodal_feature_extract": multimodal_feature_extract,
 }
 
 ORACLE = {

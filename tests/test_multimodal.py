@@ -46,6 +46,36 @@ def test_payload_checksum_is_real_md5(spark, sf_smoke):
         assert r["payload_md5"] == expect
 
 
+def test_feature_extract_matches_python_reference(spark, sf_smoke):
+    """Features computed through the Arrow/mapInPandas path must equal
+    a direct Python computation on the same deterministic payloads."""
+    import hashlib
+    import math
+
+    from fdblog2clickhouse_spark.operators.multimodal import (
+        multimodal_feature_extract,
+        with_payload,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal_feature_extract(spark, sf_smoke).collect()
+    }
+    src = with_payload(spark, sf_smoke).select("doc_id", "payload").limit(20).collect()
+    assert rows
+    for s in src:
+        b = bytes(s["payload"])
+        r = rows[s["doc_id"]]
+        assert r["n_bytes"] == len(b)
+        assert r["byte_mean"] == pytest.approx(sum(b) / len(b))
+        counts = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        ent = -sum((c / len(b)) * math.log2(c / len(b)) for c in counts.values())
+        assert r["byte_entropy"] == pytest.approx(ent)
+        assert r["distinct_bytes"] == len(counts)
+
+
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x00" * 16)
