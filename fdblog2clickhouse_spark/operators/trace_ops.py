@@ -604,6 +604,56 @@ FROM agg ORDER BY type
 _VALUE_PCT_SQL = _pct_sql()
 
 
+# --------------------------------------------- events_running_windows
+
+def events_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total and trailing-1h range-frame windows per user:
+    cumulative value sum (rows frame) and event count in the
+    preceding hour (range frame on epoch-µs). Both partition by
+    user_id — at scale these distribute by key hash with no global
+    ordering anywhere."""
+    e = _events(spark, sf_dir)
+    t = e.select(
+        "user_id",
+        "event_id",
+        _US("ts").alias("us"),
+        cents(F.col("value")).alias("v_c"),
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        "us",
+        (F.sum("v_c").over(w_rows) / F.lit(100.0)).alias("running_total"),
+        F.count(F.lit(1)).over(w_range).alias("events_last_hour"),
+    )
+
+
+_EVENTS_RUNNING_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_US_SQL('ts')} AS us,
+         {cents_sql('value')} AS v_c
+  FROM events
+)
+SELECT user_id, event_id, us,
+       SUM(v_c) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                      ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY us ASC
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS events_last_hour
+FROM t
+"""
+
+
 # ------------------------------------------------------ events_cube
 
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +702,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "value_percentiles_by_type": value_percentiles_by_type,
     "events_cube": events_cube,
+    "events_running_windows": events_running_windows,
 }
 
 ORACLE = {
@@ -669,4 +720,5 @@ ORACLE = {
     "events_asof_join": _EVENTS_ASOF_SQL,
     "value_percentiles_by_type": _VALUE_PCT_SQL,
     "events_cube": _EVENTS_CUBE_SQL,
+    "events_running_windows": _EVENTS_RUNNING_SQL,
 }
