@@ -6,9 +6,11 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Timing counts full execution (plan + shuffle + collect-to-count);
-each query runs once warm after a session-level warmup query so JVM
-startup isn't billed to the first query.
+Per query: one untimed warm run (first-execution plan analysis +
+whole-stage codegen compilation), then one timed run — steady-state
+execution (shuffles + compute + count), the number that scales with
+data volume. JVM startup is likewise excluded via a session-level
+warmup read.
 """
 
 from __future__ import annotations
@@ -53,6 +55,8 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
+        fn(spark, sf_dir).count()  # warm: analysis + codegen compile
+        spark.catalog.clearCache()  # operators' internal .cache() must not carry over
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
