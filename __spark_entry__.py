@@ -26,8 +26,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return operators.all_queries()
+    """One entry per implemented operator from SURVEY.md §2. Every
+    callable tunes the caller's session first (UTC session timezone,
+    AQE, Arrow) — timestamp-bucketing queries must not depend on the
+    driver session's default timezone."""
+
+    def _tuned(f: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return f(tune(spark), sf_dir)
+
+        return run
+
+    return {name: _tuned(f) for name, f in operators.all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

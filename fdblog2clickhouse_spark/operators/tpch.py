@@ -272,6 +272,60 @@ FROM agg ORDER BY revenue DESC, n_name ASC
 """
 
 
+# ------------------------------------------------------------------ q9
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year, adapted: no partsupp,
+    so cost = 60% of p_retailprice (exact integer cents: rev_c -
+    qty_c*cost_c terms stay in BIGINT). part/supplier/nation
+    broadcast; the only shuffle is lineitem⋈orders + the final
+    group-by."""
+    p = table(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    s = table(spark, sf_dir, "supplier")
+    nn = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(nn), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+    )
+    # amount in 1e-6 units — PURE BIGINT so the sum is order-free:
+    # rev_c (1e-4 scale) * 100  -  qty_c*cost_c (1e-4 scale) * 60
+    amount = (
+        cents(F.col("l_extendedprice"))
+        * (F.lit(100) - cents(F.col("l_discount")))
+        * F.lit(100)
+        - cents(F.col("l_quantity")) * cents(F.col("p_retailprice")) * F.lit(60)
+    )
+    agg = joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(F.sum(amount).alias("profit_c"))
+    return agg.select(
+        "nation", "o_year", (F.col("profit_c") / F.lit(1000000.0)).alias("sum_profit")
+    ).orderBy("nation", F.desc("o_year"))
+
+
+_Q9_SQL = f"""
+WITH agg AS (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')}) * 100
+             - {cents_sql('l_quantity')} * {cents_sql('p_retailprice')} * 60) AS profit_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY 1, 2
+)
+SELECT nation, o_year, profit_c / 1000000.0 AS sum_profit
+FROM agg ORDER BY nation ASC, o_year DESC
+"""
+
+
 # ----------------------------------------------------------------- q10
 
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +925,7 @@ QUERIES = {
     "tpch_q6": tpch_q6,
     "tpch_q7": tpch_q7,
     "tpch_q8": tpch_q8,
+    "tpch_q9": tpch_q9,
     "tpch_q10": tpch_q10,
     "tpch_q12": tpch_q12,
     "tpch_q13": tpch_q13,
@@ -891,6 +946,7 @@ ORACLE = {
     "tpch_q6": _Q6_SQL,
     "tpch_q7": _Q7_SQL,
     "tpch_q8": _Q8_SQL,
+    "tpch_q9": _Q9_SQL,
     "tpch_q10": _Q10_SQL,
     "tpch_q12": _Q12_SQL,
     "tpch_q13": _Q13_SQL,
