@@ -3,9 +3,10 @@
 Both run real Structured Streaming under Trigger.AvailableNow so the
 callables return a finite, deterministic DataFrame:
 
-- streaming_trace_ingest [rows-only]: events → trace-shaped JSON log
+- streaming_trace_ingest [oracle]: events → trace-shaped JSON log
   files on disk → file-source stream → normalize → memory sink. The
-  full reference ingestion path, end to end.
+  full reference ingestion path, end to end, hash-equal to a direct
+  SQL projection of events (lossless Time round trip).
 - streaming_windowed_counts [oracle]: watermarked tumbling-window
   aggregation in complete mode; under AvailableNow the final state
   equals the batch aggregation, so plain SQL is a valid oracle.
@@ -58,7 +59,28 @@ def streaming_trace_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # epoch-µs output makes the streamed rows hash-comparable to the
+    # batch SQL oracle (same lossless Time round trip as the batch
+    # source — see sources/trace_json.py).
+    return spark.table(name).select(
+        "severity",
+        "machine",
+        "log_group",
+        F.unix_micros("time").alias("time_us"),
+        "type",
+        "id",
+    )
+
+
+_TRACE_INGEST_SQL = """
+SELECT CAST(CASE WHEN event_type = 'error' THEN 40 ELSE 10 END AS INT) AS severity,
+       'machine-' || CAST(user_id AS VARCHAR) AS machine,
+       'default' AS log_group,
+       epoch_us(ts) AS time_us,
+       event_type AS type,
+       CAST(event_id AS VARCHAR) AS id
+FROM events
+"""
 
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,6 +262,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_trace_ingest": _TRACE_INGEST_SQL,
     "streaming_windowed_counts": _WINDOWED_COUNTS_SQL,
     "streaming_sessionize": _SESSIONIZE_SQL,
     "streaming_stateful_error_count": _STATEFUL_ERRORS_SQL,

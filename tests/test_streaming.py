@@ -16,13 +16,10 @@ from fdblog2clickhouse_spark.streaming.ingest import ingest_availablenow
 from .oracle import compare
 
 
-def test_streaming_trace_ingest_rows(spark, sf_smoke):
+def test_streaming_trace_ingest_oracle(spark, sf_smoke):
     df = sq.streaming_trace_ingest(spark, sf_smoke)
-    n_events = table(spark, sf_smoke, "events").count()
-    assert df.count() == n_events
-    assert df.columns == ["severity", "machine", "log_group", "time", "type", "id"]
-    sev = {r["severity"] for r in df.select("severity").distinct().collect()}
-    assert sev == {10, 40}
+    assert df.columns == ["severity", "machine", "log_group", "time_us", "type", "id"]
+    compare(df, sq.ORACLE["streaming_trace_ingest"], sf_smoke)
 
 
 def test_streaming_windowed_counts_oracle(spark, sf_oracle):
