@@ -604,6 +604,43 @@ FROM agg ORDER BY type
 _VALUE_PCT_SQL = _pct_sql()
 
 
+# ---------------------------------------------- user_retention_cohorts
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen DAY, counted in
+    each subsequent activity day (the events table spans ~a month).
+    Two aggregations — first-seen (min per user) then cohort x day
+    distinct counts — both map-side combinable; the cohort join
+    broadcasts the tiny first-seen table at this SF and shuffles on
+    user_id at 100 TB."""
+    e = _events(spark, sf_dir)
+    ymd = (F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts")).cast("int")
+    acts = e.select("user_id", ymd.alias("act_day"))
+    first = acts.groupBy("user_id").agg(F.min("act_day").alias("cohort_day"))
+    return (
+        acts.distinct()
+        .join(first, "user_id")
+        .groupBy("cohort_day", "act_day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "act_day")
+    )
+
+
+_RETENTION_SQL = """
+WITH acts AS (
+  SELECT user_id,
+         CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT) AS act_day
+  FROM events
+), first AS (
+  SELECT user_id, MIN(act_day) AS cohort_day FROM acts GROUP BY 1
+)
+SELECT cohort_day, act_day, COUNT(DISTINCT a.user_id) AS n_users
+FROM (SELECT DISTINCT user_id, act_day FROM acts) a
+JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------- events_running_windows
 
 def events_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +740,7 @@ QUERIES = {
     "value_percentiles_by_type": value_percentiles_by_type,
     "events_cube": events_cube,
     "events_running_windows": events_running_windows,
+    "user_retention_cohorts": user_retention_cohorts,
 }
 
 ORACLE = {
@@ -721,4 +759,5 @@ ORACLE = {
     "value_percentiles_by_type": _VALUE_PCT_SQL,
     "events_cube": _EVENTS_CUBE_SQL,
     "events_running_windows": _EVENTS_RUNNING_SQL,
+    "user_retention_cohorts": _RETENTION_SQL,
 }
