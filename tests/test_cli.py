@@ -21,6 +21,33 @@ def test_print_schema_matches_reference_shape(capsys):
     assert "Nullable(String)" in out
 
 
+def test_watch_once_drains_to_sink(spark, sf_smoke, tmp_path):
+    """The reference's main loop end to end: rotated logs → stream →
+    foreachBatch → (spooled) ClickHouse sink, drained by --once."""
+    import json
+
+    from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
+
+    log_dir = str(tmp_path / "logs")
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    _export_trace_logs(spark, sf_smoke, log_dir)
+
+    rc = cli.main(
+        ["--spool-dir", spool, "watch", log_dir, "--once", "--checkpoint", ckpt]
+    )
+    assert rc == 0
+    lines = []
+    for b in os.listdir(spool):
+        with open(os.path.join(spool, b)) as f:
+            lines.extend(x for x in f.read().splitlines() if x.strip())
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    assert len(lines) == table(spark, sf_smoke, "events").count()
+    row = json.loads(lines[0])
+    assert set(row) <= {"severity", "machine", "log_group", "time", "type", "id"}
+
+
 def test_ingest_spools_jsoneachrow(spark, sf_smoke, tmp_path, capsys):
     from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
 
