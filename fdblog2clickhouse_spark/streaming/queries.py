@@ -1,7 +1,10 @@
 """Streaming queries exposed through the driver contract (SURVEY §2.7).
 
-Both run real Structured Streaming under Trigger.AvailableNow so the
-callables return a finite, deterministic DataFrame:
+Spark-native forms of the reference's ingestion loop (entrypoint.sh:
+18-29 inotifywait; trace-converter.py:109-130 per-file batch) plus
+the stateful aggregations that loop feeds. All run real Structured
+Streaming under Trigger.AvailableNow so the callables return a
+finite, deterministic DataFrame:
 
 - streaming_trace_ingest [oracle]: events → trace-shaped JSON log
   files on disk → file-source stream → normalize → memory sink. The
