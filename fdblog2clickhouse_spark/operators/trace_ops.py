@@ -604,6 +604,54 @@ FROM agg ORDER BY type
 _VALUE_PCT_SQL = _pct_sql()
 
 
+# -------------------------------------------------- events_range_join
+
+_RANGE_US = 300_000_000  # ±5 minutes
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each error event, count same-user events
+    within ±5 minutes. Spark has no native interval join, so the
+    distributed pattern is TIME-BUCKETING: the probe side explodes to
+    its 3 covering buckets (width = the range), the build side maps
+    to 1 bucket, the join runs as a plain equi-join on
+    (user_id, bucket), and an exact |Δt| filter finishes. Each
+    qualifying pair lands in exactly one bucket (width ≥ range ⇒ no
+    dedup needed), and the shuffle is keyed on (user, bucket) — never
+    the per-user cartesian a naive non-equi join degenerates to."""
+    e = _events(spark, sf_dir)
+    ev = e.select("user_id", "event_id", _US("ts").alias("us"))
+    bucket = (F.col("us") / F.lit(_RANGE_US)).cast("long")
+    probe = (
+        e.where(F.col("event_type") == "error")
+        .select("user_id", F.col("event_id").alias("err_id"), _US("ts").alias("err_us"))
+        .withColumn("off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("bucket", (F.col("err_us") / F.lit(_RANGE_US)).cast("long") + F.col("off"))
+    )
+    build = ev.withColumn("bucket", bucket)
+    pairs = probe.join(build, ["user_id", "bucket"]).where(
+        (F.col("event_id") != F.col("err_id"))
+        & (F.abs(F.col("us") - F.col("err_us")) <= _RANGE_US)
+    )
+    return (
+        pairs.groupBy(F.col("err_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+        .orderBy("event_id")
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+SELECT e.event_id, COUNT(*) AS n_nearby
+FROM events e
+JOIN events x
+  ON e.user_id = x.user_id
+ AND x.event_id <> e.event_id
+ AND abs(epoch_us(x.ts) - epoch_us(e.ts)) <= {_RANGE_US}
+WHERE e.event_type = 'error'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------- user_retention_cohorts
 
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +789,7 @@ QUERIES = {
     "events_cube": events_cube,
     "events_running_windows": events_running_windows,
     "user_retention_cohorts": user_retention_cohorts,
+    "events_range_join": events_range_join,
 }
 
 ORACLE = {
@@ -760,4 +809,5 @@ ORACLE = {
     "events_cube": _EVENTS_CUBE_SQL,
     "events_running_windows": _EVENTS_RUNNING_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
+    "events_range_join": _RANGE_JOIN_SQL,
 }
