@@ -604,6 +604,41 @@ FROM agg ORDER BY type
 _VALUE_PCT_SQL = _pct_sql()
 
 
+# ------------------------------------------------ topk_events_by_value
+
+def topk_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event type — the per-group top-N
+    window. row_number (not rank) with a unique-key tiebreak gives a
+    total order, so the result set is engine-deterministic; the
+    window partitions by type and distributes by key hash."""
+    e = _events(spark, sf_dir)
+    t = e.select(
+        F.col("event_type").alias("type"),
+        "event_id",
+        cents(F.col("value")).alias("v_c"),
+    )
+    w = Window.partitionBy("type").orderBy(F.desc("v_c"), F.asc("event_id"))
+    return (
+        t.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("type", "event_id", (F.col("v_c") / F.lit(100.0)).alias("value"), "rnk")
+        .orderBy("type", "rnk")
+    )
+
+
+_TOPK_BY_VALUE_SQL = f"""
+WITH t AS (
+  SELECT event_type AS type, event_id, {cents_sql('value')} AS v_c FROM events
+), ranked AS (
+  SELECT type, event_id, v_c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY type ORDER BY v_c DESC, event_id ASC) AS INT) AS rnk
+  FROM t
+)
+SELECT type, event_id, v_c / 100.0 AS value, rnk
+FROM ranked WHERE rnk <= 3 ORDER BY type, rnk
+"""
+
+
 # -------------------------------------------------- events_range_join
 
 _RANGE_US = 300_000_000  # ±5 minutes
@@ -790,6 +825,7 @@ QUERIES = {
     "events_running_windows": events_running_windows,
     "user_retention_cohorts": user_retention_cohorts,
     "events_range_join": events_range_join,
+    "topk_events_by_value": topk_events_by_value,
 }
 
 ORACLE = {
@@ -810,4 +846,5 @@ ORACLE = {
     "events_running_windows": _EVENTS_RUNNING_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
     "events_range_join": _RANGE_JOIN_SQL,
+    "topk_events_by_value": _TOPK_BY_VALUE_SQL,
 }
