@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _collect() -> tuple[dict, dict]:
-    from . import dedup, multimodal, similarity, textops, tpch, trace_ops
+    from . import dedup, multimodal, sequence, similarity, sketches, textops, tpch, trace_ops
     from ..sources import trace_json
     from ..streaming import queries as streaming_queries
 
@@ -31,6 +31,8 @@ def _collect() -> tuple[dict, dict]:
         multimodal,
         streaming_queries,
         trace_json,
+        sketches,
+        sequence,
     ):
         for k, v in mod.QUERIES.items():
             if k in queries:

@@ -1,0 +1,67 @@
+"""Oracle-parity + semantics tests for sketch and sequence operators
+(SURVEY.md §2.1 extensions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fdblog2clickhouse_spark.operators import sequence, sketches
+
+from .oracle import compare
+
+
+@pytest.mark.parametrize("name", sorted(sketches.QUERIES))
+def test_sketch_oracle_parity(spark, sf_oracle, name):
+    df = sketches.QUERIES[name](spark, sf_oracle)
+    compare(df, sketches.ORACLE[name], sf_oracle)
+
+
+@pytest.mark.parametrize("name", sorted(sequence.QUERIES))
+def test_sequence_oracle_parity(spark, sf_oracle, name):
+    df = sequence.QUERIES[name](spark, sf_oracle)
+    compare(df, sequence.ORACLE[name], sf_oracle)
+
+
+def test_hll_estimate_close(spark, sf_oracle):
+    """HLL with 64 registers has ~13% standard error; the synthetic
+    uniques (hundreds per type) must land well within 3σ."""
+    rows = sketches.hll_distinct_users(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r["hll_est"] > 0
+        rel = abs(r["hll_est"] - r["exact_uniques"]) / r["exact_uniques"]
+        assert rel < 0.4, (r["event_type"], r["exact_uniques"], r["hll_est"])
+
+
+def test_cms_overestimates(spark, sf_oracle):
+    """Count-min estimates are lower-bounded by the exact count."""
+    for r in sketches.cms_heavy_hitters(spark, sf_oracle).collect():
+        assert r["cms_est"] >= r["exact_count"]
+
+
+def test_funnel_monotone(spark, sf_oracle):
+    """Each funnel stage can only lose users."""
+    rows = sorted(
+        sequence.funnel_conversion(spark, sf_oracle).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == [1, 2, 3]
+    assert rows[0]["users"] >= rows[1]["users"] >= rows[2]["users"]
+    assert rows[0]["users"] > 0
+
+
+def test_transitions_conserve_events(spark, sf_oracle):
+    """Sum of transition counts == total events - users with ≥1 event
+    (each user's stream of k events yields k-1 bigrams)."""
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    e = table(spark, sf_oracle, "events")
+    total = e.count()
+    users = e.select("user_id").distinct().count()
+    bigrams = (
+        sequence.user_path_transitions(spark, sf_oracle)
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    assert bigrams == total - users
