@@ -391,6 +391,91 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------------ knn_classify
+
+_KNN_K = 5
+_KNN_HOLDOUT_MOD = 50  # vec_id % 50 == 0 → held-out query set
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction for a deterministic held-out slice:
+    every `vec_id % 50 == 0` vector is classified by majority vote of
+    its 5 nearest (cosine) neighbors among the REMAINING vectors.
+
+    Plan shape: the held-out side is tiny (2% of rows) and broadcast;
+    the candidate scan is one parallel pass; top-k is a per-query
+    window over ≤ |queries|·|cands| scored pairs; the vote is a
+    (q_id, label) count + one more tiny window. At 100 TB the
+    brute-force pair scan is replaced by ann_lsh/ann_ivf candidate
+    generation — the vote/tiebreak machinery is unchanged.
+
+    Ties are total-ordered everywhere (cosine desc, n_id asc; vote
+    count desc, label asc) so the prediction is deterministic under
+    any partitioning."""
+    qn = _quantized(spark, sf_dir)
+    holdout = F.col("vec_id") % _KNN_HOLDOUT_MOD == 0
+    queries = qn.where(holdout).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    cands = qn.where(~holdout).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    pairs = cands.join(broadcast(queries)).select(
+        "q_id", "true_label", "n_id", "n_label", _cosine_cols()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    nn = pairs.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= _KNN_K)
+    votes = nn.groupBy("q_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+
+
+_KNN_SQL = f"""
+WITH {_QUANT_CTE},
+queries AS (
+  SELECT vec_id AS q_id, label AS true_label, q, nq FROM qn
+  WHERE vec_id % {_KNN_HOLDOUT_MOD} = 0
+), cands AS (
+  SELECT vec_id AS n_id, label AS n_label, q, nq FROM qn
+  WHERE vec_id % {_KNN_HOLDOUT_MOD} <> 0
+), scored AS (
+  SELECT q_id, true_label, n_id, n_label,
+         {_COS_SQL.format(a='queries', b='cands')} AS cosine
+  FROM queries, cands
+), nn AS (
+  SELECT q_id, true_label, n_label,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rnk
+  FROM scored
+), votes AS (
+  SELECT q_id, true_label, n_label, COUNT(*) AS votes
+  FROM nn WHERE rnk <= {_KNN_K}
+  GROUP BY 1, 2, 3
+)
+SELECT q_id, true_label, n_label AS pred_label, votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label ASC) AS vr
+  FROM votes
+) v WHERE vr = 1
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -398,6 +483,7 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_centroids": embedding_centroids,
     "stratified_sample": stratified_sample,
+    "knn_classify": knn_classify,
 }
 
 ORACLE = {
@@ -407,4 +493,5 @@ ORACLE = {
     "embedding_norm_stats": _NORM_STATS_SQL,
     "embedding_centroids": _CENTROIDS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
+    "knn_classify": _KNN_SQL,
 }

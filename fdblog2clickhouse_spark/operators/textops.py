@@ -377,6 +377,150 @@ WHERE hashed.doc_id = cid AND quality_score >= {_CORPUS_QUALITY_MIN}
 """
 
 
+# ------------------------------------------------ quality_repetition
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public): the
+    fraction of tokens taken by the single most-frequent token, the
+    fraction of duplicated bigrams, and the symbol density. A doc
+    failing any rule is flagged `repetitive`.
+
+    Shape at scale: top-token needs one (doc_id, tok) count aggregate
+    (map-side combined; shuffle is O(distinct tokens per doc), then a
+    per-doc max — no window over the corpus). Bigram duplication is
+    computed IN-ROW (size vs size(array_distinct)) so it costs zero
+    shuffles. Ratios are single divisions of exact integers."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", norm_text(F.col("text")).alias("nt"), tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 2)
+
+    top = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tokens"))
+    )
+    bigram = t.select(
+        "doc_id",
+        "nt",
+        F.expr("size(toks) - 1").alias("n_bi"),
+        F.expr(
+            "size(array_distinct(transform(sequence(0, size(toks)-2), "
+            "i -> concat_ws(' ', toks[i], toks[i+1]))))"
+        ).alias("n_bi_distinct"),
+    )
+    j = top.join(bigram, "doc_id")
+    top_frac = F.col("top_c").cast("double") / F.col("n_tokens")
+    dup_bi = (F.col("n_bi") - F.col("n_bi_distinct")).cast("double") / F.col("n_bi")
+    sym = (
+        F.length("nt") - F.length(F.regexp_replace(F.col("nt"), "[^a-z0-9 ]", ""))
+    ).cast("double") / F.length("nt")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        sym.alias("symbol_ratio"),
+        (
+            (top_frac > _REP_TOP_TOKEN_MAX)
+            | (dup_bi > _REP_DUP_BIGRAM_MAX)
+            | (sym > _REP_SYMBOL_MAX)
+        ).alias("repetitive"),
+    )
+
+
+_REP_TOP_TOKEN_MAX = 0.10
+_REP_DUP_BIGRAM_MAX = 0.50
+_REP_SYMBOL_MAX = 0.10
+
+_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {norm_text_sql('text')} AS nt, {tokens_sql('text')} AS toks
+  FROM documents
+), t2 AS (
+  SELECT * FROM t WHERE len(toks) >= 2
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t2
+), top AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tokens
+  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2) g
+  GROUP BY 1
+), bigram AS (
+  SELECT doc_id, nt,
+         len(toks) - 1 AS n_bi,
+         (SELECT COUNT(DISTINCT toks[i] || ' ' || toks[i+1])
+          FROM unnest(generate_series(1, len(toks)-1)) AS u(i)) AS n_bi_distinct
+  FROM t2
+)
+SELECT top.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(top_c AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(n_bi - n_bi_distinct AS DOUBLE) / n_bi AS dup_bigram_frac,
+       CAST(length(nt) - length(regexp_replace(nt, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         / length(nt) AS symbol_ratio,
+       (CAST(top_c AS DOUBLE) / n_tokens > {_REP_TOP_TOKEN_MAX}
+        OR CAST(n_bi - n_bi_distinct AS DOUBLE) / n_bi > {_REP_DUP_BIGRAM_MAX}
+        OR CAST(length(nt) - length(regexp_replace(nt, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / length(nt) > {_REP_SYMBOL_MAX}) AS repetitive
+FROM top JOIN bigram ON bigram.doc_id = top.doc_id
+"""
+
+
+# ------------------------------------------------------- pii_detect
+
+# RE2-safe patterns (identical semantics in Java regex and RE2).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[^ ]+"
+_PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_PII_DIGITS = "[0-9]{6,}"
+_PII_LONGTOK = 20
+
+
+def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII/identifier scan: emails, URLs, phone shapes,
+    long digit runs, and ≥20-char tokens (opaque identifiers). Pure
+    per-row regexp column algebra — zero shuffles, trivially
+    data-parallel at any scale; the final `has_pii` drives corpus
+    filtering the way quality_score does."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    counts = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_URL), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_DIGITS), 0)).alias("n_digit_runs"),
+        F.size(F.filter(toks, lambda x: F.length(x) >= _PII_LONGTOK)).alias("n_long_tokens"),
+    )
+    return counts.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in
+          ("n_emails", "n_urls", "n_phones", "n_digit_runs", "n_long_tokens")],
+        (
+            (F.col("n_emails") + F.col("n_urls") + F.col("n_phones")
+             + F.col("n_digit_runs") + F.col("n_long_tokens")) > 0
+        ).alias("has_pii"),
+    )
+
+
+_PII_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_urls,
+         CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(text, '{_PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
+         CAST(len(list_filter({tokens_sql('text')}, x -> length(x) >= {_PII_LONGTOK})) AS BIGINT) AS n_long_tokens
+  FROM documents
+)
+SELECT doc_id, n_emails, n_urls, n_phones, n_digit_runs, n_long_tokens,
+       (n_emails + n_urls + n_phones + n_digit_runs + n_long_tokens) > 0 AS has_pii
+FROM c
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -385,6 +529,8 @@ QUERIES = {
     "doc_stats_by_lang": doc_stats_by_lang,
     "token_histogram": token_histogram,
     "corpus_select": corpus_select,
+    "quality_repetition": quality_repetition,
+    "pii_detect": pii_detect,
 }
 
 ORACLE = {
@@ -395,4 +541,6 @@ ORACLE = {
     "doc_stats_by_lang": _DOC_STATS_SQL,
     "token_histogram": _TOKEN_HISTOGRAM_SQL,
     "corpus_select": _CORPUS_SELECT_SQL,
+    "quality_repetition": _REPETITION_SQL,
+    "pii_detect": _PII_SQL,
 }

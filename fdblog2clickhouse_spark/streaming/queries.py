@@ -257,11 +257,54 @@ FROM events WHERE event_type = 'error' GROUP BY 1
 """
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-by-key dedup: the trace logs are
+    exported TWICE (a re-delivered rotation, the failure mode
+    `--delete-logs` ingestion must tolerate), streamed with
+    `dropDuplicates(event_id)`, and must equal the single-copy batch
+    projection. State is one entry per key in the state store —
+    partitioned by key hash, no global structure, which is exactly
+    how it scales; with a watermark the state is bounded by the
+    lateness horizon (finite AvailableNow run here, so no horizon is
+    needed for determinism)."""
+    base = tempfile.mkdtemp(prefix="dedup_stream_")
+    _export_trace_logs(spark, sf_dir, os.path.join(base, "logs1"))
+    _export_trace_logs(spark, sf_dir, os.path.join(base, "logs2"))
+
+    stream = normalize_trace(read_trace_stream(spark, os.path.join(base, "logs*")))
+    deduped = stream.dropDuplicates(["id"])
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("id").cast("long").alias("event_id"),
+        F.unix_micros("time").alias("time_us"),
+        "severity",
+        F.col("type").alias("event_type"),
+    )
+
+
+_DEDUP_STREAM_SQL = """
+SELECT event_id,
+       epoch_us(ts) AS time_us,
+       CAST(CASE WHEN event_type = 'error' THEN 40 ELSE 10 END AS INT) AS severity,
+       event_type
+FROM events
+"""
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_sessionize": streaming_sessionize,
     "streaming_stateful_error_count": streaming_stateful_error_count,
+    "streaming_dedup_events": streaming_dedup_events,
 }
 
 ORACLE = {
@@ -269,4 +312,5 @@ ORACLE = {
     "streaming_windowed_counts": _WINDOWED_COUNTS_SQL,
     "streaming_sessionize": _SESSIONIZE_SQL,
     "streaming_stateful_error_count": _STATEFUL_ERRORS_SQL,
+    "streaming_dedup_events": _DEDUP_STREAM_SQL,
 }

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fdblog2clickhouse_spark.operators import similarity
 
@@ -42,3 +43,20 @@ def test_lsh_subset_of_bucket(spark, sf_oracle):
         key = (r["q_id"], r["n_id"])
         if key in brute:
             assert abs(brute[key] - r["cosine"]) < 1e-12
+
+
+def test_knn_classify_semantics(spark, sf_oracle):
+    """One prediction per held-out vector; vote counts within [1, k];
+    labeled clusters in the synthetic data should make most
+    predictions agree with the true label."""
+    from fdblog2clickhouse_spark.operators.similarity import _KNN_HOLDOUT_MOD, _KNN_K
+
+    rows = similarity.knn_classify(spark, sf_oracle).collect()
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    n_holdout = e.where(F.col("vec_id") % _KNN_HOLDOUT_MOD == 0).count()
+    assert len(rows) == n_holdout
+    assert all(1 <= r["votes"] <= _KNN_K for r in rows)
+    # synthetic labels are not cosine-clustered, so no accuracy bound;
+    # predictions must still come from the real label domain.
+    domain = {r["label"] for r in e.select("label").distinct().collect()}
+    assert all(r["pred_label"] in domain for r in rows)

@@ -82,3 +82,82 @@ def test_mergetree_sink_sorted_partitions(spark, sf_smoke):
                     (os.path.basename(x) for x in glob.glob(f"{out}/yyyymm=*")))
     plan = back.where(F.col("yyyymm") == months[0])._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or back.where(F.col("yyyymm") == months[0]).count() > 0
+
+
+def _trace_rows(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        F.col("ts").alias("time"),
+        F.when(F.col("event_type") == "error", F.lit(40))
+        .otherwise(F.lit(10))
+        .cast("int")
+        .alias("severity"),
+        F.col("event_type").alias("type"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+        "event_id",
+    )
+
+
+def test_incremental_rollup_batch_invariant(spark, sf_smoke, tmp_path):
+    """SummingMergeTree semantics: merging N batches must equal the
+    one-shot aggregate, for any batch slicing."""
+    from fdblog2clickhouse_spark.sinks.rollup import (
+        batch_rollup,
+        merge_rollup,
+        read_rollup,
+    )
+
+    rows = _trace_rows(spark, sf_smoke)
+    oneshot = {
+        (r["yyyymm"], r["severity"], r["type"]): (r["n_events"], r["value_c"])
+        for r in batch_rollup(rows).collect()
+    }
+
+    path = str(tmp_path / "rollup")
+    b1 = rows.where(F.col("event_id") % 3 == 0)
+    b2 = rows.where(F.col("event_id") % 3 == 1)
+    b3 = rows.where(F.col("event_id") % 3 == 2)
+    for b in (b1, b2, b3):
+        merge_rollup(spark, path, b.drop("event_id"))
+
+    merged = {
+        (r["yyyymm"], r["severity"], r["type"]): (r["n_events"], r["value_c"])
+        for r in read_rollup(spark, path).collect()
+    }
+    assert merged == oneshot
+
+
+def test_rollup_foreachbatch_stream(spark, sf_smoke, tmp_path):
+    """The rollup maintains itself from a real AvailableNow stream via
+    foreachBatch."""
+    from fdblog2clickhouse_spark.sinks.rollup import (
+        batch_rollup,
+        foreach_batch_rollup,
+        read_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    rows = _trace_rows(spark, sf_smoke).drop("event_id")
+    rows.coalesce(2).write.mode("overwrite").parquet(src)
+
+    path = str(tmp_path / "rollup")
+    stream = spark.readStream.schema(
+        "time timestamp, severity int, type string, value_c long"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_rollup(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {
+        (r["yyyymm"], r["severity"], r["type"]): (r["n_events"], r["value_c"])
+        for r in batch_rollup(rows).collect()
+    }
+    got = {
+        (r["yyyymm"], r["severity"], r["type"]): (r["n_events"], r["value_c"])
+        for r in read_rollup(spark, path).collect()
+    }
+    assert got == want

@@ -51,3 +51,10 @@ def test_ingest_availablenow_mergetree_layout(spark, sf_smoke):
         (F.year("time") * 100 + F.month("time")).cast("int").alias("m")
     ).distinct()
     assert parts == {f"yyyymm={r['m']}" for r in months.collect()}
+
+
+def test_streaming_dedup_events_oracle(spark, sf_smoke):
+    """Double-delivered rotations collapse to the single-copy batch
+    result via the dropDuplicates state store."""
+    df = sq.streaming_dedup_events(spark, sf_smoke)
+    compare(df, sq.ORACLE["streaming_dedup_events"], sf_smoke)
