@@ -153,14 +153,65 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------- events_sliding_windows
+
+_SLIDE_MIN = 15
+_WIN_MIN = 60
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (overlapping
+    materialized-view rollup). Spark's window() expands each event to
+    its 4 covering windows BEFORE the aggregate, so map-side combine
+    still reduces the shuffle to one row per (window) per partition —
+    the overlap factor multiplies compute, not network, and the
+    output is O(time-range), independent of event volume."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", f"{_WIN_MIN} minutes", f"{_SLIDE_MIN} minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_c"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n",
+            (F.col("value_c").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+_SLIDE_US = _SLIDE_MIN * 60 * 1_000_000
+_N_COVER = _WIN_MIN // _SLIDE_MIN
+
+_SLIDING_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+), expanded AS (
+  SELECT (us // {_SLIDE_US}) * {_SLIDE_US} - k * {_SLIDE_US} AS window_start_us,
+         value_c
+  FROM ev, (SELECT unnest(generate_series(0, {_N_COVER - 1})) AS k)
+)
+SELECT window_start_us, COUNT(*) AS n,
+       CAST(SUM(value_c) AS DOUBLE) / 100.0 AS total_value
+FROM expanded GROUP BY 1
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "user_path_transitions": user_path_transitions,
     "events_pivot_usertype": events_pivot_usertype,
+    "events_sliding_windows": events_sliding_windows,
 }
 
 ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
     "user_path_transitions": _TRANSITIONS_SQL,
     "events_pivot_usertype": _PIVOT_SQL,
+    "events_sliding_windows": _SLIDING_SQL,
 }

@@ -35,7 +35,7 @@ the sketches from the md5-derived `h32` hash primitive
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, h32_sql
@@ -279,11 +279,94 @@ WHERE n > 1 AND s2 * n - s * s > 0
 """
 
 
+# ------------------------------------------------ value_quantile_hist
+
+_QH_WIDTH = 2.0  # bin width; value domain is ~[0, 500]
+_QH_QS = (0.5, 0.9, 0.99)
+
+
+def value_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles per event type: p50/p90/p99
+    estimated by linear interpolation inside a fixed-width bin
+    histogram — the one-pass bounded-memory quantile path (ClickHouse
+    `quantile*`-sketch analog; the exact-rank operator
+    `value_percentiles_by_type` is the slow-exact sibling).
+
+    Scale shape: ONE map-side-combined aggregate to bin counts
+    (shuffle is O(types × bins), independent of row count), then
+    windows over the tiny bin table. Compare: exact percentiles
+    need a full sort-shuffle of the data. Estimate arithmetic is a
+    fixed double expression evaluated identically in both engines."""
+    e = table(spark, sf_dir, "events")
+    bins = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") / _QH_WIDTH).cast("long").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = bins.select(
+        "event_type",
+        "b",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in _QH_QS])).alias("q")
+    hit = cum.select("*", qs).where(
+        F.col("cum") >= F.col("q") * F.col("tot").cast("double")
+    )
+    w_first = Window.partitionBy("event_type", "q").orderBy("b")
+    est = F.expr(
+        f"round(b * {_QH_WIDTH} + {_QH_WIDTH} * "
+        "((q * CAST(tot AS DOUBLE)) - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE), 4)"
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select("event_type", "q", est.alias("est_quantile"))
+    )
+
+
+_QUANTILE_HIST_SQL = f"""
+WITH bins AS (
+  SELECT event_type, CAST(FLOOR(value / {_QH_WIDTH}) AS BIGINT) AS b, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, b, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS tot
+  FROM bins
+), hit AS (
+  SELECT cum.*, q
+  FROM cum, (SELECT unnest([{', '.join(f"CAST({q} AS DOUBLE)" for q in _QH_QS)}]) AS q)
+  WHERE cum >= q * CAST(tot AS DOUBLE)
+), first_hit AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY b) AS rn
+  FROM hit
+)
+SELECT event_type, q,
+       round(b * {_QH_WIDTH} + {_QH_WIDTH} *
+             ((q * CAST(tot AS DOUBLE)) - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE), 4)
+         AS est_quantile
+FROM first_hit WHERE rn = 1
+"""
+
+
 QUERIES = {
     "hll_distinct_users": hll_distinct_users,
     "cms_heavy_hitters": cms_heavy_hitters,
     "value_histogram": value_histogram,
     "minute_anomaly_zscore": minute_anomaly_zscore,
+    "value_quantile_hist": value_quantile_hist,
 }
 
 ORACLE = {
@@ -291,4 +374,5 @@ ORACLE = {
     "cms_heavy_hitters": _CMS_SQL,
     "value_histogram": _HISTOGRAM_SQL,
     "minute_anomaly_zscore": _ANOMALY_SQL,
+    "value_quantile_hist": _QUANTILE_HIST_SQL,
 }

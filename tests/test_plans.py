@@ -105,3 +105,44 @@ def test_minhash_single_fact_shuffle(spark, sf_smoke):
     explode, and no re-computation per band (no unionAll fan-out)."""
     plan = _plan(spark, "dedup_minhash_lsh", sf_smoke)
     assert "Union" not in plan, f"band fan-out reintroduced unionAll\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hll_distinct_users",
+        "cms_heavy_hitters",
+        "value_histogram",
+        "value_quantile_hist",
+        "minute_anomaly_zscore",
+        "funnel_conversion",
+        "user_path_transitions",
+        "events_pivot_usertype",
+        "events_sliding_windows",
+        "quality_repetition",
+        "pii_detect",
+        "knn_classify",
+    ],
+)
+def test_r2_ops_stay_jvm_side(spark, sf_smoke, name):
+    """Round-2 operators are pure column algebra: no Python eval, no
+    cartesian products in any plan."""
+    plan = _plan(spark, name, sf_smoke)
+    assert "BatchEvalPython" not in plan, f"{name}: python UDF\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian\n{plan}"
+
+
+def test_sketches_bounded_shuffle(spark, sf_smoke):
+    """Sketch aggregates must combine map-side: every aggregate in the
+    HLL/CMS plans is a partial+final pair, so the shuffle payload is
+    registers/cells, not events."""
+    for name in ("hll_distinct_users", "cms_heavy_hitters"):
+        plan = _plan(spark, name, sf_smoke)
+        assert "partial" in plan.lower(), f"{name}: no partial agg\n{plan}"
+
+
+def test_knn_broadcasts_queries(spark, sf_smoke):
+    """The held-out query side must broadcast — the candidate scan
+    never shuffles on the pair join."""
+    plan = _plan(spark, "knn_classify", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

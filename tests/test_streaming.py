@@ -58,3 +58,29 @@ def test_streaming_dedup_events_oracle(spark, sf_smoke):
     result via the dropDuplicates state store."""
     df = sq.streaming_dedup_events(spark, sf_smoke)
     compare(df, sq.ORACLE["streaming_dedup_events"], sf_smoke)
+
+
+def test_gz_compressed_rotations_read_identically(spark, sf_smoke):
+    """Rotated logs are commonly gzipped; the JSON source must read
+    .json.gz transparently and produce the identical normalized rows."""
+    import gzip
+    import shutil
+
+    from fdblog2clickhouse_spark.sources.trace_json import read_trace_batch
+    from fdblog2clickhouse_spark.streaming.ingest import normalize_trace
+
+    base = tempfile.mkdtemp(prefix="gz_trace_")
+    plain, gzdir = os.path.join(base, "plain"), os.path.join(base, "gz")
+    sq._export_trace_logs(spark, sf_smoke, plain)
+    os.makedirs(gzdir)
+    for f in glob.glob(os.path.join(plain, "*.json")):
+        with open(f, "rb") as src, gzip.open(
+            os.path.join(gzdir, os.path.basename(f) + ".gz"), "wb"
+        ) as dst:
+            shutil.copyfileobj(src, dst)
+
+    want = normalize_trace(read_trace_batch(spark, plain))
+    got = normalize_trace(read_trace_batch(spark, gzdir))
+    key = lambda r: (r["id"], r["time"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() == want.count() > 0
