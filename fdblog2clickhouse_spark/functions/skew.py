@@ -42,3 +42,35 @@ def salted_sum_count(
     return phase1.groupBy(*keys).agg(
         F.sum("_n").alias("n"), F.sum("_t").alias("total")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    salt_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed fact⋈dim join with deterministic key salting: the fact
+    side's hot key splits across `n_salts` sub-partitions (salt
+    derived from `salt_col`, a high-cardinality FACT column — never
+    rand(), or speculative retries change the result); the dim side
+    replicates ×n_salts via one explode. Result row-set is identical
+    to the plain join.
+
+    Use when the dim is too big to broadcast AND a fact key is hot
+    enough that AQE's skew splitting (which only splits partitions,
+    not single key groups spread over one reducer's hash bucket)
+    leaves a straggler. Cost: dim inflates ×n_salts — bounded, known,
+    and spread evenly; the hot reducer disappears."""
+    # pmod, not %: xxhash64 is signed and % keeps the sign (and abs()
+    # still maps Long.MIN_VALUE negative) — the salt must land in
+    # [0, n_salts) to meet the replicated dim values.
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).alias("_salt")
+    fact_s = fact.withColumn("_salt", salt)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")

@@ -226,12 +226,87 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInPandas(_feature_batches, schema=_FEATURE_SCHEMA)
 
 
+# ------------------------------------------- multimodal_frame_sample
+
+_FRAME_STRIDE = 2
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched stride sampling: keep every 2nd fixed-size frame
+    and fingerprint it (md5 of the frame's uppercase hex — the same
+    spelling SQL's md5(hex(...)) uses, which is what makes this
+    Python path ORACLE-checkable, rare for a UDF operator)."""
+    import binascii
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "media_type": [], "frame_idx": [], "frame_md5": [],
+        }
+        for doc_id, media_type, payload in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            b = bytes(payload)
+            n_frames = len(b) // _CHUNK_BYTES
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                frame = b[idx * _CHUNK_BYTES : (idx + 1) * _CHUNK_BYTES]
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(media_type)
+                out["frame_idx"].append(idx)
+                out["frame_md5"].append(
+                    hashlib.md5(binascii.hexlify(frame).upper()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary column: every 2nd 16-byte frame,
+    fingerprinted. The video-frame-sampling analog with real Arrow
+    batch plumbing; swap the stride/fingerprint body for a codec call
+    and nothing else changes. At scale this runs where the bytes live
+    (mapInPandas per partition, no shuffle at all)."""
+    p = with_payload(spark, sf_dir).select("doc_id", "media_type", "payload")
+    return p.mapInPandas(_frame_sample_batches, schema=_FRAME_SCHEMA)
+
+
+# The synthetic payload is md5(text) bytes repeated (1 + doc_id % 3)
+# times, so every 16-byte frame IS unhex(md5(text)) — the oracle
+# reconstructs each sampled frame's fingerprint in closed form.
+_FRAME_SAMPLE_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(1 + doc_id % 3 AS INT) AS n_frames,
+         md5(upper(md5(text))) AS frame_md5
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(i AS INT) AS frame_idx,
+       frame_md5
+FROM p, LATERAL unnest(generate_series(0, n_frames - 1)) AS t(i)
+WHERE i % {_FRAME_STRIDE} = 0
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_chunk": multimodal_chunk,
     "multimodal_feature_extract": multimodal_feature_extract,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
     "multimodal_metadata": _METADATA_SQL,
+    "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
 }

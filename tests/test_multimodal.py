@@ -79,3 +79,22 @@ def test_feature_extract_matches_python_reference(spark, sf_smoke):
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x00" * 16)
+
+
+def test_frame_sample_oracle_parity(spark, sf_oracle):
+    """The mapInPandas frame sampler is oracle-checked: the synthetic
+    payload's frame structure is reconstructable in closed form."""
+    df = multimodal.multimodal_frame_sample(spark, sf_oracle)
+    compare(df, multimodal.ORACLE["multimodal_frame_sample"], sf_oracle)
+
+
+def test_frame_sample_stride(spark, sf_smoke):
+    """Only even frame indices survive; 3-frame docs yield 2 samples."""
+    rows = multimodal.multimodal_frame_sample(spark, sf_smoke).collect()
+    assert rows and all(r["frame_idx"] % 2 == 0 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for doc_id, idxs in per_doc.items():
+        n_frames = 1 + doc_id % 3
+        assert sorted(idxs) == list(range(0, n_frames, 2))

@@ -161,3 +161,35 @@ def test_rollup_foreachbatch_stream(spark, sf_smoke, tmp_path):
         for r in read_rollup(spark, path).collect()
     }
     assert got == want
+
+
+def test_upsert_latest_wins_any_order(spark, sf_smoke, tmp_path):
+    """ReplacingMergeTree semantics: merging batches in ANY order
+    yields the same latest-state table as the global dedup."""
+    from fdblog2clickhouse_spark.sinks.upsert import (
+        latest_per_key,
+        merge_upsert,
+        read_upsert,
+    )
+
+    e = table(spark, sf_smoke, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    want = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in latest_per_key(
+            e, ["user_id", "event_type"], "ts", "event_id"
+        ).collect()
+    }
+
+    batches = [e.where(F.col("event_id") % 3 == k) for k in (2, 0, 1)]  # shuffled order
+    path = str(tmp_path / "state")
+    for b in batches:
+        merge_upsert(
+            spark, path, b, keys=["user_id", "event_type"], version="ts", tiebreak="event_id"
+        )
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in read_upsert(spark, path).collect()
+    }
+    assert got == want
