@@ -476,6 +476,136 @@ FROM (
 """
 
 
+# ------------------------------------------------------ ann_pq_topk
+
+_PQ_SUBS = 8  # subspaces over the 64-dim vectors
+_PQ_SUBDIM = _DIM // _PQ_SUBS
+_PQ_CODES = 16  # codes per subspace
+_PQ_TOPK = 3
+_PQ_N_QUERIES = 10
+
+
+def _pq_codebook() -> list[tuple[int, int, list[int]]]:
+    """(sub, code, centroid[8]) — md5-derived integer centroids in the
+    quantized embedding domain [-10000, 10000]; identical literal
+    constants in both engines (the k-means training that would
+    produce a real codebook is offline either way)."""
+    return [
+        (
+            s,
+            c,
+            [
+                (_h32_py(f"pq|{s}|{c}|{d}") % 20001) - 10000
+                for d in range(_PQ_SUBDIM)
+            ],
+        )
+        for s in range(_PQ_SUBS)
+        for c in range(_PQ_CODES)
+    ]
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each vector is compressed to 8
+    4-bit-ish codes (nearest centroid per subspace, exact integer L2,
+    code-ascending tiebreak); queries score candidates through an
+    asymmetric-distance lookup table (query × subspace × code) and
+    take top-k by the PQ distance estimate.
+
+    THE 100 TB shape: the stored corpus is |codes| per vector (here
+    8 bytes-ish vs 64 floats — the memory compression that makes
+    billion-vector search feasible); scoring joins the tiny
+    broadcast LUT (|queries|·8·16 rows) against the code table and
+    never touches raw vectors. Every distance is an exact BIGINT —
+    the whole operator is hash-checkable, no float summation
+    anywhere until nothing."""
+    qn = _quantized(spark, sf_dir)
+    cb = spark.createDataFrame(
+        _pq_codebook(), "sub int, code int, carr array<bigint>"
+    )
+
+    def sub_d2(vec_col: str):
+        # exact ∑(x-y)² over one subspace slice
+        return F.aggregate(
+            F.zip_with(
+                F.expr(f"slice({vec_col}, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"),
+                F.col("carr"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = qn.crossJoin(broadcast(cb)).select(
+        "vec_id", "sub", "code", sub_d2("q").alias("d2")
+    )
+    w_arg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_arg))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+    lut = (
+        qn.where(F.col("vec_id") < _PQ_N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "q")
+        .crossJoin(broadcast(cb))
+        .select("q_id", "sub", "code", sub_d2("q").alias("d2"))
+    )
+
+    adc = (
+        codes.join(broadcast(lut), ["sub", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("d2").alias("approx_dist"))
+    )
+    w_top = Window.partitionBy("q_id").orderBy("approx_dist", "n_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_top).cast("int"))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select("q_id", "n_id", "approx_dist", "rank")
+    )
+
+
+def _pq_codebook_values_sql() -> str:
+    return ", ".join(
+        f"({s}, {c}, [{', '.join(str(w) for w in arr)}])"
+        for s, c, arr in _pq_codebook()
+    )
+
+
+_PQ_D2_SQL = (
+    f"list_sum(list_transform(list_zip(list_slice(q, sub * {_PQ_SUBDIM} + 1,"
+    f" sub * {_PQ_SUBDIM} + {_PQ_SUBDIM}), carr), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+_ANN_PQ_SQL = f"""
+WITH {_QUANT_CTE},
+cb(sub, code, carr) AS (VALUES {_pq_codebook_values_sql()}),
+scored AS (
+  SELECT vec_id, sub, code, {_PQ_D2_SQL} AS d2
+  FROM qn, cb
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), lut AS (
+  SELECT qn.vec_id AS q_id, sub, code, {_PQ_D2_SQL} AS d2
+  FROM qn, cb WHERE qn.vec_id < {_PQ_N_QUERIES}
+), adc AS (
+  SELECT q_id, codes.vec_id AS n_id, SUM(d2) AS approx_dist
+  FROM codes JOIN lut USING (sub, code)
+  WHERE codes.vec_id <> q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, approx_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dist, n_id) AS rank
+  FROM adc
+) r WHERE rank <= {_PQ_TOPK}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -484,6 +614,7 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "stratified_sample": stratified_sample,
     "knn_classify": knn_classify,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLE = {
@@ -494,4 +625,5 @@ ORACLE = {
     "embedding_centroids": _CENTROIDS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "knn_classify": _KNN_SQL,
+    "ann_pq_topk": _ANN_PQ_SQL,
 }

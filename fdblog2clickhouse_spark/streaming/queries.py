@@ -299,12 +299,117 @@ FROM events
 """
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(f"{sf_dir}/events*.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def streaming_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SummingMergeTree materialized-view path end to end: stream
+    events through the incremental rollup sink (foreachBatch merge)
+    and read back the stored state. Exact-integer measures make the
+    state independent of micro-batch slicing, so the batch GROUP BY
+    is an exact oracle for whatever batching the stream chose."""
+    from ..sinks.rollup import foreach_batch_rollup, read_rollup
+
+    base = tempfile.mkdtemp(prefix="rollup_ingest_")
+    path = os.path.join(base, "rollup")
+    rows = _events_stream(spark, sf_dir).select(
+        F.col("ts").alias("time"),
+        F.when(F.col("event_type") == "error", F.lit(40))
+        .otherwise(F.lit(10))
+        .cast("int")
+        .alias("severity"),
+        F.col("event_type").alias("type"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+    )
+    q = (
+        rows.writeStream.foreachBatch(foreach_batch_rollup(path))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_rollup(spark, path).select(
+        "yyyymm",
+        "severity",
+        "type",
+        "n_events",
+        (F.col("value_c").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+_ROLLUP_INGEST_SQL = """
+SELECT CAST(year(ts) * 100 + month(ts) AS INT) AS yyyymm,
+       CAST(CASE WHEN event_type = 'error' THEN 40 ELSE 10 END AS INT) AS severity,
+       event_type AS type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ReplacingMergeTree CDC path end to end: stream events
+    through the latest-wins upsert sink keyed on (user_id,
+    event_type) versioned by (ts, event_id), read back the state
+    table. Total-order resolution makes the state equal to the batch
+    window dedup regardless of batch boundaries."""
+    from ..sinks.upsert import foreach_batch_upsert, read_upsert
+
+    base = tempfile.mkdtemp(prefix="upsert_ingest_")
+    path = os.path.join(base, "state")
+    rows = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+    )
+    q = (
+        rows.writeStream.foreachBatch(
+            foreach_batch_upsert(
+                path, keys=["user_id", "event_type"], version="ts", tiebreak="event_id"
+            )
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_upsert(spark, path).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        (F.col("value_c").cast("double") / 100.0).alias("last_value"),
+    )
+
+
+_UPSERT_INGEST_SQL = """
+SELECT user_id, event_type,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id,
+       CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_sessionize": streaming_sessionize,
     "streaming_stateful_error_count": streaming_stateful_error_count,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_rollup_ingest": streaming_rollup_ingest,
+    "streaming_upsert_ingest": streaming_upsert_ingest,
 }
 
 ORACLE = {
@@ -313,4 +418,6 @@ ORACLE = {
     "streaming_sessionize": _SESSIONIZE_SQL,
     "streaming_stateful_error_count": _STATEFUL_ERRORS_SQL,
     "streaming_dedup_events": _DEDUP_STREAM_SQL,
+    "streaming_rollup_ingest": _ROLLUP_INGEST_SQL,
+    "streaming_upsert_ingest": _UPSERT_INGEST_SQL,
 }

@@ -84,3 +84,13 @@ def test_gz_compressed_rotations_read_identically(spark, sf_smoke):
     key = lambda r: (r["id"], r["time"])  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     assert got.count() == want.count() > 0
+
+
+def test_streaming_rollup_ingest_oracle(spark, sf_smoke):
+    df = sq.streaming_rollup_ingest(spark, sf_smoke)
+    compare(df, sq.ORACLE["streaming_rollup_ingest"], sf_smoke)
+
+
+def test_streaming_upsert_ingest_oracle(spark, sf_smoke):
+    df = sq.streaming_upsert_ingest(spark, sf_smoke)
+    compare(df, sq.ORACLE["streaming_upsert_ingest"], sf_smoke)
