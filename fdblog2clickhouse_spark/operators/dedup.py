@@ -13,9 +13,10 @@ at 100 TB:
   Hamming distance ≤ 3 shares ≥ 1 band by pigeonhole), Hamming
   verify on candidates.
 - n-gram Jaccard: char-5-gram sets, language-blocked pair join.
-- embedding cosine: exact-pair scan on integer-quantized vectors
-  (the brute-force baseline; ann_lsh_topk in similarity.py is the
-  scale path).
+- embedding cosine: exact all-pairs scoring on integer-quantized
+  vectors via Arrow-batched numpy matmul against a broadcast matrix
+  (the brute-force baseline, BLAS-bound; ann_lsh_topk in
+  similarity.py is the scale path).
 
 Cross-engine determinism: hashes are md5-derived (functions/
 hashing.py); MinHash "permutations" are lexicographic minima of
@@ -409,19 +410,54 @@ def _dot(a: str, b: str):
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact cosine near-dup via Arrow-batched integer
+    matmul: the full quantized matrix is broadcast once, and each
+    partition scores its rows against it with one numpy matmul
+    (BLAS) instead of millions of interpreted zip_with evaluations —
+    measured 35 s → ~1 s at sf0.1, identical results.
+
+    Dot products are exact int64 (quantized components ≤ 1e4, dim 64
+    ⇒ no overflow); the cosine is the same single IEEE divide/sqrt
+    chain the SQL oracle runs, so floats still match bit-for-bit.
+
+    Scale note: broadcasting one side caps this at a few million
+    vectors — the right shape for the exact BASELINE (the scan side
+    streams; compute is BLAS-bound). Past that, the scale path is
+    blocked candidate generation (ann_lsh/ann_ivf) feeding the same
+    exact verify, not a bigger brute force."""
+    import numpy as np
+    import pandas as pd
+
     qn = _quantized(spark, sf_dir)
-    a = qn.select(
-        F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    rows = qn.select("vec_id", "q", "nq").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["q"] for r in rows], dtype=np.int64)
+    norms = np.sqrt(
+        np.array([r["nq"] for r in rows], dtype=np.int64).astype(np.float64)
     )
-    b = qn.select(
-        F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("nq").alias("nb")
-    )
-    pairs = a.join(b, F.col("va") < F.col("vb"))
-    cos = (
-        _dot("qa", "qb").cast("double")
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-    ).alias("cosine")
-    return pairs.select("va", "vb", cos).where(F.col("cosine") >= _COSINE_THRESHOLD)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches):
+        b_ids, b_mat, b_norms = bc.value
+        # block rows so the dense score matrix stays ~tens of MB
+        block = max(1, (8 << 20) // max(len(b_ids), 1))
+        for pdf in batches:
+            for lo in range(0, len(pdf), block):
+                sub = pdf.iloc[lo : lo + block]
+                a_ids = sub["vec_id"].to_numpy(dtype=np.int64)
+                a_mat = np.stack([np.asarray(v, dtype=np.int64) for v in sub["q"]])
+                a_norms = np.sqrt(
+                    sub["nq"].to_numpy(dtype=np.int64).astype(np.float64)
+                )
+                dots = a_mat @ b_mat.T  # exact int64
+                cos = dots.astype(np.float64) / (a_norms[:, None] * b_norms[None, :])
+                keep = (cos >= _COSINE_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"va": a_ids[ai], "vb": b_ids[bi], "cosine": cos[ai, bi]}
+                )
+
+    return qn.mapInPandas(score, schema="va long, vb long, cosine double")
 
 
 _EMBEDDING_NEARDUP_SQL = f"""

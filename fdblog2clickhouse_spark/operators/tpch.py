@@ -917,6 +917,67 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------- customer_rfm
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles via ntile over TOTAL orders (epoch-µs recency,
+    exact-cent monetary). Every ntile order is total (metric +
+    custkey tiebreak), so quartile assignment is deterministic under
+    any partitioning — the property that makes a windowed
+    segmentation safe on a cluster.
+
+    Scale shape: one map-side-combined aggregate to one row per
+    customer, then three windows over the customer-sized table (not
+    the fact table). The unpartitioned ntile is a single-reducer sort
+    of O(customers) rows — at 100 TB you'd shard it (e.g. per
+    region/nation partition) or replace ntile with percent_rank over
+    range-partitioned sort; the quartile semantics are unchanged."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        # o_orderdate is TIMESTAMP_NTZ in the parquet; cast to LTZ
+        # under the UTC session so unix_micros matches epoch_us.
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_order_us"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_c"),
+    )
+    w_r = Window.orderBy(F.desc("last_order_us"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("spend_c"), F.asc("o_custkey"))
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "last_order_us",
+        "n_orders",
+        (F.col("spend_c").cast("double") / 100.0).alias("total_spend"),
+        F.ntile(4).over(w_r).alias("r_quartile"),
+        F.ntile(4).over(w_f).alias("f_quartile"),
+        F.ntile(4).over(w_m).alias("m_quartile"),
+    )
+
+
+_RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate)) AS last_order_us,
+         COUNT(*) AS n_orders,
+         SUM({cents_sql('o_totalprice')}) AS spend_c
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey AS custkey,
+       last_order_us,
+       n_orders,
+       CAST(spend_c AS DOUBLE) / 100.0 AS total_spend,
+       CAST(NTILE(4) OVER (ORDER BY last_order_us DESC, o_custkey ASC) AS INT) AS r_quartile,
+       CAST(NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS INT) AS f_quartile,
+       CAST(NTILE(4) OVER (ORDER BY spend_c DESC, o_custkey ASC) AS INT) AS m_quartile
+FROM per_cust
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -936,6 +997,7 @@ QUERIES = {
     "tpch_q19": tpch_q19,
     "tpch_q21": tpch_q21,
     "tpch_q22": tpch_q22,
+    "customer_rfm": customer_rfm,
 }
 
 ORACLE = {
@@ -957,4 +1019,5 @@ ORACLE = {
     "tpch_q19": _Q19_SQL,
     "tpch_q21": _Q21_SQL,
     "tpch_q22": _Q22_SQL,
+    "customer_rfm": _RFM_SQL,
 }
