@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
     "ann_topk_bruteforce",
     "token_count",
 ]
