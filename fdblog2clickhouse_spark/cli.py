@@ -96,6 +96,65 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """Maintain the SummingMergeTree-style rollup table from a log
+    dir (the materialized-view consumer of the ingest loop): stream
+    rotated trace logs, merge each micro-batch into the rollup
+    parquet at OUT. --once drains and exits."""
+    from pyspark.sql import functions as F
+
+    from .sinks.rollup import foreach_batch_rollup, read_rollup
+    from .streaming.ingest import normalize_trace, read_trace_stream
+
+    spark = _spark()
+    rows = normalize_trace(
+        read_trace_stream(spark, args.log_dir, delete_logs=args.delete_logs)
+    ).select(
+        "time",
+        "severity",
+        "type",
+        # the reference's trace schema carries no numeric measure;
+        # the rollup still tracks exact event counts per cell.
+        F.lit(0).cast("long").alias("value_c"),
+    )
+    writer = (
+        rows.writeStream.foreachBatch(foreach_batch_rollup(args.out))
+        .option("checkpointLocation", args.checkpoint)
+    )
+    q = writer.trigger(availableNow=True).start() if args.once else writer.start()
+    q.awaitTermination()
+    if args.once:
+        n = read_rollup(spark, args.out).count()
+        print(f"rollup cells: {n}")
+    return 0
+
+
+def cmd_list_queries(args) -> int:
+    from . import operators
+
+    oracle = operators.all_oracle_sql()
+    for name in sorted(operators.all_queries()):
+        kind = "oracle" if name in oracle else "rows-only"
+        print(f"{name}\t{kind}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Run one registered operator against a testdata dir and print
+    the result — the 'traditional OLAP SQL queries' consumer surface
+    (reference README.md:10), one command away."""
+    from . import operators
+
+    queries = operators.all_queries()
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = queries[args.name](spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="trace-convert")
     p.add_argument("--spool-dir", default=None, help="dry run: write payloads here")
@@ -119,6 +178,23 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--delete-logs", action="store_true")
     sw.add_argument("--checkpoint", default="/tmp/trace-convert-ckpt")
     sw.set_defaults(fn=cmd_watch)
+
+    sr = sub.add_parser("rollup")
+    sr.add_argument("log_dir")
+    sr.add_argument("out")
+    sr.add_argument("--once", action="store_true")
+    sr.add_argument("--delete-logs", action="store_true")
+    sr.add_argument("--checkpoint", default="/tmp/trace-rollup-ckpt")
+    sr.set_defaults(fn=cmd_rollup)
+
+    sl = sub.add_parser("list-queries")
+    sl.set_defaults(fn=cmd_list_queries)
+
+    sq = sub.add_parser("query")
+    sq.add_argument("name")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -521,6 +521,85 @@ FROM c
 """
 
 
+# ------------------------------------------------- doc_top_terms
+
+_TOP_TERMS_K = 3
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document: TF-IDF-style scoring with a
+    PURE INTEGER RATIO (tf · n_docs / df) instead of tf·ln(n/df) —
+    same ranking monotonicity per fixed tf, and exact BIGINT
+    arithmetic until one final division, so the score hash-matches
+    DuckDB (libm ln() is deliberately avoided: it is not guaranteed
+    correctly rounded, and a 1-ulp disagreement would flip a rank).
+
+    Shape: (doc, token) tf counts (map-side combined), token df over
+    in-row-deduped tokens, one broadcast scalar n_docs, one per-doc
+    top-k window. All shuffles carry aggregated rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        d.select(
+            F.explode(F.array_distinct(tokens(norm_text(F.col("text"))))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _TOP_TERMS_K)
+        .select("doc_id", "tok", "tf", "df", "score", "rnk")
+    )
+
+
+_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql(norm_text_sql('text'))}) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+), dtok AS (
+  SELECT DISTINCT doc_id, unnest({tokens_sql(norm_text_sql('text'))}) AS tok
+  FROM documents
+), dfq AS (
+  SELECT tok, COUNT(*) AS df FROM dtok WHERE tok <> '' GROUP BY 1
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / df AS score
+  FROM tf JOIN dfq USING (tok), nd
+)
+SELECT doc_id, tok, tf, df, score, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok ASC) AS rnk
+  FROM scored
+) r WHERE rnk <= {_TOP_TERMS_K}
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -531,6 +610,7 @@ QUERIES = {
     "corpus_select": corpus_select,
     "quality_repetition": quality_repetition,
     "pii_detect": pii_detect,
+    "doc_top_terms": doc_top_terms,
 }
 
 ORACLE = {
@@ -543,4 +623,5 @@ ORACLE = {
     "corpus_select": _CORPUS_SELECT_SQL,
     "quality_repetition": _REPETITION_SQL,
     "pii_detect": _PII_SQL,
+    "doc_top_terms": _TOP_TERMS_SQL,
 }

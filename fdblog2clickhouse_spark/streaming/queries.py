@@ -402,6 +402,75 @@ FROM (
 """
 
 
+_SS_JOIN_WINDOW_MIN = 30
+
+
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase joins the same user's views from the preceding 30
+    minutes. Both sides carry watermarks, so at scale the join state
+    store holds only rows inside the lateness+range horizon —
+    Structured Streaming's bounded-state two-stream join, keyed (and
+    partitioned) by user_id. Under AvailableNow the retained state
+    covers the whole finite input, so the batch self-join is an exact
+    oracle."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_SS_JOIN_WINDOW_MIN} MINUTES")),
+    )
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+_SS_JOIN_SQL = f"""
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL {_SS_JOIN_WINDOW_MIN} MINUTES
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -410,6 +479,7 @@ QUERIES = {
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_rollup_ingest": streaming_rollup_ingest,
     "streaming_upsert_ingest": streaming_upsert_ingest,
+    "streaming_view_purchase_join": streaming_view_purchase_join,
 }
 
 ORACLE = {
@@ -420,4 +490,5 @@ ORACLE = {
     "streaming_dedup_events": _DEDUP_STREAM_SQL,
     "streaming_rollup_ingest": _ROLLUP_INGEST_SQL,
     "streaming_upsert_ingest": _UPSERT_INGEST_SQL,
+    "streaming_view_purchase_join": _SS_JOIN_SQL,
 }

@@ -67,3 +67,62 @@ def test_ingest_spools_jsoneachrow(spark, sf_smoke, tmp_path, capsys):
         n_lines += len(lines)
     n_events = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
     assert n_lines == n_events
+
+
+def test_list_queries_covers_registry(capsys):
+    from fdblog2clickhouse_spark import operators
+
+    rc = cli.main(["list-queries"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    listed = {line.split("\t")[0] for line in out.strip().splitlines()}
+    assert listed == set(operators.all_queries())
+
+
+def test_query_command_runs_operator(capsys):
+    rc = cli.main(["query", "severity_rollup", "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "severity" in out
+    assert cli.main(["query", "no_such_op"]) == 2
+
+
+def test_rollup_command_maintains_state(spark, sf_smoke, tmp_path):
+    """rollup --once: logs -> stream -> incremental rollup parquet,
+    cells equal the direct batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.sinks.rollup import read_rollup
+    from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
+
+    log_dir = str(tmp_path / "logs")
+    out_path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    _export_trace_logs(spark, sf_smoke, log_dir)
+
+    rc = cli.main(["rollup", log_dir, out_path, "--once", "--checkpoint", ckpt])
+    assert rc == 0
+    got = {
+        (r["yyyymm"], r["severity"], r["type"]): r["n_events"]
+        for r in read_rollup(spark, out_path).collect()
+    }
+    e = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    want = {
+        (r["yyyymm"], r["severity"], r["type"]): r["n"]
+        for r in e.select(
+            F.expr("timestamp_micros(ts div 1000)").alias("t"),
+            F.when(F.col("event_type") == "error", F.lit(40))
+            .otherwise(F.lit(10))
+            .cast("int")
+            .alias("severity"),
+            F.col("event_type").alias("type"),
+        )
+        .groupBy(
+            (F.year("t") * 100 + F.month("t")).cast("int").alias("yyyymm"),
+            "severity",
+            "type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -94,3 +94,9 @@ def test_streaming_rollup_ingest_oracle(spark, sf_smoke):
 def test_streaming_upsert_ingest_oracle(spark, sf_smoke):
     df = sq.streaming_upsert_ingest(spark, sf_smoke)
     compare(df, sq.ORACLE["streaming_upsert_ingest"], sf_smoke)
+
+
+def test_streaming_view_purchase_join_oracle(spark, sf_smoke):
+    df = sq.streaming_view_purchase_join(spark, sf_smoke)
+    compare(df, sq.ORACLE["streaming_view_purchase_join"], sf_smoke)
+    assert all(0 <= r["gap_us"] <= 30 * 60 * 1_000_000 for r in df.collect())
