@@ -1,9 +1,10 @@
 """Latest-wins upsert sink — ReplacingMergeTree semantics (SURVEY §2.8).
 
 The reference's pipeline is effectively CDC: rotated log batches land
-in a ClickHouse table and consumers read the latest state per key
-(the ReplacingMergeTree pattern; batch analog is
-`events_dedup_latest` in operators/trace_ops.py). This sink maintains
+in a ClickHouse MergeTree table (reference trace-converter.py:46-54
+DDL; entrypoint.sh:18-29 delivery loop) and consumers read the
+latest state per key (the ReplacingMergeTree pattern; batch analog
+is `events_dedup_latest` in operators/trace_ops.py). This sink maintains
 that latest-state table incrementally: each micro-batch is merged
 with the stored state and only the max-version row per key survives.
 
