@@ -193,3 +193,27 @@ def test_upsert_latest_wins_any_order(spark, sf_smoke, tmp_path):
         for r in read_upsert(spark, path).collect()
     }
     assert got == want
+
+
+def test_mergetree_partition_pruning(spark, sf_smoke, tmp_path):
+    """A yyyymm predicate must prune partition directories at plan
+    time — the scan-skipping that PARTITION BY toYYYYMM(Time) buys
+    the reference's MergeTree table (trace-converter.py:46-54)."""
+    from fdblog2clickhouse_spark.plans import formatted_plan
+    from fdblog2clickhouse_spark.sinks.mergetree import read_mergetree, write_mergetree
+
+    path = str(tmp_path / "mt")
+    # orders span 1995-2001 → many yyyymm partitions (events cover a
+    # single month, which can't demonstrate pruning)
+    o = table(spark, sf_smoke, "orders").select(
+        F.col("o_orderdate").alias("time"), "o_orderkey", "o_totalprice"
+    )
+    write_mergetree(o, path, time_col="time")
+
+    months = [r["yyyymm"] for r in read_mergetree(spark, path).select("yyyymm").distinct().collect()]
+    assert len(months) > 1, "need multiple partitions to prove pruning"
+    one = read_mergetree(spark, path).where(F.col("yyyymm") == months[0])
+    plan = formatted_plan(one)
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf and "yyyymm" in pf[0], f"partition filter not pushed\n{plan}"
+    assert one.count() > 0
