@@ -72,6 +72,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # headline composition grew in round 2 (ngram/neardup
+                # added after their BLAS rewrites) — n disambiguates
+                # cross-round totals.
+                "queries_n": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

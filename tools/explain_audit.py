@@ -25,6 +25,16 @@ NAMES = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "token_count",
+    # round-2 additions
+    "hll_distinct_users",
+    "cms_heavy_hitters",
+    "value_quantile_hist",
+    "funnel_conversion",
+    "events_sliding_windows",
+    "ann_pq_topk",
+    "knn_classify",
+    "doc_top_terms",
+    "customer_rfm",
 ]
 
 
