@@ -37,6 +37,7 @@ from ..functions.text import (
     shingles_cte_sql,
     shingles_expr,
     tokens,
+    tokens_sql,
 )
 from ..sources.tables import table
 
@@ -577,6 +578,174 @@ FROM documents d LEFT JOIN minreach mr USING (doc_id)
 """
 
 
+# ----------------------------------------------- dedup_containment
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C(A→B) = |sh(A) ∩ sh(B)| /
+    |sh(A)| over token-3-gram shingle sets, within language blocks —
+    catches documents that are near-SUBSETS of another (quotes,
+    partial scrapes, boilerplate-wrapped copies), which symmetric
+    Jaccard misses because the union term dilutes the score.
+
+    Same per-language BLAS layout as dedup_ngram_jaccard (one binary
+    docs × shingle-vocab matrix per language, ONE matmul for all
+    pairwise intersections; float32 on 0/1 matrices is exact below
+    2^24): only the normalization differs — row-set size |A| instead
+    of the union — and the output keeps BOTH directions (da ≠ db)
+    because containment is not symmetric. The final score is the
+    same single float64 division the SQL oracle performs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    ).where(F.size("t") >= 3)
+    sh = t.select(
+        "doc_id", "lang", F.explode(F.expr(shingles_expr("t", 3))).alias("s")
+    ).distinct()
+
+    def containment_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, di = np.unique(pdf["doc_id"].to_numpy(np.int64), return_inverse=True)
+        _, si = np.unique(pdf["s"].to_numpy(), return_inverse=True)
+        a = np.zeros((len(doc_ids), si.max() + 1), dtype=np.float32)
+        a[di, si] = 1.0
+        sizes = a.sum(axis=1).astype(np.int64)
+        out = {"da": [], "db": [], "containment": []}
+        block = max(1, (64 << 20) // max(len(doc_ids) * 4, 1))
+        for lo in range(0, len(doc_ids), block):
+            inter = (a[lo : lo + block] @ a.T).astype(np.int64)
+            cont = inter.astype(np.float64) / sizes[lo : lo + block, None]
+            keep = (cont >= _CONTAINMENT_THRESHOLD) & (
+                doc_ids[lo : lo + block, None] != doc_ids[None, :]
+            )
+            ai, bi = np.nonzero(keep)
+            out["da"].append(doc_ids[lo + ai])
+            out["db"].append(doc_ids[bi])
+            out["containment"].append(cont[ai, bi])
+        return pd.DataFrame(
+            {k: np.concatenate(v) if v else np.array([]) for k, v in out.items()}
+        )
+
+    return sh.groupBy("lang").applyInPandas(
+        containment_block, schema="da long, db long, containment double"
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH {shingles_cte_sql('documents', 'text', 3)},
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), lang_sh AS (
+  SELECT s.doc_id, d.lang, s.s FROM sh s JOIN documents d USING (doc_id)
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM lang_sh a JOIN lang_sh b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db, CAST(i AS DOUBLE) / ca.n AS containment
+FROM inter JOIN cnt ca ON ca.doc_id = da
+WHERE CAST(i AS DOUBLE) / ca.n >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------- chunk_dedup
+
+_CHUNK_TOKENS = 16
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (sub-document) dedup: per-doc fraction of 16-token
+    chunks that also appear in at least one OTHER document — the
+    line/paragraph-dedup pass of RefinedWeb/Gopher-style pipelines,
+    which catches boilerplate that whole-doc dedup misses.
+
+    Scale shape: chunks are built in-row (transform over a sequence,
+    whole-stage codegen), hashed to 32-bit ints, exploded, and the
+    corpus-wide chunk→distinct-doc counts come from one map-side-
+    combined groupBy on the hash. The per-doc rollup joins back on
+    the hash — both shuffles key on the 32-bit chunk hash, so skew is
+    bounded by boilerplate frequency, never document length.
+    """
+    d = table(spark, sf_dir, "documents")
+    k = _CHUNK_TOKENS
+    t = d.select(
+        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
+    )
+    # full k-token stride-k chunks only; guard sequence() against
+    # docs shorter than k (sequence would count DOWN on a negative
+    # span, not return empty).
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.expr(
+                    f"transform(sequence(0, CAST(FLOOR(size(toks)/{k}) AS INT)-1), "
+                    f"i -> {h32_spark_sql(f'concat_ws( chr(32) , slice(toks, i*{k}+1, {k}))')})"
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("chash"),
+    )
+    freq = chunks.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_chunk")
+    )
+    per_doc = (
+        chunks.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_docs_with_chunk") >= 2, 1).otherwise(0)
+            ).alias("n_dup_chunks"),
+        )
+    )
+    # docs with < k tokens have zero chunks; keep them with 0/0 so the
+    # output covers the whole corpus (fraction NULL there).
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0)).cast("long").alias("n_dup_chunks"),
+            (
+                F.col("n_dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql(norm_text_sql('text'))} AS toks FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(FLOOR(len(toks)/{_CHUNK_TOKENS}.0) AS INT)),
+                i -> {h32_sql(f"array_to_string(list_slice(toks, i*{_CHUNK_TOKENS}+1, i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS}), ' ')")})) AS chash
+  FROM t WHERE len(toks) >= {_CHUNK_TOKENS}
+), freq AS (
+  SELECT chash, COUNT(DISTINCT doc_id) AS n_docs_with_chunk
+  FROM ch GROUP BY 1
+), per_doc AS (
+  SELECT ch.doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN f.n_docs_with_chunk >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks
+  FROM ch JOIN freq f USING (chash) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(p.n_dup_chunks AS DOUBLE) / CAST(p.n_chunks AS DOUBLE) AS dup_chunk_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -584,6 +753,8 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_neardup": embedding_neardup,
     "dedup_cluster_labels": dedup_cluster_labels,
+    "chunk_dedup": chunk_dedup,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLE = {
@@ -593,4 +764,6 @@ ORACLE = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
     "dedup_cluster_labels": _CLUSTER_SQL,
+    "chunk_dedup": _CHUNK_DEDUP_SQL,
+    "dedup_containment": _CONTAINMENT_SQL,
 }

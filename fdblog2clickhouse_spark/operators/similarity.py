@@ -606,6 +606,188 @@ FROM (
 """
 
 
+# ------------------------------------------------ embedding_kmeans
+
+_KMEANS_K = 8
+
+
+def _km_assign(qn: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment on exact integer squared L2:
+    ||x-c||^2 = nq - 2*x.c + nc, all BIGINT. Centroids are tiny and
+    broadcast; ties break on lowest centroid id (a total order)."""
+    d = (
+        qn.crossJoin(broadcast(cents.select(
+            F.col("cid"), F.col("c"), F.col("nc"))))
+        .select(
+            "vec_id", "q", "nq", "cid",
+            (
+                F.col("nq")
+                - 2 * F.aggregate(
+                    F.zip_with(F.col("q"), F.col("c"), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                + F.col("nc")
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact Lloyd iterations of k-means over the quantized
+    embeddings (K=8, seeds = vec_id 0..7) — the clustering pass a
+    curation pipeline runs for topic balancing / diversity sampling.
+
+    Determinism: distances are exact BIGINT (integer-quantized
+    vectors); the recomputed centroid is the element-wise
+    FLOOR(sum/count) — one IEEE double division + floor per element,
+    identical cross-engine — so iteration 2 is exact-integer again.
+    Scale shape: the E-step is a broadcast nested-loop against K=8
+    centroids (never a shuffle); the M-step is ONE shuffle keyed on
+    (cluster, dim) with map-side combine — the canonical distributed
+    k-means layout. Returns per-cluster size + exact inertia.
+    """
+    qn = _quantized(spark, sf_dir)
+    c0 = qn.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c"), F.col("nq").alias("nc")
+    )
+    a1 = _km_assign(qn, c0)
+    elems = a1.select("cid", F.posexplode("q").alias("pos", "val"))
+    cs = elems.groupBy("cid", "pos").agg(
+        F.floor(F.sum("val").cast("double") / F.count(F.lit(1))).cast("long").alias("cv")
+    )
+    c1 = (
+        cs.groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("c")
+        )
+        .withColumn(
+            "nc",
+            F.aggregate(
+                F.transform(F.col("c"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    a2 = _km_assign(qn, c1)
+    return a2.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d").alias("inertia"),
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("avg_sq_dist"),
+    )
+
+
+_KMEANS_SQL = f"""
+WITH {_QUANT_CTE},
+c0 AS (SELECT vec_id AS cid, q AS c, nq AS nc FROM qn WHERE vec_id < {_KMEANS_K}),
+d1 AS (
+  SELECT qn.vec_id, qn.q, c0.cid,
+         qn.nq - 2*list_sum(list_transform(list_zip(qn.q, c0.c), p -> p[1]*p[2])) + c0.nc AS d
+  FROM qn, c0
+),
+a1 AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM d1) WHERE rn = 1
+),
+ex AS (SELECT cid, unnest(generate_series(1, {_DIM})) AS pos, q FROM a1),
+cs AS (
+  SELECT cid, pos,
+         CAST(FLOOR(CAST(SUM(q[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM ex GROUP BY 1, 2
+),
+c1 AS (
+  SELECT cid, list(cv ORDER BY pos ASC) AS c FROM cs GROUP BY 1
+),
+c1n AS (SELECT cid, c, list_sum(list_transform(c, x -> x*x)) AS nc FROM c1),
+d2 AS (
+  SELECT qn.vec_id, c1n.cid,
+         qn.nq - 2*list_sum(list_transform(list_zip(qn.q, c1n.c), p -> p[1]*p[2])) + c1n.nc AS d
+  FROM qn, c1n
+),
+a2 AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT cid AS cluster, COUNT(*) AS n_vecs,
+       CAST(SUM(d) AS BIGINT) AS inertia,
+       CAST(SUM(d) AS DOUBLE) / COUNT(*) AS avg_sq_dist
+FROM a2 GROUP BY 1
+"""
+
+
+# ----------------------------------------- cluster_balanced_sample
+
+_BALANCED_PER_CLUSTER = 20
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity (cluster-balanced) sampling: assign every vector to
+    its nearest seed centroid, then take a deterministic top-M per
+    cluster ranked by an md5 hash of the vec_id — the topic-balancing
+    subsample step of a curation pipeline (equal representation per
+    cluster regardless of cluster mass).
+
+    No RNG anywhere: the per-cluster "random" order is the h32 hash
+    with vec_id tiebreak, so any engine reproduces the exact sample.
+    Scale shape: E-step is a broadcast against K=8 centroids; the
+    only shuffle is the per-cluster top-M window, keyed on cluster id
+    (K partitions — at real scale swap row_number for a bounded
+    per-partition heap, same result set).
+    """
+    qn = _quantized(spark, sf_dir)
+    c0 = qn.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c"), F.col("nq").alias("nc")
+    )
+    a1 = _km_assign(qn, c0).select(
+        "vec_id", "cid", F.expr(h32_spark_sql("CAST(vec_id AS STRING)")).alias("hk")
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("hk").asc(), F.col("vec_id").asc()
+    )
+    return (
+        a1.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BALANCED_PER_CLUSTER)
+        .select(
+            F.col("cid").alias("cluster"), "vec_id", "rnk",
+        )
+    )
+
+
+_BALANCED_SQL = f"""
+WITH {_QUANT_CTE},
+c0 AS (SELECT vec_id AS cid, q AS c, nq AS nc FROM qn WHERE vec_id < {_KMEANS_K}),
+d1 AS (
+  SELECT qn.vec_id, c0.cid,
+         qn.nq - 2*list_sum(list_transform(list_zip(qn.q, c0.c), p -> p[1]*p[2])) + c0.nc AS d
+  FROM qn, c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM d1) WHERE rn = 1
+),
+hk AS (
+  SELECT vec_id, cid, {h32_sql("CAST(vec_id AS VARCHAR)")} AS hk FROM a1
+)
+SELECT cid AS cluster, vec_id, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY hk ASC, vec_id ASC) AS INT) AS rnk
+  FROM hk
+) r WHERE rnk <= {_BALANCED_PER_CLUSTER}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -615,6 +797,8 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "knn_classify": knn_classify,
     "ann_pq_topk": ann_pq_topk,
+    "embedding_kmeans": embedding_kmeans,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }
 
 ORACLE = {
@@ -626,4 +810,6 @@ ORACLE = {
     "stratified_sample": _STRATIFIED_SQL,
     "knn_classify": _KNN_SQL,
     "ann_pq_topk": _ANN_PQ_SQL,
+    "embedding_kmeans": _KMEANS_SQL,
+    "cluster_balanced_sample": _BALANCED_SQL,
 }

@@ -600,6 +600,69 @@ FROM (
 """
 
 
+# ------------------------------------------------- bpe_pair_stats
+
+_BPE_PAIR_TOPN = 50
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies — the merge-candidate scoring
+    step of BPE tokenizer training, run corpus-wide.
+
+    Scale shape: the pair list is built IN-ROW (transform over a
+    sequence — whole-stage codegen, no self-join), then exploded and
+    aggregated with map-side combine; the only shuffle is the final
+    groupBy on the pair string, whose cardinality is O(vocab^2), not
+    O(corpus). Top-N is a single total-ordered window over that small
+    aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 2)
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1), "
+                "i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BPE_PAIR_TOPN)
+        .select("pair", "n_occurrences", "n_docs", "rnk")
+    )
+
+
+_BPE_PAIR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+), p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS pair
+  FROM t WHERE len(toks) >= 2
+), counted AS (
+  SELECT pair, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM p GROUP BY 1
+)
+SELECT pair, n_occurrences, n_docs, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INT) AS rnk
+  FROM counted
+) r WHERE rnk <= {_BPE_PAIR_TOPN}
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -611,6 +674,7 @@ QUERIES = {
     "quality_repetition": quality_repetition,
     "pii_detect": pii_detect,
     "doc_top_terms": doc_top_terms,
+    "bpe_pair_stats": bpe_pair_stats,
 }
 
 ORACLE = {
@@ -624,4 +688,5 @@ ORACLE = {
     "quality_repetition": _REPETITION_SQL,
     "pii_detect": _PII_SQL,
     "doc_top_terms": _TOP_TERMS_SQL,
+    "bpe_pair_stats": _BPE_PAIR_SQL,
 }

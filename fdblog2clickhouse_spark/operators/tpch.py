@@ -14,7 +14,7 @@ so Spark and the DuckDB oracle agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -959,6 +959,68 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- market_basket_pairs
+
+_BASKET_TOPN = 50
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchased part pairs within an order (basket co-occurrence
+    mining — the classic first step of association-rule pipelines and
+    a core training-data-curation primitive for recommender corpora).
+
+    Scale shape: the pair generation is a self-join on the order key,
+    so it shuffles ONCE on l_orderkey and the blow-up is bounded by
+    the per-order basket size (TPC-H: <= 7-ish lineitems; pairs per
+    order stay O(basket^2), never O(n^2) global). The (orderkey,
+    partkey) projection is made distinct BEFORE the self-join so
+    multi-line orders of the same part can't inflate pair counts.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"),
+        F.col("b.l_partkey").alias("p2"),
+    )
+    counted = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc()
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BASKET_TOPN)
+        .select("p1", "p2", "n_orders", "rnk")
+    )
+
+
+_BASKET_SQL = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), counted AS (
+  SELECT p1, p2, COUNT(*) AS n_orders FROM pairs GROUP BY 1, 2
+)
+SELECT p1, p2, n_orders, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, p1 ASC, p2 ASC) AS INT) AS rnk
+  FROM counted
+) r WHERE rnk <= {_BASKET_TOPN}
+"""
+
+
 _RFM_SQL = f"""
 WITH per_cust AS (
   SELECT o_custkey,
@@ -998,6 +1060,7 @@ QUERIES = {
     "tpch_q21": tpch_q21,
     "tpch_q22": tpch_q22,
     "customer_rfm": customer_rfm,
+    "market_basket_pairs": market_basket_pairs,
 }
 
 ORACLE = {
@@ -1020,4 +1083,5 @@ ORACLE = {
     "tpch_q21": _Q21_SQL,
     "tpch_q22": _Q22_SQL,
     "customer_rfm": _RFM_SQL,
+    "market_basket_pairs": _BASKET_SQL,
 }

@@ -807,6 +807,82 @@ ORDER BY gid, severity, event_type
 """
 
 
+# --------------------------------------------- events_decay_score
+
+_DECAY_WINDOW_DAYS = 7  # halving per day; weight 2^(W-delta) exact
+
+
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed activity score (halflife = 1
+    day, 7-day horizon) — the `exponentialMovingAverage` /
+    `exponentialTimeDecayedSum` analog, ClickHouse's freshness-
+    weighted engagement metric.
+
+    Determinism: weights are powers of two (2^(7-Δd)) applied to
+    integer counts/cents, summed in BIGINT, divided ONCE by 128 at
+    the end — no float accumulation anywhere, so shuffle order can't
+    flip bits. Scale shape: instead of a per-row variable-weight
+    window frame (which Spark's range frames can't weight), each
+    user-day aggregate is exploded to its ≤8 future contribution
+    days (bounded 8× fan-out, in-row), then re-aggregated with
+    map-side combine — two shuffles on (user, day), no window at all.
+    """
+    e = _events(spark, sf_dir)
+    W = _DECAY_WINDOW_DAYS
+    day = F.floor(_US("ts") / F.lit(86_400_000_000.0)).cast("long")
+    per_day = (
+        e.select(F.col("user_id"), day.alias("daynum"), cents(F.col("value")).alias("vc"))
+        .groupBy("user_id", "daynum")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("vc").alias("vsum_c"))
+    )
+    bounds = per_day.agg(F.max("daynum").alias("max_day"))
+    contrib = (
+        per_day.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr(f"sequence(0, {W})")).alias("off"),
+            "daynum", "cnt", "vsum_c", "max_day",
+        )
+        .select(
+            "user_id",
+            (F.col("daynum") + F.col("off")).alias("day"),
+            (F.col("cnt") * F.expr(f"CAST(shiftleft(1, {W} - off) AS BIGINT)")).alias("wcnt"),
+            (F.col("vsum_c") * F.expr(f"CAST(shiftleft(1, {W} - off) AS BIGINT)")).alias("wval"),
+            "max_day",
+        )
+        .where(F.col("day") <= F.col("max_day"))
+    )
+    scale = float(1 << W)
+    return contrib.groupBy("user_id", "day").agg(
+        (F.sum("wcnt") / F.lit(scale)).alias("decayed_events"),
+        (F.sum("wval") / F.lit(scale * 100.0)).alias("decayed_value"),
+    )
+
+
+_DECAY_SQL = f"""
+WITH per_day AS (
+  SELECT user_id,
+         CAST(FLOOR({_US_SQL('ts')} / 86400000000.0) AS BIGINT) AS daynum,
+         COUNT(*) AS cnt,
+         SUM({cents_sql('value')}) AS vsum_c
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT MAX(daynum) AS max_day FROM per_day),
+contrib AS (
+  SELECT user_id,
+         daynum + off AS day,
+         cnt * CAST(1 << ({_DECAY_WINDOW_DAYS} - off) AS BIGINT) AS wcnt,
+         vsum_c * CAST(1 << ({_DECAY_WINDOW_DAYS} - off) AS BIGINT) AS wval
+  FROM per_day, bounds,
+       (SELECT unnest(generate_series(0, {_DECAY_WINDOW_DAYS})) AS off) offs
+  WHERE daynum + off <= max_day
+)
+SELECT user_id, day,
+       SUM(wcnt) / {float(1 << _DECAY_WINDOW_DAYS)} AS decayed_events,
+       SUM(wval) / {float((1 << _DECAY_WINDOW_DAYS) * 100)} AS decayed_value
+FROM contrib GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "trace_normalize": trace_normalize,
     "trace_partition_stats": trace_partition_stats,
@@ -826,6 +902,7 @@ QUERIES = {
     "user_retention_cohorts": user_retention_cohorts,
     "events_range_join": events_range_join,
     "topk_events_by_value": topk_events_by_value,
+    "events_decay_score": events_decay_score,
 }
 
 ORACLE = {
@@ -847,4 +924,5 @@ ORACLE = {
     "user_retention_cohorts": _RETENTION_SQL,
     "events_range_join": _RANGE_JOIN_SQL,
     "topk_events_by_value": _TOPK_BY_VALUE_SQL,
+    "events_decay_score": _DECAY_SQL,
 }

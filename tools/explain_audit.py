@@ -35,6 +35,14 @@ NAMES = [
     "knn_classify",
     "doc_top_terms",
     "customer_rfm",
+    # round-2 continuation
+    "market_basket_pairs",
+    "bpe_pair_stats",
+    "chunk_dedup",
+    "events_decay_score",
+    "embedding_kmeans",
+    "dedup_containment",
+    "cluster_balanced_sample",
 ]
 
 
