@@ -959,6 +959,106 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------- nation_activity_fullouter
+
+_FO_CUST_BAL = 7000.0
+_FO_SUPP_BAL = 5000.0
+
+
+def nation_activity_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation counts of high-balance customers vs high-balance
+    suppliers, FULL OUTER joined so nations present on only one side
+    survive with a zero on the other — the reconciliation-report
+    join shape (and the full-outer coverage of the join surface).
+
+    Scale shape: both inputs are pre-aggregated to nation
+    cardinality BEFORE the join, so the full outer join is dim-sized
+    regardless of fact size; the nation name decorate is a broadcast.
+    """
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > _FO_CUST_BAL)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > _FO_SUPP_BAL)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation")
+    )
+    joined = cust.join(supp, "nationkey", "full_outer")
+    return joined.join(broadcast(nation), "nationkey").select(
+        "nationkey",
+        "nation",
+        F.coalesce(F.col("n_rich_customers"), F.lit(0)).cast("long").alias("n_rich_customers"),
+        F.coalesce(F.col("n_rich_suppliers"), F.lit(0)).cast("long").alias("n_rich_suppliers"),
+    )
+
+
+_FULLOUTER_SQL = f"""
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_customers
+  FROM customer WHERE c_acctbal > {_FO_CUST_BAL} GROUP BY 1
+), supp AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_suppliers
+  FROM supplier WHERE s_acctbal > {_FO_SUPP_BAL} GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       n.n_name AS nation,
+       CAST(COALESCE(n_rich_customers, 0) AS BIGINT) AS n_rich_customers,
+       CAST(COALESCE(n_rich_suppliers, 0) AS BIGINT) AS n_rich_suppliers
+FROM cust c FULL OUTER JOIN supp s USING (nationkey)
+JOIN nation n ON n.n_nationkey = COALESCE(c.nationkey, s.nationkey)
+"""
+
+
+# ------------------------------------------- orders_percent_rank
+
+def orders_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile standing of each order's price within its order
+    year: PERCENT_RANK + CUME_DIST — the rank-family window surface
+    (quantile dashboards, outlier flags).
+
+    Determinism: the rank ORDER BY key is the exact integer cents of
+    the price, so float comparison can't reorder ties, and tied rows
+    get identical rank in both engines by definition of the
+    functions. Scale shape: one shuffle on the year; within-year
+    sort is the window's own."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate"))
+    pc = cents(F.col("o_totalprice"))
+    w = Window.partitionBy("order_year").orderBy(F.col("price_c").asc())
+    base = o.select(
+        "o_orderkey", yr.alias("order_year"), pc.alias("price_c")
+    )
+    return base.select(
+        "o_orderkey",
+        "order_year",
+        (F.col("price_c") / 100.0).alias("total_price"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+_PCT_RANK_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+         {cents_sql('o_totalprice')} AS price_c
+  FROM orders
+)
+SELECT o_orderkey, order_year,
+       price_c / 100.0 AS total_price,
+       PERCENT_RANK() OVER (PARTITION BY order_year ORDER BY price_c ASC) AS price_pct_rank,
+       CUME_DIST() OVER (PARTITION BY order_year ORDER BY price_c ASC) AS price_cume_dist
+FROM base
+"""
+
+
 # ------------------------------------------- market_basket_pairs
 
 _BASKET_TOPN = 50
@@ -1061,6 +1161,8 @@ QUERIES = {
     "tpch_q22": tpch_q22,
     "customer_rfm": customer_rfm,
     "market_basket_pairs": market_basket_pairs,
+    "nation_activity_fullouter": nation_activity_fullouter,
+    "orders_percent_rank": orders_percent_rank,
 }
 
 ORACLE = {
@@ -1084,4 +1186,6 @@ ORACLE = {
     "tpch_q22": _Q22_SQL,
     "customer_rfm": _RFM_SQL,
     "market_basket_pairs": _BASKET_SQL,
+    "nation_activity_fullouter": _FULLOUTER_SQL,
+    "orders_percent_rank": _PCT_RANK_SQL,
 }

@@ -883,6 +883,135 @@ FROM contrib GROUP BY 1, 2
 """
 
 
+# -------------------------------------------- user_recent_events
+
+_RECENT_N = 5
+
+
+def user_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-history array (most recent 5) — the
+    `groupArray(5)` / `argMax`-list analog ClickHouse dashboards use
+    for "last actions" panels.
+
+    Determinism: the order is (ts DESC, event_id DESC) — a total
+    order — and the array is rebuilt from a sorted struct collect, so
+    shuffle arrival order can't permute it. Scale shape: one shuffle
+    on user_id; the per-user top-N is a row_number window (bounded
+    state per key), then the array build is in-group."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RECENT_N)
+    )
+    return recent.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+            lambda s: s.event_type,
+        ).alias("recent_types"),
+        F.max(_US("ts")).alias("last_ts_us"),
+        F.count(F.lit(1)).alias("n_recent"),
+    )
+
+
+_RECENT_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, {_US_SQL('ts')} AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       list(event_type ORDER BY rn ASC) AS recent_types,
+       MAX(ts_us) AS last_ts_us,
+       COUNT(*) AS n_recent
+FROM ranked WHERE rn <= {_RECENT_N}
+GROUP BY 1
+"""
+
+
+# ----------------------------------------------- churned_users
+
+def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in the FIRST week of the data window with no
+    activity in the LAST week — the churn cut, expressed as a set
+    EXCEPT (ClickHouse `IN`/`NOT IN` subquery surface).
+
+    The week bounds derive from the global max day so the operator is
+    data-driven, not calendar-hardcoded. Scale shape: two filtered
+    distinct projections (map-side combinable) and one left-anti
+    join keyed on user_id — Catalyst turns EXCEPT DISTINCT into
+    exactly that; no window, no sort."""
+    e = _events(spark, sf_dir)
+    day = F.floor(_US("ts") / F.lit(86_400_000_000.0)).cast("long")
+    d = e.select("user_id", day.alias("daynum"))
+    bounds = d.agg(
+        F.min("daynum").alias("min_day"), F.max("daynum").alias("max_day")
+    )
+    withb = d.crossJoin(F.broadcast(bounds))
+    first_week = (
+        withb.where(F.col("daynum") < F.col("min_day") + 7)
+        .select("user_id").distinct()
+    )
+    last_week = (
+        withb.where(F.col("daynum") > F.col("max_day") - 7)
+        .select("user_id").distinct()
+    )
+    return first_week.exceptAll(last_week).select("user_id")
+
+
+_CHURN_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS daynum
+  FROM events
+), bounds AS (SELECT MIN(daynum) AS min_day, MAX(daynum) AS max_day FROM d)
+SELECT DISTINCT user_id FROM d, bounds WHERE daynum < min_day + 7
+EXCEPT
+SELECT DISTINCT user_id FROM d, bounds WHERE daynum > max_day - 7
+"""
+
+
+# ------------------------------------------ events_unpivot_measures
+
+def events_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-type aggregate melted to long (metric, value) form —
+    the UNPIVOT surface, the shape metric stores and plotting layers
+    want. The melt is an in-row `stack` generator (no shuffle beyond
+    the aggregate's own); value semantics stay exact-integer until
+    one final /100.0."""
+    e = _events(spark, sf_dir)
+    wide = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        F.max(cents(F.col("value"))).cast("double").alias("max_value_c"),
+    )
+    return wide.selectExpr(
+        "event_type",
+        "stack(3, 'n_events', n_events, 'total_value', total_value, "
+        "'max_value_c', max_value_c) AS (metric, value)",
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         SUM({cents_sql('value')}) / 100.0 AS total_value,
+         CAST(MAX({cents_sql('value')}) AS DOUBLE) AS max_value_c
+  FROM events GROUP BY 1
+)
+SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
+UNION ALL
+SELECT event_type, 'total_value', total_value FROM wide
+UNION ALL
+SELECT event_type, 'max_value_c', max_value_c FROM wide
+"""
+
+
 QUERIES = {
     "trace_normalize": trace_normalize,
     "trace_partition_stats": trace_partition_stats,
@@ -903,6 +1032,9 @@ QUERIES = {
     "events_range_join": events_range_join,
     "topk_events_by_value": topk_events_by_value,
     "events_decay_score": events_decay_score,
+    "user_recent_events": user_recent_events,
+    "churned_users": churned_users,
+    "events_unpivot_measures": events_unpivot_measures,
 }
 
 ORACLE = {
@@ -925,4 +1057,7 @@ ORACLE = {
     "events_range_join": _RANGE_JOIN_SQL,
     "topk_events_by_value": _TOPK_BY_VALUE_SQL,
     "events_decay_score": _DECAY_SQL,
+    "user_recent_events": _RECENT_SQL,
+    "churned_users": _CHURN_SQL,
+    "events_unpivot_measures": _UNPIVOT_SQL,
 }
