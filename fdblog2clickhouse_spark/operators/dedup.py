@@ -50,6 +50,7 @@ _N_BANDS = 4  # 4 rows per band
 # bit-identical in Spark and DuckDB. a_i < 2^30 and h < 2^32 keep
 # a_i*h + b_i < 2^63 (no overflow in either engine).
 _MINHASH_P = 4294967311  # smallest prime > 2^32
+_LSH_BUCKET_CAP = 64  # drop degenerate boilerplate buckets (k² pairs)
 _MINHASH_A = [(2 * i + 1) * 40503597 % (1 << 30) | 1 for i in range(_N_PERM)]
 _MINHASH_B = [(i * 97 + 31) * 1234577 % (1 << 30) for i in range(_N_PERM)]
 _JACCARD_THRESHOLD = 0.5
@@ -140,6 +141,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
 
+    # Bucket cap: a band key shared by > _LSH_BUCKET_CAP docs is a
+    # degenerate boilerplate bucket whose candidate pairs grow k² —
+    # drop the whole bucket (standard LSH practice; such a family is
+    # better handled by dedup_exact upstream). Measured max bucket at
+    # sf0.1 is 11, so the cap is a pure 100 TB safety valve here, and
+    # it costs one window count on the same (band, band_key) key the
+    # join shuffles on anyway.
+    wb = Window.partitionBy("band", "band_key")
+    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(wb)).where(
+        F.col("bsz") <= _LSH_BUCKET_CAP
+    ).drop("bsz")
+
     # The only required shuffle: hash-partition by band key. Bucket
     # sizes bound the candidate space — never all-pairs.
     a, b_ = bands.alias("a"), bands.alias("b")
@@ -191,9 +204,14 @@ bands AS (
       for b in range(_N_BANDS)
   )}
 ),
+capped AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
+  ) WHERE bsz <= {_LSH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),

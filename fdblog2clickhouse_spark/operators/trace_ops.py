@@ -960,7 +960,10 @@ def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         withb.where(F.col("daynum") > F.col("max_day") - 7)
         .select("user_id").distinct()
     )
-    return first_week.exceptAll(last_week).select("user_id")
+    # subtract == EXCEPT DISTINCT: both inputs are already distinct,
+    # and it compiles to a left-anti join (exceptAll would build the
+    # union + signed-count + replicaterows plan — strictly worse here).
+    return first_week.subtract(last_week).select("user_id")
 
 
 _CHURN_SQL = """

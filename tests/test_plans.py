@@ -141,6 +141,53 @@ def test_sketches_bounded_shuffle(spark, sf_smoke):
         assert "partial" in plan.lower(), f"{name}: no partial agg\n{plan}"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "market_basket_pairs",
+        "bpe_pair_stats",
+        "chunk_dedup",
+        "events_decay_score",
+        "embedding_kmeans",
+        "cluster_balanced_sample",
+        "user_recent_events",
+        "churned_users",
+        "events_unpivot_measures",
+        "nation_activity_fullouter",
+        "orders_percent_rank",
+    ],
+)
+def test_r2c_ops_stay_jvm_side(spark, sf_smoke, name):
+    """Round-2 continuation operators are pure column algebra: no
+    Python eval, no cartesian products."""
+    plan = _plan(spark, name, sf_smoke)
+    assert "BatchEvalPython" not in plan, f"{name}: python UDF\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian\n{plan}"
+
+
+def test_decay_score_has_no_window(spark, sf_smoke):
+    """events_decay_score's design point: the variable-weight trailing
+    frame is a bounded explode + re-aggregate, NOT a window — windows
+    serialize per-key and can't apply per-row weights."""
+    plan = _plan(spark, "events_decay_score", sf_smoke)
+    assert "Window" not in plan, f"decay fell back to a window\n{plan}"
+    assert "partial" in plan.lower(), f"decay lost map-side combine\n{plan}"
+
+
+def test_kmeans_estep_broadcasts(spark, sf_smoke):
+    """The K=8 centroid side of both Lloyd E-steps must broadcast —
+    assignment never shuffles the vector table."""
+    plan = _plan(spark, "embedding_kmeans", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_churn_compiles_to_anti_join(spark, sf_smoke):
+    """EXCEPT DISTINCT must become a left-anti join on the distinct
+    projections, not a sort-based set difference."""
+    plan = _plan(spark, "churned_users", sf_smoke)
+    assert "LeftAnti" in plan, f"EXCEPT not an anti join\n{plan}"
+
+
 def test_knn_broadcasts_queries(spark, sf_smoke):
     """The held-out query side must broadcast — the candidate scan
     never shuffles on the pair join."""

@@ -84,6 +84,71 @@ def test_mergetree_sink_sorted_partitions(spark, sf_smoke):
     assert "PartitionFilters" in plan or back.where(F.col("yyyymm") == months[0]).count() > 0
 
 
+def test_mergetree_optimize_compacts_and_preserves(spark, sf_smoke):
+    """OPTIMIZE TABLE analog: N appended micro-batches leave N files
+    per partition; compaction must collapse them to 1, re-sort rows
+    by time (tight row-group stats again), and change NOTHING about
+    the data."""
+    from fdblog2clickhouse_spark.sinks.mergetree import optimize_mergetree
+
+    out = os.path.join(tempfile.mkdtemp(prefix="mt_opt_"), "events_mt")
+    e = table(spark, sf_smoke, "events").select(
+        F.col("ts").alias("time"), "event_id", "event_type", "value"
+    )
+    # 4 appends ≙ 4 streaming micro-batches → ≥4 files per partition
+    for i in range(4):
+        write_mergetree(e.where(F.col("event_id") % 4 == i), out, mode="append")
+    before = {
+        os.path.basename(p): len(glob.glob(f"{p}/*.parquet"))
+        for p in glob.glob(f"{out}/yyyymm=*")
+    }
+    assert before and all(n >= 4 for n in before.values()), before
+    pre = sorted(
+        tuple(r) for r in read_mergetree(spark, out).drop("yyyymm").collect()
+    )
+
+    stats = optimize_mergetree(spark, out)
+    assert set(stats) == set(before)
+
+    after = {
+        os.path.basename(p): len(glob.glob(f"{p}/*.parquet"))
+        for p in glob.glob(f"{out}/yyyymm=*")
+    }
+    assert all(n == 1 for n in after.values()), after
+    post = sorted(
+        tuple(r) for r in read_mergetree(spark, out).drop("yyyymm").collect()
+    )
+    assert pre == post, "compaction changed the data"
+    # per-file time order restored
+    for pdir in glob.glob(f"{out}/yyyymm=*"):
+        for fpath in glob.glob(f"{pdir}/*.parquet"):
+            ft = [r["time"] for r in spark.read.parquet(fpath).select("time").collect()]
+            assert ft == sorted(ft)
+    # idempotent: second optimize is a no-op
+    assert optimize_mergetree(spark, out) == {}
+
+
+def test_mergetree_schema_evolution(spark, sf_smoke):
+    """Schema management parity: a later batch adds a column (the
+    reference README's 'open a PR after adding the column' flow);
+    mergeSchema reads must surface the union schema with NULLs for
+    old rows."""
+    out = os.path.join(tempfile.mkdtemp(prefix="mt_evo_"), "events_mt")
+    e = table(spark, sf_smoke, "events")
+    v1 = e.select(F.col("ts").alias("time"), "event_id", "event_type")
+    v2 = e.select(
+        F.col("ts").alias("time"), "event_id", "event_type",
+        F.col("value").alias("new_metric"),
+    )
+    write_mergetree(v1, out, mode="append")
+    write_mergetree(v2, out, mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "new_metric" in merged.columns
+    n_total = merged.count()
+    n_old = merged.where(F.col("new_metric").isNull()).count()
+    assert n_total == 2 * e.count() and n_old == e.count()
+
+
 def _trace_rows(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     return e.select(
