@@ -917,6 +917,289 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ----------------------------------------------- derived partsupp
+#
+# The testdata has no partsupp table, so the four partsupp queries
+# (q2/q11/q16/q20) derive the supply relation from lineitem: one
+# exact-integer aggregate to (partkey, suppkey) grain. availqty ≙
+# total quantity ever supplied by that pair; supplycost ≙ the
+# cheapest observed unit price proxy (MIN extendedprice). Both are
+# integer cents, so every downstream threshold compare is exact in
+# Spark and DuckDB alike. The aggregate is map-side combined and is
+# THE one fact-table shuffle each query pays; everything after runs
+# at supply-pair grain (~part×supp, dim-like).
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(cents(F.col("l_quantity"))).alias("ps_availqty_c"),
+        F.min(cents(F.col("l_extendedprice"))).alias("ps_supplycost_c"),
+    )
+
+
+_PS_SQL = f"""
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SUM({cents_sql('l_quantity')}) AS ps_availqty_c,
+         MIN({cents_sql('l_extendedprice')}) AS ps_supplycost_c
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ q2
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (adapted: partsupp derived from
+    lineitem; p_type = 'LARGE' stands in for '%BRASS'): for every
+    LARGE part of size ≤ 25, the EUROPE supplier(s) offering the minimum
+    supply cost. The spec's correlated MIN subquery becomes a window
+    MIN over ps_partkey — computed on the already part+region-pruned
+    pair table, never on lineitem.
+
+    Scale shape: part filter and the supplier⋈nation⋈region chain
+    both broadcast (dim-sized); the derived-ps aggregate is the only
+    fact shuffle; the min-window partitions by the same ps_partkey
+    the pairs are already keyed by. Order is total (acctbal, nation,
+    unique s_name, partkey), so LIMIT 100 is deterministic."""
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        _ps(spark, sf_dir)
+        .join(broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(broadcast(euro_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        pairs.withColumn("min_cost_c", F.min("ps_supplycost_c").over(w))
+        .where(F.col("ps_supplycost_c") == F.col("min_cost_c"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            (F.col("ps_supplycost_c") / F.lit(100.0)).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+_Q2_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+euro AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pairs AS (
+  SELECT ps.*, s_name, s_acctbal, n_name,
+         MIN(ps_supplycost_c) OVER (PARTITION BY ps_partkey) AS min_cost_c
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey AND p_size <= 25 AND p_type = 'LARGE'
+  JOIN euro ON ps_suppkey = s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+       ps_supplycost_c / 100.0 AS supplycost
+FROM pairs WHERE ps_supplycost_c = min_cost_c
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+# ----------------------------------------------------------------- q11
+
+_Q11_AVG_MULT = 2  # HAVING value > 2x the per-part average
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (adapted: derived partsupp;
+    EUROPE region instead of one nation — single synthetic nations
+    have no suppliers at the smallest SF): per-part inventory value
+    held by EUROPE suppliers, keeping parts whose value exceeds 2x
+    the per-part average — the global-scalar HAVING shape. The
+    spec's 0.0001/SF fraction is an absolute share, which empties as
+    the part count grows; multiples-of-average is the scale-free
+    equivalent. The scalar (total, count) broadcasts back; the
+    threshold compare is exact integers (value_c * n_parts >
+    2 * total_c), never a float fraction."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nat_supp = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    per_part = (
+        _ps(spark, sf_dir)
+        .join(broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty_c")).alias("value_c"))
+    )
+    total = per_part.agg(
+        F.sum("value_c").alias("total_c"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.join(broadcast(total))
+        .where(
+            F.col("value_c") * F.col("n_parts")
+            > F.lit(_Q11_AVG_MULT) * F.col("total_c")
+        )
+        .select("ps_partkey", (F.col("value_c") / F.lit(10000.0)).alias("value"))
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
+    )
+
+
+_Q11_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+nat AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+per_part AS (
+  SELECT ps_partkey, SUM(ps_supplycost_c * ps_availqty_c) AS value_c
+  FROM ps JOIN nat ON ps_suppkey = s_suppkey
+  GROUP BY 1
+),
+tot AS (SELECT SUM(value_c) AS total_c, COUNT(*) AS n_parts FROM per_part)
+SELECT ps_partkey, value_c / 10000.0 AS value
+FROM per_part, tot
+WHERE value_c * n_parts > {_Q11_AVG_MULT} * total_c
+ORDER BY value DESC, ps_partkey ASC
+"""
+
+
+# ----------------------------------------------------------------- q16
+
+_Q16_SIZES = [3, 9, 14, 19, 23, 36, 45, 49]
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship count (adapted: derived partsupp;
+    negative account balance stands in for the '%Customer%
+    Complaints%' blacklist): distinct suppliers per (brand, type,
+    size) for selected sizes, excluding one brand, one type, and
+    blacklisted suppliers — the NOT-IN → left-anti + COUNT(DISTINCT)
+    shape. The blacklist and the part filter both broadcast; the
+    distinct-count shuffles at pair grain on the group key."""
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(_Q16_SIZES)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        _ps(spark, sf_dir)
+        .join(broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+_Q16_SQL = f"""
+WITH ps AS ({_PS_SQL})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN ({", ".join(str(s) for s in _Q16_SIZES)})
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# ----------------------------------------------------------------- q20
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (adapted: no availqty column, so
+    'stock' ≙ quantity supplied before 1998 and 'demand' ≙ quantity
+    shipped 1998+, per supply pair; 'forest%' ≙ 'small %'; CANADA ≙
+    NATION_3): suppliers in the nation holding stock > half of
+    subsequent demand for any small part — the spec's nested
+    IN(IN(...)) chain as aggregate → semi-join → semi-join.
+
+    Scale shape: one conditional aggregate over lineitem replaces
+    the spec's two correlated scans; the part-name filter broadcasts
+    into it; the final supplier semi-join is dim-sized. The
+    stock>demand/2 compare is exact integers (2*early_c > late_c)."""
+    p = table(spark, sf_dir, "part").where(F.col("p_name").startswith("small "))
+    l = table(spark, sf_dir, "lineitem")
+    cut = _ts("1998-01-01")
+    per_pair = (
+        l.join(broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < cut, cents(F.col("l_quantity"))).otherwise(
+                    F.lit(0)
+                )
+            ).alias("early_c"),
+            F.sum(
+                F.when(F.col("l_shipdate") >= cut, cents(F.col("l_quantity"))).otherwise(
+                    F.lit(0)
+                )
+            ).alias("late_c"),
+        )
+        .where((F.col("late_c") > 0) & (F.lit(2) * F.col("early_c") > F.col("late_c")))
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nat_supp = s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+    return (
+        nat_supp.join(
+            per_pair.select("l_suppkey").distinct(),
+            nat_supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = f"""
+WITH per_pair AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN {cents_sql('l_quantity')} ELSE 0 END) AS early_c,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                  THEN {cents_sql('l_quantity')} ELSE 0 END) AS late_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM per_pair
+                    WHERE late_c > 0 AND 2 * early_c > late_c)
+ORDER BY s_name
+"""
+
+
 # ---------------------------------------------------- customer_rfm
 
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1142,6 +1425,7 @@ FROM per_cust
 
 QUERIES = {
     "tpch_q1": tpch_q1,
+    "tpch_q2": tpch_q2,
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
@@ -1150,13 +1434,16 @@ QUERIES = {
     "tpch_q8": tpch_q8,
     "tpch_q9": tpch_q9,
     "tpch_q10": tpch_q10,
+    "tpch_q11": tpch_q11,
     "tpch_q12": tpch_q12,
     "tpch_q13": tpch_q13,
     "tpch_q14": tpch_q14,
     "tpch_q15": tpch_q15,
+    "tpch_q16": tpch_q16,
     "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
+    "tpch_q20": tpch_q20,
     "tpch_q21": tpch_q21,
     "tpch_q22": tpch_q22,
     "customer_rfm": customer_rfm,
@@ -1167,6 +1454,7 @@ QUERIES = {
 
 ORACLE = {
     "tpch_q1": _Q1_SQL,
+    "tpch_q2": _Q2_SQL,
     "tpch_q3": _Q3_SQL,
     "tpch_q4": _Q4_SQL,
     "tpch_q5": _Q5_SQL,
@@ -1175,13 +1463,16 @@ ORACLE = {
     "tpch_q8": _Q8_SQL,
     "tpch_q9": _Q9_SQL,
     "tpch_q10": _Q10_SQL,
+    "tpch_q11": _Q11_SQL,
     "tpch_q12": _Q12_SQL,
     "tpch_q13": _Q13_SQL,
     "tpch_q14": _Q14_SQL,
     "tpch_q15": _Q15_SQL,
+    "tpch_q16": _Q16_SQL,
     "tpch_q17": _Q17_SQL,
     "tpch_q18": _Q18_SQL,
     "tpch_q19": _Q19_SQL,
+    "tpch_q20": _Q20_SQL,
     "tpch_q21": _Q21_SQL,
     "tpch_q22": _Q22_SQL,
     "customer_rfm": _RFM_SQL,

@@ -43,6 +43,11 @@ NAMES = [
     "embedding_kmeans",
     "dedup_containment",
     "cluster_balanced_sample",
+    # partsupp-derived TPC-H completions
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 
