@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.hashing import h32_spark_sql, h32_sql
+from ..sources.tables import table
 from .dedup import _QUANT_CTE, _dot, _quantized
 
 _N_PLANES = 8
@@ -788,6 +789,94 @@ SELECT cid AS cluster, vec_id, rnk FROM (
 """
 
 
+# ------------------------------------------------ doc_lang_kmeans
+
+_LANG_K = 4  # clusters per language
+_LANG_SEED_POOL = 256  # seed candidates come from doc_id < POOL
+
+
+def doc_lang_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED clustering: an independent K=4 nearest-seed
+    assignment per language — the per-language topic profile a
+    multilingual curation pipeline builds (clusters must not mix
+    languages, so lang is part of every key). Documents join their
+    embedding 1:1 on doc_id = vec_id.
+
+    Seeds are the _LANG_K lowest vec_ids per language drawn from a
+    BOUNDED pool (doc_id < 256): the pool filter pushes to the scan,
+    so seed selection windows over a tiny slice, never the full
+    table — the scalable stand-in for driver-side seed sampling.
+    The E-step joins on lang against the broadcast seed set (K x
+    langs rows) and fans out K candidates per doc; distances are
+    exact BIGINT (same quantization as embedding_kmeans). One
+    shuffle for the final (lang, cluster) profile, map-side
+    combined. Dominant-language skew lands on the broadcast join's
+    probe side, which needs no repartition - only the K-row
+    per-doc window keys on vec_id, which is uniform."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    qn = _quantized(spark, sf_dir)
+    qd = qn.join(d, qn.vec_id == d.doc_id).select("lang", "vec_id", "q", "nq")
+    pool = qd.where(F.col("vec_id") < _LANG_SEED_POOL)
+    ws = Window.partitionBy("lang").orderBy(F.col("vec_id").asc())
+    seeds = (
+        pool.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= _LANG_K)
+        .select(
+            F.col("lang").alias("s_lang"),
+            (F.col("rn") - 1).alias("cid"),
+            F.col("q").alias("c"),
+            F.col("nq").alias("nc"),
+        )
+    )
+    cand = qd.join(broadcast(seeds), qd.lang == seeds.s_lang).select(
+        "lang", "vec_id", "cid",
+        (F.col("nq") - 2 * _dot("q", "c") + F.col("nc")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    assigned = (
+        cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("lang", F.col("cid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("d").alias("inertia"),
+            (F.sum("d").cast("double") / F.count(F.lit(1))).alias("avg_sq_dist"),
+        )
+        .orderBy("lang", "cluster")
+    )
+
+
+_LANG_KMEANS_SQL = f"""
+WITH {_QUANT_CTE},
+qd AS (
+  SELECT d.lang, qn.vec_id, qn.q, qn.nq
+  FROM qn JOIN documents d ON qn.vec_id = d.doc_id
+),
+seeds AS (
+  SELECT lang AS s_lang, rn - 1 AS cid, q AS c, nq AS nc FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY vec_id ASC) AS rn
+    FROM qd WHERE vec_id < {_LANG_SEED_POOL}
+  ) WHERE rn <= {_LANG_K}
+),
+cand AS (
+  SELECT qd.lang, qd.vec_id, seeds.cid,
+         qd.nq - 2*list_sum(list_transform(list_zip(qd.q, seeds.c), p -> p[1]*p[2])) + seeds.nc AS d
+  FROM qd JOIN seeds ON qd.lang = seeds.s_lang
+),
+assigned AS (
+  SELECT lang, vec_id, cid, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM cand) WHERE rn = 1
+)
+SELECT lang, CAST(cid AS BIGINT) AS cluster, COUNT(*) AS n_docs,
+       CAST(SUM(d) AS BIGINT) AS inertia,
+       CAST(SUM(d) AS DOUBLE) / COUNT(*) AS avg_sq_dist
+FROM assigned GROUP BY 1, 2
+ORDER BY lang, cluster
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -799,6 +888,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "embedding_kmeans": embedding_kmeans,
     "cluster_balanced_sample": cluster_balanced_sample,
+    "doc_lang_kmeans": doc_lang_kmeans,
 }
 
 ORACLE = {
@@ -812,4 +902,5 @@ ORACLE = {
     "ann_pq_topk": _ANN_PQ_SQL,
     "embedding_kmeans": _KMEANS_SQL,
     "cluster_balanced_sample": _BALANCED_SQL,
+    "doc_lang_kmeans": _LANG_KMEANS_SQL,
 }

@@ -155,6 +155,11 @@ def test_sketches_bounded_shuffle(spark, sf_smoke):
         "events_unpivot_measures",
         "nation_activity_fullouter",
         "orders_percent_rank",
+        "tpch_q2",
+        "tpch_q11",
+        "tpch_q16",
+        "tpch_q20",
+        "doc_lang_kmeans",
     ],
 )
 def test_r2c_ops_stay_jvm_side(spark, sf_smoke, name):

@@ -48,6 +48,7 @@ NAMES = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "doc_lang_kmeans",
 ]
 
 
