@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import cents, cents_sql
 from ..sources.tables import table
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -202,11 +203,218 @@ FROM expanded GROUP BY 1
 """
 
 
+# --------------------------------------------- max_concurrent_events
+
+_ACTIVE_US = 5 * 60 * 1_000_000  # each event holds a 5-min active interval
+_SWEEP_BUCKET_US = 3_600_000_000  # 1h carry buckets for the parallel prefix sum
+
+
+def max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` analog: peak number of
+    simultaneously-active events per type, where each event is active
+    for 5 minutes ([ts, ts+5min), half-open — an interval ending
+    exactly when another starts does not overlap).
+
+    Sweep-line with a PARALLEL prefix sum: a naive running
+    SUM(±1) OVER (PARTITION BY type ORDER BY t) puts each type's
+    whole timeline in one sort partition — at 100 TB that single
+    ordered partition is the bottleneck. Instead endpoints are
+    bucketed by hour; each (type, hour) bucket computes its local
+    running sum and local max independently, then a tiny
+    O(hours)-row carry window adds the sum of all earlier buckets.
+    ``offset + local_max`` equals the global running-sum max exactly
+    (the bucket key is monotone in the sweep order), so this is the
+    textbook two-pass parallel scan — shuffle keyed on (type, hour),
+    no global ordering anywhere. The DuckDB oracle uses the naive
+    single-window spelling: same semantics, different physical plan.
+    """
+    e = table(spark, sf_dir, "events")
+    ep = (
+        e.select(
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_id",
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("us").alias("t"),
+                        F.lit(1).alias("delta"),
+                        F.col("event_id").alias("event_id"),
+                    ),
+                    F.struct(
+                        (F.col("us") + F.lit(_ACTIVE_US)).alias("t"),
+                        F.lit(-1).alias("delta"),
+                        F.col("event_id").alias("event_id"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("event_type", "p.t", "p.delta", "p.event_id")
+        .withColumn("bucket", (F.col("t") / F.lit(_SWEEP_BUCKET_US)).cast("long"))
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy(F.asc("t"), F.asc("delta"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ep.withColumn("rs", F.sum("delta").over(w_in))
+    per_bucket = local.groupBy("event_type", "bucket").agg(
+        F.sum("delta").alias("tot"), F.max("rs").alias("mx")
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = per_bucket.withColumn(
+        "offset", F.coalesce(F.sum("tot").over(w_carry), F.lit(0))
+    )
+    return carried.groupBy("event_type").agg(
+        F.max(F.col("offset") + F.col("mx")).alias("max_concurrent")
+    )
+
+
+_MAX_CONCURRENT_SQL = f"""
+WITH ep AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {_ACTIVE_US}, -1, event_id FROM events
+), rs AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY t ASC, delta ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM ep
+)
+SELECT event_type, MAX(c) AS max_concurrent FROM rs GROUP BY 1
+"""
+
+
+# ------------------------------------------------ user_value_deltas
+
+def user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` / ``runningDifference`` analog: per
+    user, the sum of positive step-to-step value deltas, the count of
+    increases/drops, and the net change (telescoping sum of deltas =
+    last - first, no first/last aggregate needed). Ordered by the
+    total order (ts, event_id); all arithmetic in integer cents with
+    one final division, so results are shuffle-order-independent."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    t = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            cents(F.col("value")).alias("v_c"),
+        )
+        .withColumn("delta", F.col("v_c") - F.lag("v_c").over(w))
+        .where(F.col("delta").isNotNull())
+    )
+    return t.groupBy("user_id").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("delta") > 0, F.col("delta"))), F.lit(0)
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("delta_sum"),
+        F.count(F.when(F.col("delta") > 0, F.lit(1))).alias("n_increases"),
+        F.count(F.when(F.col("delta") < 0, F.lit(1))).alias("n_drops"),
+        (F.sum("delta").cast("double") / F.lit(100.0)).alias("net_change"),
+    )
+
+
+_VALUE_DELTAS_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {cents_sql('value')} AS v_c
+  FROM events
+), d AS (
+  SELECT user_id,
+         v_c - LAG(v_c) OVER (PARTITION BY user_id
+                              ORDER BY us ASC, event_id ASC) AS delta
+  FROM t
+)
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN delta > 0 THEN delta END), 0) AS DOUBLE)
+         / 100.0 AS delta_sum,
+       COUNT(CASE WHEN delta > 0 THEN 1 END) AS n_increases,
+       COUNT(CASE WHEN delta < 0 THEN 1 END) AS n_drops,
+       CAST(SUM(delta) AS DOUBLE) / 100.0 AS net_change
+FROM d WHERE delta IS NOT NULL GROUP BY 1
+"""
+
+
+# ------------------------------------------------- events_moving_avg
+
+_MOV_BUCKETS = 5  # trailing frame width in minute buckets
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingAvg`` analog: per event type, the
+    trailing 5-minute-bucket moving event count / value sum over the
+    per-minute rollup. The window runs AFTER the minute-grain
+    pre-aggregate, so the ordered partition is O(minutes) per type
+    (bounded by wall-clock time), never O(events) — the rollup
+    absorbs data growth and the window cost is scale-invariant.
+    Integer sums; the moving average is one final division by the
+    frame's actual row count (ramp-up frames divide by 1..5)."""
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("minute", F.col("ts"))).alias("minute_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("v_c"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("minute_us"))
+        .rowsBetween(-(_MOV_BUCKETS - 1), Window.currentRow)
+    )
+    return m.select(
+        "event_type",
+        "minute_us",
+        "n",
+        F.sum("n").over(w).alias("mov_events"),
+        (
+            F.sum("n").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("mov_avg_events"),
+        (F.sum("v_c").over(w).cast("double") / F.lit(100.0)).alias("mov_value"),
+    )
+
+
+_MOVING_AVG_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         epoch_us(date_trunc('minute', ts)) AS minute_us,
+         COUNT(*) AS n,
+         SUM({cents_sql('value')}) AS v_c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, minute_us, n,
+       SUM(n) OVER w AS mov_events,
+       CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+         AS mov_avg_events,
+       CAST(SUM(v_c) OVER w AS DOUBLE) / 100.0 AS mov_value
+FROM m
+WINDOW w AS (PARTITION BY event_type ORDER BY minute_us ASC
+             ROWS BETWEEN {_MOV_BUCKETS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "user_path_transitions": user_path_transitions,
     "events_pivot_usertype": events_pivot_usertype,
     "events_sliding_windows": events_sliding_windows,
+    "max_concurrent_events": max_concurrent_events,
+    "user_value_deltas": user_value_deltas,
+    "events_moving_avg": events_moving_avg,
 }
 
 ORACLE = {
@@ -214,4 +422,7 @@ ORACLE = {
     "user_path_transitions": _TRANSITIONS_SQL,
     "events_pivot_usertype": _PIVOT_SQL,
     "events_sliding_windows": _SLIDING_SQL,
+    "max_concurrent_events": _MAX_CONCURRENT_SQL,
+    "user_value_deltas": _VALUE_DELTAS_SQL,
+    "events_moving_avg": _MOVING_AVG_SQL,
 }

@@ -65,3 +65,55 @@ def test_transitions_conserve_events(spark, sf_oracle):
         .collect()[0][0]
     )
     assert bigrams == total - users
+
+
+def test_max_concurrent_two_phase_equals_naive(spark, sf_oracle):
+    """The bucketed parallel prefix sum must equal the naive global
+    running-sum spelling (computed here in Spark, independent of the
+    DuckDB oracle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.sequence import _ACTIVE_US
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    e = table(spark, sf_oracle, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    ep = e.select("event_type", F.col("us").alias("t"), F.lit(1).alias("delta"),
+                  "event_id").unionAll(
+        e.select("event_type", (F.col("us") + _ACTIVE_US).alias("t"),
+                 F.lit(-1).alias("delta"), "event_id")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("t"), F.asc("delta"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        r["event_type"]: r["mc"]
+        for r in ep.withColumn("c", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("c").alias("mc"))
+        .collect()
+    }
+    fast = {
+        r["event_type"]: r["max_concurrent"]
+        for r in sequence.max_concurrent_events(spark, sf_oracle).collect()
+    }
+    assert naive == fast
+    assert all(v >= 1 for v in fast.values())
+
+
+def test_moving_avg_frame_bounds(spark, sf_oracle):
+    """Moving count is bounded by the frame width × per-bucket max and
+    equals n on each partition's first row."""
+    rows = sequence.events_moving_avg(spark, sf_oracle).collect()
+    assert rows
+    first_by_type = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["minute_us"])):
+        if r["event_type"] not in first_by_type:
+            first_by_type[r["event_type"]] = r
+            assert r["mov_events"] == r["n"]
+            assert r["mov_avg_events"] == float(r["n"])
+        assert r["mov_events"] >= r["n"]
