@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _collect() -> tuple[dict, dict]:
-    from . import dedup, multimodal, sequence, similarity, sketches, textops, tpch, trace_ops
+    from . import curation, dedup, multimodal, sequence, similarity, sketches, textops, tpch, trace_ops
     from ..sources import trace_json
     from ..streaming import queries as streaming_queries
 
@@ -33,6 +33,7 @@ def _collect() -> tuple[dict, dict]:
         trace_json,
         sketches,
         sequence,
+        curation,
     ):
         for k, v in mod.QUERIES.items():
             if k in queries:

@@ -877,6 +877,90 @@ ORDER BY lang, cluster
 """
 
 
+# ------------------------------------------------- ann_recall_eval
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: per-query recall of the LSH index against
+    the exact brute-force top-k (k = the LSH k). The eval join is
+    O(queries × k) — trivially small — so this runs as a continuous
+    index-quality monitor: the expensive side is the exact top-k,
+    which only ever runs over the (sampled) query set, never
+    all-pairs. A recall drop flags a bad plane set / bucket skew
+    before the index serves traffic."""
+    ex = (
+        ann_topk_bruteforce(spark, sf_dir)
+        .where(F.col("rank") <= _LSH_TOPK)
+        .select("q_id", "n_id")
+    )
+    ap = ann_lsh_topk(spark, sf_dir).select("q_id", "n_id").withColumn(
+        "hit", F.lit(1)
+    )
+    return ex.join(ap, ["q_id", "n_id"], "left").groupBy("q_id").agg(
+        F.count("hit").alias("n_hits"),
+        (F.count("hit").cast("double") / F.lit(float(_LSH_TOPK))).alias(
+            "recall"
+        ),
+    )
+
+
+_RECALL_SQL = f"""
+WITH ex AS (
+  SELECT q_id, n_id FROM ({_ANN_BRUTE_SQL}) WHERE rank <= {_LSH_TOPK}
+), ap AS (
+  SELECT q_id, n_id, 1 AS hit FROM ({_ANN_LSH_SQL})
+)
+SELECT ex.q_id, COUNT(ap.hit) AS n_hits,
+       CAST(COUNT(ap.hit) AS DOUBLE) / {float(_LSH_TOPK)} AS recall
+FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.n_id = ex.n_id
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------ ann_radius_count
+
+_RADIUS_COS = 0.2
+
+
+def ann_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search aggregate: per query, how many corpus
+    vectors lie within cosine ≥ 0.2, plus the best cosine. The
+    conditional count keeps every query in the output (unlike a
+    filter-then-count, which would drop radius-empty queries). Same
+    broadcast-query scan shape as the brute-force top-k; at scale the
+    candidate generation swaps to the LSH/IVF bucket restriction."""
+    qn = _quantized(spark, sf_dir)
+    queries = qn.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    cands = qn.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    pairs = cands.join(broadcast(queries), F.col("n_id") != F.col("q_id")).select(
+        "q_id", _cosine_cols()
+    )
+    return pairs.groupBy("q_id").agg(
+        F.count(F.when(F.col("cosine") >= _RADIUS_COS, F.lit(1))).alias(
+            "n_within"
+        ),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+_RADIUS_SQL = f"""
+WITH {_QUANT_CTE},
+queries AS (SELECT * FROM qn WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS q_id,
+         {_COS_SQL.format(a='q', b='c')} AS cosine
+  FROM queries q JOIN qn c ON c.vec_id <> q.vec_id
+)
+SELECT q_id,
+       COUNT(CASE WHEN cosine >= {_RADIUS_COS} THEN 1 END) AS n_within,
+       MAX(cosine) AS max_cosine
+FROM pairs GROUP BY 1
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -889,6 +973,8 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "cluster_balanced_sample": cluster_balanced_sample,
     "doc_lang_kmeans": doc_lang_kmeans,
+    "ann_recall_eval": ann_recall_eval,
+    "ann_radius_count": ann_radius_count,
 }
 
 ORACLE = {
@@ -903,4 +989,6 @@ ORACLE = {
     "embedding_kmeans": _KMEANS_SQL,
     "cluster_balanced_sample": _BALANCED_SQL,
     "doc_lang_kmeans": _LANG_KMEANS_SQL,
+    "ann_recall_eval": _RECALL_SQL,
+    "ann_radius_count": _RADIUS_SQL,
 }
