@@ -961,6 +961,83 @@ FROM pairs GROUP BY 1
 """
 
 
+# -------------------------------------------- embedding_covariance
+
+_COV_DIMS = 16  # leading dims — the PCA/whitening demo subset
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix over the leading 16 embedding dims —
+    the sufficient-statistics pass under PCA / whitening / Mahalanobis
+    scoring. cov(i,j) = (n·Σxy − Σx·Σy) / n²: every sufficient
+    statistic is an exact BIGINT over quantized values (order-free,
+    so shuffle nondeterminism can't flip bits), with one final double
+    division.
+
+    Scale shape: the Σxy pairs are built IN-ROW (a dims²/2-length
+    array per vector — no self-join of the element table) and
+    aggregated map-side, so the shuffle carries exactly 136 partial
+    rows per task regardless of corpus size; the per-dim sums are a
+    16-row broadcast. The upper triangle suffices (cov is symmetric).
+    """
+    qn = _quantized(spark, sf_dir)
+    pair_expr = (
+        f"flatten(transform(sequence(0, {_COV_DIMS - 1}), "
+        f"i -> transform(sequence(i, {_COV_DIMS - 1}), "
+        f"j -> named_struct('i', i, 'j', j, 'xy', q[i] * q[j]))))"
+    )
+    pairs = (
+        qn.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.i", "p.j")
+        .agg(F.sum("p.xy").alias("sxy"), F.count(F.lit(1)).alias("n"))
+    )
+    sums = (
+        qn.select(F.posexplode("q").alias("i", "x"))
+        .where(F.col("i") < _COV_DIMS)
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    j = (
+        pairs.join(broadcast(sums.select(F.col("i"), F.col("sx").alias("sx_i"))), "i")
+        .join(
+            broadcast(
+                sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+            ),
+            "j",
+        )
+    )
+    return j.select(
+        "i",
+        "j",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("cov_q"),
+    )
+
+
+_COVARIANCE_SQL = f"""
+WITH {_QUANT_CTE},
+el AS (
+  SELECT vec_id, i - 1 AS i, q[i] AS x
+  FROM qn, (SELECT unnest(generate_series(1, {_COV_DIMS})) AS i)
+), pr AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy, COUNT(*) AS n
+  FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+), sums AS (
+  SELECT i, SUM(x) AS sx FROM el GROUP BY 1
+)
+SELECT pr.i, pr.j, pr.n,
+       CAST(pr.n * pr.sxy - sa.sx * sb.sx AS DOUBLE)
+         / CAST(pr.n * pr.n AS DOUBLE) AS cov_q
+FROM pr JOIN sums sa ON sa.i = pr.i JOIN sums sb ON sb.i = pr.j
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -975,6 +1052,7 @@ QUERIES = {
     "doc_lang_kmeans": doc_lang_kmeans,
     "ann_recall_eval": ann_recall_eval,
     "ann_radius_count": ann_radius_count,
+    "embedding_covariance": embedding_covariance,
 }
 
 ORACLE = {
@@ -991,4 +1069,5 @@ ORACLE = {
     "doc_lang_kmeans": _LANG_KMEANS_SQL,
     "ann_recall_eval": _RECALL_SQL,
     "ann_radius_count": _RADIUS_SQL,
+    "embedding_covariance": _COVARIANCE_SQL,
 }

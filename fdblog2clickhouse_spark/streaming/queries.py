@@ -471,6 +471,58 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AggregatingMergeTree path: stream events through the
+    mergeable-HLL register sink (per-register MAX merge — idempotent,
+    so at-least-once redelivery cannot skew the estimate) and
+    finalize to the distinct-user estimate. The register math is
+    shared with the batch HLL operator, so the batch HLL SQL is an
+    exact oracle regardless of how the stream was sliced."""
+    from ..sinks.hll_rollup import foreach_batch_hll, read_estimate
+
+    base = tempfile.mkdtemp(prefix="hll_rollup_")
+    path = os.path.join(base, "hll")
+    rows = _events_stream(spark, sf_dir).select("event_type", "user_id")
+    q = (
+        rows.writeStream.foreachBatch(foreach_batch_hll(path))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_estimate(spark, path)
+
+
+def _hll_rollup_sql() -> str:
+    from ..operators.sketches import (
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_P,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+    )
+    from ..functions.hashing import h32_sql
+
+    return f"""
+WITH hashed AS (
+  SELECT event_type, {h32_sql("CAST(user_id AS VARCHAR)")} AS h FROM events
+), regs AS (
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h >> {_HLL_P})) END) AS m
+  FROM hashed GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, COUNT(*) AS present,
+         SUM((1::BIGINT << ({_HLL_RHO_MAX} - m))) AS s_present
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+       {_HLL_M} - present AS zero_registers,
+       ROUND(({_HLL_NUM}) / CAST(s_present + ({_HLL_M} - present) * {_HLL_SCALE} AS DOUBLE), 3) AS hll_est
+FROM per_type
+"""
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -480,6 +532,7 @@ QUERIES = {
     "streaming_rollup_ingest": streaming_rollup_ingest,
     "streaming_upsert_ingest": streaming_upsert_ingest,
     "streaming_view_purchase_join": streaming_view_purchase_join,
+    "streaming_hll_rollup": streaming_hll_rollup,
 }
 
 ORACLE = {
@@ -491,4 +544,5 @@ ORACLE = {
     "streaming_rollup_ingest": _ROLLUP_INGEST_SQL,
     "streaming_upsert_ingest": _UPSERT_INGEST_SQL,
     "streaming_view_purchase_join": _SS_JOIN_SQL,
+    "streaming_hll_rollup": _hll_rollup_sql(),
 }

@@ -198,3 +198,33 @@ def test_knn_broadcasts_queries(spark, sf_smoke):
     never shuffles on the pair join."""
     plan = _plan(spark, "knn_classify", sf_smoke)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "max_concurrent_events",
+        "user_value_deltas",
+        "events_moving_avg",
+        "benchmark_decontam",
+        "domain_mixture_sample",
+        "token_collocations",
+        "ann_radius_count",
+        "ann_recall_eval",
+        "embedding_covariance",
+    ],
+)
+def test_r2d_ops_stay_jvm_side(spark, sf_smoke, name):
+    """Continuation operators are pure column algebra: no Python
+    eval, no cartesian products (the totals cross-joins must come in
+    as broadcast nested-loop over one-row sides, never a cartesian)."""
+    plan = _plan(spark, name, sf_smoke)
+    assert "BatchEvalPython" not in plan, f"{name}: python UDF\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian\n{plan}"
+
+
+def test_decontam_broadcasts_eval_grams(spark, sf_smoke):
+    """The eval-benchmark gram set must broadcast — a shuffled join
+    here would move the whole shingled corpus at 100 TB."""
+    plan = _plan(spark, "benchmark_decontam", sf_smoke)
+    assert "BroadcastHashJoin" in plan, plan

@@ -282,3 +282,38 @@ def test_mergetree_partition_pruning(spark, sf_smoke, tmp_path):
     pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
     assert pf and "yyyymm" in pf[0], f"partition filter not pushed\n{plan}"
     assert one.count() > 0
+
+
+def test_hll_rollup_slicing_invariant_and_idempotent(spark, sf_smoke, tmp_path):
+    """AggregatingMergeTree semantics: the register state after N
+    sliced merges equals the one-shot state; re-merging an
+    already-absorbed batch (at-least-once redelivery) is a no-op."""
+    from fdblog2clickhouse_spark.sinks.hll_rollup import (
+        batch_registers,
+        merge_hll,
+        read_estimate,
+    )
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    e = table(spark, sf_smoke, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    oneshot = {
+        (r["event_type"], r["bucket"]): r["m"]
+        for r in batch_registers(e).collect()
+    }
+
+    path = str(tmp_path / "hll")
+    batches = [e.where(F.col("event_id") % 3 == k) for k in range(3)]
+    for b in batches:
+        merge_hll(spark, path, b.drop("event_id"))
+    merged = {
+        (r["event_type"], r["bucket"]): r["m"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert merged == oneshot
+
+    est_before = sorted(map(tuple, read_estimate(spark, path).collect()))
+    merge_hll(spark, path, batches[0].drop("event_id"))  # redelivery
+    est_after = sorted(map(tuple, read_estimate(spark, path).collect()))
+    assert est_before == est_after

@@ -100,3 +100,8 @@ def test_streaming_view_purchase_join_oracle(spark, sf_smoke):
     df = sq.streaming_view_purchase_join(spark, sf_smoke)
     compare(df, sq.ORACLE["streaming_view_purchase_join"], sf_smoke)
     assert all(0 <= r["gap_us"] <= 30 * 60 * 1_000_000 for r in df.collect())
+
+
+def test_streaming_hll_rollup_oracle(spark, sf_smoke):
+    df = sq.streaming_hll_rollup(spark, sf_smoke)
+    compare(df, sq.ORACLE["streaming_hll_rollup"], sf_smoke)
