@@ -764,6 +764,55 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ----------------------------------------------- neardup_keep_best
+
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: for every SimHash near-dup cluster,
+    keep the highest-quality member (quality from the composite text
+    score; doc_id breaks exact quality ties, so selection is a total
+    order). Output is one row per document with its cluster and a
+    keep flag — the actionable drop-list a curation pipeline feeds to
+    the next stage, composed from the cluster operator and the
+    quality operator rather than re-deriving either.
+
+    Scale shape: inherits the cluster op's per-round keyed joins;
+    the decision itself is one per-cluster window over O(docs) rows
+    (distributed by cluster key) joined to the quality projection.
+    """
+    from .textops import text_quality_score
+
+    labels = dedup_cluster_labels(spark, sf_dir)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        labels.join(q, "doc_id")
+        .withColumn(
+            "keep", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+        )
+        .select("doc_id", "cluster", "quality_score", "keep")
+    )
+
+
+def _keep_best_sql() -> str:
+    from .textops import _QUALITY_SQL
+
+    return f"""
+WITH labels AS (
+  SELECT * FROM ({_CLUSTER_SQL})
+), q AS (
+  SELECT doc_id, quality_score FROM ({_QUALITY_SQL})
+)
+SELECT l.doc_id, l.cluster, q.quality_score,
+       CASE WHEN ROW_NUMBER() OVER (PARTITION BY l.cluster
+                                    ORDER BY q.quality_score DESC,
+                                             l.doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS keep
+FROM labels l JOIN q USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -773,6 +822,7 @@ QUERIES = {
     "dedup_cluster_labels": dedup_cluster_labels,
     "chunk_dedup": chunk_dedup,
     "dedup_containment": dedup_containment,
+    "neardup_keep_best": neardup_keep_best,
 }
 
 ORACLE = {
@@ -784,4 +834,5 @@ ORACLE = {
     "dedup_cluster_labels": _CLUSTER_SQL,
     "chunk_dedup": _CHUNK_DEDUP_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
+    "neardup_keep_best": _keep_best_sql(),
 }

@@ -407,6 +407,81 @@ WINDOW w AS (PARTITION BY event_type ORDER BY minute_us ASC
 """
 
 
+# -------------------------------------------------- funnel_windowed
+
+_FUNNEL_WINDOW_US = 3_600_000_000  # the whole chain must fit in 1h
+
+
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel — ClickHouse ``windowFunnel(3600)``: the
+    ordered view → click → purchase chain only counts if every later
+    stage lands within 1 hour of the user's FIRST view. Same
+    conditional-min cascade as the unbounded funnel (three narrow
+    per-user aggregates, map-side combined, O(users) shuffle) with
+    the window bound carried as a plain filter against the anchored
+    stage-1 time."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    s1 = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where((us > F.col("t1")) & (us <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where((us > F.col("t2")) & (us <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit(1).alias("stage"), F.lit(_FUNNEL_STEPS[0]).alias("step"),
+               F.count(F.lit(1)).alias("users")),
+        s2.agg(F.lit(2).alias("stage"), F.lit(_FUNNEL_STEPS[1]).alias("step"),
+               F.count(F.lit(1)).alias("users")),
+        s3.agg(F.lit(3).alias("stage"), F.lit(_FUNNEL_STEPS[2]).alias("step"),
+               F.count(F.lit(1)).alias("users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+_FUNNEL_WINDOWED_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND epoch_us(e.ts) > s1.t1
+    AND epoch_us(e.ts) <= s1.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND epoch_us(e.ts) > s2.t2
+    AND epoch_us(e.ts) <= s2.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY 1
+)
+SELECT 1 AS stage, '{_FUNNEL_STEPS[0]}' AS step, COUNT(*) AS users FROM s1
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', COUNT(*) FROM s2
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', COUNT(*) FROM s3
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "user_path_transitions": user_path_transitions,
@@ -415,6 +490,7 @@ QUERIES = {
     "max_concurrent_events": max_concurrent_events,
     "user_value_deltas": user_value_deltas,
     "events_moving_avg": events_moving_avg,
+    "funnel_windowed": funnel_windowed,
 }
 
 ORACLE = {
@@ -425,4 +501,5 @@ ORACLE = {
     "max_concurrent_events": _MAX_CONCURRENT_SQL,
     "user_value_deltas": _VALUE_DELTAS_SQL,
     "events_moving_avg": _MOVING_AVG_SQL,
+    "funnel_windowed": _FUNNEL_WINDOWED_SQL,
 }

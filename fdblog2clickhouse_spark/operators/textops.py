@@ -663,6 +663,39 @@ SELECT pair, n_occurrences, n_docs, rnk FROM (
 """
 
 
+# ---------------------------------------------- source_dup_inflation
+
+def source_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostics: per source, how inflated the raw doc count
+    is vs distinct normalized texts — the first number a curation run
+    reports (how much does exact dedup shrink each crawl/source).
+    Two map-side-combined aggregates over the text hash; the dup
+    ratio is one final double division."""
+    d = table(spark, sf_dir, "documents")
+    from ..functions.hashing import h32
+
+    t = d.select("source", h32(norm_text(F.col("text"))).alias("th"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("th").alias("n_unique"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("th")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+_DUP_INFLATION_SQL = f"""
+WITH t AS (
+  SELECT source, {h32_sql(norm_text_sql('text'))} AS th FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT th) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT th) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS dup_ratio
+FROM t GROUP BY 1
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -675,6 +708,7 @@ QUERIES = {
     "pii_detect": pii_detect,
     "doc_top_terms": doc_top_terms,
     "bpe_pair_stats": bpe_pair_stats,
+    "source_dup_inflation": source_dup_inflation,
 }
 
 ORACLE = {
@@ -689,4 +723,5 @@ ORACLE = {
     "pii_detect": _PII_SQL,
     "doc_top_terms": _TOP_TERMS_SQL,
     "bpe_pair_stats": _BPE_PAIR_SQL,
+    "source_dup_inflation": _DUP_INFLATION_SQL,
 }

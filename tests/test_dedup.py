@@ -26,3 +26,20 @@ def test_simhash_agrees_with_minhash(spark, sf_oracle):
     sh = {(r["da"], r["db"]) for r in dedup.dedup_simhash(spark, sf_oracle).collect()}
     # the highly-similar planted pairs should be found by both methods
     assert mh & sh, f"no overlap between minhash ({len(mh)}) and simhash ({len(sh)}) pairs"
+
+
+def test_keep_best_one_per_cluster(spark, sf_oracle):
+    """Exactly one kept doc per cluster, and it is the best-quality
+    member (doc_id breaks ties)."""
+    from fdblog2clickhouse_spark.operators.dedup import neardup_keep_best
+
+    rows = neardup_keep_best(spark, sf_oracle).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, members in by_cluster.items():
+        kept = [r for r in members if r["keep"] == 1]
+        assert len(kept) == 1, (cluster, members)
+        best = max(members, key=lambda r: (r["quality_score"], -r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]

@@ -117,3 +117,19 @@ def test_moving_avg_frame_bounds(spark, sf_oracle):
             assert r["mov_events"] == r["n"]
             assert r["mov_avg_events"] == float(r["n"])
         assert r["mov_events"] >= r["n"]
+
+
+def test_windowed_funnel_bounded_by_unbounded(spark, sf_oracle):
+    """The 1h-bounded funnel can only lose users vs the unbounded
+    funnel, and stays monotone across stages."""
+    unb = {
+        r["stage"]: r["users"]
+        for r in sequence.funnel_conversion(spark, sf_oracle).collect()
+    }
+    win = {
+        r["stage"]: r["users"]
+        for r in sequence.funnel_windowed(spark, sf_oracle).collect()
+    }
+    assert win[1] == unb[1]  # stage 1 has no window constraint
+    assert win[2] <= unb[2] and win[3] <= unb[3]
+    assert win[1] >= win[2] >= win[3]
