@@ -129,6 +129,24 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """`OPTIMIZE TABLE ... FINAL` analog: compact a MergeTree-style
+    parquet table's per-partition small files (one per streamed
+    micro-batch) into sorted files — the background part-merge,
+    invoked off the ingest path."""
+    from .sinks.mergetree import optimize_mergetree
+
+    spark = _spark()
+    stats = optimize_mergetree(
+        spark,
+        args.path,
+        time_col=args.time_col,
+        target_files_per_partition=args.target_files,
+    )
+    print(stats)
+    return 0
+
+
 def cmd_list_queries(args) -> int:
     from . import operators
 
@@ -186,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--delete-logs", action="store_true")
     sr.add_argument("--checkpoint", default="/tmp/trace-rollup-ckpt")
     sr.set_defaults(fn=cmd_rollup)
+
+    so = sub.add_parser("optimize")
+    so.add_argument("path")
+    so.add_argument("--time-col", default="time")
+    so.add_argument("--target-files", type=int, default=1)
+    so.set_defaults(fn=cmd_optimize)
 
     sl = sub.add_parser("list-queries")
     sl.set_defaults(fn=cmd_list_queries)

@@ -265,14 +265,172 @@ FROM scored QUALIFY rnk <= {_COLL_TOPN}
 """
 
 
+# --------------------------------------------- quality_filter_funnel
+
+_FUNNEL_MIN_TOKENS = 10
+_FUNNEL_QUALITY_MIN = 0.5  # same threshold corpus_select ships
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline yield report: how many docs survive each curation
+    stage (ingest → min-length → quality ≥ θ → not-repetitive →
+    PII-clean → exact-dedup canonical). The number every corpus run
+    publishes next to its output. Composes the existing filter
+    operators into ONE Catalyst plan — flags join at doc grain, one
+    conditional aggregate produces all six cumulative counts, and
+    stack() melts them to (stage, step, n_docs) rows in-row."""
+    from .textops import pii_detect, quality_repetition, text_quality_score
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    rep = quality_repetition(spark, sf_dir).select("doc_id", "repetitive")
+    pii = pii_detect(spark, sf_dir).select("doc_id", "has_pii")
+    w = Window.partitionBy("h").orderBy(F.asc("doc_id"))
+    canon = (
+        d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("h"))
+        .withColumn("is_canon", F.row_number().over(w) == 1)
+        .select("doc_id", "is_canon")
+    )
+    f2 = F.coalesce(F.col("n_tokens") >= _FUNNEL_MIN_TOKENS, F.lit(False))
+    f3 = f2 & F.coalesce(
+        F.col("quality_score") >= _FUNNEL_QUALITY_MIN, F.lit(False)
+    )
+    f4 = f3 & F.coalesce(~F.col("repetitive"), F.lit(False))
+    f5 = f4 & F.coalesce(~F.col("has_pii"), F.lit(False))
+    f6 = f5 & F.col("is_canon")
+    agg = (
+        d.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(pii, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("s1"),
+            F.count(F.when(f2, 1)).alias("s2"),
+            F.count(F.when(f3, 1)).alias("s3"),
+            F.count(F.when(f4, 1)).alias("s4"),
+            F.count(F.when(f5, 1)).alias("s5"),
+            F.count(F.when(f6, 1)).alias("s6"),
+        )
+    )
+    return agg.selectExpr(
+        "stack(6, 1, 'ingest', s1, 2, 'min_length', s2, 3, 'quality', s3, "
+        "4, 'repetition', s4, 5, 'pii', s5, 6, 'dedup', s6) "
+        "AS (stage, step, n_docs)"
+    )
+
+
+def _filter_funnel_sql() -> str:
+    from .textops import _PII_SQL, _QUALITY_SQL, _REPETITION_SQL
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, n_tokens, quality_score FROM ({_QUALITY_SQL})
+), rep AS (
+  SELECT doc_id, repetitive FROM ({_REPETITION_SQL})
+), pii AS (
+  SELECT doc_id, has_pii FROM ({_PII_SQL})
+), canon AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id ASC) = 1 AS is_canon
+  FROM (SELECT doc_id, md5({norm_text_sql('text')}) AS h FROM documents)
+), f AS (
+  SELECT d.doc_id,
+         COALESCE(q.n_tokens >= {_FUNNEL_MIN_TOKENS}, FALSE) AS f2,
+         COALESCE(q.n_tokens >= {_FUNNEL_MIN_TOKENS}, FALSE)
+           AND COALESCE(q.quality_score >= {_FUNNEL_QUALITY_MIN}, FALSE) AS f3,
+         COALESCE(q.n_tokens >= {_FUNNEL_MIN_TOKENS}, FALSE)
+           AND COALESCE(q.quality_score >= {_FUNNEL_QUALITY_MIN}, FALSE)
+           AND COALESCE(NOT rep.repetitive, FALSE) AS f4,
+         COALESCE(q.n_tokens >= {_FUNNEL_MIN_TOKENS}, FALSE)
+           AND COALESCE(q.quality_score >= {_FUNNEL_QUALITY_MIN}, FALSE)
+           AND COALESCE(NOT rep.repetitive, FALSE)
+           AND COALESCE(NOT pii.has_pii, FALSE) AS f5,
+         COALESCE(q.n_tokens >= {_FUNNEL_MIN_TOKENS}, FALSE)
+           AND COALESCE(q.quality_score >= {_FUNNEL_QUALITY_MIN}, FALSE)
+           AND COALESCE(NOT rep.repetitive, FALSE)
+           AND COALESCE(NOT pii.has_pii, FALSE)
+           AND canon.is_canon AS f6
+  FROM documents d
+  LEFT JOIN q USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  LEFT JOIN pii USING (doc_id)
+  LEFT JOIN canon USING (doc_id)
+), agg AS (
+  SELECT COUNT(*) AS s1,
+         COUNT(CASE WHEN f2 THEN 1 END) AS s2,
+         COUNT(CASE WHEN f3 THEN 1 END) AS s3,
+         COUNT(CASE WHEN f4 THEN 1 END) AS s4,
+         COUNT(CASE WHEN f5 THEN 1 END) AS s5,
+         COUNT(CASE WHEN f6 THEN 1 END) AS s6
+  FROM f
+)
+SELECT 1 AS stage, 'ingest' AS step, s1 AS n_docs FROM agg
+UNION ALL SELECT 2, 'min_length', s2 FROM agg
+UNION ALL SELECT 3, 'quality', s3 FROM agg
+UNION ALL SELECT 4, 'repetition', s4 FROM agg
+UNION ALL SELECT 5, 'pii', s5 FROM agg
+UNION ALL SELECT 6, 'dedup', s6 FROM agg
+"""
+
+
+# ---------------------------------------------- doc_length_histogram
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: docs bucketed by power-of-two token
+    count (bucket = bit-length of n_tokens — same bin(x) trick both
+    engines), with per-bucket doc and token totals. The length
+    histogram every tokenizer-budget / packing decision reads.
+    Shuffle is O(buckets) ≤ ~20 rows."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(tokens(norm_text(F.col("text"))).alias("toks")).select(
+        F.size("toks").alias("n_tokens")
+    )
+    return (
+        t.select(
+            "n_tokens", F.length(F.bin("n_tokens")).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1) AS BIGINT)"
+            ).alias("bucket_min_tokens"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+_LENGTH_HIST_SQL = f"""
+WITH t AS (
+  SELECT len({tokens_sql(norm_text_sql('text'))}) AS n_tokens FROM documents
+)
+SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
+       (1::BIGINT << (length(bin(n_tokens)) - 1)) AS bucket_min_tokens,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "benchmark_decontam": benchmark_decontam,
     "domain_mixture_sample": domain_mixture_sample,
     "token_collocations": token_collocations,
+    "quality_filter_funnel": quality_filter_funnel,
+    "doc_length_histogram": doc_length_histogram,
 }
 
 ORACLE = {
     "benchmark_decontam": _DECONTAM_SQL,
     "domain_mixture_sample": _MIXTURE_SQL,
     "token_collocations": _COLLOCATIONS_SQL,
+    "quality_filter_funnel": _filter_funnel_sql(),
+    "doc_length_histogram": _LENGTH_HIST_SQL,
 }

