@@ -663,6 +663,93 @@ SELECT pair, n_occurrences, n_docs, rnk FROM (
 """
 
 
+# --------------------------------------------- lang_confusion_metrics
+
+def lang_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision / recall / F1 of the heuristic
+    language-ID against the labeled `lang` — the classifier-eval
+    rollup a pipeline publishes before trusting a filter. Derived
+    entirely from the confusion aggregate (O(langs²) rows), so the
+    eval joins are dim-sized; guarded divisions return 0.0 instead of
+    NULL on empty prediction classes, identically in both engines."""
+    conf = lang_id_ngram(spark, sf_dir)
+    truth = conf.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    pred = conf.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    tp = conf.where(F.col("lang") == F.col("pred_lang")).select(
+        "lang", F.col("n").alias("tp")
+    )
+    m = (
+        truth.join(pred, truth.lang == pred.pred_lang, "left")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    pr = m.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") == 0, F.lit(0.0))
+        .otherwise(F.col("tp").cast("double") / F.col("n_pred").cast("double"))
+        .alias("precision"),
+        F.when(F.col("n_true") == 0, F.lit(0.0))
+        .otherwise(F.col("tp").cast("double") / F.col("n_true").cast("double"))
+        .alias("recall"),
+    )
+    return pr.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        "precision",
+        "recall",
+        F.when(F.col("precision") + F.col("recall") == 0.0, F.lit(0.0))
+        .otherwise(
+            F.lit(2.0)
+            * F.col("precision")
+            * F.col("recall")
+            / (F.col("precision") + F.col("recall"))
+        )
+        .alias("f1"),
+    )
+
+
+def _lang_metrics_sql() -> str:
+    return f"""
+WITH conf AS (
+  SELECT * FROM ({_LANG_ID_SQL})
+), truth AS (
+  SELECT lang, SUM(n) AS n_true FROM conf GROUP BY 1
+), pred AS (
+  SELECT pred_lang, SUM(n) AS n_pred FROM conf GROUP BY 1
+), tp AS (
+  SELECT lang, n AS tp FROM conf WHERE lang = pred_lang
+), m AS (
+  SELECT truth.lang, truth.n_true,
+         COALESCE(pred.n_pred, 0) AS n_pred,
+         COALESCE(tp.tp, 0) AS tp
+  FROM truth
+  LEFT JOIN pred ON pred.pred_lang = truth.lang
+  LEFT JOIN tp ON tp.lang = truth.lang
+), pr AS (
+  SELECT lang, n_true, n_pred, tp,
+         CASE WHEN n_pred = 0 THEN 0.0
+              ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+         CASE WHEN n_true = 0 THEN 0.0
+              ELSE CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+  FROM m
+)
+SELECT lang, n_true, n_pred, tp, precision, recall,
+       CASE WHEN precision + recall = 0.0 THEN 0.0
+            ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+FROM pr
+"""
+
+
 # ---------------------------------------------- source_dup_inflation
 
 def source_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,6 +796,7 @@ QUERIES = {
     "doc_top_terms": doc_top_terms,
     "bpe_pair_stats": bpe_pair_stats,
     "source_dup_inflation": source_dup_inflation,
+    "lang_confusion_metrics": lang_confusion_metrics,
 }
 
 ORACLE = {
@@ -724,4 +812,5 @@ ORACLE = {
     "doc_top_terms": _TOP_TERMS_SQL,
     "bpe_pair_stats": _BPE_PAIR_SQL,
     "source_dup_inflation": _DUP_INFLATION_SQL,
+    "lang_confusion_metrics": _lang_metrics_sql(),
 }

@@ -1054,6 +1054,111 @@ FROM t GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------- error_run_lengths
+
+def error_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-error runs per user (the
+    'how long did the machine stay broken' diagnostic). Island key =
+    rn_all − rn_errors over the same (us, event_id) total order — the
+    classic two-window difference trick; both windows partition by
+    user, so nothing orders globally. Output per user: run count,
+    longest run, total errors (longest ≤ total conservation is
+    pytest-asserted)."""
+    e = _events(spark, sf_dir)
+    t = e.select(
+        "user_id",
+        "event_id",
+        _US("ts").alias("us"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    w_err = Window.partitionBy("user_id", "is_err").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    runs = (
+        t.withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_err))
+        .where(F.col("is_err"))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_error_runs"),
+        F.max("run_len").alias("max_run_len"),
+        F.sum("run_len").alias("total_errors"),
+    )
+
+
+_ERROR_RUNS_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_US_SQL('ts')} AS us,
+         event_type = 'error' AS is_err
+  FROM events
+), g AS (
+  SELECT user_id, is_err,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us ASC, event_id ASC)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, is_err
+                              ORDER BY us ASC, event_id ASC) AS grp
+  FROM t
+), runs AS (
+  SELECT user_id, grp, COUNT(*) AS run_len
+  FROM g WHERE is_err GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_error_runs, MAX(run_len) AS max_run_len,
+       SUM(run_len) AS total_errors
+FROM runs GROUP BY 1
+"""
+
+
+# -------------------------------------------- user_first_last_event
+
+def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE surface: each user's first and last
+    event type plus activity span — the session-bookend projection.
+    Both bookends come from one ascending row_number window (last =
+    conditional max on the reversed rank), so one keyed sort serves
+    both; the aggregate is one row per user."""
+    e = _events(spark, sf_dir)
+    t = e.select("user_id", "event_id", _US("ts").alias("us"), "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    ranked = t.select(
+        "user_id",
+        "us",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("first_type"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("event_type"))).alias(
+            "last_type"
+        ),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.max("n").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+
+
+_FIRST_LAST_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_US_SQL('ts')} AS us, event_type FROM events
+), ranked AS (
+  SELECT user_id, us, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM t
+)
+SELECT user_id,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       MAX(CASE WHEN rn = n THEN event_type END) AS last_type,
+       MIN(us) AS first_us, MAX(us) AS last_us,
+       MAX(n) AS n_events, MAX(us) - MIN(us) AS span_us
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES = {
     "trace_normalize": trace_normalize,
     "trace_partition_stats": trace_partition_stats,
@@ -1078,6 +1183,8 @@ QUERIES = {
     "churned_users": churned_users,
     "events_unpivot_measures": events_unpivot_measures,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
+    "error_run_lengths": error_run_lengths,
+    "user_first_last_event": user_first_last_event,
 }
 
 ORACLE = {
@@ -1104,4 +1211,6 @@ ORACLE = {
     "churned_users": _CHURN_SQL,
     "events_unpivot_measures": _UNPIVOT_SQL,
     "events_dow_hour_heatmap": _DOW_HEATMAP_SQL,
+    "error_run_lengths": _ERROR_RUNS_SQL,
+    "user_first_last_event": _FIRST_LAST_SQL,
 }

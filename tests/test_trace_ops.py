@@ -27,3 +27,24 @@ def test_sessionization_sane(spark, sf_smoke):
         assert ids == list(range(1, len(ids) + 1))
         for s in sess:
             assert s["session_start_us"] <= s["session_end_us"]
+
+
+def test_error_runs_conservation(spark, sf_oracle):
+    """Per user: longest run ≤ total errors, run count ≤ total
+    errors, and summed totals equal the raw error count."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.trace_ops import error_run_lengths
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    rows = error_run_lengths(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["max_run_len"] <= r["total_errors"]
+        assert r["n_error_runs"] <= r["total_errors"]
+    raw = (
+        table(spark, sf_oracle, "events")
+        .where(F.col("event_type") == "error")
+        .count()
+    )
+    assert sum(r["total_errors"] for r in rows) == raw
