@@ -414,7 +414,7 @@ WITH t AS (
 )
 SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
        (1::BIGINT << (length(bin(n_tokens)) - 1)) AS bucket_min_tokens,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM t GROUP BY 1, 2
 """
 

@@ -39,7 +39,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
-from ..sources.tables import table
+from ..sources.tables import parquet_num_rows, table
 
 _N_PERM = 16
 _N_BANDS = 4  # 4 rows per band
@@ -54,6 +54,7 @@ _LSH_BUCKET_CAP = 64  # drop degenerate boilerplate buckets (k² pairs)
 _MINHASH_A = [(2 * i + 1) * 40503597 % (1 << 30) | 1 for i in range(_N_PERM)]
 _MINHASH_B = [(i * 97 + 31) * 1234577 % (1 << 30) for i in range(_N_PERM)]
 _JACCARD_THRESHOLD = 0.5
+_JACCARD_BLOCK_DOCS = 2048  # docs per language sub-block (skew bound)
 _SIMHASH_BITS = 32
 _SIMHASH_BANDS = 4  # 8 bits each
 _HAMMING_MAX = 3
@@ -342,10 +343,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-verify join re-explodes; 2x SLOWER end to end on this
     duplicate-heavy corpus).
 
-    At larger scale: vocab stays bounded, docs grow — block the
-    matmul over doc-row chunks per language (the loop below already
-    processes chunk × all), or fall back to MinHash-LSH which is the
-    designed sublinear path."""
+    Skew safety: language is the canonical skewed key (English
+    dominates real corpora), so a plain groupBy(lang) would hand one
+    task the whole dominant language. Instead each language is hashed
+    into ⌈docs/B⌉ sub-blocks (B = 1024 docs) and every block PAIR
+    (i ≤ j) is its own shuffle group — no task ever holds more than
+    2B docs × vocab, regardless of how skewed the language mix is.
+    Each unordered doc pair lands in exactly one group (diagonal
+    group filtered x < y; cross-block group keyed (min, max)). A doc's
+    FULL gram set travels with it to every group it joins, so row
+    sums — and therefore the union term — stay exact.
+
+    At larger scale: vocab stays bounded, docs grow — the block grid
+    grows as ⌈docs/B⌉² per language with bounded per-task memory, or
+    fall back to MinHash-LSH which is the designed sublinear path."""
     import numpy as np
     import pandas as pd
 
@@ -357,30 +368,85 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.expr(char_ngrams_expr("nt", 5))).alias("g")
     ).distinct()
 
-    def jaccard_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, di = np.unique(pdf["doc_id"].to_numpy(np.int64), return_inverse=True)
-        _, gi = np.unique(pdf["g"].to_numpy(), return_inverse=True)
-        a = np.zeros((len(doc_ids), gi.max() + 1), dtype=np.float32)
-        a[di, gi] = 1.0
-        sizes = a.sum(axis=1).astype(np.int64)
+    # Per-language block grid, sized from RAW per-language doc counts
+    # (a pruned scan of two small columns — no norm_text). Block
+    # sizing only needs an upper bound on filtered docs per language,
+    # and the raw count is exactly that. The collect is #languages
+    # rows (a small bounded constant — a scalar-class driver action).
+    counts = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    )
+    nb_by_lang = {
+        r["lang"]: max(1, -(-r["n_docs"] // _JACCARD_BLOCK_DOCS))
+        for r in counts
+    }
+    # Role map (pure metadata): per language, block b is the 'a' side
+    # of groups (b, j≥b) and the 'b' side of (i<b, b). One broadcast
+    # join fans each gram row to all its groups in a single scan, so
+    # the explode+distinct gram build runs exactly once.
+    role_rows = []
+    nb_rows = []
+    for lang, nb in nb_by_lang.items():
+        nb_rows.append((lang, nb))
+        role_rows += [(lang, i, i, j, "a") for i in range(nb) for j in range(i, nb)]
+        role_rows += [(lang, j, i, j, "b") for i in range(nb) for j in range(i + 1, nb)]
+    nbdf = spark.createDataFrame(nb_rows, "lang string, nb int")
+    rolemap = spark.createDataFrame(
+        role_rows, "lang string, bid int, bi int, bj int, role string"
+    )
+    tagged = grams.join(F.broadcast(nbdf), "lang").select(
+        "lang", "doc_id", "g", (F.col("doc_id") % F.col("nb")).cast("int").alias("bid")
+    )
+    fanout = tagged.join(F.broadcast(rolemap), ["lang", "bid"]).select(
+        "lang", "bi", "bj", "role", "doc_id", "g"
+    )
+
+    def _binmat(sub: pd.DataFrame, vocab_index: dict):
+        doc_ids, di = np.unique(sub["doc_id"].to_numpy(np.int64), return_inverse=True)
+        gi = sub["g"].map(vocab_index).to_numpy(np.int64)
+        m = np.zeros((len(doc_ids), len(vocab_index)), dtype=np.float32)
+        m[di, gi] = 1.0
+        return doc_ids, m, m.sum(axis=1).astype(np.int64)
+
+    def jaccard_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == "a"]
+        b = pdf[pdf["role"] == "b"]
+        diag = key[1] == key[2]
+        if a.empty or (not diag and b.empty):
+            return pd.DataFrame({"da": [], "db": [], "jaccard": []})
+        vocab = {g: i for i, g in enumerate(np.unique(pdf["g"].to_numpy()))}
+        da_ids, am, asz = _binmat(a, vocab)
+        if diag:
+            db_ids, bm, bsz = da_ids, am, asz
+        else:
+            db_ids, bm, bsz = _binmat(b, vocab)
         out = {"da": [], "db": [], "jaccard": []}
-        block = max(1, (64 << 20) // max(len(doc_ids) * 4, 1))
-        for lo in range(0, len(doc_ids), block):
-            inter = (a[lo : lo + block] @ a.T).astype(np.int64)
-            union = sizes[lo : lo + block, None] + sizes[None, :] - inter
+        chunk = max(1, (64 << 20) // max(len(db_ids) * 4, 1))
+        for lo in range(0, len(da_ids), chunk):
+            # float32 matmul of 0/1 matrices is exact below 2^24
+            inter = (am[lo : lo + chunk] @ bm.T).astype(np.int64)
+            union = asz[lo : lo + chunk, None] + bsz[None, :] - inter
             jac = inter.astype(np.float64) / union
-            keep = (jac >= _JACCARD_THRESHOLD) & (
-                doc_ids[lo : lo + block, None] < doc_ids[None, :]
-            )
-            ai, bi = np.nonzero(keep)
-            out["da"].append(doc_ids[lo + ai])
-            out["db"].append(doc_ids[bi])
+            ids_lo = da_ids[lo : lo + chunk]
+            if diag:
+                keep = (jac >= _JACCARD_THRESHOLD) & (
+                    ids_lo[:, None] < db_ids[None, :]
+                )
+                ai, bi = np.nonzero(keep)
+                da, db = ids_lo[ai], db_ids[bi]
+            else:
+                keep = jac >= _JACCARD_THRESHOLD
+                ai, bi = np.nonzero(keep)
+                da = np.minimum(ids_lo[ai], db_ids[bi])
+                db = np.maximum(ids_lo[ai], db_ids[bi])
+            out["da"].append(da)
+            out["db"].append(db)
             out["jaccard"].append(jac[ai, bi])
         return pd.DataFrame(
             {k: np.concatenate(v) if v else np.array([]) for k, v in out.items()}
         )
 
-    return grams.groupBy("lang").applyInPandas(
+    return fanout.groupBy("lang", "bi", "bj").applyInPandas(
         jaccard_block, schema="da long, db long, jaccard double"
     )
 
@@ -448,55 +514,109 @@ def _dot(a: str, b: str):
     )
 
 
+_NEARDUP_BLOCK_ROWS = 4096  # rows per triangle block (bounds task memory)
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs exact cosine near-dup via Arrow-batched integer
-    matmul: the full quantized matrix is broadcast once, and each
-    partition scores its rows against it with one numpy matmul
-    (BLAS) instead of millions of interpreted zip_with evaluations —
-    measured 35 s → ~1 s at sf0.1, identical results.
+    """All-pairs exact cosine near-dup via a blocked triangle join:
+    vectors are hashed into ⌈n/B⌉ blocks (B = 1024 rows), every block
+    PAIR (i ≤ j) becomes one shuffle group, and each group scores its
+    two blocks with one numpy matmul (Arrow in, BLAS inside). NOTHING
+    is collected to the driver — the only driver-side action is the
+    scalar count that sizes the block grid — so the operator is bounded
+    by executor memory (2 blocks ≈ 1 MB + a chunked score matrix),
+    not driver memory, at any n. This replaced a broadcast design that
+    `.collect()`ed the whole quantized table driver-side.
 
     Dot products are exact int64 (quantized components ≤ 1e4, dim 64
     ⇒ no overflow); the cosine is the same single IEEE divide/sqrt
     chain the SQL oracle runs, so floats still match bit-for-bit.
+    Each unordered pair lands in exactly one group: blocks are
+    vec_id-hash assigned, pairs with equal block land in the (i, i)
+    diagonal group (filtered x < y), cross-block pairs in the single
+    (min, max) group.
 
-    Scale note: broadcasting one side caps this at a few million
-    vectors — the right shape for the exact BASELINE (the scan side
-    streams; compute is BLAS-bound). Past that, the scale path is
-    blocked candidate generation (ann_lsh/ann_ivf) feeding the same
-    exact verify, not a bigger brute force."""
+    Scale note: compute is inherently O(n²) — this is the exact
+    BASELINE, and the blocked shape spreads that work across
+    n·⌈n/B⌉ shuffled rows with no single big task. Past a few
+    million vectors the scale path is blocked candidate generation
+    (ann_lsh/ann_ivf) feeding the same exact verify, not a bigger
+    brute force."""
     import numpy as np
     import pandas as pd
 
-    qn = _quantized(spark, sf_dir)
-    rows = qn.select("vec_id", "q", "nq").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["q"] for r in rows], dtype=np.int64)
-    norms = np.sqrt(
-        np.array([r["nq"] for r in rows], dtype=np.int64).astype(np.float64)
+    # Size the grid from the parquet footer (driver-side metadata
+    # read, no job); fall back to a scalar count — either way the
+    # only driver-side value is ONE integer.
+    n = parquet_num_rows(sf_dir, "embeddings")
+    if n is None:
+        n = table(spark, sf_dir, "embeddings").count()
+    # Block size: capped at _NEARDUP_BLOCK_ROWS for bounded task
+    # memory, but shrunk for small inputs so the pair grid still
+    # fans out across cores (≥ ~16-way) instead of one giant task.
+    b = max(256, min(_NEARDUP_BLOCK_ROWS, n // 16 + 1))
+    nb = max(1, -(-n // b))
+    # Role map (pure metadata, built driver-side): block b serves as
+    # the 'a' side of groups (b, j≥b) and the 'b' side of (i<b, b).
+    # ONE broadcast join against it fans each vector out to all its
+    # groups in a single scan — no self-union, quantization runs once.
+    rolemap = spark.createDataFrame(
+        [(i, i, j, "a") for i in range(nb) for j in range(i, nb)]
+        + [(j, i, j, "b") for i in range(nb) for j in range(i + 1, nb)],
+        "bid int, bi int, bj int, role string",
     )
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    qn = _quantized(spark, sf_dir)
+    tagged = qn.select(
+        "vec_id", "q", "nq", (F.col("vec_id") % nb).cast("int").alias("bid")
+    )
+    fanout = tagged.join(F.broadcast(rolemap), "bid").select(
+        "bi", "bj", "role", "vec_id", "q", "nq"
+    )
 
-    def score(batches):
-        b_ids, b_mat, b_norms = bc.value
-        # block rows so the dense score matrix stays ~tens of MB
-        block = max(1, (8 << 20) // max(len(b_ids), 1))
-        for pdf in batches:
-            for lo in range(0, len(pdf), block):
-                sub = pdf.iloc[lo : lo + block]
-                a_ids = sub["vec_id"].to_numpy(dtype=np.int64)
-                a_mat = np.stack([np.asarray(v, dtype=np.int64) for v in sub["q"]])
-                a_norms = np.sqrt(
-                    sub["nq"].to_numpy(dtype=np.int64).astype(np.float64)
-                )
-                dots = a_mat @ b_mat.T  # exact int64
-                cos = dots.astype(np.float64) / (a_norms[:, None] * b_norms[None, :])
-                keep = (cos >= _COSINE_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
-                ai, bi = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {"va": a_ids[ai], "vb": b_ids[bi], "cosine": cos[ai, bi]}
-                )
+    def _mat(sub: pd.DataFrame):
+        ids = sub["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in sub["q"]])
+        norms = np.sqrt(sub["nq"].to_numpy(dtype=np.int64).astype(np.float64))
+        return ids, mat, norms
 
-    return qn.mapInPandas(score, schema="va long, vb long, cosine double")
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == "a"]
+        b = pdf[pdf["role"] == "b"]
+        if a.empty or (key[0] != key[1] and b.empty):
+            return pd.DataFrame({"va": [], "vb": [], "cosine": []})
+        a_ids, a_mat, a_norms = _mat(a)
+        if key[0] == key[1]:
+            b_ids, b_mat, b_norms = a_ids, a_mat, a_norms
+        else:
+            b_ids, b_mat, b_norms = _mat(b)
+        out = {"va": [], "vb": [], "cosine": []}
+        # chunk rows so the dense score matrix stays ~tens of MB
+        chunk = max(1, (8 << 20) // max(len(b_ids), 1))
+        for lo in range(0, len(a_ids), chunk):
+            dots = a_mat[lo : lo + chunk] @ b_mat.T  # exact int64
+            cos = dots.astype(np.float64) / (
+                a_norms[lo : lo + chunk, None] * b_norms[None, :]
+            )
+            ids_lo = a_ids[lo : lo + chunk]
+            keep = (cos >= _COSINE_THRESHOLD) & (ids_lo[:, None] != b_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            va = np.minimum(ids_lo[ai], b_ids[bi])
+            vb = np.maximum(ids_lo[ai], b_ids[bi])
+            if key[0] == key[1]:  # diagonal sees each pair twice
+                m = ids_lo[ai] < b_ids[bi]
+                va, vb, cs = va[m], vb[m], cos[ai, bi][m]
+            else:
+                cs = cos[ai, bi]
+            out["va"].append(va)
+            out["vb"].append(vb)
+            out["cosine"].append(cs)
+        return pd.DataFrame(
+            {k: np.concatenate(v) if v else np.array([]) for k, v in out.items()}
+        )
+
+    return fanout.groupBy("bi", "bj").applyInPandas(
+        score, schema="va long, vb long, cosine double"
+    )
 
 
 _EMBEDDING_NEARDUP_SQL = f"""

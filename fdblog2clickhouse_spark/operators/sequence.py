@@ -289,7 +289,7 @@ WITH ep AS (
                           ROWS UNBOUNDED PRECEDING) AS c
   FROM ep
 )
-SELECT event_type, MAX(c) AS max_concurrent FROM rs GROUP BY 1
+SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent FROM rs GROUP BY 1
 """
 
 
@@ -397,7 +397,7 @@ WITH m AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, minute_us, n,
-       SUM(n) OVER w AS mov_events,
+       CAST(SUM(n) OVER w AS BIGINT) AS mov_events,
        CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
          AS mov_avg_events,
        CAST(SUM(v_c) OVER w AS DOUBLE) / 100.0 AS mov_value

@@ -386,7 +386,7 @@ WITH keyed AS (
 )
 SELECT label, COUNT(*) AS n_sampled,
        MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
-       SUM(vec_id) AS id_checksum
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum
 FROM keyed WHERE hk % 100 < {_SAMPLE_PCT}
 GROUP BY 1 ORDER BY 1
 """
@@ -594,7 +594,7 @@ scored AS (
   SELECT qn.vec_id AS q_id, sub, code, {_PQ_D2_SQL} AS d2
   FROM qn, cb WHERE qn.vec_id < {_PQ_N_QUERIES}
 ), adc AS (
-  SELECT q_id, codes.vec_id AS n_id, SUM(d2) AS approx_dist
+  SELECT q_id, codes.vec_id AS n_id, CAST(SUM(d2) AS BIGINT) AS approx_dist
   FROM codes JOIN lut USING (sub, code)
   WHERE codes.vec_id <> q_id
   GROUP BY 1, 2
@@ -837,7 +837,7 @@ def doc_lang_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     )
     return (
-        assigned.groupBy("lang", F.col("cid").alias("cluster"))
+        assigned.groupBy("lang", F.col("cid").cast("long").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("d").alias("inertia"),
@@ -1007,8 +1007,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.select(
-        "i",
-        "j",
+        # sequence() literals are INT in Spark; the oracle's generate_series
+        # is BIGINT — align the dtype exactly for the driver's hash
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
         "n",
         (
             (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j")).cast(

@@ -723,9 +723,9 @@ def _lang_metrics_sql() -> str:
 WITH conf AS (
   SELECT * FROM ({_LANG_ID_SQL})
 ), truth AS (
-  SELECT lang, SUM(n) AS n_true FROM conf GROUP BY 1
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM conf GROUP BY 1
 ), pred AS (
-  SELECT pred_lang, SUM(n) AS n_pred FROM conf GROUP BY 1
+  SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1
 ), tp AS (
   SELECT lang, n AS tp FROM conf WHERE lang = pred_lang
 ), m AS (

@@ -1439,7 +1439,7 @@ def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(
                 cents(F.col("l_extendedprice"))

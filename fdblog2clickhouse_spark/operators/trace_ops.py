@@ -174,9 +174,9 @@ def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     w = Window.orderBy(F.desc("n"), F.asc("type"))
-    return counts.select("type", "n", F.rank().over(w).alias("rnk")).where(
-        F.col("rnk") <= 3
-    )
+    return counts.select(
+        "type", "n", F.rank().over(w).cast("long").alias("rnk")
+    ).where(F.col("rnk") <= 3)
 
 
 _TOP_EVENT_TYPES_SQL = """
@@ -907,10 +907,16 @@ def user_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _RECENT_N)
     )
+    # The history is emitted as a '|'-joined STRING, not an array:
+    # the driver's canonicalizer sorts result rows with pandas, and a
+    # numpy-array cell is unhashable there — same information, hashable.
     return recent.groupBy("user_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
-            lambda s: s.event_type,
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
         ).alias("recent_types"),
         F.max(_US("ts")).alias("last_ts_us"),
         F.count(F.lit(1)).alias("n_recent"),
@@ -925,7 +931,7 @@ WITH ranked AS (
   FROM events
 )
 SELECT user_id,
-       list(event_type ORDER BY rn ASC) AS recent_types,
+       string_agg(event_type, '|' ORDER BY rn ASC) AS recent_types,
        MAX(ts_us) AS last_ts_us,
        COUNT(*) AS n_recent
 FROM ranked WHERE rn <= {_RECENT_N}
@@ -1105,7 +1111,7 @@ WITH t AS (
   FROM g WHERE is_err GROUP BY 1, 2
 )
 SELECT user_id, COUNT(*) AS n_error_runs, MAX(run_len) AS max_run_len,
-       SUM(run_len) AS total_errors
+       CAST(SUM(run_len) AS BIGINT) AS total_errors
 FROM runs GROUP BY 1
 """
 

@@ -47,6 +47,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count from the parquet FOOTER — a driver-side
+    metadata read (the same footer Spark reads for schema), no job.
+    Used to size block grids; returns None when the source isn't a
+    single local parquet file (caller falls back to .count())."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    except Exception:
+        return None
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
     rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and

@@ -225,6 +225,68 @@ def test_r2d_ops_stay_jvm_side(spark, sf_smoke, name):
 
 def test_decontam_broadcasts_eval_grams(spark, sf_smoke):
     """The eval-benchmark gram set must broadcast — a shuffled join
-    here would move the whole shingled corpus at 100 TB."""
+    here would move the whole shuffled corpus at 100 TB."""
     plan = _plan(spark, "benchmark_decontam", sf_smoke)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_no_unbounded_driver_collect():
+    """No queries() code path may `.collect()` a data-sized result to
+    the driver (driver OOM at 100×). The ONE allowed site is the
+    per-language doc-count collect in dedup_ngram_jaccard — #languages
+    rows, a bounded constant. Everything else must stay distributed
+    (scalar `.count()` actions are fine; `.collect()`/`.toPandas()`
+    are not)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "fdblog2clickhouse_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if "`" in code:  # docstring prose references, not code
+                continue
+            if ".collect(" in code or ".toPandas(" in code or ".toLocalIterator(" in code:
+                offenders.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+    allowed = [o for o in offenders if "n_docs" in o and "operators/dedup.py" in o]
+    assert offenders == allowed, (
+        "unbounded driver collect in operator code:\n" + "\n".join(offenders)
+    )
+
+
+def test_ngram_jaccard_multiblock_matches_oracle(spark, sf_oracle):
+    """Skew safety: force the per-language sub-block grid to split
+    every language (block size 64 ≪ per-language doc counts) and
+    assert values are UNCHANGED vs the oracle — proving the
+    cross-block path emits exactly the same pairs as the one-task
+    shape, so no single task ever needs a whole language."""
+    import fdblog2clickhouse_spark.operators.dedup as dd
+    from .oracle import compare, run_oracle
+
+    old = dd._JACCARD_BLOCK_DOCS
+    dd._JACCARD_BLOCK_DOCS = 64
+    try:
+        df = dd.dedup_ngram_jaccard(spark, sf_oracle)
+        compare(df, dd._DEDUP_NGRAM_SQL, sf_oracle)
+    finally:
+        dd._JACCARD_BLOCK_DOCS = old
+    # the forced grid really was multi-block for the dominant language
+    counts = run_oracle(
+        "SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1", sf_oracle
+    )
+    assert (counts["n"].max() + 63) // 64 > 1
+
+
+def test_embedding_neardup_multiblock_matches_oracle(spark, sf_oracle):
+    """Same guarantee for the blocked triangle join: a tiny block
+    size (→ many cross-block groups) must not change a single pair."""
+    import fdblog2clickhouse_spark.operators.dedup as dd
+    from .oracle import compare
+
+    old = dd._NEARDUP_BLOCK_ROWS
+    dd._NEARDUP_BLOCK_ROWS = 64
+    try:
+        df = dd.embedding_neardup(spark, sf_oracle)
+        compare(df, dd._EMBEDDING_NEARDUP_SQL, sf_oracle)
+    finally:
+        dd._NEARDUP_BLOCK_ROWS = old
