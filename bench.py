@@ -35,6 +35,12 @@ HEADLINE = [
     "embedding_neardup",
     "ann_topk_bruteforce",
     "token_count",
+    # the three slowest sweep queries (SCALE.md) — tracked so
+    # regressions in the iterative / streaming / IVF paths are
+    # visible round over round
+    "dedup_cluster_labels",
+    "ann_ivf_topk",
+    "streaming_view_purchase_join",
 ]
 
 

@@ -76,7 +76,14 @@ def cmd_ingest(args) -> int:
 def cmd_watch(args) -> int:
     """The inotify loop, Spark-native: file-source stream + foreachBatch
     into the ClickHouse sink. --once drains what exists and exits
-    (AvailableNow); otherwise runs until interrupted."""
+    (AvailableNow); otherwise runs until interrupted — or until the
+    completion-file sentinel appears (--completion-file /
+    $WATCH_COMPLETION_FILE, ≙ entrypoint.sh:22-24: the simulation
+    harness drops `sim-completed` and the watch loop drains remaining
+    logs and exits cleanly)."""
+    import os
+    import time
+
     from .streaming.ingest import normalize_trace, read_trace_stream
 
     spark = _spark()
@@ -88,11 +95,22 @@ def cmd_watch(args) -> int:
         stream.writeStream.foreachBatch(sink.foreach_batch())
         .option("checkpointLocation", args.checkpoint)
     )
+    sentinel = args.completion_file or os.environ.get("WATCH_COMPLETION_FILE")
     if args.once:
         q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    elif sentinel:
+        q = writer.start()
+        while q.isActive and not os.path.exists(sentinel):
+            time.sleep(0.5)
+        if q.isActive:
+            q.processAllAvailable()  # drain what arrived before the sentinel
+            q.stop()
+        q.awaitTermination()
+        print(f"watch: completion file {sentinel} seen, exiting")
     else:
         q = writer.start()
-    q.awaitTermination()
+        q.awaitTermination()
     return 0
 
 
@@ -195,6 +213,11 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--once", action="store_true")
     sw.add_argument("--delete-logs", action="store_true")
     sw.add_argument("--checkpoint", default="/tmp/trace-convert-ckpt")
+    sw.add_argument(
+        "--completion-file",
+        default=None,
+        help="exit cleanly when this file appears (default: $WATCH_COMPLETION_FILE)",
+    )
     sw.set_defaults(fn=cmd_watch)
 
     sr = sub.add_parser("rollup")

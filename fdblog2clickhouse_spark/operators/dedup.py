@@ -323,6 +323,51 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= {_HAMMING_MAX}
 
 # -------------------------------------------- dedup_ngram_jaccard
 
+def _lang_block_fanout(
+    spark: SparkSession,
+    d: DataFrame,
+    feature_rows: DataFrame,
+    feature_col: str,
+    block_docs: int,
+) -> DataFrame:
+    """Skew-safe per-language pair-block fanout shared by the
+    all-pairs set-similarity operators (Jaccard, containment).
+
+    Sizes a per-language block grid from RAW per-language doc counts
+    (a pruned two-column scan; sizing only needs an upper bound, so
+    the unfiltered count is fine — the collect is #languages rows, a
+    bounded constant). Builds the role map as pure metadata: block b
+    is the 'a' side of pair-groups (b, j≥b) and the 'b' side of
+    (i<b, b). ONE broadcast join fans each (doc, feature) row out to
+    all its groups in a single scan, so the expensive feature build
+    (explode + distinct) runs exactly once. Grouping on
+    (lang, bi, bj) then bounds every task at 2·block_docs docs ×
+    vocab no matter how skewed the language mix is."""
+    counts = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    )
+    role_rows = []
+    nb_rows = []
+    for r in counts:
+        lang, nb = r["lang"], max(1, -(-r["n_docs"] // block_docs))
+        nb_rows.append((lang, nb))
+        role_rows += [(lang, i, i, j, "a") for i in range(nb) for j in range(i, nb)]
+        role_rows += [(lang, j, i, j, "b") for i in range(nb) for j in range(i + 1, nb)]
+    nbdf = spark.createDataFrame(nb_rows, "lang string, nb int")
+    rolemap = spark.createDataFrame(
+        role_rows, "lang string, bid int, bi int, bj int, role string"
+    )
+    tagged = feature_rows.join(F.broadcast(nbdf), "lang").select(
+        "lang",
+        "doc_id",
+        feature_col,
+        (F.col("doc_id") % F.col("nb")).cast("int").alias("bid"),
+    )
+    return tagged.join(F.broadcast(rolemap), ["lang", "bid"]).select(
+        "lang", "bi", "bj", "role", "doc_id", feature_col
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard within language blocks via per-language
     BLAS: each language group builds a docs × vocab binary matrix and
@@ -368,38 +413,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.expr(char_ngrams_expr("nt", 5))).alias("g")
     ).distinct()
 
-    # Per-language block grid, sized from RAW per-language doc counts
-    # (a pruned scan of two small columns — no norm_text). Block
-    # sizing only needs an upper bound on filtered docs per language,
-    # and the raw count is exactly that. The collect is #languages
-    # rows (a small bounded constant — a scalar-class driver action).
-    counts = (
-        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
-    )
-    nb_by_lang = {
-        r["lang"]: max(1, -(-r["n_docs"] // _JACCARD_BLOCK_DOCS))
-        for r in counts
-    }
-    # Role map (pure metadata): per language, block b is the 'a' side
-    # of groups (b, j≥b) and the 'b' side of (i<b, b). One broadcast
-    # join fans each gram row to all its groups in a single scan, so
-    # the explode+distinct gram build runs exactly once.
-    role_rows = []
-    nb_rows = []
-    for lang, nb in nb_by_lang.items():
-        nb_rows.append((lang, nb))
-        role_rows += [(lang, i, i, j, "a") for i in range(nb) for j in range(i, nb)]
-        role_rows += [(lang, j, i, j, "b") for i in range(nb) for j in range(i + 1, nb)]
-    nbdf = spark.createDataFrame(nb_rows, "lang string, nb int")
-    rolemap = spark.createDataFrame(
-        role_rows, "lang string, bid int, bi int, bj int, role string"
-    )
-    tagged = grams.join(F.broadcast(nbdf), "lang").select(
-        "lang", "doc_id", "g", (F.col("doc_id") % F.col("nb")).cast("int").alias("bid")
-    )
-    fanout = tagged.join(F.broadcast(rolemap), ["lang", "bid"]).select(
-        "lang", "bi", "bj", "role", "doc_id", "g"
-    )
+    fanout = _lang_block_fanout(spark, d, grams, "g", _JACCARD_BLOCK_DOCS)
 
     def _binmat(sub: pd.DataFrame, vocab_index: dict):
         doc_ids, di = np.unique(sub["doc_id"].to_numpy(np.int64), return_inverse=True)
@@ -728,14 +742,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial scrapes, boilerplate-wrapped copies), which symmetric
     Jaccard misses because the union term dilutes the score.
 
-    Same per-language BLAS layout as dedup_ngram_jaccard (one binary
-    docs × shingle-vocab matrix per language, ONE matmul for all
-    pairwise intersections; float32 on 0/1 matrices is exact below
-    2^24): only the normalization differs — row-set size |A| instead
-    of the union — and the output keeps BOTH directions (da ≠ db)
-    because containment is not symmetric. The final score is the
-    same single float64 division the SQL oracle performs.
-    """
+    Same skew-safe blocked BLAS layout as dedup_ngram_jaccard (shared
+    `_lang_block_fanout`: per-language sub-blocks, every block pair is
+    one bounded shuffle group, ONE matmul per group for all pairwise
+    intersections; float32 on 0/1 matrices is exact below 2^24). Only
+    the normalization differs — row-set size |A| instead of the
+    union — and the output keeps BOTH directions (da ≠ db) because
+    containment is not symmetric: a cross-block group emits A→B from
+    inter/|A| AND B→A from the same intersection matrix over |B|. The
+    final score is the same single float64 division the SQL oracle
+    performs."""
     import numpy as np
     import pandas as pd
 
@@ -746,30 +762,54 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = t.select(
         "doc_id", "lang", F.explode(F.expr(shingles_expr("t", 3))).alias("s")
     ).distinct()
+    fanout = _lang_block_fanout(spark, d, sh, "s", _JACCARD_BLOCK_DOCS)
 
-    def containment_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, di = np.unique(pdf["doc_id"].to_numpy(np.int64), return_inverse=True)
-        _, si = np.unique(pdf["s"].to_numpy(), return_inverse=True)
-        a = np.zeros((len(doc_ids), si.max() + 1), dtype=np.float32)
-        a[di, si] = 1.0
-        sizes = a.sum(axis=1).astype(np.int64)
+    def _binmat(sub: pd.DataFrame, vocab_index: dict):
+        doc_ids, di = np.unique(sub["doc_id"].to_numpy(np.int64), return_inverse=True)
+        si = sub["s"].map(vocab_index).to_numpy(np.int64)
+        m = np.zeros((len(doc_ids), len(vocab_index)), dtype=np.float32)
+        m[di, si] = 1.0
+        return doc_ids, m, m.sum(axis=1).astype(np.int64)
+
+    def containment_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == "a"]
+        b = pdf[pdf["role"] == "b"]
+        diag = key[1] == key[2]
+        if a.empty or (not diag and b.empty):
+            return pd.DataFrame({"da": [], "db": [], "containment": []})
+        vocab = {s: i for i, s in enumerate(np.unique(pdf["s"].to_numpy()))}
+        da_ids, am, asz = _binmat(a, vocab)
+        if diag:
+            db_ids, bm, bsz = da_ids, am, asz
+        else:
+            db_ids, bm, bsz = _binmat(b, vocab)
         out = {"da": [], "db": [], "containment": []}
-        block = max(1, (64 << 20) // max(len(doc_ids) * 4, 1))
-        for lo in range(0, len(doc_ids), block):
-            inter = (a[lo : lo + block] @ a.T).astype(np.int64)
-            cont = inter.astype(np.float64) / sizes[lo : lo + block, None]
+        chunk = max(1, (64 << 20) // max(len(db_ids) * 4, 1))
+        for lo in range(0, len(da_ids), chunk):
+            inter = (am[lo : lo + chunk] @ bm.T).astype(np.int64)
+            ids_lo = da_ids[lo : lo + chunk]
+            # A→B direction: C = inter / |A|
+            cont = inter.astype(np.float64) / asz[lo : lo + chunk, None]
             keep = (cont >= _CONTAINMENT_THRESHOLD) & (
-                doc_ids[lo : lo + block, None] != doc_ids[None, :]
+                ids_lo[:, None] != db_ids[None, :]
             )
             ai, bi = np.nonzero(keep)
-            out["da"].append(doc_ids[lo + ai])
-            out["db"].append(doc_ids[bi])
+            out["da"].append(ids_lo[ai])
+            out["db"].append(db_ids[bi])
             out["containment"].append(cont[ai, bi])
+            if not diag:
+                # B→A direction from the SAME intersection matrix
+                cont_r = inter.astype(np.float64) / bsz[None, :]
+                keep_r = cont_r >= _CONTAINMENT_THRESHOLD
+                ai, bi = np.nonzero(keep_r)
+                out["da"].append(db_ids[bi])
+                out["db"].append(ids_lo[ai])
+                out["containment"].append(cont_r[ai, bi])
         return pd.DataFrame(
             {k: np.concatenate(v) if v else np.array([]) for k, v in out.items()}
         )
 
-    return sh.groupBy("lang").applyInPandas(
+    return fanout.groupBy("lang", "bi", "bj").applyInPandas(
         containment_block, schema="da long, db long, containment double"
     )
 

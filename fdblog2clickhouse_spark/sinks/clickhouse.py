@@ -163,9 +163,15 @@ class ClickHouseHttpSink:
         lines_df.foreachPartition(send_partition)
 
     def foreach_batch(self):
-        """Adapter for streaming: writeStream.foreachBatch(sink.foreach_batch())."""
+        """Adapter for streaming: writeStream.foreachBatch(sink.foreach_batch()).
+        Prints one status line per micro-batch (rows + destination) —
+        the reference logs df.info() and the HTTP response per batch
+        (trace-converter.py:122-127); this is the Spark-side analog."""
 
         def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            n = batch_df.count()
             self.insert(batch_df)
+            dest = self.spool_dir or f"{self.addr} {self.database}.{self.table}"
+            print(f"[trace-convert] batch {batch_id}: rows={n} -> {dest} ok")
 
         return _fn

@@ -48,6 +48,54 @@ def test_watch_once_drains_to_sink(spark, sf_smoke, tmp_path):
     assert set(row) <= {"severity", "machine", "log_group", "time", "type", "id"}
 
 
+def test_watch_completion_file_sentinel(spark, sf_smoke, tmp_path):
+    """Parity with entrypoint.sh:22-24: the continuous watch loop must
+    drain pending logs and exit cleanly when the completion sentinel
+    appears (the simulation harness's `sim-completed` handshake)."""
+    import threading
+    import time
+
+    from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
+
+    log_dir = str(tmp_path / "logs")
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    sentinel = str(tmp_path / "sim-completed")
+    _export_trace_logs(spark, sf_smoke, log_dir)
+
+    rc: list[int] = []
+    t = threading.Thread(
+        target=lambda: rc.append(
+            cli.main(
+                [
+                    "--spool-dir", spool,
+                    "watch", log_dir,
+                    "--checkpoint", ckpt,
+                    "--completion-file", sentinel,
+                ]
+            )
+        )
+    )
+    t.start()
+    # let the stream pick up the exported logs, then signal completion
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if os.path.isdir(spool) and os.listdir(spool):
+            break
+        time.sleep(0.5)
+    open(sentinel, "w").close()
+    t.join(timeout=90)
+    assert not t.is_alive(), "watch did not exit on completion file"
+    assert rc == [0]
+    lines = []
+    for b in os.listdir(spool):
+        with open(os.path.join(spool, b)) as f:
+            lines.extend(x for x in f.read().splitlines() if x.strip())
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    assert len(lines) == table(spark, sf_smoke, "events").count()
+
+
 def test_ingest_spools_jsoneachrow(spark, sf_smoke, tmp_path, capsys):
     from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
 

@@ -277,6 +277,21 @@ def test_ngram_jaccard_multiblock_matches_oracle(spark, sf_oracle):
     assert (counts["n"].max() + 63) // 64 > 1
 
 
+def test_containment_multiblock_matches_oracle(spark, sf_oracle):
+    """Asymmetric containment under a forced multi-block grid: both
+    directions of every cross-block pair must survive the split."""
+    import fdblog2clickhouse_spark.operators.dedup as dd
+    from .oracle import compare
+
+    old = dd._JACCARD_BLOCK_DOCS
+    dd._JACCARD_BLOCK_DOCS = 64
+    try:
+        df = dd.dedup_containment(spark, sf_oracle)
+        compare(df, dd._CONTAINMENT_SQL, sf_oracle)
+    finally:
+        dd._JACCARD_BLOCK_DOCS = old
+
+
 def test_embedding_neardup_multiblock_matches_oracle(spark, sf_oracle):
     """Same guarantee for the blocked triangle join: a tiny block
     size (→ many cross-block groups) must not change a single pair."""
