@@ -39,6 +39,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
+from ..session import scoped_shuffle_partitions
 from ..sources.tables import parquet_num_rows, table
 
 _N_PERM = 16
@@ -654,60 +655,124 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc gets the min doc_id of its component as cluster label — the
     step that turns pairwise near-dup evidence into keep/drop groups.
 
-    Iterative min-label propagation: per round, every vertex takes
-    the min of its own label and its neighbors' labels (one join +
-    one groupBy per round), stopping when a round changes nothing.
-    Near-dup components are dense (band-collision cliques), so the
-    diameter — and the round count — stays small; at 100 TB scale
-    the same loop runs with checkpointed labels per round (the
-    alternating large-star/small-star variant halves rounds but has
-    identical shuffle structure). The driver-side loop only ever
-    collects ONE scalar (the changed-row count) per round.
+    Contraction CC (the textbook distributed shape): ONE pass over the
+    doc-level edge list assigns each vertex min(self, min neighbor),
+    then the graph is CONTRACTED to edges between label classes —
+    orders of magnitude smaller — and min-label propagation iterates
+    on that, with each round's relabel map composed with itself once
+    (pointer doubling) to collapse label chains in O(log) rounds.
+    Corpus-scale data is touched exactly twice (initial labeling +
+    contraction); every later round shuffles only the shrinking class
+    graph. The driver loop collects ONE scalar (the remaining
+    cross-class edge count) per round.
 
     Oracle: DuckDB recursive-CTE transitive closure, min reachable id.
     """
     # localCheckpoint (not cache): iterative plans must TRUNCATE
     # lineage each round, or round N's plan embeds N copies of the
     # whole upstream DAG and the driver OOMs just materializing it.
-    # Checkpoint pairs BEFORE the union too — otherwise both union
-    # branches re-run the whole SimHash band join.
-    pairs = dedup_simhash(spark, sf_dir).select("da", "db").localCheckpoint()
-    edges = (
-        pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
-        .withColumnRenamed("da", "src")
-        .withColumnRenamed("db", "dst")
+    # Both edge orientations come from ONE posexplode pass so the
+    # SimHash band join runs once, then one checkpoint materializes
+    # the symmetric edge list.
+    pairs = dedup_simhash(spark, sf_dir).select("da", "db")
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("da").alias("src"), F.col("db").alias("dst")),
+                    F.struct(F.col("db").alias("src"), F.col("da").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()
     )
-    d = table(spark, sf_dir, "documents")
-    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-
-    for _ in range(_MAX_CC_ITERS):
-        nbr = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
+    # The loop's working set is the near-dup edge list — orders of
+    # magnitude smaller than the corpus — so inheriting the session's
+    # corpus-sized shuffle width would pay (rounds × stages × width)
+    # in fixed task overhead. Size the loop to the edge count; the
+    # same formula fans out on a billion-edge graph.
+    parts = max(1, min(32, sym.count() // 2_000_000 + 1))
+    with scoped_shuffle_partitions(spark, parts):
+        # Pass 1 (corpus-scale): label = min(self, min neighbor).
+        # Isolated docs never enter the loop; they rejoin at the end.
+        labels = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
             .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
+                F.col("src").alias("doc_id"),
+                F.least(F.col("src"), F.col("mn")).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+        # Pass 2 (corpus-scale): contract to edges between label
+        # classes. The label table is tiny relative to the edges, so
+        # AQE broadcasts it into both probes; at cluster scale this
+        # degrades gracefully to a hash join on the same keys.
+        la = labels.select(F.col("doc_id").alias("src"), F.col("label").alias("a"))
+        lb = labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("b"))
+        ledges = (
+            sym.join(la, "src")
+            .join(lb, "dst")
+            .where(F.col("a") != F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .localCheckpoint()
         )
-        labels = new_labels
-        if changed == 0:
-            break
 
-    return labels.select("doc_id", F.col("label").alias("cluster"))
+        for _ in range(_MAX_CC_ITERS):
+            if ledges.count() == 0:
+                break
+            lsym = ledges.select("a", "b").union(
+                ledges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            m = (
+                lsym.groupBy("a")
+                .agg(F.min("b").alias("mb"))
+                .select("a", F.least(F.col("a"), F.col("mb")).alias("na"))
+            )
+            # Pointer doubling: compose the relabel map with itself so
+            # a chain of classes halves every round instead of
+            # shrinking by one.
+            m = (
+                m.alias("x")
+                .join(m.alias("y"), F.col("x.na") == F.col("y.a"), "left")
+                .select(
+                    F.col("x.a").alias("a"),
+                    F.coalesce(F.col("y.na"), F.col("x.na")).alias("na"),
+                )
+                .localCheckpoint()
+            )
+            labels = (
+                labels.join(m, labels.label == m.a, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("na"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            ma = m.select(F.col("a").alias("_a"), F.col("na").alias("new_a"))
+            mb = m.select(F.col("a").alias("_b"), F.col("na").alias("new_b"))
+            ledges = (
+                ledges.join(ma, ledges.a == ma._a, "left")
+                .join(mb, ledges.b == mb._b, "left")
+                .select(
+                    F.coalesce(F.col("new_a"), F.col("a")).alias("a"),
+                    F.coalesce(F.col("new_b"), F.col("b")).alias("b"),
+                )
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster")
+        )
+    )
 
 
 _CLUSTER_SQL = f"""

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,44 @@ from pyspark.sql import functions as F
 from ..functions.hashing import cents, cents_sql
 from ..sources.tables import table
 from .ingest import normalize_trace, read_trace_stream
+
+
+# Stateful streaming operators create one state store PER shuffle
+# partition PER operator; a single-node harness paying 32× state-store
+# setup/commit per micro-batch is pure overhead (measured 9.0 s → 2.5 s
+# at sf0.1 for the stream-stream join by dropping 32 → 8). The store
+# count is fixed at the query's FIRST checkpoint, which is why this is
+# scoped to .start(): on a real cluster the session default (sized to
+# executors) applies, and an existing checkpoint keeps its partitioning.
+_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_sized_shuffle(spark: SparkSession):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run_to_memory(
+    spark: SparkSession, df: DataFrame, prefix: str, output_mode: str
+) -> DataFrame:
+    """Run a (finite, AvailableNow) streaming plan into a memory sink
+    under the state-sized shuffle scope and return the sink table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with _state_sized_shuffle(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def _export_trace_logs(spark: SparkSession, sf_dir: str, log_dir: str) -> None:
@@ -106,16 +145,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents(F.col("value"))).alias("value_c"),
         )
     )
-    name = f"windowed_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_memory(spark, agg, "windowed_counts", "complete").select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
         "n",
         (F.col("value_c") / F.lit(100.0)).alias("total_value"),
@@ -156,16 +186,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    name = f"sessionize_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_memory(spark, agg, "sessionize", "complete").select(
         "user_id",
         F.unix_micros(F.col("w.start")).alias("session_start_us"),
         F.unix_micros(F.col("w.end")).alias("session_end_us"),
@@ -239,16 +260,7 @@ def streaming_stateful_error_count(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stateful_errors_{uuid.uuid4().hex[:8]}"
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(spark, counted, "stateful_errors", "append")
 
 
 _STATEFUL_ERRORS_SQL = """
@@ -273,16 +285,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = normalize_trace(read_trace_stream(spark, os.path.join(base, "logs*")))
     deduped = stream.dropDuplicates(["id"])
-    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_memory(spark, deduped, "dedup_stream", "append").select(
         F.col("id").cast("long").alias("event_id"),
         F.unix_micros("time").alias("time_us"),
         "severity",
@@ -440,16 +443,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_SS_JOIN_WINDOW_MIN} MINUTES")),
     )
-    name = f"ss_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_memory(spark, joined, "ss_join", "append").select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "view_id",
