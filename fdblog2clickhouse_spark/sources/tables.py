@@ -60,17 +60,80 @@ def parquet_num_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
+# The driver regenerates the testdata between rounds and has shipped
+# events.ts as both parquet TIMESTAMP(NANOS) and timestamp[us]. Every
+# events reader (batch AND streaming) must branch on the dtype that is
+# actually on disk — a hard-coded workaround for one encoding silently
+# corrupts timestamps under the other (the round-4 failure mode).
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
+def events_ts_kind(sf_dir: str) -> str:
+    """'nanos' | 'micros' — from the parquet footer (driver-side
+    metadata read, no Spark job). Unknown encodings raise rather than
+    guess: a wrong guess here corrupts every downstream timestamp."""
+    kind = _EVENTS_TS_KIND.get(sf_dir)
+    if kind is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        ts = str(t)
+        if ts.startswith("timestamp[ns"):
+            kind = "nanos"
+        elif ts.startswith(("timestamp[us", "timestamp[ms", "timestamp[s")):
+            kind = "micros"
+        else:
+            raise ValueError(
+                f"events.ts has unsupported parquet type {ts!r} in {sf_dir}"
+            )
+        _EVENTS_TS_KIND[sf_dir] = kind
+    return kind
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    convert exactly to a µs timestamp (the data is µs-aligned; at
-    worst this truncates sub-µs, matching DuckDB's fetch precision).
+    """Schema-aware events loader. TIMESTAMP(NANOS) files are rejected
+    outright by Spark's reader (PARQUET_TYPE_ILLEGAL), so that branch
+    reads nanos as long and converts exactly to a µs timestamp (the
+    data is µs-aligned; at worst this truncates sub-µs, matching
+    DuckDB's fetch precision). µs/ms/s files read natively; the cast
+    normalizes NTZ→LTZ, an identity under the session's UTC timezone.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if events_ts_kind(sf_dir) == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE streaming events source — every streaming query must use
+    this (never an inline readStream.schema over events): the file
+    stream source requires an explicit schema, and forcing `ts long`
+    over a µs-encoded file reads raw µs as long with no error, then
+    any nanos→µs conversion silently shrinks every timestamp 1000×.
+    Branching on the on-disk dtype here keeps stream and batch reads
+    byte-identical (asserted by tests/test_source_canary.py)."""
+    from pyspark.sql import functions as F
+
+    if events_ts_kind(sf_dir) == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, value double, props string"
+            )
+            .parquet(f"{sf_dir}/events*.parquet")  # glob: file source needs a dir/glob
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .parquet(f"{sf_dir}/events*.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import cents, cents_sql
-from ..sources.tables import table
+from ..sources.tables import events_stream, table
 from .ingest import normalize_trace, read_trace_stream
 
 
@@ -129,14 +129,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-hour tumbling windows over the events stream.
     Windows are epoch-aligned, so date_trunc('hour') is the exact
     batch equivalent."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .parquet(f"{sf_dir}/events*.parquet")  # glob: file source needs a dir/glob
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    raw = events_stream(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -170,14 +163,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a custom stateful operator; under AvailableNow + complete mode
     the final state equals the batch gap-sessionization, so a plain
     SQL cumulative-gap rewrite is a valid oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .parquet(f"{sf_dir}/events*.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    raw = events_stream(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "10 minutes")
         .groupBy(
@@ -245,13 +231,7 @@ def streaming_stateful_error_count(spark: SparkSession, sf_dir: str) -> DataFram
     Python)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .parquet(f"{sf_dir}/events*.parquet")
-    )
+    raw = events_stream(spark, sf_dir)
     errors = raw.where(F.col("event_type") == "error").select("user_id", "event_id")
     counted = errors.groupBy("user_id").applyInPandasWithState(
         _error_count_fn,
@@ -302,15 +282,10 @@ FROM events
 """
 
 
-def _events_stream(spark: SparkSession, sf_dir: str):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .parquet(f"{sf_dir}/events*.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+# All streaming queries read events through the shared schema-aware
+# source (sources/tables.py:events_stream) — never an inline
+# readStream.schema: see the round-4 silent 1000× timestamp shrink.
+_events_stream = events_stream
 
 
 def streaming_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,6 +141,7 @@ def test_rollup_command_maintains_state(spark, sf_smoke, tmp_path):
     from pyspark.sql import functions as F
 
     from fdblog2clickhouse_spark.sinks.rollup import read_rollup
+    from fdblog2clickhouse_spark.sources.tables import table
     from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
 
     log_dir = str(tmp_path / "logs")
@@ -154,11 +155,11 @@ def test_rollup_command_maintains_state(spark, sf_smoke, tmp_path):
         (r["yyyymm"], r["severity"], r["type"]): r["n_events"]
         for r in read_rollup(spark, out_path).collect()
     }
-    e = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    e = table(spark, sf_smoke, "events")
     want = {
         (r["yyyymm"], r["severity"], r["type"]): r["n"]
         for r in e.select(
-            F.expr("timestamp_micros(ts div 1000)").alias("t"),
+            F.col("ts").alias("t"),
             F.when(F.col("event_type") == "error", F.lit(40))
             .otherwise(F.lit(10))
             .cast("int")
