@@ -136,7 +136,7 @@ _CHUNK_SCHEMA = StructType(
         StructField("media_type", StringType()),
         StructField("chunk_idx", IntegerType()),
         StructField("chunk_len", IntegerType()),
-        StructField("chunk", BinaryType()),
+        StructField("chunk_hex", StringType()),
     ]
 )
 
@@ -144,14 +144,18 @@ _CHUNK_SCHEMA = StructType(
 def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched chunker: fixed-size byte windows per payload —
     the frame-sampling / audio-windowing analog. Runs per-partition;
-    no driver involvement."""
+    no driver involvement. Chunks are emitted as uppercase hex
+    (lossless) rather than raw binary: bytes vs bytearray round-trips
+    are not hash-stable across engines, hex strings are."""
+    import binascii
+
     for pdf in batches:
         out: dict[str, list] = {
             "doc_id": [],
             "media_type": [],
             "chunk_idx": [],
             "chunk_len": [],
-            "chunk": [],
+            "chunk_hex": [],
         }
         for doc_id, media_type, payload in zip(
             pdf["doc_id"], pdf["media_type"], pdf["payload"]
@@ -163,16 +167,39 @@ def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["media_type"].append(media_type)
                 out["chunk_idx"].append(idx // _CHUNK_BYTES)
                 out["chunk_len"].append(len(chunk))
-                out["chunk"].append(chunk)
+                out["chunk_hex"].append(binascii.hexlify(chunk).upper().decode())
         yield pd.DataFrame(out)
 
 
 def multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas chunking of binary payloads (rows-only check:
-    binary output columns are not hash-stable across engines, and the
-    point here is the Arrow batch plumbing)."""
+    """mapInPandas chunking of binary payloads, ORACLE-checked: the
+    synthetic payload is unhex(repeat(md5(text), k)), so every 16-byte
+    chunk is exactly unhex(md5(text)) and the oracle reconstructs each
+    chunk's hex in closed form (same derivation as
+    multimodal_frame_sample)."""
     p = with_payload(spark, sf_dir).select("doc_id", "media_type", "payload")
     return p.mapInPandas(_chunk_batches, schema=_CHUNK_SCHEMA)
+
+
+# payload = unhex(repeat(md5(text), 1 + doc_id % 3)) and the chunk
+# width equals one md5 digest (16 bytes), so chunk i (i < k) is the
+# digest itself: chunk_hex = upper(md5(text)).
+_CHUNK_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(1 + doc_id % 3 AS INT) AS n_chunks,
+         upper(md5(text)) AS chunk_hex
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(i AS INT) AS chunk_idx,
+       CAST({_CHUNK_BYTES} AS INT) AS chunk_len,
+       chunk_hex
+FROM p, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i)
+"""
 
 
 # ---------------------------------------- multimodal_feature_extract
@@ -183,7 +210,7 @@ _FEATURE_SCHEMA = StructType(
         StructField("media_type", StringType()),
         StructField("n_bytes", IntegerType()),
         StructField("byte_mean", DoubleType()),
-        StructField("byte_entropy", DoubleType()),
+        StructField("entropy_micro", LongType()),
         StructField("distinct_bytes", IntegerType()),
     ]
 )
@@ -194,13 +221,21 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     numpy histogram + entropy per payload, vectorized per batch. This
     is the REAL feature path (unlike decode, nothing to stub: bytes
     math needs no media codec); swap the body for a model/codec call
-    and the Spark plumbing is unchanged."""
+    and the Spark plumbing is unchanged.
+
+    Cross-engine exactness: byte_mean is an integer sum divided by a
+    power-of-two-reachable quotient (the true value s/16 is exactly
+    representable, so IEEE division lands on it from either engine's
+    formulation). Entropy is a sum of transcendental terms whose
+    FP ordering differs between engines, so it is emitted floor-scaled
+    to integer micro-bits — the repo's exact-value convention
+    (functions/hashing.py) applied to a UDF output."""
     import numpy as np
 
     for pdf in batches:
         out = {
             "doc_id": [], "media_type": [], "n_bytes": [],
-            "byte_mean": [], "byte_entropy": [], "distinct_bytes": [],
+            "byte_mean": [], "entropy_micro": [], "distinct_bytes": [],
         }
         for doc_id, media_type, payload in zip(
             pdf["doc_id"], pdf["media_type"], pdf["payload"]
@@ -208,22 +243,57 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             hist = np.bincount(b, minlength=256)
             p = hist[hist > 0] / float(b.size)
+            ent = float(-(p * np.log2(p)).sum())
             out["doc_id"].append(doc_id)
             out["media_type"].append(media_type)
             out["n_bytes"].append(int(b.size))
             out["byte_mean"].append(float(b.mean()))
-            out["byte_entropy"].append(float(-(p * np.log2(p)).sum()))
+            out["entropy_micro"].append(int(np.floor(ent * 1_000_000)))
             out["distinct_bytes"].append(int((hist > 0).sum()))
         yield pd.DataFrame(out)
 
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over the binary column
-    (rows-only: float features from numpy are not hash-comparable to
-    SQL, but tests/test_multimodal.py checks values against a pure
-    Python reference)."""
+    """mapInPandas feature extraction over the binary column,
+    ORACLE-checked: the payload is k repeats of the md5(text) digest,
+    so the byte histogram equals k× the digest's histogram and every
+    feature is reconstructable from the digest's hex in closed form."""
     p = with_payload(spark, sf_dir).select("doc_id", "media_type", "payload")
     return p.mapInPandas(_feature_batches, schema=_FEATURE_SCHEMA)
+
+
+# The repeated-digest structure makes the oracle exact: with
+# per-digest byte counts c (Σc = 16), the full-payload frequencies are
+# (k·c)/(16k) = c/16 bitwise (true quotient exactly representable), so
+# mean and entropy are computed from the 16 digest bytes alone.
+_FEATURE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         md5(text) AS hx,
+         CAST(1 + doc_id % 3 AS INT) AS k
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, media_type, k,
+         ('0x' || substr(hx, 2 * i - 1, 2))::INT AS byte
+  FROM p, LATERAL unnest(generate_series(1, 16)) AS t(i)
+),
+counts AS (
+  SELECT doc_id, media_type, k, byte, COUNT(*) AS c
+  FROM bytes GROUP BY doc_id, media_type, k, byte
+)
+SELECT doc_id, media_type,
+       CAST(16 * k AS INT) AS n_bytes,
+       SUM(byte * c) / 16.0 AS byte_mean,
+       CAST(floor(-SUM((c / 16.0) * log2(c / 16.0)) * 1000000) AS BIGINT)
+         AS entropy_micro,
+       CAST(COUNT(*) AS INT) AS distinct_bytes
+FROM counts
+GROUP BY doc_id, media_type, k
+"""
 
 
 # ------------------------------------------- multimodal_frame_sample
@@ -308,5 +378,7 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_metadata": _METADATA_SQL,
+    "multimodal_chunk": _CHUNK_SQL,
+    "multimodal_feature_extract": _FEATURE_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
 }
