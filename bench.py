@@ -44,6 +44,40 @@ HEADLINE = [
 ]
 
 
+def bench_sink_compaction(spark, sf_dir: str) -> float:
+    """Time the OPTIMIZE FINAL analog over a 4-micro-batch fixture:
+    4 streaming appends leave ≥4 files per month partition; the timed
+    region is the partition-parallel compaction rewrite. A 100 TB
+    deployment lives and dies on compaction throughput, so it is
+    tracked round-over-round alongside the query set (setup writes
+    are untimed)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.sinks.mergetree import (
+        optimize_mergetree,
+        write_mergetree,
+    )
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    root = tempfile.mkdtemp(prefix="bench_mt_")
+    out = os.path.join(root, "events_mt")
+    e = table(spark, sf_dir, "events").select(
+        F.col("ts").alias("time"), "event_id", "event_type", "value"
+    )
+    for i in range(4):
+        write_mergetree(e.where(F.col("event_id") % 4 == i), out, mode="append")
+    t0 = time.perf_counter()
+    stats = optimize_mergetree(spark, out)
+    dt = time.perf_counter() - t0
+    assert stats and glob.glob(f"{out}/yyyymm=*"), "compaction fixture empty"
+    shutil.rmtree(root, ignore_errors=True)
+    return round(dt, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -70,6 +104,7 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+    timings["sink_compaction"] = bench_sink_compaction(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

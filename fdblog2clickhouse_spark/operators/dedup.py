@@ -39,7 +39,6 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
-from ..session import scoped_shuffle_partitions
 from ..sources.tables import parquet_num_rows, table
 
 _N_PERM = 16
@@ -257,7 +256,12 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select("doc_id", F.expr(f"CAST({sh_expr} AS BIGINT)").alias("sh"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-verified SimHash pairs BEFORE the cross-band distinct:
+    a pair sharing k bands appears k times. dedup_simhash distincts
+    this; connected-components consumes it raw (duplicate edges don't
+    change connectivity, and the class-level distinct absorbs them) —
+    skipping a multi-million-row shuffle in the hot path."""
     # Cache the fingerprint table (doc_id + one BIGINT — tiny even at
     # 100 TB of input) so the hash pass runs once, not per join side.
     sim = _simhash_df(spark, sf_dir).cache()
@@ -287,8 +291,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").alias("hamming"),
         )
         .where(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()
     )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_candidates(spark, sf_dir).distinct()
 
 
 _SIMHASH_CTE = f"""
@@ -648,6 +655,16 @@ WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOU
 # --------------------------------------------- dedup_cluster_labels
 
 _MAX_CC_ITERS = 20
+# Below this many contracted class edges, finish CC with union-find
+# on the driver: the tail of a contraction loop is pure scheduler
+# latency (each distributed round costs several stage barriers to
+# shrink a graph that already fits in one task). 500k edges is ~8 MB
+# collected — a bounded metadata collect, same tier as the dedup
+# block-grid sizing collect. At 100 TB the first contraction can
+# still leave billions of class edges; the distributed rounds below
+# handle that, and every round re-checks the (already-collected)
+# count for cutover.
+_DRIVER_CC_EDGES = 500_000
 
 
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,112 +675,159 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contraction CC (the textbook distributed shape): ONE pass over the
     doc-level edge list assigns each vertex min(self, min neighbor),
     then the graph is CONTRACTED to edges between label classes —
-    orders of magnitude smaller — and min-label propagation iterates
-    on that, with each round's relabel map composed with itself once
-    (pointer doubling) to collapse label chains in O(log) rounds.
-    Corpus-scale data is touched exactly twice (initial labeling +
-    contraction); every later round shuffles only the shrinking class
-    graph. The driver loop collects ONE scalar (the remaining
-    cross-class edge count) per round.
+    orders of magnitude smaller, normalized to a single (min, max)
+    orientation so every downstream shuffle moves half the rows. The
+    class graph then resolves via min-label propagation with pointer
+    doubling (O(log) rounds), except that once the edge count drops
+    under `_DRIVER_CC_EDGES` the remaining rounds collapse into one
+    union-find on the driver — the per-round relabel maps (lazy,
+    class-scale) compose onto the corpus label table in a single
+    broadcast-join pass at the end. Corpus-scale data is touched
+    exactly twice before the final join (initial labeling +
+    contraction); the driver loop collects ONE scalar per round.
 
     Oracle: DuckDB recursive-CTE transitive closure, min reachable id.
     """
-    # localCheckpoint (not cache): iterative plans must TRUNCATE
-    # lineage each round, or round N's plan embeds N copies of the
-    # whole upstream DAG and the driver OOMs just materializing it.
-    # Both edge orientations come from ONE posexplode pass so the
-    # SimHash band join runs once, then one checkpoint materializes
-    # the symmetric edge list.
-    pairs = dedup_simhash(spark, sf_dir).select("da", "db")
-    sym = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("da").alias("src"), F.col("db").alias("dst")),
-                    F.struct(F.col("db").alias("src"), F.col("da").alias("dst")),
-                )
-            ).alias("e")
+    # localCheckpoint (not cache): iterative/multi-probe plans must
+    # TRUNCATE lineage, or every reuse recomputes the SimHash band
+    # join and round N's plan embeds N copies of the upstream DAG.
+    # The pair list is checkpointed in its single (da < db)
+    # orientation; both orientations are derived lazily below (a
+    # cheap scan of cached blocks beats materializing 2x the rows).
+    # Candidates are consumed WITHOUT the cross-band distinct —
+    # duplicate edges don't change connectivity (labels take min,
+    # class edges have their own distinct), and skipping it removes
+    # a full shuffle of the candidate set from this operator.
+    pairs = _simhash_candidates(spark, sf_dir).select("da", "db").localCheckpoint()
+    sym = pairs.select(
+        F.col("da").alias("src"), F.col("db").alias("dst")
+    ).union(pairs.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+
+    # Pass 1 (corpus-scale): label = min(self, min neighbor).
+    # Isolated docs never enter the loop; they rejoin at the end.
+    # Shuffle width is the session default — AQE coalesces the small
+    # post-shuffle partitions, so no manual sizing (or its count job)
+    # is needed.
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
         )
-        .select("e.src", "e.dst")
         .localCheckpoint()
     )
-    # The loop's working set is the near-dup edge list — orders of
-    # magnitude smaller than the corpus — so inheriting the session's
-    # corpus-sized shuffle width would pay (rounds × stages × width)
-    # in fixed task overhead. Size the loop to the edge count; the
-    # same formula fans out on a billion-edge graph.
-    parts = max(1, min(32, sym.count() // 2_000_000 + 1))
-    with scoped_shuffle_partitions(spark, parts):
-        # Pass 1 (corpus-scale): label = min(self, min neighbor).
-        # Isolated docs never enter the loop; they rejoin at the end.
-        labels = (
-            sym.groupBy("src")
-            .agg(F.min("dst").alias("mn"))
-            .select(
-                F.col("src").alias("doc_id"),
-                F.least(F.col("src"), F.col("mn")).alias("label"),
-            )
-            .localCheckpoint()
+    # Pass 2 (corpus-scale): contract to edges between label classes,
+    # normalized to min/max orientation (halves the class graph vs
+    # keeping both directions). The label table is tiny relative to
+    # the edges, so AQE broadcasts it into both probes; at cluster
+    # scale this degrades gracefully to a hash join on the same keys.
+    la = labels.select(F.col("doc_id").alias("da"), F.col("label").alias("a"))
+    lb = labels.select(F.col("doc_id").alias("db"), F.col("label").alias("b"))
+    ledges = (
+        pairs.join(la, "da")
+        .join(lb, "db")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
         )
-        # Pass 2 (corpus-scale): contract to edges between label
-        # classes. The label table is tiny relative to the edges, so
-        # AQE broadcasts it into both probes; at cluster scale this
-        # degrades gracefully to a hash join on the same keys.
-        la = labels.select(F.col("doc_id").alias("src"), F.col("label").alias("a"))
-        lb = labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # The loop touches ONLY the class graph: one localCheckpoint (the
+    # contracted edge list) plus one count over its cached partitions
+    # per round — the corpus-scale label table is NOT rejoined
+    # in-loop. Each round's relabel map stays lazy (its subplans
+    # anchor on the checkpointed ledges, so re-evaluation is a small
+    # reused-exchange shuffle, not a corpus recompute) and the maps
+    # compose onto `labels` once after the loop.
+    relabel_maps = []
+    for _ in range(_MAX_CC_ITERS):
+        n_edges = ledges.count()
+        if n_edges == 0:
+            break
+        if n_edges <= _DRIVER_CC_EDGES:
+            # Finish the tail locally: union-find with min-id roots
+            # over the contracted class graph. One bounded collect
+            # replaces ~log(chain) distributed rounds of pure
+            # scheduler latency.
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in ledges.collect():
+                ra, rb = find(row["a"]), find(row["b"])
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            m_rows = [(x, find(x)) for x in list(parent)]
+            m_rows = [(x, r) for x, r in m_rows if x != r]
+            if m_rows:
+                relabel_maps.append(
+                    spark.createDataFrame(
+                        pd.DataFrame(m_rows, columns=["a", "na"])
+                    )
+                )
+            break
+        lsym = ledges.select("a", "b").union(
+            ledges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = (
+            lsym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least(F.col("a"), F.col("mb")).alias("na"))
+        )
+        # Pointer doubling: compose the relabel map with itself so a
+        # chain of classes halves every round instead of shrinking by
+        # one.
+        m = (
+            m.alias("x")
+            .join(m.alias("y"), F.col("x.na") == F.col("y.a"), "left")
+            .select(
+                F.col("x.a").alias("a"),
+                F.coalesce(F.col("y.na"), F.col("x.na")).alias("na"),
+            )
+        )
+        relabel_maps.append(m)
+        ma = m.select(F.col("a").alias("_a"), F.col("na").alias("new_a"))
+        mb = m.select(F.col("a").alias("_b"), F.col("na").alias("new_b"))
         ledges = (
-            sym.join(la, "src")
-            .join(lb, "dst")
+            ledges.join(ma, ledges.a == ma._a, "left")
+            .join(mb, ledges.b == mb._b, "left")
+            .select(
+                F.least(
+                    F.coalesce(F.col("new_a"), F.col("a")),
+                    F.coalesce(F.col("new_b"), F.col("b")),
+                ).alias("a"),
+                F.greatest(
+                    F.coalesce(F.col("new_a"), F.col("a")),
+                    F.coalesce(F.col("new_b"), F.col("b")),
+                ).alias("b"),
+            )
             .where(F.col("a") != F.col("b"))
-            .select("a", "b")
             .distinct()
             .localCheckpoint()
         )
 
-        for _ in range(_MAX_CC_ITERS):
-            if ledges.count() == 0:
-                break
-            lsym = ledges.select("a", "b").union(
-                ledges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            )
-            m = (
-                lsym.groupBy("a")
-                .agg(F.min("b").alias("mb"))
-                .select("a", F.least(F.col("a"), F.col("mb")).alias("na"))
-            )
-            # Pointer doubling: compose the relabel map with itself so
-            # a chain of classes halves every round instead of
-            # shrinking by one.
-            m = (
-                m.alias("x")
-                .join(m.alias("y"), F.col("x.na") == F.col("y.a"), "left")
-                .select(
-                    F.col("x.a").alias("a"),
-                    F.coalesce(F.col("y.na"), F.col("x.na")).alias("na"),
-                )
-                .localCheckpoint()
-            )
-            labels = (
-                labels.join(m, labels.label == m.a, "left")
-                .select(
-                    "doc_id",
-                    F.coalesce(F.col("na"), F.col("label")).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            ma = m.select(F.col("a").alias("_a"), F.col("na").alias("new_a"))
-            mb = m.select(F.col("a").alias("_b"), F.col("na").alias("new_b"))
-            ledges = (
-                ledges.join(ma, ledges.a == ma._a, "left")
-                .join(mb, ledges.b == mb._b, "left")
-                .select(
-                    F.coalesce(F.col("new_a"), F.col("a")).alias("a"),
-                    F.coalesce(F.col("new_b"), F.col("b")).alias("b"),
-                )
-                .where(F.col("a") != F.col("b"))
-                .distinct()
-                .localCheckpoint()
-            )
+    # Apply the composed class-relabel chain to the corpus-scale
+    # label table in ONE pass. Every map is class-graph-sized; AQE's
+    # runtime stats (fed by the checkpointed ledges) turn these into
+    # broadcast joins, so the corpus never reshuffles.
+    for m in relabel_maps:
+        labels = labels.join(m, labels.label == m.a, "left").select(
+            "doc_id",
+            F.coalesce(F.col("na"), F.col("label")).alias("label"),
+        )
 
     d = table(spark, sf_dir, "documents")
     return (

@@ -18,7 +18,7 @@ def test_metadata_oracle_parity(spark, sf_oracle):
 
 def test_chunker_reassembles(spark, sf_smoke):
     """Chunks must reassemble exactly into the payload (Arrow round-trip
-    fidelity for binary columns)."""
+    fidelity for binary columns; chunks travel as lossless hex)."""
     payloads = {
         r["doc_id"]: bytes(r["payload"])
         for r in multimodal.with_payload(spark, sf_smoke).collect()
@@ -30,9 +30,14 @@ def test_chunker_reassembles(spark, sf_smoke):
     assert set(by_doc) == set(payloads)
     for doc_id, rows in by_doc.items():
         rows.sort(key=lambda r: r["chunk_idx"])
-        joined = b"".join(bytes(r["chunk"]) for r in rows)
+        joined = b"".join(bytes.fromhex(r["chunk_hex"]) for r in rows)
         assert joined == payloads[doc_id]
-        assert all(r["chunk_len"] == len(bytes(r["chunk"])) for r in rows)
+        assert all(r["chunk_len"] == len(bytes.fromhex(r["chunk_hex"])) for r in rows)
+
+
+def test_chunk_oracle_parity(spark, sf_oracle):
+    df = multimodal.multimodal_chunk(spark, sf_oracle)
+    compare(df, multimodal.ORACLE["multimodal_chunk"], sf_oracle)
 
 
 def test_payload_checksum_is_real_md5(spark, sf_smoke):
@@ -72,8 +77,13 @@ def test_feature_extract_matches_python_reference(spark, sf_smoke):
         for x in b:
             counts[x] = counts.get(x, 0) + 1
         ent = -sum((c / len(b)) * math.log2(c / len(b)) for c in counts.values())
-        assert r["byte_entropy"] == pytest.approx(ent)
+        assert r["entropy_micro"] == math.floor(ent * 1_000_000)
         assert r["distinct_bytes"] == len(counts)
+
+
+def test_feature_extract_oracle_parity(spark, sf_oracle):
+    df = multimodal.multimodal_feature_extract(spark, sf_oracle)
+    compare(df, multimodal.ORACLE["multimodal_feature_extract"], sf_oracle)
 
 
 def test_decode_is_stubbed():
