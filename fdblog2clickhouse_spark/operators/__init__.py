@@ -28,9 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 # §2.3 dedup ops (dedup_simhash is indirectly re-proved by
 # r5-green dedup_cluster_labels, which consumes it). Exactly 50.
 _FRONT_WINDOW = [
-    # §2.6 multimodal (4) — chunk/feature_extract rewritten post-r5-run
+    # §2.6 multimodal (5) — chunk/feature_extract rewritten post-r5-run;
+    # multimodal_decode is new in round 6 (real BMP decode path)
     "multimodal_chunk", "multimodal_feature_extract",
-    "multimodal_metadata", "multimodal_frame_sample",
+    "multimodal_metadata", "multimodal_frame_sample", "multimodal_decode",
     # §2.2 TPC-H + OLAP (28) — last driver row r3/r4
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
@@ -43,8 +44,10 @@ _FRONT_WINDOW = [
     "doc_fingerprint", "doc_stats_by_lang", "token_histogram",
     "corpus_select", "quality_repetition", "pii_detect", "doc_top_terms",
     "bpe_pair_stats", "source_dup_inflation", "lang_confusion_metrics",
-    # §2.3 unrewritten dedup (5) — last driver row r3
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    # §2.3 unrewritten dedup (4) — last driver row r3 (dedup_exact
+    # yields its slot to multimodal_decode: single-shuffle hash
+    # groupBy, the least drift-prone op in the family)
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "embedding_neardup", "chunk_dedup",
 ]
 

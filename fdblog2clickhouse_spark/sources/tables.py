@@ -114,26 +114,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream source requires an explicit schema, and forcing `ts long`
     over a µs-encoded file reads raw µs as long with no error, then
     any nanos→µs conversion silently shrinks every timestamp 1000×.
-    Branching on the on-disk dtype here keeps stream and batch reads
-    byte-identical (asserted by tests/test_source_canary.py)."""
+
+    The stream schema is DERIVED from the file footer (the same
+    schema the batch reader infers, including the nanos-as-long
+    branch), never hard-coded: if the driver regenerates
+    events.parquet with an added or renamed column, a hard-coded
+    list would stream silent nulls for it while batch reads real
+    values. Deriving keeps stream and batch byte-identical across
+    ALL columns (asserted by tests/test_source_canary.py)."""
     from pyspark.sql import functions as F
 
-    if events_ts_kind(sf_dir) == "nanos":
+    kind = events_ts_kind(sf_dir)
+    if kind == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, value double, props string"
-            )
-            .parquet(f"{sf_dir}/events*.parquet")  # glob: file source needs a dir/glob
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
-    return (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-        )
-        .parquet(f"{sf_dir}/events*.parquet")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events*.parquet"  # glob: file source needs a dir/glob
     )
+    if kind == "nanos":
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

@@ -86,9 +86,47 @@ def test_feature_extract_oracle_parity(spark, sf_oracle):
     compare(df, multimodal.ORACLE["multimodal_feature_extract"], sf_oracle)
 
 
-def test_decode_is_stubbed():
+def test_decode_is_stubbed_for_non_bmp():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x00" * 16)
+        multimodal.decode_image(b"\x00" * 64)
+
+
+def test_decode_bmp_real_values():
+    """The codec-free BMP branch must recover exactly what a
+    hand-assembled BMP encodes — header fields AND pixel bytes."""
+    pixels = bytes(range(12))  # one 4px 24-bpp row, no padding needed
+    payload = (
+        b"BM"
+        + (54 + 12).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (4).to_bytes(4, "little", signed=True)   # width 4 → row 12 bytes
+        + (1).to_bytes(4, "little", signed=True)   # height 1
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (12).to_bytes(4, "little")
+        + b"\x00" * 16
+        + pixels
+    )
+    d = multimodal.decode_image(payload)
+    assert d["format"] == "bmp"
+    assert (d["width"], d["height"], d["bpp"]) == (4, 1, 24)
+    assert d["n_pixel_bytes"] == 12
+    assert d["pixels"] == pixels
+
+
+def test_decode_bmp_rejects_compressed():
+    payload = bytearray(multimodal._bmp_bytes(0, "x"))
+    payload[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(payload))
+
+
+def test_decode_oracle_parity(spark, sf_oracle):
+    df = multimodal.multimodal_decode(spark, sf_oracle)
+    compare(df, multimodal.ORACLE["multimodal_decode"], sf_oracle)
 
 
 def test_frame_sample_oracle_parity(spark, sf_oracle):

@@ -53,3 +53,30 @@ def test_stream_and_batch_events_agree(spark, sf_smoke):
     )
     got = _summary(streamed)
     assert got == batch
+
+
+def _row_checksum(df):
+    """Order-free whole-row checksum over ALL columns (everything
+    stringified through the same cast path on both sides)."""
+    concat = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in sorted(df.columns)]
+    )
+    return df.select(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(concat)).alias("crc_sum"),
+    ).collect()[0]
+
+
+def test_stream_and_batch_events_agree_all_columns(spark, sf_smoke):
+    """The stream schema is derived from the parquet footer, so a
+    regenerated events.parquet with an added/renamed column must
+    surface identically in both paths — a hard-coded stream schema
+    would yield silent nulls for the new column while batch reads
+    real values. Schema equality + full-row checksum catch that."""
+    b = table(spark, sf_smoke, "events")
+    s = events_stream(spark, sf_smoke)
+    assert [(f.name, f.dataType) for f in s.schema.fields] == [
+        (f.name, f.dataType) for f in b.schema.fields
+    ]
+    streamed = _run_to_memory(spark, s, "events_canary_full", "append")
+    assert _row_checksum(streamed) == _row_checksum(b)
