@@ -417,31 +417,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = d.select(
         "doc_id", "lang", norm_text(F.col("text")).alias("nt")
     ).where(F.length("nt") >= 5)
-    grams = nt.select(
-        "doc_id", "lang", F.explode(F.expr(char_ngrams_expr("nt", 5))).alias("g")
-    ).distinct()
+    # Fan out the normalized TEXT, not exploded gram rows: one row
+    # per (doc, block-group) instead of ~300, so the applyInPandas
+    # shuffle moves document strings (~10 MB at sf0.1) rather than a
+    # 1.5M-row gram table, and the JVM-side substring explode (the
+    # single most expensive stage of the old plan) disappears.
+    # Grams are generated inside the block worker: Python slicing is
+    # code-point based exactly like SQL substr, so the gram sets —
+    # and therefore every score — are unchanged.
+    fanout = _lang_block_fanout(spark, d, nt, "nt", _JACCARD_BLOCK_DOCS)
 
-    fanout = _lang_block_fanout(spark, d, grams, "g", _JACCARD_BLOCK_DOCS)
-
-    def _binmat(sub: pd.DataFrame, vocab_index: dict):
-        doc_ids, di = np.unique(sub["doc_id"].to_numpy(np.int64), return_inverse=True)
-        gi = sub["g"].map(vocab_index).to_numpy(np.int64)
-        m = np.zeros((len(doc_ids), len(vocab_index)), dtype=np.float32)
-        m[di, gi] = 1.0
-        return doc_ids, m, m.sum(axis=1).astype(np.int64)
+    def _gram_matrix(texts, n: int = 5):
+        """docs × vocab 0/1 matrix from raw strings: per-doc DISTINCT
+        n-grams → factorize (one vectorized pass) → idempotent cell
+        assignment. Row sums are exact set sizes."""
+        all_grams: list = []
+        row_idx: list = []
+        for j, s in enumerate(texts):
+            gs = {s[i : i + n] for i in range(len(s) - n + 1)}
+            all_grams.extend(gs)
+            row_idx.extend([j] * len(gs))
+        codes, uniq = pd.factorize(np.asarray(all_grams, dtype=object))
+        m = np.zeros((len(texts), len(uniq)), dtype=np.float32)
+        m[np.asarray(row_idx, dtype=np.int64), codes] = 1.0
+        return m, uniq
 
     def jaccard_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        a = pdf[pdf["role"] == "a"]
-        b = pdf[pdf["role"] == "b"]
         diag = key[1] == key[2]
-        if a.empty or (not diag and b.empty):
+        a_mask = (pdf["role"] == "a").to_numpy()
+        if not a_mask.any() or (not diag and a_mask.all()):
             return pd.DataFrame({"da": [], "db": [], "jaccard": []})
-        vocab = {g: i for i, g in enumerate(np.unique(pdf["g"].to_numpy()))}
-        da_ids, am, asz = _binmat(a, vocab)
+        # one row per doc per role — dedupe roles, build one joint
+        # matrix so both sides share a vocabulary
+        m, _ = _gram_matrix(pdf["nt"].tolist())
+        sz = m.sum(axis=1).astype(np.int64)
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        a_rows = np.nonzero(a_mask)[0]
+        order = np.argsort(docs[a_rows])
+        a_rows = a_rows[order]
+        da_ids, am, asz = docs[a_rows], m[a_rows], sz[a_rows]
         if diag:
             db_ids, bm, bsz = da_ids, am, asz
         else:
-            db_ids, bm, bsz = _binmat(b, vocab)
+            b_rows = np.nonzero(~a_mask)[0]
+            order = np.argsort(docs[b_rows])
+            b_rows = b_rows[order]
+            db_ids, bm, bsz = docs[b_rows], m[b_rows], sz[b_rows]
         out = {"da": [], "db": [], "jaccard": []}
         chunk = max(1, (64 << 20) // max(len(db_ids) * 4, 1))
         for lo in range(0, len(da_ids), chunk):
@@ -888,30 +909,32 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "lang", tokens(F.col("text")).alias("t")
     ).where(F.size("t") >= 3)
+    # no corpus-wide distinct: the 0/1 assignment is idempotent under
+    # duplicate (doc, shingle) rows (see dedup_ngram_jaccard)
     sh = t.select(
         "doc_id", "lang", F.explode(F.expr(shingles_expr("t", 3))).alias("s")
-    ).distinct()
+    )
     fanout = _lang_block_fanout(spark, d, sh, "s", _JACCARD_BLOCK_DOCS)
 
-    def _binmat(sub: pd.DataFrame, vocab_index: dict):
-        doc_ids, di = np.unique(sub["doc_id"].to_numpy(np.int64), return_inverse=True)
-        si = sub["s"].map(vocab_index).to_numpy(np.int64)
-        m = np.zeros((len(doc_ids), len(vocab_index)), dtype=np.float32)
-        m[di, si] = 1.0
+    def _binmat(doc_col, si, nvocab: int):
+        doc_ids, di = np.unique(doc_col, return_inverse=True)
+        m = np.zeros((len(doc_ids), nvocab), dtype=np.float32)
+        m[di, si] = 1.0  # idempotent under duplicate (doc, shingle) rows
         return doc_ids, m, m.sum(axis=1).astype(np.int64)
 
     def containment_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        a = pdf[pdf["role"] == "a"]
-        b = pdf[pdf["role"] == "b"]
         diag = key[1] == key[2]
-        if a.empty or (not diag and b.empty):
+        a_mask = (pdf["role"] == "a").to_numpy()
+        if not a_mask.any() or (not diag and a_mask.all()):
             return pd.DataFrame({"da": [], "db": [], "containment": []})
-        vocab = {s: i for i, s in enumerate(np.unique(pdf["s"].to_numpy()))}
-        da_ids, am, asz = _binmat(a, vocab)
+        si, _ = pd.factorize(pdf["s"])
+        nvocab = int(si.max()) + 1
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        da_ids, am, asz = _binmat(docs[a_mask], si[a_mask], nvocab)
         if diag:
             db_ids, bm, bsz = da_ids, am, asz
         else:
-            db_ids, bm, bsz = _binmat(b, vocab)
+            db_ids, bm, bsz = _binmat(docs[~a_mask], si[~a_mask], nvocab)
         out = {"da": [], "db": [], "containment": []}
         chunk = max(1, (64 << 20) // max(len(db_ids) * 4, 1))
         for lo in range(0, len(da_ids), chunk):
