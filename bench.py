@@ -41,6 +41,11 @@ HEADLINE = [
     "dedup_cluster_labels",
     "ann_ivf_topk",
     "streaming_view_purchase_join",
+    # 100 TB-critical scale paths with no prior timing history
+    # (VERDICT r6 item #7): the LSH ANN index probe and the
+    # broadcast-semi-join decontamination pass
+    "ann_lsh_topk",
+    "benchmark_decontam",
 ]
 
 
@@ -104,7 +109,11 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
-    timings["sink_compaction"] = bench_sink_compaction(spark, sf_dir)
+    # sink_compaction is reported OUTSIDE the summed query timings:
+    # folding it into `total` (as round 6 briefly did) shifts the
+    # headline number and breaks round-over-round comparability of
+    # the query total.
+    aux = {"sink_compaction": bench_sink_compaction(spark, sf_dir)}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -113,6 +122,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "aux": aux,
                 # headline composition grew in round 2 (ngram/neardup
                 # added after their BLAS rewrites) — n disambiguates
                 # cross-round totals.

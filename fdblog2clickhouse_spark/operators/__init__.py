@@ -19,36 +19,49 @@ from pyspark.sql import DataFrame, SparkSession
 # entries of queries() (observed in rounds 2-3: exactly the first 50
 # registered got CORRECTNESS rows). So registration order is the
 # verification window, rotated each round toward operators that most
-# need a fresh driver row. Round-6 window (VERDICT r5 items #2/#5):
-# the 2 multimodal ops upgraded to oracle form after the r5 driver
-# run (first driver row for the new schema), the other 2 multimodal
-# ops for re-cover, then the stalest greens — all 28 §2.2 TPC-H ops
-# and all 13 §2.5 textops (no driver row since r3; files unchanged
-# but the window exists to re-prove), and 5 of the 7 unrewritten
-# §2.3 dedup ops (dedup_simhash is indirectly re-proved by
-# r5-green dedup_cluster_labels, which consumes it). Exactly 50.
+# need a fresh driver row.
+#
+# WINDOW POLICY (adopted round 7, per VERDICT r6 "What's wrong" #1):
+#   window = {every op whose implementing file changed since its last
+#             driver row, changed code FIRST} ∪ {stalest greens},
+#   in that order. Code rewritten this round is never left to a
+#   local-pytest-only check when a driver slot exists for it.
+#
+# Round-7 window (VERDICT r6 item #1): the 3 dedup ops rewritten/
+# touched in r6 after their last driver row, then multimodal_decode
+# (gains PPM/TGA formats this round) and the two trace-ingest ops
+# (gain .gz ingestion this round), then every op with no driver row
+# since r3 (all 14 §2.4 similarity, all 5 §2.9 curation,
+# dedup_exact + neardup_keep_best), then the stalest r5 greens
+# (streaming, sketches, §2.1 sequence). Exactly 50.
 _FRONT_WINDOW = [
-    # §2.6 multimodal (5) — chunk/feature_extract rewritten post-r5-run;
-    # multimodal_decode is new in round 6 (real BMP decode path)
-    "multimodal_chunk", "multimodal_feature_extract",
-    "multimodal_metadata", "multimodal_frame_sample", "multimodal_decode",
-    # §2.2 TPC-H + OLAP (28) — last driver row r3/r4
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "customer_rfm", "market_basket_pairs", "nation_activity_fullouter",
-    "orders_percent_rank", "nation_yoy_growth", "brand_revenue_share",
-    # §2.5 text analysis (13) — last driver row r3
-    "token_count", "text_quality_score", "lang_id_ngram",
-    "doc_fingerprint", "doc_stats_by_lang", "token_histogram",
-    "corpus_select", "quality_repetition", "pii_detect", "doc_top_terms",
-    "bpe_pair_stats", "source_dup_inflation", "lang_confusion_metrics",
-    # §2.3 unrewritten dedup (4) — last driver row r3 (dedup_exact
-    # yields its slot to multimodal_decode: single-shuffle hash
-    # groupBy, the least drift-prone op in the family)
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "embedding_neardup", "chunk_dedup",
+    # changed-in-r6-after-last-row (3) + changing-this-round (3)
+    "dedup_cluster_labels", "dedup_simhash", "dedup_containment",
+    "multimodal_decode", "streaming_trace_ingest", "trace_json_batch_ingest",
+    # §2.4 similarity (14) — last driver row r3/r4
+    "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_norm_stats", "embedding_centroids", "stratified_sample",
+    "knn_classify", "ann_pq_topk", "embedding_kmeans",
+    "cluster_balanced_sample", "doc_lang_kmeans", "ann_recall_eval",
+    "ann_radius_count", "embedding_covariance",
+    # §2.9 curation (5) — last driver row r3
+    "benchmark_decontam", "domain_mixture_sample", "token_collocations",
+    "quality_filter_funnel", "doc_length_histogram",
+    # §2.3 dedup with no row since r3 (2)
+    "dedup_exact", "neardup_keep_best",
+    # stalest r5 greens — §2.7 streaming remainder (8)
+    "streaming_windowed_counts", "streaming_sessionize",
+    "streaming_stateful_error_count", "streaming_dedup_events",
+    "streaming_rollup_ingest", "streaming_upsert_ingest",
+    "streaming_view_purchase_join", "streaming_hll_rollup",
+    # §2.1 sketches (5) — last driver row r5
+    "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
+    "minute_anomaly_zscore", "value_quantile_hist",
+    # §2.1 sequence + complex trace ops (10) — last driver row r5
+    "funnel_conversion", "user_path_transitions", "events_pivot_usertype",
+    "events_sliding_windows", "max_concurrent_events", "user_value_deltas",
+    "events_moving_avg", "funnel_windowed",
+    "events_asof_join", "events_range_join",
 ]
 
 

@@ -60,15 +60,29 @@ def decode_image(payload: bytes) -> dict:
         if compression != 0:
             raise NotImplementedError("compressed BMP requires a codec")
         pixel_offset = int.from_bytes(payload[10:14], "little")
+        # Header fields are untrusted: validate against the actual
+        # payload before returning, so a truncated/malformed 'BM'
+        # buffer raises instead of yielding an inconsistent dict
+        # (n_pixel_bytes != len(pixels)).
+        if width <= 0:
+            raise ValueError(f"BMP declares non-positive width {width}")
+        if not 54 <= pixel_offset <= len(payload):
+            raise ValueError(f"BMP pixel offset {pixel_offset} outside payload")
         # rows are padded to 4-byte boundaries
         row_bytes = ((width * bpp + 31) // 32) * 4
+        n_pixel_bytes = row_bytes * abs(height)
+        if len(payload) - pixel_offset < n_pixel_bytes:
+            raise ValueError(
+                f"BMP declares {n_pixel_bytes} raster bytes but only "
+                f"{len(payload) - pixel_offset} present after offset"
+            )
         return {
             "format": "bmp",
             "width": width,
             "height": abs(height),
             "bpp": bpp,
-            "n_pixel_bytes": row_bytes * abs(height),
-            "pixels": payload[pixel_offset:],
+            "n_pixel_bytes": n_pixel_bytes,
+            "pixels": payload[pixel_offset : pixel_offset + n_pixel_bytes],
         }
     if not HAVE_IMAGE_DECODER:
         raise NotImplementedError(

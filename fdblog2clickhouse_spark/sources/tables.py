@@ -127,10 +127,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = events_ts_kind(sf_dir)
     if kind == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(
-        f"{sf_dir}/events*.parquet"  # glob: file source needs a dir/glob
-    )
+    # Schema comes from the SAME glob the stream reads: if a second
+    # events*.parquet file ever appears with an extra/renamed column,
+    # a single-file schema would silently null-fill it in the stream —
+    # the exact failure this derivation exists to prevent.
+    glob = f"{sf_dir}/events*.parquet"  # file source needs a dir/glob
+    raw_schema = spark.read.parquet(glob).schema
+    stream = spark.readStream.schema(raw_schema).parquet(glob)
     if kind == "nanos":
         return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -251,11 +251,19 @@ def test_no_unbounded_driver_collect():
                 continue
             if ".collect(" in code or ".toPandas(" in code or ".toLocalIterator(" in code:
                 offenders.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+    # Allowlist pinned to the EXACT stripped source line (not a
+    # substring): a new collect site in dedup.py that merely mentions
+    # 'n_docs' or 'ledges' must NOT slip through — it has to be one of
+    # these two audited, bounded-by-construction statements verbatim.
+    _ALLOWED_LINES = {
+        'd.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()',
+        "for row in ledges.collect():",
+    }
     allowed = [
         o
         for o in offenders
         if "operators/dedup.py" in o
-        and ("n_docs" in o or "ledges.collect()" in o)
+        and o.split(": ", 1)[1].strip() in _ALLOWED_LINES
     ]
     assert offenders == allowed, (
         "unbounded driver collect in operator code:\n" + "\n".join(offenders)
