@@ -26,6 +26,8 @@ quantized to integers so dot products are exact and order-free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -257,11 +259,14 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-verified SimHash pairs BEFORE the cross-band distinct:
-    a pair sharing k bands appears k times. dedup_simhash distincts
-    this; connected-components consumes it raw (duplicate edges don't
-    change connectivity, and the class-level distinct absorbs them) —
-    skipping a multi-million-row shuffle in the hot path."""
+    """Hamming-verified SimHash pairs, PAIR-DISTINCT BY CONSTRUCTION
+    with no distinct shuffle: each pair is emitted only from its FIRST
+    shared band (for every earlier band the 8-bit bytes must differ —
+    a per-row bit test on the two fingerprints already present in the
+    joined row). Without this, a pair sharing k bands appears k times
+    (~2.4× inflation measured at sf0.1) and either every consumer
+    re-shuffles a distinct or every downstream shuffle carries the
+    duplicates."""
     # Cache the fingerprint table (doc_id + one BIGINT — tiny even at
     # 100 TB of input) so the hash pass runs once, not per join side.
     sim = _simhash_df(spark, sf_dir).cache()
@@ -274,10 +279,19 @@ def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sh", F.posexplode(band_vals).alias("band", "band_val")
     )
     a, b_ = bands.alias("a"), bands.alias("b")
-    # Apply the Hamming filter BEFORE the cross-band distinct: the
-    # filter is a per-row bit op, the distinct is a shuffle — cutting
-    # its input ~3x (measured) is pure win and the result set is
-    # unchanged (hamming is a function of the pair).
+    # First-shared-band gate: for every band j earlier than the one
+    # this row matched on, the fingerprints' j-th bytes must differ.
+    # Whole-stage-codegen-friendly unrolled booleans, zero shuffle.
+    first_band = F.expr(
+        " AND ".join(
+            f"(a.band <= {j} OR (shiftright(a.sh, {8 * j}) & 255) != "
+            f"(shiftright(b.sh, {8 * j}) & 255))"
+            for j in range(_SIMHASH_BANDS - 1)
+        )
+    )
+    # The Hamming filter is likewise a per-row bit op applied before
+    # anything shuffles; the result set is unchanged (hamming is a
+    # function of the pair).
     return (
         a.join(
             b_,
@@ -285,6 +299,7 @@ def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(first_band)
         .select(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),
@@ -295,7 +310,10 @@ def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash_candidates(spark, sf_dir).distinct()
+    # No .distinct(): the first-shared-band gate in the candidate
+    # stream already makes rows pair-unique, so the old cross-band
+    # distinct would be a pure multi-million-row shuffle for nothing.
+    return _simhash_candidates(spark, sf_dir)
 
 
 _SIMHASH_CTE = f"""
@@ -676,16 +694,54 @@ WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOU
 # --------------------------------------------- dedup_cluster_labels
 
 _MAX_CC_ITERS = 20
-# Below this many contracted class edges, finish CC with union-find
-# on the driver: the tail of a contraction loop is pure scheduler
-# latency (each distributed round costs several stage barriers to
-# shrink a graph that already fits in one task). 500k edges is ~8 MB
-# collected — a bounded metadata collect, same tier as the dedup
-# block-grid sizing collect. At 100 TB the first contraction can
-# still leave billions of class edges; the distributed rounds below
-# handle that, and every round re-checks the (already-collected)
-# count for cutover.
+# Below this many edges, finish CC with union-find on the driver: the
+# tail of a contraction loop is pure scheduler latency (each
+# distributed round costs several stage barriers to shrink a graph
+# that already fits in one task). 500k edges is ~8 MB collected — a
+# bounded metadata collect, same tier as the dedup block-grid sizing
+# collect. The gate is checked against the RAW candidate pair count
+# first (small corpora skip the corpus labeling + contraction passes
+# entirely) and then against every contracted class graph. At 100 TB
+# both counts exceed the gate and everything stays distributed.
 _DRIVER_CC_EDGES = 500_000
+
+# Lineage-truncation mode for the iterative CC plan. localCheckpoint
+# (default) pins partitions to executor block storage — right for
+# single-node and static clusters, but on a dynamic-allocation
+# cluster an executor decommission discards them mid-loop. Set
+# SPARK_GRAFT_CHECKPOINT=reliable (and configure
+# spark.sparkContext.setCheckpointDir) to write checkpoints to
+# cluster storage instead. See SCALE.md.
+_CHECKPOINT_MODE = os.environ.get("SPARK_GRAFT_CHECKPOINT", "local")
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    if _CHECKPOINT_MODE == "reliable":
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _driver_union_find(ledges: DataFrame) -> list[tuple[int, int]]:
+    """Union-find with min-id roots over a COUNT-GATED edge list (the
+    caller has proven ≤ _DRIVER_CC_EDGES rows ≈ 8 MB before calling).
+    Returns the non-identity relabel rows (node, root)."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in ledges.collect():
+        ra, rb = find(row["a"]), find(row["b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    m_rows = [(x, find(x)) for x in list(parent)]
+    return [(x, r) for x, r in m_rows if x != r]
 
 
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,17 +765,43 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB recursive-CTE transitive closure, min reachable id.
     """
-    # localCheckpoint (not cache): iterative/multi-probe plans must
+    # Checkpoint (not cache): iterative/multi-probe plans must
     # TRUNCATE lineage, or every reuse recomputes the SimHash band
     # join and round N's plan embeds N copies of the upstream DAG.
     # The pair list is checkpointed in its single (da < db)
     # orientation; both orientations are derived lazily below (a
     # cheap scan of cached blocks beats materializing 2x the rows).
-    # Candidates are consumed WITHOUT the cross-band distinct —
-    # duplicate edges don't change connectivity (labels take min,
-    # class edges have their own distinct), and skipping it removes
-    # a full shuffle of the candidate set from this operator.
-    pairs = _simhash_candidates(spark, sf_dir).select("da", "db").localCheckpoint()
+    # The candidate stream is pair-distinct by construction (first-
+    # shared-band gate in _simhash_candidates), so no distinct here.
+    pairs = _ckpt(_simhash_candidates(spark, sf_dir).select("da", "db"))
+
+    # Short-circuit: when the WHOLE candidate graph is already under
+    # the driver gate (small corpora, and the sf0.01 correctness
+    # tier), the corpus labeling + contraction passes would shuffle
+    # more rows than the gate allows collected — skip straight to
+    # union-find on the pairs themselves. The count scans cached
+    # checkpoint blocks (no recompute).
+    if pairs.count() <= _DRIVER_CC_EDGES:
+        import pandas as pd
+
+        m_rows = _driver_union_find(
+            pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
+        )
+        d = table(spark, sf_dir, "documents")
+        if not m_rows:
+            return d.select("doc_id", F.col("doc_id").alias("cluster"))
+        mdf = spark.createDataFrame(
+            pd.DataFrame(m_rows, columns=["doc_id", "label"])
+        )
+        return (
+            d.select("doc_id")
+            .join(F.broadcast(mdf), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster"),
+            )
+        )
+
     sym = pairs.select(
         F.col("da").alias("src"), F.col("db").alias("dst")
     ).union(pairs.select(F.col("db").alias("src"), F.col("da").alias("dst")))
@@ -736,8 +818,8 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("doc_id"),
             F.least(F.col("src"), F.col("mn")).alias("label"),
         )
-        .localCheckpoint()
     )
+    labels = _ckpt(labels)
     # Pass 2 (corpus-scale): contract to edges between label classes,
     # normalized to min/max orientation (halves the class graph vs
     # keeping both directions). The label table is tiny relative to
@@ -754,8 +836,8 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("a"), F.col("b")).alias("b"),
         )
         .distinct()
-        .localCheckpoint()
     )
+    ledges = _ckpt(ledges)
 
     # The loop touches ONLY the class graph: one localCheckpoint (the
     # contracted edge list) plus one count over its cached partitions
@@ -776,23 +858,7 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             # scheduler latency.
             import pandas as pd
 
-            parent: dict = {}
-
-            def find(x: int) -> int:
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = r, parent[x]
-                return r
-
-            for row in ledges.collect():
-                ra, rb = find(row["a"]), find(row["b"])
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            m_rows = [(x, find(x)) for x in list(parent)]
-            m_rows = [(x, r) for x, r in m_rows if x != r]
+            m_rows = _driver_union_find(ledges)
             if m_rows:
                 relabel_maps.append(
                     spark.createDataFrame(
@@ -837,8 +903,8 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
         )
+        ledges = _ckpt(ledges)
 
     # Apply the composed class-relabel chain to the corpus-scale
     # label table in ONE pass. Every map is class-graph-sized; AQE's

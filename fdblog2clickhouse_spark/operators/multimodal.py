@@ -46,12 +46,14 @@ _CHUNK_BYTES = 16
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload.
 
-    Uncompressed BMP is decoded for real — the BITMAPINFOHEADER is
-    pure little-endian byte arithmetic, no codec needed — so the
-    decode path is exercised end-to-end in this container. Every
-    other format requires an image library that is not baked in;
-    that branch is the declared STUB (the surrounding plumbing —
-    schema, batching, partitioning — is real either way)."""
+    Three uncompressed formats are decoded for real — BMP
+    (BITMAPINFOHEADER little-endian arithmetic), binary PNM
+    (P6/P5 ASCII header + raster), and uncompressed TGA (fixed
+    18-byte header) — so the decode path is exercised end-to-end in
+    this container with no codec. Compressed formats (JPEG/PNG/...)
+    require an image library that is not baked in; that branch is
+    the declared STUB (the surrounding plumbing — schema, batching,
+    partitioning — is real either way)."""
     if len(payload) >= 54 and payload[:2] == b"BM":
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = int.from_bytes(payload[22:26], "little", signed=True)
@@ -84,11 +86,101 @@ def decode_image(payload: bytes) -> dict:
             "n_pixel_bytes": n_pixel_bytes,
             "pixels": payload[pixel_offset : pixel_offset + n_pixel_bytes],
         }
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    tga = _try_decode_tga(payload)
+    if tga is not None:
+        return tga
     if not HAVE_IMAGE_DECODER:
         raise NotImplementedError(
-            "non-BMP image decode requires PIL; install an image codec to enable"
+            "compressed-format image decode (JPEG/PNG/...) requires PIL; "
+            "install an image codec to enable"
         )
     raise NotImplementedError("wire to Image.open(BytesIO(payload)) when enabled")
+
+
+def _decode_pnm(payload: bytes) -> dict:
+    """Binary PPM (P6, 24-bpp RGB) / PGM (P5, 8-bpp grayscale): an
+    ASCII header (magic, width, height, maxval; '#' comments run to
+    end-of-line) followed by the raw raster — decodable with pure
+    byte arithmetic, no codec."""
+    magic = payload[:2]
+    i, tokens = 2, []
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # exactly ONE whitespace byte separates maxval from raster
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError as e:
+        raise ValueError(f"non-numeric PNM header token: {tokens}") from e
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PNM declares non-positive dimensions {width}x{height}")
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit-per-sample PNM is supported")
+    bands = 3 if magic == b"P6" else 1
+    n_pixel_bytes = width * height * bands
+    if len(payload) - i < n_pixel_bytes:
+        raise ValueError(
+            f"PNM declares {n_pixel_bytes} raster bytes but only "
+            f"{len(payload) - i} present after header"
+        )
+    return {
+        "format": "ppm" if magic == b"P6" else "pgm",
+        "width": width,
+        "height": height,
+        "bpp": 8 * bands,
+        "n_pixel_bytes": n_pixel_bytes,
+        "pixels": payload[i : i + n_pixel_bytes],
+    }
+
+
+def _try_decode_tga(payload: bytes) -> dict | None:
+    """Uncompressed truecolor (type 2) / grayscale (type 3) TGA. TGA
+    has no leading magic, so this validates the fixed 18-byte header
+    instead and returns None when the bytes cannot be a supported TGA
+    (the caller then falls through to the codec-required stub). A
+    header that IS structurally TGA but whose declared raster exceeds
+    the payload raises — that's a corrupt file, not a different
+    format."""
+    if len(payload) < 18:
+        return None
+    id_len, colormap_type, image_type = payload[0], payload[1], payload[2]
+    if colormap_type != 0 or image_type not in (2, 3):
+        return None
+    width = int.from_bytes(payload[12:14], "little")
+    height = int.from_bytes(payload[14:16], "little")
+    bpp = payload[16]
+    if width == 0 or height == 0 or bpp not in (8, 24, 32):
+        return None
+    if image_type == 3 and bpp != 8:
+        return None
+    offset = 18 + id_len
+    n_pixel_bytes = width * height * (bpp // 8)
+    if len(payload) - offset < n_pixel_bytes:
+        raise ValueError(
+            f"TGA declares {n_pixel_bytes} raster bytes but only "
+            f"{max(0, len(payload) - offset)} present after header"
+        )
+    return {
+        "format": "tga",
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "n_pixel_bytes": n_pixel_bytes,
+        "pixels": payload[offset : offset + n_pixel_bytes],
+    }
 
 
 # ------------------------------------------------ payload synthesis
@@ -335,21 +427,25 @@ GROUP BY doc_id, media_type, k
 
 # ---------------------------------------------- multimodal_decode
 
+def _raster(text: str, npix: int) -> bytes:
+    """Deterministic raster: md5(text) digest repeated to npix bytes —
+    reconstructable in closed-form SQL, which is what makes every
+    decoded pixel fingerprint oracle-checkable."""
+    import hashlib
+
+    digest = hashlib.md5(text.encode()).digest()
+    return (digest * (npix // 16 + 1))[:npix]
+
+
 def _bmp_bytes(doc_id: int, text: str) -> bytes:
     """A REAL uncompressed 24-bpp BMP, deterministically derived from
     (doc_id, text): header fields from doc_id, pixel bytes from the
-    md5(text) digest repeated to fill the padded raster. Everything
-    the decoder recovers is therefore reconstructable in closed-form
-    SQL."""
-    import hashlib
-
+    md5(text) digest repeated to fill the padded raster."""
     w = 1 + doc_id % 4
     h = 1 + doc_id % 3
     bpp = 24
     row = ((w * bpp + 31) // 32) * 4  # 4-byte row padding
     npix = row * h
-    digest = hashlib.md5(text.encode()).digest()
-    pixels = (digest * (npix // 16 + 1))[:npix]
     header = (
         b"BM"
         + (54 + npix).to_bytes(4, "little")
@@ -366,12 +462,42 @@ def _bmp_bytes(doc_id: int, text: str) -> bytes:
         + npix.to_bytes(4, "little")
         + b"\x00" * 16
     )
-    return header + info + pixels
+    return header + info + _raster(text, npix)
+
+
+def _ppm_bytes(doc_id: int, text: str) -> bytes:
+    """A REAL binary PPM (P6, 24-bpp): ASCII header + unpadded RGB
+    raster, dimensions from doc_id, pixels from md5(text)."""
+    w = 1 + doc_id % 4
+    h = 1 + doc_id % 3
+    return b"P6\n%d %d\n255\n" % (w, h) + _raster(text, w * h * 3)
+
+
+def _tga_bytes(doc_id: int, text: str) -> bytes:
+    """A REAL uncompressed truecolor TGA (type 2, 24-bpp): fixed
+    18-byte header + unpadded BGR raster."""
+    w = 1 + doc_id % 4
+    h = 1 + doc_id % 3
+    header = (
+        bytes([0, 0, 2])  # no image id, no colormap, uncompressed truecolor
+        + b"\x00" * 5  # colormap spec (unused)
+        + b"\x00" * 4  # x/y origin
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([24, 0])  # bpp, descriptor
+    )
+    return header + _raster(text, w * h * 3)
+
+
+# doc_id % 3 routes each document to one of the three real formats,
+# so a single driver row exercises every codec-free decode branch.
+_FORMAT_BUILDERS = {0: _bmp_bytes, 1: _ppm_bytes, 2: _tga_bytes}
 
 
 _DECODE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
+        StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("bpp", IntegerType()),
@@ -387,13 +513,14 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         out: dict[str, list] = {
-            "doc_id": [], "width": [], "height": [], "bpp": [],
-            "n_pixel_bytes": [], "pixel_md5": [],
+            "doc_id": [], "format": [], "width": [], "height": [],
+            "bpp": [], "n_pixel_bytes": [], "pixel_md5": [],
         }
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = _bmp_bytes(int(doc_id), text)
+            payload = _FORMAT_BUILDERS[int(doc_id) % 3](int(doc_id), text)
             d = decode_image(payload)  # the REAL (non-stub) path
             out["doc_id"].append(doc_id)
+            out["format"].append(d["format"])
             out["width"].append(d["width"])
             out["height"].append(d["height"])
             out["bpp"].append(d["bpp"])
@@ -405,34 +532,41 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL image decode through Spark: deterministic BMP
-    payloads (headers + padded raster built per doc) are decoded by
-    `decode_image`'s codec-free BMP branch inside mapInPandas, and
-    every recovered field — dimensions, bpp, raster size, pixel
-    fingerprint — is ORACLE-checked in closed form. This is the
-    non-stub proof of the multimodal plumbing: swap the BMP branch
-    for a PIL/codec call and nothing about the Spark side changes."""
+    """End-to-end REAL image decode through Spark across THREE
+    container-decodable formats: each doc's deterministic payload
+    (BMP / binary PPM / uncompressed TGA by doc_id % 3, headers +
+    raster built per doc) is decoded by `decode_image`'s codec-free
+    branches inside mapInPandas, and every recovered field — format,
+    dimensions, bpp, raster size, pixel fingerprint — is
+    ORACLE-checked in closed form. This is the non-stub proof of the
+    multimodal plumbing: swap a branch for a PIL/codec call and
+    nothing about the Spark side changes."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 
 
-# width/height derive from doc_id; row stride is BMP's 4-byte-padded
-# 24-bpp raster; pixels are md5(text) digests repeated and truncated,
-# so the pixel fingerprint is md5 over a substring of repeated hex.
+# format + width/height derive from doc_id; BMP rasters are 4-byte
+# row-padded while PPM/TGA are exact w*h*3; pixels are md5(text)
+# digests repeated and truncated, so the pixel fingerprint is md5
+# over a substring of repeated hex.
 _DECODE_SQL = """
 WITH p AS (
   SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+              ELSE 'tga' END AS format,
          CAST(1 + doc_id % 4 AS INT) AS width,
          CAST(1 + doc_id % 3 AS INT) AS height,
          md5(text) AS hx
   FROM documents
 ),
 q AS (
-  SELECT doc_id, width, height, hx,
-         CAST(((width * 24 + 31) // 32) * 4 * height AS INT) AS n_pixel_bytes
+  SELECT doc_id, format, width, height, hx,
+         CAST(CASE WHEN format = 'bmp'
+                   THEN ((width * 24 + 31) // 32) * 4 * height
+                   ELSE width * height * 3 END AS INT) AS n_pixel_bytes
   FROM p
 )
-SELECT doc_id, width, height, CAST(24 AS INT) AS bpp, n_pixel_bytes,
+SELECT doc_id, format, width, height, CAST(24 AS INT) AS bpp, n_pixel_bytes,
        md5(upper(substr(repeat(hx, n_pixel_bytes // 16 + 1), 1, 2 * n_pixel_bytes)))
          AS pixel_md5
 FROM q

@@ -32,12 +32,13 @@ def read_trace_batch(spark: SparkSession, log_dir: str) -> DataFrame:
 
 
 def trace_json_batch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import _export_trace_logs
+    from ..streaming.queries import _export_mixed_rotation_logs
 
     base = tempfile.mkdtemp(prefix="trace_batch_")
-    log_dir = os.path.join(base, "logs")
-    _export_trace_logs(spark, sf_dir, log_dir)
-    out = normalize_trace(read_trace_batch(spark, log_dir))
+    # Half the rotations are .json.gz (see _export_mixed_rotation_logs)
+    # so the driver's oracle row proves compressed batch ingestion.
+    glob = _export_mixed_rotation_logs(spark, sf_dir, base)
+    out = normalize_trace(read_trace_batch(spark, glob))
     return out.select(
         "severity",
         "machine",

@@ -68,11 +68,23 @@ def _run_to_memory(
     return spark.table(name)
 
 
-def _export_trace_logs(spark: SparkSession, sf_dir: str, log_dir: str) -> None:
+def _export_trace_logs(
+    spark: SparkSession,
+    sf_dir: str,
+    log_dir: str,
+    *,
+    where=None,
+    codec: str | None = None,
+) -> None:
     """Write events as rotated trace-log JSON files (the reference's
     input format: one JSON object per line, several files ≙ several
-    rotations)."""
+    rotations). `codec='gzip'` emits .json.gz rotations — real trace
+    dirs gzip rotated logs, and Spark's JSON source decompresses by
+    extension; `where` restricts which events land in this dir so a
+    caller can split one logical log across plain + gz rotations."""
     e = table(spark, sf_dir, "events")
+    if where is not None:
+        e = e.where(where)
     trace = e.select(
         F.when(F.col("event_type") == "error", F.lit(40))
         .otherwise(F.lit(10))
@@ -83,15 +95,36 @@ def _export_trace_logs(spark: SparkSession, sf_dir: str, log_dir: str) -> None:
         F.col("event_type").alias("Type"),
         F.col("event_id").cast("string").alias("ID"),
     )
-    trace.coalesce(4).write.mode("overwrite").json(log_dir)
+    writer = trace.coalesce(4).write.mode("overwrite")
+    if codec:
+        writer = writer.option("compression", codec)
+    writer.json(log_dir)
+
+
+def _export_mixed_rotation_logs(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Export ONE logical trace log as a mixed rotation set — half the
+    events in plain .json files, half in gzipped .json.gz files — and
+    return the glob covering both. This is the shape a real trace dir
+    has (current rotation plain, older rotations gzipped); reading it
+    through one glob proves compressed ingestion end-to-end."""
+    _export_trace_logs(
+        spark, sf_dir, os.path.join(base, "logs_plain"),
+        where=F.col("event_id") % 2 == 0,
+    )
+    _export_trace_logs(
+        spark, sf_dir, os.path.join(base, "logs_gz"),
+        where=F.col("event_id") % 2 == 1, codec="gzip",
+    )
+    return os.path.join(base, "logs_*")
 
 
 def streaming_trace_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="trace_ingest_")
-    log_dir = os.path.join(base, "logs")
-    _export_trace_logs(spark, sf_dir, log_dir)
+    # Mixed plain + .json.gz rotations through one glob: the oracle
+    # row for this op therefore covers gzip-compressed ingestion too.
+    glob = _export_mixed_rotation_logs(spark, sf_dir, base)
 
-    stream = normalize_trace(read_trace_stream(spark, log_dir))
+    stream = normalize_trace(read_trace_stream(spark, glob))
     name = f"trace_ingest_{uuid.uuid4().hex[:8]}"
     q = (
         stream.writeStream.format("memory")

@@ -28,6 +28,39 @@ def test_simhash_agrees_with_minhash(spark, sf_oracle):
     assert mh & sh, f"no overlap between minhash ({len(mh)}) and simhash ({len(sh)}) pairs"
 
 
+def test_cluster_labels_distributed_path_matches_oracle(spark, sf_oracle):
+    """Force the contraction-CC loop (gate=0 disables both the
+    pairs-count short-circuit and the driver union-find tail) and
+    assert values are UNCHANGED vs the recursive-CTE oracle — the
+    distributed path is what runs at 100 TB, so it must stay proven
+    at test scale even though small corpora short-circuit."""
+    old = dedup._DRIVER_CC_EDGES
+    dedup._DRIVER_CC_EDGES = 0
+    try:
+        df = dedup.dedup_cluster_labels(spark, sf_oracle)
+        compare(df, dedup.ORACLE["dedup_cluster_labels"], sf_oracle)
+    finally:
+        dedup._DRIVER_CC_EDGES = old
+
+
+def test_cluster_labels_tail_cutover_matches_oracle(spark, sf_oracle):
+    """Middle configuration: distributed initial labeling +
+    contraction, then the union-find TAIL fires on the first
+    contracted class graph (gate=1 forces past the pairs
+    short-circuit; the class graph at sf0.001 is tiny but ≥ 1, so
+    set the gate just under the pair count instead)."""
+    pairs_n = dedup._simhash_candidates(spark, sf_oracle).count()
+    old = dedup._DRIVER_CC_EDGES
+    # below the raw pair count (skip the short-circuit) but far above
+    # the contracted class-edge count (tail fires round 0)
+    dedup._DRIVER_CC_EDGES = max(1, pairs_n - 1)
+    try:
+        df = dedup.dedup_cluster_labels(spark, sf_oracle)
+        compare(df, dedup.ORACLE["dedup_cluster_labels"], sf_oracle)
+    finally:
+        dedup._DRIVER_CC_EDGES = old
+
+
 def test_keep_best_one_per_cluster(spark, sf_oracle):
     """Exactly one kept doc per cluster, and it is the best-quality
     member (doc_id breaks ties)."""

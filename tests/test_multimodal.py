@@ -124,6 +124,69 @@ def test_decode_bmp_rejects_compressed():
         multimodal.decode_image(bytes(payload))
 
 
+def test_decode_bmp_rejects_truncated_raster():
+    """Header fields are untrusted: a 'BM' buffer whose declared
+    raster exceeds the actual bytes must raise, never return an
+    inconsistent dict."""
+    payload = multimodal._bmp_bytes(0, "x")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(payload[:-1])
+
+
+def test_decode_ppm_real_values():
+    """The P6 branch recovers a hand-assembled PPM exactly, including
+    a '#' comment in the header."""
+    pixels = bytes(range(24))  # 4x2 RGB
+    payload = b"P6\n# a comment\n4 2\n255\n" + pixels
+    d = multimodal.decode_image(payload)
+    assert d["format"] == "ppm"
+    assert (d["width"], d["height"], d["bpp"]) == (4, 2, 24)
+    assert d["n_pixel_bytes"] == 24
+    assert d["pixels"] == pixels
+
+
+def test_decode_pgm_real_values():
+    pixels = bytes(range(8))  # 4x2 grayscale
+    payload = b"P5 4 2 255 " + pixels
+    d = multimodal.decode_image(payload)
+    assert d["format"] == "pgm"
+    assert (d["width"], d["height"], d["bpp"]) == (4, 2, 8)
+    assert d["pixels"] == pixels
+
+
+def test_decode_ppm_rejects_truncated_raster():
+    with pytest.raises(ValueError):
+        multimodal.decode_image(multimodal._ppm_bytes(1, "x")[:-1])
+
+
+def test_decode_tga_real_values():
+    pixels = bytes(range(12))  # 2x2 24-bpp
+    header = (
+        bytes([0, 0, 2]) + b"\x00" * 5 + b"\x00" * 4
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([24, 0])
+    )
+    d = multimodal.decode_image(header + pixels)
+    assert d["format"] == "tga"
+    assert (d["width"], d["height"], d["bpp"]) == (2, 2, 24)
+    assert d["n_pixel_bytes"] == 12
+    assert d["pixels"] == pixels
+
+
+def test_decode_tga_rejects_truncated_raster():
+    """A structurally-valid TGA header with missing raster bytes is a
+    corrupt file (ValueError), not an unknown format (stub)."""
+    with pytest.raises(ValueError):
+        multimodal.decode_image(multimodal._tga_bytes(2, "x")[:-1])
+
+
+def test_decode_routes_all_three_formats():
+    """doc_id % 3 routing exercises every real branch."""
+    for doc_id, expect in ((0, "bmp"), (1, "ppm"), (2, "tga")):
+        payload = multimodal._FORMAT_BUILDERS[doc_id % 3](doc_id, "hello")
+        assert multimodal.decode_image(payload)["format"] == expect
+
+
 def test_decode_oracle_parity(spark, sf_oracle):
     df = multimodal.multimodal_decode(spark, sf_oracle)
     compare(df, multimodal.ORACLE["multimodal_decode"], sf_oracle)

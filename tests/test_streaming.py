@@ -86,6 +86,30 @@ def test_gz_compressed_rotations_read_identically(spark, sf_smoke):
     assert got.count() == want.count() > 0
 
 
+def test_mixed_rotation_export_really_gzips(spark, sf_smoke):
+    """The ingest ops read a mixed plain/.json.gz rotation set; this
+    pins that the export actually produces BOTH kinds (if it silently
+    stopped gzipping, the oracle rows would no longer prove
+    compressed ingestion)."""
+    base = tempfile.mkdtemp(prefix="mixed_rot_")
+    sq._export_mixed_rotation_logs(spark, sf_smoke, base)
+    gz = glob.glob(os.path.join(base, "logs_gz", "*.json.gz"))
+    plain = glob.glob(os.path.join(base, "logs_plain", "*.json"))
+    assert gz and plain
+    # both halves are non-empty (events split by parity)
+    assert any(os.path.getsize(f) > 0 for f in gz)
+
+
+def test_trace_json_batch_ingest_oracle(spark, sf_smoke):
+    """Batch ingest over the mixed plain+gz rotation glob matches the
+    direct SQL projection of events — losslessly, including the
+    gzipped half."""
+    from fdblog2clickhouse_spark.sources import trace_json
+
+    df = trace_json.trace_json_batch_ingest(spark, sf_smoke)
+    compare(df, trace_json.ORACLE["trace_json_batch_ingest"], sf_smoke)
+
+
 def test_streaming_rollup_ingest_oracle(spark, sf_smoke):
     df = sq.streaming_rollup_ingest(spark, sf_smoke)
     compare(df, sq.ORACLE["streaming_rollup_ingest"], sf_smoke)
