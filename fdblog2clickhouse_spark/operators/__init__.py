@@ -38,6 +38,8 @@ _FRONT_WINDOW = [
     # changed-in-r6-after-last-row (3) + changing-this-round (3)
     "dedup_cluster_labels", "dedup_simhash", "dedup_containment",
     "multimodal_decode", "streaming_trace_ingest", "trace_json_batch_ingest",
+    # NEW in round 7 (2) — first driver rows
+    "doc_rarity_score", "ann_filtered_topk",
     # §2.4 similarity (14) — last driver row r3/r4
     "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_norm_stats", "embedding_centroids", "stratified_sample",
@@ -57,11 +59,10 @@ _FRONT_WINDOW = [
     # §2.1 sketches (5) — last driver row r5
     "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
     "minute_anomaly_zscore", "value_quantile_hist",
-    # §2.1 sequence + complex trace ops (10) — last driver row r5
+    # §2.1 sequence ops (8) — last driver row r5
     "funnel_conversion", "user_path_transitions", "events_pivot_usertype",
     "events_sliding_windows", "max_concurrent_events", "user_value_deltas",
     "events_moving_avg", "funnel_windowed",
-    "events_asof_join", "events_range_join",
 ]
 
 

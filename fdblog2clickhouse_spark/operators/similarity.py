@@ -1040,6 +1040,64 @@ FROM pr JOIN sums sa ON sa.i = pr.i JOIN sums sb ON sb.i = pr.j
 """
 
 
+# ------------------------------------------------ ann_filtered_topk
+
+_FILTER_LANG = "en"
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — exact top-k cosine restricted to
+    candidates whose DOCUMENT metadata passes a predicate
+    (lang = 'en'), the retrieval shape every RAG / curation pipeline
+    runs: predicate first, distance second. The metadata scan reads
+    only (doc_id, lang) with the lang filter PUSHED into parquet; the
+    allowed-id set semi-joins the vector table BEFORE any distance
+    arithmetic, so the expensive per-dimension work runs on the
+    filtered subset only (pre-filtering, not post-filtering — a
+    post-filter would compute distances for every vector and could
+    return < k survivors). Queries broadcast as in the unfiltered
+    baseline; query vectors are not themselves filtered."""
+    qn = _quantized(spark, sf_dir)
+    allowed = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("lang") == _FILTER_LANG)
+        .select(F.col("doc_id").alias("n_id"))
+    )
+    queries = qn.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    cands = qn.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    ).join(allowed, "n_id", "left_semi")
+    pairs = cands.join(broadcast(queries), F.col("n_id") != F.col("q_id")).select(
+        "q_id", "n_id", _cosine_cols()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _TOPK)
+    )
+
+
+_ANN_FILTERED_SQL = f"""
+WITH {_QUANT_CTE},
+allowed AS (SELECT doc_id FROM documents WHERE lang = '{_FILTER_LANG}'),
+queries AS (SELECT * FROM qn WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         {_COS_SQL.format(a='q', b='c')} AS cosine
+  FROM queries q
+  JOIN qn c ON c.vec_id <> q.vec_id
+  JOIN allowed a ON a.doc_id = c.vec_id
+), ranked AS (
+  SELECT q_id, n_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1055,6 +1113,7 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "ann_radius_count": ann_radius_count,
     "embedding_covariance": embedding_covariance,
+    "ann_filtered_topk": ann_filtered_topk,
 }
 
 ORACLE = {
@@ -1072,4 +1131,5 @@ ORACLE = {
     "ann_recall_eval": _RECALL_SQL,
     "ann_radius_count": _RADIUS_SQL,
     "embedding_covariance": _COVARIANCE_SQL,
+    "ann_filtered_topk": _ANN_FILTERED_SQL,
 }

@@ -783,6 +783,82 @@ FROM t GROUP BY 1
 """
 
 
+# ------------------------------------------------ doc_rarity_score
+
+_COMMON_TOPN = 100  # corpus head-vocabulary size for the common-token ratio
+
+
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal (the Gopher/Dolma-style
+    head-vocabulary heuristic): rank every corpus token by occurrence
+    count, then score each document by (a) the fraction of its tokens
+    that fall inside the top-100 head vocabulary and (b) the mean
+    corpus rank of its tokens. Low common-ratio + high mean rank
+    flags gibberish/OCR noise; pathologically high common-ratio flags
+    boilerplate. All integer arithmetic (counts, ranks, floor-milli
+    ratios) so both engines agree bit-for-bit.
+
+    Scale shape: the corpus-side explode reduces by token with
+    map-side combine (vocab shuffle is vocabulary-bounded — token
+    vocab saturates, it does not grow with corpus size); the rank
+    window sorts only the aggregated vocab; the rank table then
+    BROADCASTS back onto the exploded corpus, so per-doc scoring is
+    one corpus-scale groupBy(doc_id) with partial aggregation and no
+    other shuffle."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranks = vocab.select(
+        "tok", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    scored = (
+        tok.join(F.broadcast(ranks), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("rnk") <= _COMMON_TOPN).cast("long")).alias("n_common"),
+            F.sum("rnk").alias("rank_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_common",
+        F.expr("(1000 * n_common) div n_tokens").alias("common_milli"),
+        F.expr("(1000 * rank_sum) div n_tokens").alias("mean_rank_milli"),
+    )
+
+
+_RARITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql(norm_text_sql('text'))}) AS tok
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, tok FROM tok WHERE tok <> ''
+), vocab AS (
+  SELECT tok, COUNT(*) AS n FROM tok2 GROUP BY 1
+), ranks AS (
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rnk
+  FROM vocab
+), scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN r.rnk <= {_COMMON_TOPN} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common,
+         CAST(SUM(r.rnk) AS BIGINT) AS rank_sum
+  FROM tok2 t JOIN ranks r USING (tok)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_common,
+       (1000 * n_common) // n_tokens AS common_milli,
+       (1000 * rank_sum) // n_tokens AS mean_rank_milli
+FROM scored
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
@@ -797,6 +873,7 @@ QUERIES = {
     "bpe_pair_stats": bpe_pair_stats,
     "source_dup_inflation": source_dup_inflation,
     "lang_confusion_metrics": lang_confusion_metrics,
+    "doc_rarity_score": doc_rarity_score,
 }
 
 ORACLE = {
@@ -813,4 +890,5 @@ ORACLE = {
     "bpe_pair_stats": _BPE_PAIR_SQL,
     "source_dup_inflation": _DUP_INFLATION_SQL,
     "lang_confusion_metrics": _lang_metrics_sql(),
+    "doc_rarity_score": _RARITY_SQL,
 }

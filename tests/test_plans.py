@@ -160,6 +160,8 @@ def test_sketches_bounded_shuffle(spark, sf_smoke):
         "tpch_q16",
         "tpch_q20",
         "doc_lang_kmeans",
+        "doc_rarity_score",
+        "ann_filtered_topk",
     ],
 )
 def test_r2c_ops_stay_jvm_side(spark, sf_smoke, name):
@@ -221,6 +223,14 @@ def test_r2d_ops_stay_jvm_side(spark, sf_smoke, name):
     plan = _plan(spark, name, sf_smoke)
     assert "BatchEvalPython" not in plan, f"{name}: python UDF\n{plan}"
     assert "CartesianProduct" not in plan, f"{name}: cartesian\n{plan}"
+
+
+def test_filtered_ann_pushes_predicate(spark, sf_smoke):
+    """ann_filtered_topk is PRE-filtering: the lang predicate must
+    reach the documents parquet scan (pushed filter), so at 100 TB
+    the distance arithmetic only ever sees the filtered subset."""
+    plan = _plan(spark, "ann_filtered_topk", sf_smoke)
+    assert "EqualTo(lang,en)" in plan, plan
 
 
 def test_decontam_broadcasts_eval_grams(spark, sf_smoke):
