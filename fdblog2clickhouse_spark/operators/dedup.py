@@ -126,7 +126,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # 4 bands of 4 rows via one posexplode (single pass; no unionAll
-    # re-computation of the signature per band).
+    # re-computation of the signature per band). Every exploded row
+    # also carries the FULL key array (4 md5 strings — ~130 B on a
+    # 4-rows-per-doc table, trivial) so the band join below can apply
+    # the first-shared-band gate in-row.
     rows_per_band = _N_PERM // _N_BANDS
     band_keys = F.array(
         *[
@@ -142,7 +145,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+    bands = sig.select(
+        "doc_id",
+        band_keys.alias("ks"),
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
 
     # Bucket cap: a band key shared by > _LSH_BUCKET_CAP docs is a
     # degenerate boilerplate bucket whose candidate pairs grow k² —
@@ -157,8 +164,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("bsz")
 
     # The only required shuffle: hash-partition by band key. Bucket
-    # sizes bound the candidate space — never all-pairs.
+    # sizes bound the candidate space — never all-pairs. Each pair is
+    # emitted only from its FIRST shared band (for every earlier band
+    # the keys must differ — an in-row test on the carried key
+    # arrays), so the candidate stream is pair-distinct by
+    # construction and the old candidate-set distinct shuffle is
+    # gone (same move as _simhash_candidates). Cap interaction,
+    # deliberate: a pair whose first shared band sits in a dropped
+    # mega-bucket is dropped with it (not resurrected via a later
+    # shared band) — such a pair is by construction a member of the
+    # degenerate family the cap routes to exact-dedup. The oracle
+    # mirrors the same rule.
     a, b_ = bands.alias("a"), bands.alias("b")
+    first_band = F.expr(
+        " AND ".join(
+            f"(a.band <= {j} OR a.ks[{j}] != b.ks[{j}])"
+            for j in range(_N_BANDS - 1)
+        )
+    )
     cand = (
         a.join(
             b_,
@@ -166,8 +189,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(first_band)
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
     )
 
     # Verify candidates with exact Jaccard via array_intersect on the
@@ -196,26 +219,36 @@ sig AS (
          {', '.join(f"MIN(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {_MINHASH_P}) AS s{i}" for i in range(_N_PERM))}
   FROM hv GROUP BY doc_id
 ),
-bands AS (
-  {' UNION ALL '.join(
-      "SELECT doc_id, " + str(b) + " AS band, md5("
+keys AS (
+  SELECT doc_id, [{', '.join(
+      "md5("
       + " || '|' || ".join(
           f"CAST(s{b * (_N_PERM // _N_BANDS) + j} AS VARCHAR)"
           for j in range(_N_PERM // _N_BANDS)
       )
-      + ") AS band_key FROM sig"
+      + ")"
+      for b in range(_N_BANDS)
+  )}] AS ks FROM sig
+),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, ks[{b + 1}] AS band_key, ks FROM keys"
       for b in range(_N_BANDS)
   )}
 ),
 capped AS (
-  SELECT doc_id, band, band_key FROM (
+  SELECT doc_id, band, band_key, ks FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
   ) WHERE bsz <= {_LSH_BUCKET_CAP}
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  SELECT a.doc_id AS da, b.doc_id AS db
   FROM capped a JOIN capped b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE {' AND '.join(
+      f"(a.band <= {j} OR a.ks[{j + 1}] <> b.ks[{j + 1}])"
+      for j in range(_N_BANDS - 1)
+  )}
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (

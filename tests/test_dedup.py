@@ -28,6 +28,25 @@ def test_simhash_agrees_with_minhash(spark, sf_oracle):
     assert mh & sh, f"no overlap between minhash ({len(mh)}) and simhash ({len(sh)}) pairs"
 
 
+def test_minhash_capped_buckets_match_oracle(spark, sf_oracle):
+    """Force the LSH bucket cap low enough to actually drop buckets
+    (max bucket at sf0.001 is 4) and assert Spark still matches the
+    oracle — proving the first-shared-band gate and the cap interact
+    identically in both engines (a pair whose first shared band is
+    dropped stays dropped)."""
+    old = dedup._LSH_BUCKET_CAP
+    sql = dedup.ORACLE["dedup_minhash_lsh"].replace(
+        f"bsz <= {old}", "bsz <= 2"
+    )
+    assert sql != dedup.ORACLE["dedup_minhash_lsh"], "cap constant not found"
+    dedup._LSH_BUCKET_CAP = 2
+    try:
+        df = dedup.dedup_minhash_lsh(spark, sf_oracle)
+        compare(df, sql, sf_oracle)
+    finally:
+        dedup._LSH_BUCKET_CAP = old
+
+
 def test_cluster_labels_distributed_path_matches_oracle(spark, sf_oracle):
     """Force the contraction-CC loop (gate=0 disables both the
     pairs-count short-circuit and the driver union-find tail) and
@@ -59,6 +78,23 @@ def test_cluster_labels_tail_cutover_matches_oracle(spark, sf_oracle):
         compare(df, dedup.ORACLE["dedup_cluster_labels"], sf_oracle)
     finally:
         dedup._DRIVER_CC_EDGES = old
+
+
+def test_cluster_labels_reliable_checkpoint_mode(spark, sf_oracle, tmp_path):
+    """SPARK_GRAFT_CHECKPOINT=reliable swaps localCheckpoint for
+    reliable checkpoint() (dynamic-allocation clusters — see
+    SCALE.md). Force the distributed loop so every _ckpt site runs in
+    reliable mode, and assert oracle-identical results."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    old_mode, old_gate = dedup._CHECKPOINT_MODE, dedup._DRIVER_CC_EDGES
+    dedup._CHECKPOINT_MODE = "reliable"
+    dedup._DRIVER_CC_EDGES = 0
+    try:
+        df = dedup.dedup_cluster_labels(spark, sf_oracle)
+        compare(df, dedup.ORACLE["dedup_cluster_labels"], sf_oracle)
+    finally:
+        dedup._CHECKPOINT_MODE = old_mode
+        dedup._DRIVER_CC_EDGES = old_gate
 
 
 def test_keep_best_one_per_cluster(spark, sf_oracle):
