@@ -49,6 +49,9 @@ NAMES = [
     "tpch_q16",
     "tpch_q20",
     "doc_lang_kmeans",
+    # round-7 additions
+    "doc_rarity_score",
+    "ann_filtered_topk",
 ]
 
 
