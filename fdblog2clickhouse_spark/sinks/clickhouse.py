@@ -85,6 +85,93 @@ def mergetree_ddl(
     )
 
 
+# Spark → ClickHouse type mapping for schema derivation. The
+# reference builds its column dict by hand next to the pandas frame
+# (trace-converter.py:85-93); Spark-native, the DataFrame schema IS
+# the source of truth, so the column specs derive from it.
+_SPARK_TO_CH = {
+    "byte": "Int8",
+    "short": "Int16",
+    "integer": "Int32",
+    "int": "Int32",
+    "long": "Int64",
+    "bigint": "Int64",
+    "float": "Float32",
+    "double": "Float64",
+    "boolean": "UInt8",
+    "string": "String",
+    "binary": "String",
+    "date": "Date",
+    "timestamp": "DateTime64(6)",
+    "timestamp_ntz": "DateTime64(6)",
+}
+
+
+def spark_schema_to_columns(schema) -> list[ColumnSpec]:
+    """Derive ClickHouse column specs from a Spark StructType — the
+    sink's CREATE/ALTER DDL then always reflects what the pipeline
+    actually produces (no hand-maintained parallel column list to
+    drift). Nullable Spark fields map to Nullable(T); unsupported
+    types raise rather than guess."""
+    cols = []
+    for f in schema.fields:
+        ch = _SPARK_TO_CH.get(f.dataType.typeName())
+        if ch is None:
+            raise ValueError(
+                f"no ClickHouse mapping for Spark type {f.dataType.simpleString()!r}"
+                f" (column {f.name!r})"
+            )
+        if f.nullable and not ch.startswith("Nullable("):
+            ch = f"Nullable({ch})"
+        cols.append(ColumnSpec(f.name, ch))
+    return cols
+
+
+def alter_ddl(
+    table: str,
+    deployed: list[ColumnSpec],
+    desired: list[ColumnSpec],
+    *,
+    drop_removed: bool = False,
+) -> list[str]:
+    """Schema evolution: the ALTER TABLE statements that migrate a
+    deployed MergeTree table to the desired column set — ADD COLUMN
+    (positioned with AFTER, so the physical order matches the spec),
+    MODIFY COLUMN on type/codec/comment change, and DROP COLUMN only
+    when explicitly allowed (dropping data is never the default; by
+    default removed columns are left in place and reported as a
+    comment line). Returns [] when schemas already agree — callers
+    can gate deploys on that."""
+    deployed_by_name = {c.name: c for c in deployed}
+    desired_names = {c.name for c in desired}
+    stmts: list[str] = []
+    prev: str | None = None
+    for c in desired:
+        old = deployed_by_name.get(c.name)
+        if old is None:
+            pos = f" AFTER `{prev}`" if prev is not None else " FIRST"
+            stmts.append(
+                f"ALTER TABLE `{table}` ADD COLUMN IF NOT EXISTS "
+                f"`{c.name}` {c.ch_type} COMMENT '{c.comment}' {c.codec}{pos}"
+            )
+        elif (old.ch_type, old.codec, old.comment) != (c.ch_type, c.codec, c.comment):
+            stmts.append(
+                f"ALTER TABLE `{table}` MODIFY COLUMN "
+                f"`{c.name}` {c.ch_type} COMMENT '{c.comment}' {c.codec}"
+            )
+        prev = c.name
+    for c in deployed:
+        if c.name not in desired_names:
+            if drop_removed:
+                stmts.append(f"ALTER TABLE `{table}` DROP COLUMN IF EXISTS `{c.name}`")
+            else:
+                stmts.append(
+                    f"-- column `{c.name}` no longer produced; "
+                    f"pass drop_removed=True to emit DROP COLUMN"
+                )
+    return stmts
+
+
 def jsoneachrow(df: DataFrame) -> DataFrame:
     """Encode rows as JSONEachRow lines, JVM-side, fully distributed.
     Returns a single-string-column DataFrame ('line')."""

@@ -187,6 +187,58 @@ def test_decode_routes_all_three_formats():
         assert multimodal.decode_image(payload)["format"] == expect
 
 
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    seed=st.binary(min_size=1, max_size=64),
+)
+def test_decode_roundtrip_property(w, h, seed):
+    """Encode→decode round-trip for arbitrary dimensions and pixel
+    content across all three real formats: every header field and
+    every raster byte must come back exactly."""
+    npix_unpadded = w * h * 3
+    raster = (seed * (npix_unpadded // len(seed) + 1))[:npix_unpadded]
+
+    # PPM: exact unpadded raster
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + raster
+    d = multimodal.decode_image(ppm)
+    assert (d["format"], d["width"], d["height"], d["bpp"]) == ("ppm", w, h, 24)
+    assert d["pixels"] == raster
+
+    # TGA: exact unpadded raster, 18-byte header
+    tga = (
+        bytes([0, 0, 2]) + b"\x00" * 5 + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([24, 0])
+    ) + raster
+    d = multimodal.decode_image(tga)
+    assert (d["format"], d["width"], d["height"], d["bpp"]) == ("tga", w, h, 24)
+    assert d["pixels"] == raster
+
+    # BMP: rows padded to 4 bytes
+    row = ((w * 24 + 31) // 32) * 4
+    npix = row * h
+    padded = (seed * (npix // len(seed) + 1))[:npix]
+    bmp = (
+        b"BM" + (54 + npix).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + npix.to_bytes(4, "little")
+        + b"\x00" * 16
+    ) + padded
+    d = multimodal.decode_image(bmp)
+    assert (d["format"], d["width"], d["height"], d["bpp"]) == ("bmp", w, h, 24)
+    assert d["n_pixel_bytes"] == npix
+    assert d["pixels"] == padded
+
+
 def test_decode_oracle_parity(spark, sf_oracle):
     df = multimodal.multimodal_decode(spark, sf_oracle)
     compare(df, multimodal.ORACLE["multimodal_decode"], sf_oracle)

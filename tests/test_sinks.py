@@ -14,8 +14,11 @@ from fdblog2clickhouse_spark.operators.trace_ops import trace_normalize
 from fdblog2clickhouse_spark.sinks.clickhouse import (
     TRACE_COLUMNS,
     ClickHouseHttpSink,
+    ColumnSpec,
+    alter_ddl,
     jsoneachrow,
     mergetree_ddl,
+    spark_schema_to_columns,
 )
 from fdblog2clickhouse_spark.sinks.mergetree import read_mergetree, write_mergetree
 from fdblog2clickhouse_spark.sources.tables import table
@@ -31,6 +34,54 @@ def test_ddl_structure():
     assert "toYYYYMM(time)" in ddl
     assert "ORDER BY" in ddl and "(time)" in ddl
     assert "index_granularity=8192" in ddl
+
+
+def test_schema_derivation_from_dataframe(spark, sf_smoke):
+    """Column specs derive from the normalized trace DataFrame's own
+    schema — the DDL always reflects what the pipeline produces."""
+    rows = _trace_rows(spark, sf_smoke)
+    cols = spark_schema_to_columns(rows.schema)
+    assert [c.name for c in cols] == rows.columns
+    by_name = {c.name: c.ch_type for c in cols}
+    assert by_name["time"] in ("DateTime64(6)", "Nullable(DateTime64(6))")
+    assert "Int" in by_name["severity"]
+    ddl = mergetree_ddl("derived", cols)
+    for c in rows.columns:
+        assert f"`{c}`" in ddl
+
+
+def test_schema_derivation_rejects_unmapped_types(spark, sf_smoke):
+    import pytest
+
+    emb = table(spark, sf_smoke, "embeddings")  # array<float> column
+    with pytest.raises(ValueError, match="no ClickHouse mapping"):
+        spark_schema_to_columns(emb.schema)
+
+
+def test_alter_ddl_evolution():
+    """ADD positioned with AFTER, MODIFY on any spec change, DROP only
+    when explicitly allowed, [] when schemas agree."""
+    deployed = list(TRACE_COLUMNS)
+    assert alter_ddl("t", deployed, deployed) == []
+
+    widened = deployed + [ColumnSpec("trace_file", "String", comment="source file")]
+    stmts = alter_ddl("t", deployed, widened)
+    assert len(stmts) == 1
+    assert "ADD COLUMN IF NOT EXISTS `trace_file`" in stmts[0]
+    assert f"AFTER `{deployed[-1].name}`" in stmts[0]
+
+    retyped = [
+        ColumnSpec(c.name, "UInt64", c.codec, c.comment) if c.name == "severity" else c
+        for c in deployed
+    ]
+    stmts = alter_ddl("t", deployed, retyped)
+    assert len(stmts) == 1 and "MODIFY COLUMN `severity` UInt64" in stmts[0]
+
+    narrowed = [c for c in deployed if c.name != "log_group"]
+    stmts = alter_ddl("t", deployed, narrowed)
+    assert len(stmts) == 1 and stmts[0].startswith("--")  # no silent drop
+    stmts = alter_ddl("t", deployed, narrowed, drop_removed=True)
+    assert len(stmts) == 1 and "DROP COLUMN IF EXISTS `log_group`" in stmts[0]
 
 
 def test_jsoneachrow_roundtrip(spark, sf_smoke):
