@@ -49,6 +49,58 @@ def cmd_create_schema(args) -> int:
     return 0
 
 
+# wire field → deployed sink column (trace-converter.py:85-93 names)
+_WIRE_TO_SINK = {
+    "Severity": "severity",
+    "Machine": "machine",
+    "LogGroup": "log_group",
+    "Time": "time",
+    "Type": "type",
+    "ID": "id",
+}
+
+
+def cmd_alter_schema(args) -> int:
+    """Print the ALTER TABLE migration from the deployed trace schema
+    to what the rotated logs actually contain. The logs are read with
+    schema INFERENCE on purpose — the declared-schema ingest path
+    silently ignores unknown fields, and this command exists to
+    surface exactly those (a new field the producer started logging).
+    Known wire columns keep their deployed spec (hand-tuned
+    codecs/types are never clobbered by derivation); the diff
+    reports NEW fields (positioned ADD COLUMN, snake_cased, type
+    from inference) and removed ones (DROP only behind
+    --drop-removed). No output and exit 0 when the column sets agree
+    — scriptable as a deploy gate before rolling a log-format
+    change."""
+    import dataclasses
+    import re
+
+    from pyspark.sql.types import StructType
+
+    from .sinks.clickhouse import alter_ddl, spark_schema_to_columns
+
+    spark = _spark()
+    raw = spark.read.json(args.path)  # inference: see docstring
+    deployed_by = {c.name: c for c in TRACE_COLUMNS}
+    desired = []
+    for f in raw.schema.fields:
+        sink_name = _WIRE_TO_SINK.get(
+            f.name, re.sub(r"(?<!^)(?=[A-Z])", "_", f.name).lower()
+        )
+        old = deployed_by.get(sink_name)
+        if old is not None:
+            desired.append(old)
+        else:
+            derived = spark_schema_to_columns(StructType([f]))[0]
+            desired.append(dataclasses.replace(derived, name=sink_name))
+    tbl = args.table or _sink(args).table or "trace"
+    stmts = alter_ddl(tbl, TRACE_COLUMNS, desired, drop_removed=args.drop_removed)
+    for s in stmts:
+        print(s)
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """One batch: read trace JSON (file or dir), normalize, insert."""
     from pyspark.sql import functions as F
@@ -202,6 +254,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sc = sub.add_parser("create-schema")
     sc.set_defaults(fn=cmd_create_schema)
+
+    sa = sub.add_parser("alter-schema")
+    sa.add_argument("path", help="trace JSON file/dir to derive the produced schema from")
+    sa.add_argument("--table", default=None)
+    sa.add_argument("--drop-removed", action="store_true")
+    sa.set_defaults(fn=cmd_alter_schema)
 
     si = sub.add_parser("ingest")
     si.add_argument("path")

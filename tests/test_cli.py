@@ -21,6 +21,41 @@ def test_print_schema_matches_reference_shape(capsys):
     assert "Nullable(String)" in out
 
 
+def test_alter_schema_detects_new_log_field(spark, sf_smoke, tmp_path, capsys):
+    """Schema-evolution deploy gate: unchanged logs → no output;
+    a new field appearing in the rotated logs → exactly one
+    positioned ADD COLUMN with an inferred type (and the deployed
+    specs of existing columns untouched)."""
+    import json
+
+    from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
+
+    log_dir = str(tmp_path / "logs")
+    _export_trace_logs(spark, sf_smoke, log_dir)
+
+    rc = cli.main(["alter-schema", log_dir, "--table", "trace"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == ""  # sets agree → silent
+
+    # producer starts logging an extra field in a new rotation
+    extra = {
+        "Severity": 10, "Machine": "machine-1", "LogGroup": "default",
+        "Time": 1700000000.25, "Type": "view", "ID": "x1",
+        "TraceFile": "fdb.log.1",
+    }
+    with open(os.path.join(log_dir, "part-extra.json"), "w") as f:
+        f.write(json.dumps(extra) + "\n")
+
+    rc = cli.main(["alter-schema", log_dir, "--table", "trace"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert "ADD COLUMN IF NOT EXISTS `trace_file` Nullable(String)" in lines[0]
+    assert "AFTER" in lines[0]
+    assert "MODIFY" not in out  # deployed specs never clobbered
+
+
 def test_watch_once_drains_to_sink(spark, sf_smoke, tmp_path):
     """The reference's main loop end to end: rotated logs → stream →
     foreachBatch → (spooled) ClickHouse sink, drained by --once."""
