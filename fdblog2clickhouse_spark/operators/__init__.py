@@ -27,42 +27,54 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-7 window (VERDICT r6 item #1): the 3 dedup ops rewritten/
-# touched in r6 after their last driver row, then multimodal_decode
-# (gains PPM/TGA formats this round) and the two trace-ingest ops
-# (gain .gz ingestion this round), then every op with no driver row
-# since r3 (all 14 §2.4 similarity, all 5 §2.9 curation,
-# dedup_exact + neardup_keep_best), then the stalest r5 greens
-# (streaming, sketches, §2.1 sequence). Exactly 50.
+# Round-7 window (VERDICT r6 item #1 + the policy above). Triage,
+# strictest first:
+#   (a) functions materially CHANGED in r7 with no row since:
+#       cluster_labels/simhash/minhash_lsh (candidate-stream +
+#       short-circuit rewrites), multimodal_decode (PPM/TGA), the 2
+#       trace-ingest ops (.gz), the 2 NEW ops;
+#   (b) r6-rewritten, no row since: dedup_containment;
+#   (c) file-changed-in-r7 ops whose functions are byte-unchanged
+#       (dedup.py/multimodal.py siblings) — a bad edit to shared
+#       helpers would surface here;
+#   (d) no row since r3: all 14 similarity + 5 curation +
+#       dedup_exact/neardup_keep_best;
+#   (e) r5 greens in a file changed this round (streaming state
+#       sizing): the 8 remaining streaming ops;
+#   (f) the 5 most complex textops (r6 rows; textops.py changed in
+#       r7 adding doc_rarity_score).
+# Dropped to make room (unchanged files, r5 rows, local tests
+# green): sketches + sequence — next round's re-cover candidates.
+# Exactly 50.
 _FRONT_WINDOW = [
-    # changed-in-r6-after-last-row (3) + changing-this-round (3)
-    "dedup_cluster_labels", "dedup_simhash", "dedup_containment",
-    "multimodal_decode", "streaming_trace_ingest", "trace_json_batch_ingest",
-    # NEW in round 7 (2) — first driver rows
+    # (a) + (b): changed code first (9)
+    "dedup_cluster_labels", "dedup_simhash", "dedup_minhash_lsh",
+    "dedup_containment", "multimodal_decode",
+    "streaming_trace_ingest", "trace_json_batch_ingest",
     "doc_rarity_score", "ann_filtered_topk",
-    # §2.4 similarity (14) — last driver row r3/r4
+    # (c) file-changed siblings, functions unchanged (7)
+    "dedup_exact", "dedup_ngram_jaccard", "embedding_neardup",
+    "chunk_dedup", "neardup_keep_best",
+    "multimodal_metadata", "multimodal_chunk",
+    # (c cont.) remaining multimodal siblings (2)
+    "multimodal_feature_extract", "multimodal_frame_sample",
+    # (d) §2.4 similarity (14) — last driver row r3/r4
     "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_norm_stats", "embedding_centroids", "stratified_sample",
     "knn_classify", "ann_pq_topk", "embedding_kmeans",
     "cluster_balanced_sample", "doc_lang_kmeans", "ann_recall_eval",
     "ann_radius_count", "embedding_covariance",
-    # §2.9 curation (5) — last driver row r3
+    # (d) §2.9 curation (5) — last driver row r3
     "benchmark_decontam", "domain_mixture_sample", "token_collocations",
     "quality_filter_funnel", "doc_length_histogram",
-    # §2.3 dedup with no row since r3 (2)
-    "dedup_exact", "neardup_keep_best",
-    # stalest r5 greens — §2.7 streaming remainder (8)
+    # (e) §2.7 streaming remainder (8) — r5 rows, file changed r7
     "streaming_windowed_counts", "streaming_sessionize",
     "streaming_stateful_error_count", "streaming_dedup_events",
     "streaming_rollup_ingest", "streaming_upsert_ingest",
     "streaming_view_purchase_join", "streaming_hll_rollup",
-    # §2.1 sketches (5) — last driver row r5
-    "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
-    "minute_anomaly_zscore", "value_quantile_hist",
-    # §2.1 sequence ops (8) — last driver row r5
-    "funnel_conversion", "user_path_transitions", "events_pivot_usertype",
-    "events_sliding_windows", "max_concurrent_events", "user_value_deltas",
-    "events_moving_avg", "funnel_windowed",
+    # (f) top-complexity textops (5) — r6 rows, file changed r7
+    "bpe_pair_stats", "doc_top_terms", "lang_confusion_metrics",
+    "corpus_select", "source_dup_inflation",
 ]
 
 
