@@ -225,6 +225,26 @@ def test_r2d_ops_stay_jvm_side(spark, sf_smoke, name):
     assert "CartesianProduct" not in plan, f"{name}: cartesian\n{plan}"
 
 
+def test_partitioning_independence_odd_parallelism(spark, sf_oracle):
+    """SCALE.md's partitioning-independence claim, pinned: the ops
+    with the most partition-sensitive machinery (iterative CC,
+    LSH band joins, blocked BLAS) must stay value-identical to the
+    oracle under a deliberately odd shuffle width (7) — results may
+    never depend on how rows happen to land."""
+    import fdblog2clickhouse_spark.operators.dedup as dd
+
+    from .oracle import compare
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        for name in ("dedup_cluster_labels", "dedup_minhash_lsh",
+                     "dedup_ngram_jaccard"):
+            compare(dd.QUERIES[name](spark, sf_oracle), dd.ORACLE[name], sf_oracle)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_filtered_ann_pushes_predicate(spark, sf_smoke):
     """ann_filtered_topk is PRE-filtering: the lang predicate must
     reach the documents parquet scan (pushed filter), so at 100 TB
