@@ -7,10 +7,13 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Per query: one untimed warm run (first-execution plan analysis +
-whole-stage codegen compilation), then one timed run — steady-state
-execution (shuffles + compute + count), the number that scales with
-data volume. JVM startup is likewise excluded via a session-level
-warmup read.
+whole-stage codegen compilation), then TWO timed runs reporting the
+MINIMUM — steady-state execution (shuffles + compute + count), the
+number that scales with data volume. Min-of-2 because this sandbox
+shows up-to-4x noisy-neighbor spikes on single runs (observed
+r7: 26.6 s vs 3.4 s for the same query minutes apart); the minimum
+is the reproducible cost. JVM startup is likewise excluded via a
+session-level warmup read.
 """
 
 from __future__ import annotations
@@ -46,6 +49,9 @@ HEADLINE = [
     # broadcast-semi-join decontamination pass
     "ann_lsh_topk",
     "benchmark_decontam",
+    # round 7: the remaining blocked-BLAS heavy op (~3.4 s) gets a
+    # timing history so grid/blocking regressions are visible
+    "dedup_containment",
 ]
 
 
@@ -103,12 +109,15 @@ def main() -> None:
         if fn is None:
             continue
         fn(spark, sf_dir).count()  # warm: analysis + codegen compile
-        spark.catalog.clearCache()  # operators' internal .cache() must not carry over
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        samples = []
+        for _ in range(2):
+            spark.catalog.clearCache()  # internal .cache() must not carry over
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(min(samples), 3)
     # sink_compaction is reported OUTSIDE the summed query timings:
     # folding it into `total` (as round 6 briefly did) shifts the
     # headline number and breaks round-over-round comparability of
@@ -123,6 +132,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "aux": aux,
+                "timed_runs": 2,  # per-query min-of-2 (noise floor)
                 # headline composition grew in round 2 (ngram/neardup
                 # added after their BLAS rewrites) — n disambiguates
                 # cross-round totals.
