@@ -26,6 +26,7 @@ quantized to integers so dot products are exact and order-free.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -103,20 +104,24 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _doc_shingles(spark, sf_dir).cache()
+def _minhash_band_candidates(hv: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs over ANY feature-hash stream —
+    the sublinear candidate generator every composed `*_lsh_verified`
+    operator feeds into an exact-scoring kernel.
 
-    # 16-perm MinHash signature: explode the in-row shingle set, hash
-    # each shingle ONCE (md5-derived h32), apply 16 affine integer
-    # permutations, and take 16 vectorized MINs in ONE hash
-    # aggregate. min() is commutative, so map-side partial
-    # aggregation reduces the shuffle to one 16-bigint row per doc
-    # per partition — the shingle blow-up never crosses the network.
-    # (A per-row array_min(transform(...)) variant avoids the shuffle
-    # entirely but runs interpreted, ~2x slower end-to-end; measured.)
-    hv = docs.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.expr(h32_spark_sql("s")).alias("h")
-    )
+    Input: (doc_id, h) rows, one per (doc, feature-hash); duplicates
+    are harmless (min() is idempotent). Output: pair-distinct
+    (da, db) candidates, da < db, emitted from each pair's FIRST
+    shared band only, with degenerate buckets capped.
+
+    16-perm MinHash signature: apply 16 affine integer permutations
+    to the pre-hashed features and take 16 vectorized MINs in ONE
+    hash aggregate. min() is commutative, so map-side partial
+    aggregation reduces the shuffle to one 16-bigint row per doc
+    per partition — the feature blow-up never crosses the network.
+    (A per-row array_min(transform(...)) variant avoids the shuffle
+    entirely but runs interpreted, ~2x slower end-to-end; measured.)
+    """
     sig = hv.groupBy("doc_id").agg(
         *[
             F.min(
@@ -182,7 +187,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_N_BANDS - 1)
         )
     )
-    cand = (
+    return (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -193,28 +198,112 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
     )
 
-    # Verify candidates with exact Jaccard via array_intersect on the
-    # in-row shingle sets (CPU-only; candidate side is small after
-    # LSH, so AQE broadcasts it into the doc-array joins).
-    pairs = (
-        cand.join(docs.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")), "da")
-        .join(docs.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")), "db")
+
+# ------------------------------ candidate-consuming exact kernels
+#
+# The composed scale path (VERDICT r7 item #1): sublinear LSH
+# candidates feed exact set/vector scoring that touches ONLY the
+# candidate pairs. None of these kernels ever builds a pair grid —
+# the quadratic `_lang_block_fanout` grid exists solely for the
+# exact ALL-PAIRS baseline operators.
+
+def _join_features(cand: DataFrame, feats: DataFrame) -> DataFrame:
+    """Attach per-doc feature arrays to a (da, db) candidate-pair
+    stream. The candidate side is small after LSH, so AQE broadcasts
+    it into the feature joins; cost is O(candidates), never O(n²)."""
+    return (
+        cand.join(
+            feats.select(F.col("doc_id").alias("da"), F.col("fs").alias("fa")), "da"
+        ).join(
+            feats.select(F.col("doc_id").alias("db"), F.col("fs").alias("fb")), "db"
+        )
     )
-    inter = F.size(F.array_intersect("sha", "shb"))
+
+
+def jaccard_on_candidates(
+    cand: DataFrame, feats: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard scored ONLY on candidate pairs. feats:
+    (doc_id, fs) with fs the doc's DISTINCT feature array (in-row, so
+    array_intersect runs in whole-stage codegen with zero extra
+    shuffles)."""
+    pairs = _join_features(cand, feats)
+    inter = F.size(F.array_intersect("fa", "fb"))
     jac = pairs.select(
         "da",
         "db",
-        (inter / (F.size("sha") + F.size("shb") - inter)).alias("jaccard"),
+        (inter / (F.size("fa") + F.size("fb") - inter)).alias("jaccard"),
     )
-    return jac.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    return jac.where(F.col("jaccard") >= threshold)
 
 
-_DEDUP_MINHASH_SQL = f"""
-WITH {shingles_cte_sql('documents', 'text', 3)},
-hv AS (
-  SELECT doc_id, {h32_sql('s')} AS h FROM sh
-),
-sig AS (
+def containment_on_candidates(
+    cand: DataFrame, feats: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact asymmetric containment C(A→B) = |A∩B| / |A| scored only
+    on candidate pairs; BOTH directions are emitted from one joined
+    row (containment is not symmetric), then thresholded."""
+    pairs = _join_features(cand, feats)
+    inter = F.size(F.array_intersect("fa", "fb"))
+    both = pairs.select(
+        "da",
+        "db",
+        (inter / F.size("fa")).alias("ca"),
+        (inter / F.size("fb")).alias("cb"),
+    )
+    return both.selectExpr(
+        "stack(2, da, db, ca, db, da, cb) AS (da, db, containment)"
+    ).where(F.col("containment") >= threshold)
+
+
+def cosine_on_candidates(
+    cand: DataFrame, qn: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact cosine on candidate vector pairs (va, vb). qn is the
+    integer-quantized table (vec_id, q, nq); the dot is exact int64
+    (zip_with, codegen) and the final divide is the same single IEEE
+    expression the SQL oracle runs."""
+    pairs = cand.join(
+        qn.select(
+            F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("nq").alias("na")
+        ),
+        "va",
+    ).join(
+        qn.select(
+            F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+        ),
+        "vb",
+    )
+    cos = _dot("qa", "qb").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return pairs.select("va", "vb", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc_shingles(spark, sf_dir).cache()
+    # hash each shingle ONCE (md5-derived h32); the candidate helper
+    # owns the signature/band/cap/first-band machinery.
+    hv = docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.expr(h32_spark_sql("s")).alias("h")
+    )
+    cand = _minhash_band_candidates(hv)
+    # Verify candidates with exact Jaccard via array_intersect on the
+    # in-row shingle sets (CPU-only; candidate side is small after
+    # LSH, so AQE broadcasts it into the doc-array joins).
+    return jaccard_on_candidates(
+        cand, docs.select("doc_id", F.col("sh").alias("fs")), _JACCARD_THRESHOLD
+    )
+
+
+def _minhash_cand_cte() -> str:
+    """The sig → keys → bands → capped → cand CTE chain over an
+    in-scope CTE named hv(doc_id, h). Shared by every oracle whose
+    Spark side feeds `_minhash_band_candidates` — one SQL text, so
+    the candidate rule can never drift between composed operators."""
+    return f"""sig AS (
   SELECT doc_id,
          {', '.join(f"MIN(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {_MINHASH_P}) AS s{i}" for i in range(_N_PERM))}
   FROM hv GROUP BY doc_id
@@ -249,7 +338,15 @@ cand AS (
       f"(a.band <= {j} OR a.ks[{j + 1}] <> b.ks[{j + 1}])"
       for j in range(_N_BANDS - 1)
   )}
+)"""
+
+
+_DEDUP_MINHASH_SQL = f"""
+WITH {shingles_cte_sql('documents', 'text', 3)},
+hv AS (
+  SELECT doc_id, {h32_sql('s')} AS h FROM sh
 ),
+{_minhash_cand_cte()},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT da, db, COUNT(*) AS i
@@ -261,6 +358,120 @@ inter AS (
 SELECT da, db, i / (ca.n + cb.n - i) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
 WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ----------------------------------- dedup_jaccard_lsh_verified
+
+def dedup_jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB path for char-5-gram Jaccard dedup:
+    MinHash-band candidates (sublinear — signature shuffle is
+    O(docs), bucket join bounded by capped bucket sizes) verified
+    with EXACT Jaccard on only the candidate pairs. Unlike the exact
+    all-pairs baseline `dedup_ngram_jaccard`, no pair grid is ever
+    built: cost is O(docs + candidates), so a 100× corpus costs
+    ~100× (not 10,000×) as long as near-dup density is stable.
+
+    Recall semantics (mirrored exactly by the oracle): a pair scores
+    only if it shares ≥1 of the 4 MinHash bands — the standard LSH
+    S-curve, P(candidate) = 1-(1-s⁴)⁴ ≈ 99% at s=0.9, ~23% at the
+    s=0.5 threshold boundary. More bands/permutations move the curve;
+    the exact baseline remains the recall oracle at small scale."""
+    d = table(spark, sf_dir, "documents")
+    nt = d.select("doc_id", norm_text(F.col("text")).alias("nt")).where(
+        F.length("nt") >= 5
+    )
+    # DISTINCT char-5-grams kept IN-ROW (zero-shuffle feature build,
+    # same rationale as _doc_shingles); cached because both the
+    # signature pass and the verify join consume it.
+    grams = nt.select(
+        "doc_id", F.array_distinct(F.expr(char_ngrams_expr("nt", 5))).alias("fs")
+    ).cache()
+    hv = grams.select("doc_id", F.explode("fs").alias("g")).select(
+        "doc_id", F.expr(h32_spark_sql("g")).alias("h")
+    )
+    cand = _minhash_band_candidates(hv)
+    return jaccard_on_candidates(cand, grams, _JACCARD_THRESHOLD)
+
+
+_JACCARD_LSH_VERIFIED_SQL = f"""
+WITH nt AS (
+  SELECT doc_id, {norm_text_sql('text')} AS nt FROM documents
+), idx AS (
+  SELECT doc_id, nt, unnest(generate_series(1, length(nt)-4)) AS i
+  FROM nt WHERE length(nt) >= 5
+), grams AS (
+  SELECT DISTINCT doc_id, substr(nt, i, 5) AS g FROM idx
+), hv AS (
+  SELECT doc_id, {h32_sql('g')} AS h FROM grams
+),
+{_minhash_cand_cte()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT da, db, COUNT(*) AS i
+  FROM cand
+  JOIN grams a ON a.doc_id = da
+  JOIN grams b ON b.doc_id = db AND a.g = b.g
+  GROUP BY 1, 2
+)
+SELECT da, db, i / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ------------------------------- dedup_containment_lsh_verified
+
+_CONTAINMENT_LSH_THRESHOLD = 0.8
+
+
+def dedup_containment_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB path for containment dedup: MinHash-band
+    candidates over token-3-gram shingles, then EXACT asymmetric
+    containment C(A→B) = |A∩B|/|A| on candidate pairs only, both
+    directions emitted. Candidate generation is shared verbatim with
+    `dedup_minhash_lsh` (same signatures, same bands, same cap), so a
+    pipeline that runs both pays for the signature pass once.
+
+    Recall caveat (by construction, mirrored by the oracle): MinHash
+    bands collide by JACCARD similarity, so a tiny doc fully
+    contained in a huge one (high containment, low Jaccard) may not
+    become a candidate — the exact all-pairs `dedup_containment`
+    remains the recall oracle; at scale, asymmetric-recall variants
+    (e.g. shingle-prefix indexing) slot into the same kernel."""
+    docs = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.col("sh").alias("fs")
+    ).cache()
+    hv = docs.select("doc_id", F.explode("fs").alias("s")).select(
+        "doc_id", F.expr(h32_spark_sql("s")).alias("h")
+    )
+    cand = _minhash_band_candidates(hv)
+    return containment_on_candidates(cand, docs, _CONTAINMENT_LSH_THRESHOLD)
+
+
+_CONTAINMENT_LSH_VERIFIED_SQL = f"""
+WITH {shingles_cte_sql('documents', 'text', 3)},
+hv AS (
+  SELECT doc_id, {h32_sql('s')} AS h FROM sh
+),
+{_minhash_cand_cte()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT da, db, COUNT(*) AS i
+  FROM cand
+  JOIN sh a ON a.doc_id = da
+  JOIN sh b ON b.doc_id = db AND a.s = b.s
+  GROUP BY 1, 2
+),
+both_dirs AS (
+  SELECT i.da, i.db, CAST(i.i AS DOUBLE) / ca.n AS containment
+  FROM inter i JOIN cnt ca ON ca.doc_id = i.da
+  UNION ALL
+  SELECT i.db AS da, i.da AS db, CAST(i.i AS DOUBLE) / cb.n AS containment
+  FROM inter i JOIN cnt cb ON cb.doc_id = i.db
+)
+SELECT da, db, containment FROM both_dirs
+WHERE containment >= {_CONTAINMENT_LSH_THRESHOLD}
 """
 
 
@@ -721,6 +932,167 @@ SELECT a.vec_id AS va, b.vec_id AS vb,
 FROM qn a JOIN qn b ON a.vec_id < b.vec_id
 WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
       / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= {_COSINE_THRESHOLD}
+"""
+
+
+# ------------------------------- embedding_neardup_lsh_verified
+
+_NEARDUP_LSH_PLANES = 48
+_NEARDUP_LSH_BAND_BITS = 8
+_NEARDUP_LSH_BANDS = _NEARDUP_LSH_PLANES // _NEARDUP_LSH_BAND_BITS
+_NEARDUP_LSH_BUCKET_CAP = 128
+_EMB_DIM = 64
+
+
+def _neardup_planes() -> list[tuple[int, int, int]]:
+    """(plane, dim_index, weight) hyperplane constants — md5-derived
+    integers in [-10000, 10000], identical literals on both engines
+    (no RNG; same construction as similarity._planes but seeded
+    independently so this module stays import-cycle-free)."""
+    return [
+        (
+            p,
+            i,
+            (int(hashlib.md5(f"nplane|{p}|{i}".encode()).hexdigest()[:8], 16) % 20001)
+            - 10000,
+        )
+        for p in range(_NEARDUP_LSH_PLANES)
+        for i in range(_EMB_DIM)
+    ]
+
+
+def _hyperplane_band_candidates(spark: SparkSession, qn: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs over quantized vectors:
+    48 sign bits → 6 bands × 8 bits → bucket join on (band, value).
+    Pair-distinct by construction via the first-shared-band gate
+    (same move as the SimHash/MinHash generators), buckets capped.
+    The only shuffle keyed on data is the (band, band_val) bucket
+    join — 256 values per band spread by content, never all-pairs."""
+    pl = spark.createDataFrame(_neardup_planes(), "p int, i int, w long")
+    el = qn.select("vec_id", F.posexplode("q").alias("i", "v"))
+    dots = (
+        el.join(F.broadcast(pl), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    bb = _NEARDUP_LSH_BAND_BITS
+    bandvals = dots.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN p >= {b * bb} AND p < {(b + 1) * bb} AND dot >= 0 "
+                    f"THEN shiftleft(1, p - {b * bb}) ELSE 0 END"
+                )
+            )
+            .cast("int")
+            .alias(f"bv{b}")
+            for b in range(_NEARDUP_LSH_BANDS)
+        ]
+    )
+    barr = F.array(*[F.col(f"bv{b}") for b in range(_NEARDUP_LSH_BANDS)])
+    bands = bandvals.select(
+        "vec_id", barr.alias("bs"), F.posexplode(barr).alias("band", "band_val")
+    )
+    wb = Window.partitionBy("band", "band_val")
+    bands = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("bsz") <= _NEARDUP_LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    first_band = F.expr(
+        " AND ".join(
+            f"(a.band <= {j} OR a.bs[{j}] != b.bs[{j}])"
+            for j in range(_NEARDUP_LSH_BANDS - 1)
+        )
+    )
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(first_band)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+
+
+def embedding_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB path for embedding near-dup: hyperplane-
+    LSH bucket candidates (sublinear — candidate volume is governed
+    by bucket occupancy, ~n²/256 per band for uncorrelated vectors
+    and far less on clustered real corpora, with the cap as the k²
+    safety valve) verified with EXACT int64-quantized cosine on only
+    the candidate pairs. No pair grid, no matmul block fanout — the
+    blocked-BLAS `embedding_neardup` remains the exact all-pairs
+    baseline and recall oracle.
+
+    Recall semantics (mirrored exactly by the oracle): a pair scores
+    only if some 8-bit sign band matches. For p = 1 − θ/π per plane,
+    P(candidate) = 1−(1−p⁸)⁶ ≈ 87% at cosine 0.9, dropping steeply
+    toward the 0.45 threshold boundary — bands are the recall knob."""
+    qn = _quantized(spark, sf_dir).cache()
+    cand = _hyperplane_band_candidates(spark, qn)
+    return cosine_on_candidates(cand, qn, _COSINE_THRESHOLD)
+
+
+def _neardup_planes_values_sql() -> str:
+    return ", ".join(f"({p},{i},{w})" for p, i, w in _neardup_planes())
+
+
+_NEARDUP_COS_SQL_BODY = (
+    "CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)"
+    " / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))"
+)
+
+_NEARDUP_LSH_VERIFIED_SQL = f"""
+WITH {_QUANT_CTE},
+planes(p, i, w) AS (VALUES {_neardup_planes_values_sql()}),
+el AS (
+  SELECT vec_id, unnest(q) AS v,
+         unnest(generate_series(0, len(q)-1)) AS i
+  FROM qn
+),
+dots AS (
+  SELECT vec_id, p, SUM(v * w) AS dot
+  FROM el JOIN planes USING (i) GROUP BY 1, 2
+),
+bandvals AS (
+  SELECT vec_id,
+         {', '.join(
+    f"CAST(SUM(CASE WHEN p >= {b * _NEARDUP_LSH_BAND_BITS} AND p < {(b + 1) * _NEARDUP_LSH_BAND_BITS} AND dot >= 0"
+    f" THEN (1 << (p - {b * _NEARDUP_LSH_BAND_BITS})) ELSE 0 END) AS INT) AS bv{b}"
+    for b in range(_NEARDUP_LSH_BANDS)
+)}
+  FROM dots GROUP BY 1
+),
+bands AS (
+  {' UNION ALL '.join(
+    f"SELECT vec_id, {b} AS band, bv{b} AS band_val, [{', '.join(f'bv{k}' for k in range(_NEARDUP_LSH_BANDS))}] AS bs FROM bandvals"
+    for b in range(_NEARDUP_LSH_BANDS)
+)}
+),
+capped AS (
+  SELECT vec_id, band, band_val, bs FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_val) AS bsz FROM bands
+  ) WHERE bsz <= {_NEARDUP_LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+  WHERE {' AND '.join(
+    f"(a.band <= {j} OR a.bs[{j + 1}] <> b.bs[{j + 1}])"
+    for j in range(_NEARDUP_LSH_BANDS - 1)
+)}
+)
+SELECT va, vb,
+       {_NEARDUP_COS_SQL_BODY} AS cosine
+FROM cand
+JOIN qn a ON a.vec_id = va
+JOIN qn b ON b.vec_id = vb
+WHERE {_NEARDUP_COS_SQL_BODY} >= {_COSINE_THRESHOLD}
 """
 
 
@@ -1234,6 +1606,9 @@ QUERIES = {
     "chunk_dedup": chunk_dedup,
     "dedup_containment": dedup_containment,
     "neardup_keep_best": neardup_keep_best,
+    "dedup_jaccard_lsh_verified": dedup_jaccard_lsh_verified,
+    "dedup_containment_lsh_verified": dedup_containment_lsh_verified,
+    "embedding_neardup_lsh_verified": embedding_neardup_lsh_verified,
 }
 
 ORACLE = {
@@ -1246,4 +1621,7 @@ ORACLE = {
     "chunk_dedup": _CHUNK_DEDUP_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
     "neardup_keep_best": _keep_best_sql(),
+    "dedup_jaccard_lsh_verified": _JACCARD_LSH_VERIFIED_SQL,
+    "dedup_containment_lsh_verified": _CONTAINMENT_LSH_VERIFIED_SQL,
+    "embedding_neardup_lsh_verified": _NEARDUP_LSH_VERIFIED_SQL,
 }

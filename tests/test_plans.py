@@ -351,3 +351,47 @@ def test_embedding_neardup_multiblock_matches_oracle(spark, sf_oracle):
         compare(df, dd._EMBEDDING_NEARDUP_SQL, sf_oracle)
     finally:
         dd._NEARDUP_BLOCK_ROWS = old
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_jaccard_lsh_verified",
+        "dedup_containment_lsh_verified",
+        "embedding_neardup_lsh_verified",
+    ],
+)
+def test_lsh_verified_ops_never_build_pair_grid(spark, sf_smoke, name):
+    """The composed candidate-gated operators (VERDICT r7 item #1)
+    must NEVER fall back to the quadratic all-pairs shapes: no
+    Python block kernel (FlatMapGroupsInPandas is the signature of
+    the `_lang_block_fanout` / triangle-block grid), no cartesian
+    product, no non-broadcast nested loop. Their whole plan is
+    JVM-side codegen: LSH band join → feature join → exact score."""
+    plan = _plan(spark, name, sf_smoke)
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_lsh_verified_candidates_are_subquadratic(spark, sf_oracle):
+    """Complexity check on real data: the candidate stream the
+    composed ops score is far smaller than the n²/2 pair space the
+    all-pairs baselines enumerate — the property that makes the
+    composed path the 100 TB design."""
+    import fdblog2clickhouse_spark.operators.dedup as dd
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    n_docs = table(spark, sf_oracle, "documents").count()
+    hv = (
+        dd._doc_shingles(spark, sf_oracle)
+        .selectExpr("doc_id", "explode(sh) AS s")
+        .selectExpr("doc_id", dd.h32_spark_sql("s") + " AS h")
+    )
+    n_cand = dd._minhash_band_candidates(hv).count()
+    assert n_cand < n_docs * (n_docs - 1) / 2 / 10, (n_cand, n_docs)
+
+    n_vecs = table(spark, sf_oracle, "embeddings").count()
+    qn = dd._quantized(spark, sf_oracle)
+    n_vcand = dd._hyperplane_band_candidates(spark, qn).count()
+    assert n_vcand < n_vecs * (n_vecs - 1) / 2 / 10, (n_vcand, n_vecs)
