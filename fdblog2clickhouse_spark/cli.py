@@ -72,7 +72,9 @@ def cmd_alter_schema(args) -> int:
     from inference) and removed ones (DROP only behind
     --drop-removed). No output and exit 0 when the column sets agree
     — scriptable as a deploy gate before rolling a log-format
-    change."""
+    change. A new field whose inferred type has no ClickHouse
+    mapping prints an `-- UNMAPPABLE` diagnostic naming the column
+    and exits 2 (gate fails closed, no traceback)."""
     import dataclasses
     import re
 
@@ -84,6 +86,7 @@ def cmd_alter_schema(args) -> int:
     raw = spark.read.json(args.path)  # inference: see docstring
     deployed_by = {c.name: c for c in TRACE_COLUMNS}
     desired = []
+    unmappable: list[str] = []
     for f in raw.schema.fields:
         sink_name = _WIRE_TO_SINK.get(
             f.name, re.sub(r"(?<!^)(?=[A-Z])", "_", f.name).lower()
@@ -92,13 +95,23 @@ def cmd_alter_schema(args) -> int:
         if old is not None:
             desired.append(old)
         else:
-            derived = spark_schema_to_columns(StructType([f]))[0]
+            try:
+                derived = spark_schema_to_columns(StructType([f]))[0]
+            except ValueError as e:
+                # a new field whose inferred type has no ClickHouse
+                # mapping (nested object in a rotation, etc.) must be
+                # a clean diagnostic + nonzero exit — this command is
+                # a scriptable deploy gate, not a traceback generator.
+                unmappable.append(f"-- UNMAPPABLE new field {f.name!r}: {e}")
+                continue
             desired.append(dataclasses.replace(derived, name=sink_name))
     tbl = args.table or _sink(args).table or "trace"
     stmts = alter_ddl(tbl, TRACE_COLUMNS, desired, drop_removed=args.drop_removed)
     for s in stmts:
         print(s)
-    return 0
+    for s in unmappable:
+        print(s)
+    return 2 if unmappable else 0
 
 
 def cmd_ingest(args) -> int:

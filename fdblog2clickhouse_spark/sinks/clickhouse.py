@@ -56,6 +56,13 @@ TRACE_COLUMNS = [
 ]
 
 
+def _esc(comment: str) -> str:
+    """Escape a ClickHouse single-quoted string literal (double the
+    quotes) — a comment containing an apostrophe must not produce
+    malformed DDL."""
+    return comment.replace("\\", "\\\\").replace("'", "''")
+
+
 def mergetree_ddl(
     table: str,
     columns: list[ColumnSpec],
@@ -71,7 +78,7 @@ def mergetree_ddl(
         lines.append(
             f"{lead}`{c.name}`".ljust(20)
             + f" {c.ch_type}".ljust(20)
-            + f" COMMENT '{c.comment}'".ljust(32)
+            + f" COMMENT '{_esc(c.comment)}'".ljust(32)
             + f" {c.codec}"
         )
     body = "\n".join(lines)
@@ -107,6 +114,36 @@ _SPARK_TO_CH = {
 }
 
 
+def _ch_type(dt, nullable: bool) -> str:
+    """Recursive Spark-type → ClickHouse-type mapping. Handles
+    decimal(p,s) → Decimal(p, s) (every §2.2 money aggregate), arrays
+    → Array(T) (embedding columns), and maps → Map(K, V). ClickHouse
+    containers are themselves non-nullable (there is no
+    Nullable(Array)); nullability applies to the element/value side
+    only. Unsupported types still raise rather than guess."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+
+    if isinstance(dt, DecimalType):
+        base = f"Decimal({dt.precision}, {dt.scale})"
+    elif isinstance(dt, ArrayType):
+        return f"Array({_ch_type(dt.elementType, dt.containsNull)})"
+    elif isinstance(dt, MapType):
+        # ClickHouse Map keys must be non-nullable
+        return (
+            f"Map({_ch_type(dt.keyType, False)}, "
+            f"{_ch_type(dt.valueType, dt.valueContainsNull)})"
+        )
+    else:
+        base = _SPARK_TO_CH.get(dt.typeName())
+        if base is None:
+            raise ValueError(
+                f"no ClickHouse mapping for Spark type {dt.simpleString()!r}"
+            )
+    if nullable and not base.startswith("Nullable("):
+        base = f"Nullable({base})"
+    return base
+
+
 def spark_schema_to_columns(schema) -> list[ColumnSpec]:
     """Derive ClickHouse column specs from a Spark StructType — the
     sink's CREATE/ALTER DDL then always reflects what the pipeline
@@ -115,14 +152,10 @@ def spark_schema_to_columns(schema) -> list[ColumnSpec]:
     types raise rather than guess."""
     cols = []
     for f in schema.fields:
-        ch = _SPARK_TO_CH.get(f.dataType.typeName())
-        if ch is None:
-            raise ValueError(
-                f"no ClickHouse mapping for Spark type {f.dataType.simpleString()!r}"
-                f" (column {f.name!r})"
-            )
-        if f.nullable and not ch.startswith("Nullable("):
-            ch = f"Nullable({ch})"
+        try:
+            ch = _ch_type(f.dataType, f.nullable)
+        except ValueError as e:
+            raise ValueError(f"{e} (column {f.name!r})") from None
         cols.append(ColumnSpec(f.name, ch))
     return cols
 
@@ -152,12 +185,12 @@ def alter_ddl(
             pos = f" AFTER `{prev}`" if prev is not None else " FIRST"
             stmts.append(
                 f"ALTER TABLE `{table}` ADD COLUMN IF NOT EXISTS "
-                f"`{c.name}` {c.ch_type} COMMENT '{c.comment}' {c.codec}{pos}"
+                f"`{c.name}` {c.ch_type} COMMENT '{_esc(c.comment)}' {c.codec}{pos}"
             )
         elif (old.ch_type, old.codec, old.comment) != (c.ch_type, c.codec, c.comment):
             stmts.append(
                 f"ALTER TABLE `{table}` MODIFY COLUMN "
-                f"`{c.name}` {c.ch_type} COMMENT '{c.comment}' {c.codec}"
+                f"`{c.name}` {c.ch_type} COMMENT '{_esc(c.comment)}' {c.codec}"
             )
         prev = c.name
     for c in deployed:
@@ -256,8 +289,16 @@ class ClickHouseHttpSink:
         (trace-converter.py:122-127); this is the Spark-side analog."""
 
         def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            n = batch_df.count()
-            self.insert(batch_df)
+            # persist so the count for the status line and the insert
+            # share ONE computation of the micro-batch (without it,
+            # count() + insert() each recompute the whole batch plan —
+            # a 2x sink-path cost at scale).
+            batch_df.persist()
+            try:
+                n = batch_df.count()
+                self.insert(batch_df)
+            finally:
+                batch_df.unpersist()
             dest = self.spool_dir or f"{self.addr} {self.database}.{self.table}"
             print(f"[trace-convert] batch {batch_id}: rows={n} -> {dest} ok")
 

@@ -50,12 +50,38 @@ def test_schema_derivation_from_dataframe(spark, sf_smoke):
         assert f"`{c}`" in ddl
 
 
+def test_schema_derivation_maps_decimal_array_map(spark, sf_smoke):
+    """The container/decimal mappings the r7 verdict flagged: sinking
+    a money aggregate or the embeddings table must not raise.
+    ClickHouse containers are non-nullable (no Nullable(Array))."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_smoke, "embeddings")
+    by = {c.name: c.ch_type for c in spark_schema_to_columns(emb.schema)}
+    assert by["embedding"].startswith("Array(")
+    assert "Nullable(Array" not in by["embedding"]
+
+    money = spark.sql(
+        "SELECT CAST(1.50 AS DECIMAL(12,2)) AS amt, "
+        "map('k', CAST(1 AS BIGINT)) AS m"
+    )
+    by = {c.name: c.ch_type for c in spark_schema_to_columns(money.schema)}
+    assert "Decimal(12, 2)" in by["amt"]
+    assert by["m"].startswith("Map(String")
+
+    # every §2.2 aggregate result schema must map without raising
+    from fdblog2clickhouse_spark.operators import tpch
+
+    q1 = tpch.QUERIES["tpch_q1"](spark, sf_smoke)
+    assert len(spark_schema_to_columns(q1.schema)) == len(q1.columns)
+
+
 def test_schema_derivation_rejects_unmapped_types(spark, sf_smoke):
     import pytest
 
-    emb = table(spark, sf_smoke, "embeddings")  # array<float> column
+    nested = spark.sql("SELECT named_struct('a', 1) AS s")  # struct column
     with pytest.raises(ValueError, match="no ClickHouse mapping"):
-        spark_schema_to_columns(emb.schema)
+        spark_schema_to_columns(nested.schema)
 
 
 def test_alter_ddl_evolution():
@@ -368,3 +394,107 @@ def test_hll_rollup_slicing_invariant_and_idempotent(spark, sf_smoke, tmp_path):
     merge_hll(spark, path, batches[0].drop("event_id"))  # redelivery
     est_after = sorted(map(tuple, read_estimate(spark, path).collect()))
     assert est_before == est_after
+
+
+# ---------------------------------------- live-HTTP leg (fake server)
+#
+# The POST is the reference's entire job (trace-converter.py:66-72);
+# every other test runs dry_run spooling. A stdlib http.server
+# fixture exercises requests.post + raise_for_status + the auth
+# tuple + batch chunking end-to-end with a real socket, no network.
+
+import base64
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+
+@pytest.fixture()
+def fake_ch():
+    """In-process fake ClickHouse HTTP endpoint. Yields (url,
+    received, state); `received` collects one dict per POST with
+    parsed query params, the Authorization header, and the body.
+    Set state['status'] to force non-200 responses."""
+    received: list[dict] = []
+    state = {"status": 200}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            q = parse_qs(urlparse(self.path).query)
+            received.append(
+                {
+                    "params": {k: v[0] for k, v in q.items()},
+                    "auth": self.headers.get("Authorization"),
+                    "body": body,
+                }
+            )
+            self.send_response(state["status"])
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}", received, state
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _http_sink(url: str) -> ClickHouseHttpSink:
+    return ClickHouseHttpSink(
+        addr=url, database="tracedb", table="trace", user="u1", password="p1"
+    )
+
+
+def test_http_insert_posts_batches_with_auth(spark, sf_smoke, fake_ch):
+    url, received, _ = fake_ch
+    rows = _trace_rows(spark, sf_smoke).limit(10).repartition(1)
+    _http_sink(url).insert(rows, batch_size=4)
+
+    assert len(received) == 3  # 10 rows, 1 partition, batches of 4/4/2
+    expected_auth = "Basic " + base64.b64encode(b"u1:p1").decode()
+    got = []
+    for r in received:
+        assert r["auth"] == expected_auth
+        assert r["params"]["database"] == "tracedb"
+        assert r["params"]["query"] == "INSERT INTO trace FORMAT JSONEachRow"
+        got.extend(json.loads(line) for line in r["body"].splitlines())
+    assert sorted(len(r["body"].splitlines()) for r in received) == [2, 4, 4]
+    assert len(got) == 10
+    assert all("severity" in rec and "time" in rec for rec in got)
+
+
+def test_http_create_schema_posts_db_then_ddl(spark, fake_ch):
+    url, received, _ = fake_ch
+    ddl = _http_sink(url).create_schema(TRACE_COLUMNS)
+    assert len(received) == 2
+    assert received[0]["body"] == "CREATE DATABASE IF NOT EXISTS tracedb"
+    assert "database" not in received[0]["params"]
+    assert received[1]["params"]["database"] == "tracedb"
+    assert received[1]["body"] == ddl
+    assert "ENGINE = MergeTree()" in received[1]["body"]
+
+
+def test_http_insert_raises_on_non_200(spark, sf_smoke, fake_ch):
+    url, received, state = fake_ch
+    state["status"] = 500
+    rows = _trace_rows(spark, sf_smoke).limit(3).repartition(1)
+    with pytest.raises(Exception, match="500"):
+        _http_sink(url).insert(rows)
+    assert received, "server never saw the failing POST"
+
+
+def test_http_create_schema_raises_on_non_200(fake_ch):
+    url, _, state = fake_ch
+    state["status"] = 403
+    with pytest.raises(Exception, match="403"):
+        _http_sink(url).create_schema(TRACE_COLUMNS)
