@@ -2,9 +2,11 @@
 
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata — the Spark-side schema, partitioning, and Arrow/Pandas-UDF
-batch shapes are real and tested; the actual media DECODE step is
-stubbed (the container has no image/audio libs) behind an import-try
-so the pipeline shape is production-true.
+batch shapes are real and tested. Image decode is REAL for four
+formats with zero codec libraries (BMP, binary PNM, uncompressed
+TGA, and PNG via stdlib zlib + the five scanline filters); only the
+remaining compressed formats (JPEG/...) are stubbed behind a PIL
+import-try so the pipeline shape is production-true.
 
 Deterministic fake payloads are derived from `documents` (md5-based
 bytes, varying length by modality) so the metadata path is
@@ -14,6 +16,7 @@ mapInPandas.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,14 +49,17 @@ _CHUNK_BYTES = 16
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload.
 
-    Three uncompressed formats are decoded for real — BMP
-    (BITMAPINFOHEADER little-endian arithmetic), binary PNM
-    (P6/P5 ASCII header + raster), and uncompressed TGA (fixed
-    18-byte header) — so the decode path is exercised end-to-end in
-    this container with no codec. Compressed formats (JPEG/PNG/...)
-    require an image library that is not baked in; that branch is
-    the declared STUB (the surrounding plumbing — schema, batching,
-    partitioning — is real either way)."""
+    FOUR formats are decoded for real with zero codec libraries —
+    BMP (BITMAPINFOHEADER little-endian arithmetic), binary PNM
+    (P6/P5 ASCII header + raster), uncompressed TGA (fixed 18-byte
+    header), and PNG (stdlib zlib inflate + the five scanline
+    filters, 8-bit RGB/RGBA non-interlaced) — so the decode path is
+    exercised end-to-end in this container. Remaining compressed
+    formats (JPEG/...) require an image library that is not baked
+    in; that branch is the declared STUB (the surrounding plumbing —
+    schema, batching, partitioning — is real either way)."""
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if len(payload) >= 54 and payload[:2] == b"BM":
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = int.from_bytes(payload[22:26], "little", signed=True)
@@ -93,10 +99,129 @@ def decode_image(payload: bytes) -> dict:
         return tga
     if not HAVE_IMAGE_DECODER:
         raise NotImplementedError(
-            "compressed-format image decode (JPEG/PNG/...) requires PIL; "
+            "compressed-format image decode (JPEG/...) requires PIL; "
             "install an image codec to enable"
         )
     raise NotImplementedError("wire to Image.open(BytesIO(payload)) when enabled")
+
+
+# ----------------------------------------------------- PNG decode
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, public ISO 15948)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode: chunk walk with CRC verification,
+    zlib inflate of the concatenated IDAT stream, then the five
+    scanline filters (None/Sub/Up/Average/Paeth) undone row by row.
+    Supports 8-bit truecolor (color type 2, RGB) and truecolor+alpha
+    (6, RGBA), non-interlaced — the shapes training corpora actually
+    carry. Palette/grayscale/16-bit/interlaced raise
+    NotImplementedError; structural corruption (bad CRC, truncated
+    chunk, raster-size mismatch) raises ValueError. Implemented from
+    the public PNG spec (ISO 15948 / RFC 2083); per-byte loops are
+    fine here because payloads are decoded inside Arrow-batched
+    mapInPandas workers — a production path would vectorize the
+    filter pass with numpy, changing nothing Spark-side."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    i = 8
+    width = height = None
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    seen_iend = False
+    while i + 12 <= len(payload):
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if len(data) < clen or i + 12 + clen > len(payload):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        crc = int.from_bytes(payload[i + 8 + clen : i + 12 + clen], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError("PNG IHDR length != 13")
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            compression, filter_method, interlace = data[10], data[11], data[12]
+            if compression != 0 or filter_method != 0:
+                raise ValueError("unknown PNG compression/filter method")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        i += 12 + clen
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not seen_iend:
+        raise ValueError("PNG missing IEND")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PNG declares non-positive dimensions {width}x{height}")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG is not supported")
+    if bit_depth != 8 or color_type not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA PNG supported "
+            f"(bit depth {bit_depth}, color type {color_type})"
+        )
+    nchan = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from None
+    stride = width * nchan
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG raster is {len(raw)} bytes, expected {(stride + 1) * height}"
+        )
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for k in range(nchan, stride):
+                row[k] = (row[k] + row[k - nchan]) & 255
+        elif ftype == 2:  # Up
+            for k in range(stride):
+                row[k] = (row[k] + prev[k]) & 255
+        elif ftype == 3:  # Average
+            for k in range(stride):
+                a = row[k - nchan] if k >= nchan else 0
+                row[k] = (row[k] + ((a + prev[k]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            for k in range(stride):
+                a = row[k - nchan] if k >= nchan else 0
+                c = prev[k - nchan] if k >= nchan else 0
+                row[k] = (row[k] + _paeth(a, prev[k], c)) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = row
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "bpp": 8 * nchan,
+        "n_pixel_bytes": stride * height,
+        "pixels": bytes(out),
+    }
 
 
 def _decode_pnm(payload: bytes) -> dict:
@@ -120,7 +245,14 @@ def _decode_pnm(payload: bytes) -> dict:
             raise ValueError("truncated PNM header")
         tokens.append(payload[i:j])
         i = j
-    i += 1  # exactly ONE whitespace byte separates maxval from raster
+    # Exactly ONE whitespace byte separates maxval from the raster
+    # (PNM spec). Verify it IS whitespace — a writer that emitted
+    # '\r\n' here would otherwise silently shift every pixel by one
+    # byte; such files are rejected as malformed (multi-byte
+    # separators are outside the spec and unsupported).
+    if i >= len(payload) or not payload[i : i + 1].isspace():
+        raise ValueError("PNM header not terminated by a whitespace byte")
+    i += 1
     try:
         width, height, maxval = (int(t) for t in tokens)
     except ValueError as e:
@@ -489,9 +621,86 @@ def _tga_bytes(doc_id: int, text: str) -> bytes:
     return header + _raster(text, w * h * 3)
 
 
-# doc_id % 3 routes each document to one of the three real formats,
-# so a single driver row exercises every codec-free decode branch.
-_FORMAT_BUILDERS = {0: _bmp_bytes, 1: _ppm_bytes, 2: _tga_bytes}
+def _png_encode(width: int, height: int, raster: bytes) -> bytes:
+    """Assemble a REAL 8-bit RGB PNG from a raw raster. Scanline
+    filter types cycle r % 5, so decoding one multi-row image
+    exercises ALL FIVE filter reconstructions (None/Sub/Up/Average/
+    Paeth) — the encoder applies each filter's forward transform and
+    the decoder must invert it exactly."""
+    nchan = 3
+    stride = width * nchan
+    if len(raster) != stride * height:
+        raise ValueError("raster size does not match dimensions")
+    filtered = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = raster[r * stride : (r + 1) * stride]
+        f = r % 5
+        filtered.append(f)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = bytes(
+                (row[k] - (row[k - nchan] if k >= nchan else 0)) & 255
+                for k in range(stride)
+            )
+        elif f == 2:
+            enc = bytes((row[k] - prev[k]) & 255 for k in range(stride))
+        elif f == 3:
+            enc = bytes(
+                (row[k] - (((row[k - nchan] if k >= nchan else 0) + prev[k]) >> 1))
+                & 255
+                for k in range(stride)
+            )
+        else:
+            enc = bytes(
+                (
+                    row[k]
+                    - _paeth(
+                        row[k - nchan] if k >= nchan else 0,
+                        prev[k],
+                        prev[k - nchan] if k >= nchan else 0,
+                    )
+                )
+                & 255
+                for k in range(stride)
+            )
+        filtered += enc
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # 8-bit, truecolor, deflate, adaptive, none
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_bytes(doc_id: int, text: str) -> bytes:
+    """A REAL 8-bit RGB PNG, deterministically derived from
+    (doc_id, text) like the other builders; filters cycle per row."""
+    w = 1 + doc_id % 4
+    h = 1 + doc_id % 3
+    return _png_encode(w, h, _raster(text, w * h * 3))
+
+
+# doc_id % 4 routes each document to one of the four real formats,
+# so a single driver row exercises every codec-free decode branch —
+# including the compressed (zlib) PNG path.
+_FORMAT_BUILDERS = {0: _bmp_bytes, 1: _ppm_bytes, 2: _tga_bytes, 3: _png_bytes}
 
 
 _DECODE_SCHEMA = StructType(
@@ -517,7 +726,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "bpp": [], "n_pixel_bytes": [], "pixel_md5": [],
         }
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = _FORMAT_BUILDERS[int(doc_id) % 3](int(doc_id), text)
+            payload = _FORMAT_BUILDERS[int(doc_id) % 4](int(doc_id), text)
             d = decode_image(payload)  # the REAL (non-stub) path
             out["doc_id"].append(doc_id)
             out["format"].append(d["format"])
@@ -532,28 +741,31 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL image decode through Spark across THREE
+    """End-to-end REAL image decode through Spark across FOUR
     container-decodable formats: each doc's deterministic payload
-    (BMP / binary PPM / uncompressed TGA by doc_id % 3, headers +
-    raster built per doc) is decoded by `decode_image`'s codec-free
-    branches inside mapInPandas, and every recovered field — format,
-    dimensions, bpp, raster size, pixel fingerprint — is
-    ORACLE-checked in closed form. This is the non-stub proof of the
-    multimodal plumbing: swap a branch for a PIL/codec call and
-    nothing about the Spark side changes."""
+    (BMP / binary PPM / uncompressed TGA / zlib-compressed PNG by
+    doc_id % 4, headers + raster built per doc) is decoded by
+    `decode_image`'s codec-free branches inside mapInPandas, and
+    every recovered field — format, dimensions, bpp, raster size,
+    pixel fingerprint — is ORACLE-checked in closed form (the PNG
+    round-trips through real deflate + all five scanline filters and
+    must reproduce the identical raster). This is the non-stub proof
+    of the multimodal plumbing: swap a branch for a PIL/codec call
+    and nothing about the Spark side changes."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 
 
 # format + width/height derive from doc_id; BMP rasters are 4-byte
-# row-padded while PPM/TGA are exact w*h*3; pixels are md5(text)
-# digests repeated and truncated, so the pixel fingerprint is md5
-# over a substring of repeated hex.
+# row-padded while PPM/TGA/PNG are exact w*h*3 (PNG's deflate +
+# filters round-trip back to the same raw raster); pixels are
+# md5(text) digests repeated and truncated, so the pixel fingerprint
+# is md5 over a substring of repeated hex.
 _DECODE_SQL = """
 WITH p AS (
   SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-              ELSE 'tga' END AS format,
+         CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+              WHEN 2 THEN 'tga' ELSE 'png' END AS format,
          CAST(1 + doc_id % 4 AS INT) AS width,
          CAST(1 + doc_id % 3 AS INT) AS height,
          md5(text) AS hx

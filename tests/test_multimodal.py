@@ -180,11 +180,92 @@ def test_decode_tga_rejects_truncated_raster():
         multimodal.decode_image(multimodal._tga_bytes(2, "x")[:-1])
 
 
-def test_decode_routes_all_three_formats():
-    """doc_id % 3 routing exercises every real branch."""
-    for doc_id, expect in ((0, "bmp"), (1, "ppm"), (2, "tga")):
-        payload = multimodal._FORMAT_BUILDERS[doc_id % 3](doc_id, "hello")
+def test_decode_routes_all_four_formats():
+    """doc_id % 4 routing exercises every real branch — including
+    the compressed (zlib) PNG path."""
+    for doc_id, expect in ((0, "bmp"), (1, "ppm"), (2, "tga"), (3, "png")):
+        payload = multimodal._FORMAT_BUILDERS[doc_id % 4](doc_id, "hello")
         assert multimodal.decode_image(payload)["format"] == expect
+
+
+def test_decode_png_real_values():
+    """The stdlib PNG branch must invert deflate + every filter type
+    and recover the exact raster. A 4x5 image covers all 5 filters
+    (the builder cycles filter = row % 5)."""
+    raster = bytes(range(4 * 5 * 3))
+    payload = multimodal._png_encode(4, 5, raster)
+    d = multimodal.decode_image(payload)
+    assert (d["format"], d["width"], d["height"], d["bpp"]) == ("png", 4, 5, 24)
+    assert d["n_pixel_bytes"] == 60
+    assert d["pixels"] == raster
+
+
+def test_decode_png_rejects_corruption():
+    good = multimodal._png_bytes(3, "hello")
+    # flip one IDAT byte -> CRC mismatch
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_image(bytes(bad))
+    # truncation -> missing IEND / truncated chunk
+    with pytest.raises(ValueError):
+        multimodal.decode_image(good[:-8])
+
+
+def test_decode_png_rejects_unsupported_shapes():
+    """Palette/16-bit/interlaced are declared NotImplementedError,
+    not silent garbage."""
+    import zlib as _zlib
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (_zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def png_with_ihdr(bit_depth, color_type, interlace):
+        ihdr = (
+            (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes([bit_depth, color_type, 0, 0, interlace])
+        )
+        return (
+            multimodal._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(b"\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        multimodal.decode_image(png_with_ihdr(8, 3, 0))  # palette
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        multimodal.decode_image(png_with_ihdr(16, 2, 0))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_image(png_with_ihdr(8, 2, 1))
+
+
+def test_decode_pnm_rejects_crlf_separator():
+    """A PNM writer emitting \\r\\n after maxval would shift the
+    raster by one byte; such files are rejected, never mis-decoded."""
+    good = multimodal._ppm_bytes(1, "x")
+    assert good[:2] == b"P6"
+    bad = good.replace(b"255\n", b"255ZX", 1)  # non-whitespace separator
+    with pytest.raises(ValueError, match="whitespace"):
+        multimodal.decode_image(bad)
+
+
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(w=_st.integers(1, 8), h=_st.integers(1, 7), seed=_st.binary(min_size=1, max_size=48))
+def test_decode_png_roundtrip_property(w, h, seed):
+    """Encode→decode round-trip for arbitrary dimensions and pixel
+    content through real deflate + cycling filters."""
+    raster = (seed * (w * h * 3 // len(seed) + 1))[: w * h * 3]
+    d = multimodal.decode_image(multimodal._png_encode(w, h, raster))
+    assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+    assert d["pixels"] == raster
 
 
 from hypothesis import given, settings  # noqa: E402
