@@ -7,13 +7,14 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Per query: one untimed warm run (first-execution plan analysis +
-whole-stage codegen compilation), then TWO timed runs reporting the
+whole-stage codegen compilation), then THREE timed runs reporting the
 MINIMUM — steady-state execution (shuffles + compute + count), the
-number that scales with data volume. Min-of-2 because this sandbox
-shows up-to-4x noisy-neighbor spikes on single runs (observed
-r7: 26.6 s vs 3.4 s for the same query minutes apart); the minimum
-is the reproducible cost. JVM startup is likewise excluded via a
-session-level warmup read.
+number that scales with data volume. Min-of-3 (raised from 2 in r8
+per the r7 verdict: ±20% swings were still polluting round-over-round
+comparisons) because this sandbox shows up-to-4x noisy-neighbor
+spikes on single runs (observed r7: 26.6 s vs 3.4 s for the same
+query minutes apart); the minimum is the reproducible cost. JVM
+startup is likewise excluded via a session-level warmup read.
 """
 
 from __future__ import annotations
@@ -52,6 +53,12 @@ HEADLINE = [
     # round 7: the remaining blocked-BLAS heavy op (~3.4 s) gets a
     # timing history so grid/blocking regressions are visible
     "dedup_containment",
+    # round 8: the candidate-gated composed scale paths (VERDICT r7
+    # item #1) — these are the designs that replace the quadratic
+    # all-pairs trio at 100 TB, so their costs are tracked from birth
+    "dedup_jaccard_lsh_verified",
+    "dedup_containment_lsh_verified",
+    "embedding_neardup_lsh_verified",
 ]
 
 
@@ -110,7 +117,7 @@ def main() -> None:
             continue
         fn(spark, sf_dir).count()  # warm: analysis + codegen compile
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()  # internal .cache() must not carry over
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -132,7 +139,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "aux": aux,
-                "timed_runs": 2,  # per-query min-of-2 (noise floor)
+                "timed_runs": 3,  # per-query min-of-3 (noise floor)
                 # headline composition grew in round 2 (ngram/neardup
                 # added after their BLAS rewrites) — n disambiguates
                 # cross-round totals.

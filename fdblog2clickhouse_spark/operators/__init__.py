@@ -27,54 +27,56 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-7 window (VERDICT r6 item #1 + the policy above). Triage,
-# strictest first:
-#   (a) functions materially CHANGED in r7 with no row since:
-#       cluster_labels/simhash/minhash_lsh (candidate-stream +
-#       short-circuit rewrites), multimodal_decode (PPM/TGA), the 2
-#       trace-ingest ops (.gz), the 2 NEW ops;
-#   (b) r6-rewritten, no row since: dedup_containment;
-#   (c) file-changed-in-r7 ops whose functions are byte-unchanged
-#       (dedup.py/multimodal.py siblings) — a bad edit to shared
-#       helpers would surface here;
-#   (d) no row since r3: all 14 similarity + 5 curation +
-#       dedup_exact/neardup_keep_best;
-#   (e) r5 greens in a file changed this round (streaming state
-#       sizing): the 8 remaining streaming ops;
-#   (f) the 5 most complex textops (r6 rows; textops.py changed in
-#       r7 adding doc_rarity_score).
-# Dropped to make room (unchanged files, r5 rows, local tests
-# green): sketches + sequence — next round's re-cover candidates.
+# Round-8 window (policy above; VERDICT r7 item #2 names the r5
+# cohort as the stalest greens). Triage, strictest first:
+#   (a) NEW in r8: the 3 composed candidate-gated ops
+#       (dedup.py *_lsh_verified);
+#   (b) r8-changed dedup.py: minhash_lsh was refactored onto the
+#       shared candidate generator + scoring kernel, cluster_labels
+#       gained call-time checkpoint-mode validation, and the other 7
+#       are file-changed siblings (a bad edit to the new shared
+#       helpers would surface here);
+#   (c) r8-changed multimodal.py: decode gained the stdlib PNG
+#       branch + doc_id % 4 routing (its oracle changed!) and the
+#       PNM separator validation; 4 siblings file-changed;
+#   (d) the r5 cohort — 33 of its 38 ops (§2.1 trace/sketch/
+#       sequence), oldest greens first per the rotation policy.
+# Dropped to make room (unchanged files since their r5 rows, local
+# pytest green): trace_partition_stats, severity_rollup,
+# top_event_types, error_rate_by_user, events_per_minute — the 5
+# simplest single-aggregate ops in the cohort; they lead the r9
+# re-cover list. NOT in the window by design: streaming/queries.py's
+# r8 diff is comment-only (state-partitions sweep note — functions
+# byte-identical, r07 rows stand); textops/similarity/tpch/curation
+# files are untouched since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) + (b): changed code first (9)
-    "dedup_cluster_labels", "dedup_simhash", "dedup_minhash_lsh",
-    "dedup_containment", "multimodal_decode",
-    "streaming_trace_ingest", "trace_json_batch_ingest",
-    "doc_rarity_score", "ann_filtered_topk",
-    # (c) file-changed siblings, functions unchanged (7)
+    # (a) new composed ops (3)
+    "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
+    "embedding_neardup_lsh_verified",
+    # (b) r8-changed dedup.py (9)
+    "dedup_minhash_lsh", "dedup_cluster_labels", "dedup_simhash",
     "dedup_exact", "dedup_ngram_jaccard", "embedding_neardup",
-    "chunk_dedup", "neardup_keep_best",
-    "multimodal_metadata", "multimodal_chunk",
-    # (c cont.) remaining multimodal siblings (2)
+    "chunk_dedup", "neardup_keep_best", "dedup_containment",
+    # (c) r8-changed multimodal.py (5)
+    "multimodal_decode", "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
-    # (d) §2.4 similarity (14) — last driver row r3/r4
-    "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_norm_stats", "embedding_centroids", "stratified_sample",
-    "knn_classify", "ann_pq_topk", "embedding_kmeans",
-    "cluster_balanced_sample", "doc_lang_kmeans", "ann_recall_eval",
-    "ann_radius_count", "embedding_covariance",
-    # (d) §2.9 curation (5) — last driver row r3
-    "benchmark_decontam", "domain_mixture_sample", "token_collocations",
-    "quality_filter_funnel", "doc_length_histogram",
-    # (e) §2.7 streaming remainder (8) — r5 rows, file changed r7
-    "streaming_windowed_counts", "streaming_sessionize",
-    "streaming_stateful_error_count", "streaming_dedup_events",
-    "streaming_rollup_ingest", "streaming_upsert_ingest",
-    "streaming_view_purchase_join", "streaming_hll_rollup",
-    # (f) top-complexity textops (5) — r6 rows, file changed r7
-    "bpe_pair_stats", "doc_top_terms", "lang_confusion_metrics",
-    "corpus_select", "source_dup_inflation",
+    # (d) r5 cohort: trace_ops (20 of 25)
+    "trace_normalize", "events_dedup_latest", "event_sessionization",
+    "json_extract_props", "user_activity_gap", "events_rollup_cube",
+    "events_cube", "events_asof_join", "value_percentiles_by_type",
+    "events_running_windows", "user_retention_cohorts",
+    "events_range_join", "topk_events_by_value", "events_decay_score",
+    "user_recent_events", "churned_users", "events_unpivot_measures",
+    "events_dow_hour_heatmap", "error_run_lengths",
+    "user_first_last_event",
+    # (d) r5 cohort: sketches (5)
+    "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
+    "minute_anomaly_zscore", "value_quantile_hist",
+    # (d) r5 cohort: sequence (8)
+    "funnel_conversion", "user_path_transitions", "events_pivot_usertype",
+    "events_sliding_windows", "max_concurrent_events", "user_value_deltas",
+    "events_moving_avg", "funnel_windowed",
 ]
 
 

@@ -376,20 +376,31 @@ def dedup_jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     only if it shares ≥1 of the 4 MinHash bands — the standard LSH
     S-curve, P(candidate) = 1-(1-s⁴)⁴ ≈ 99% at s=0.9, ~23% at the
     s=0.5 threshold boundary. More bands/permutations move the curve;
-    the exact baseline remains the recall oracle at small scale."""
+    the exact baseline remains the recall oracle at small scale.
+
+    The feature set is HASHED in-row (distinct h32 longs, one md5
+    per gram, computed once): the signature pass then explodes bare
+    longs and the verify intersects long arrays — ~2x cheaper than
+    hashing per exploded row + intersecting 5-char string arrays.
+    Both engines score the identical hashed sets, so a 32-bit
+    collision (≈(2k)²/2³³ odds, and deterministic) can never split
+    the engines."""
     d = table(spark, sf_dir, "documents")
     nt = d.select("doc_id", norm_text(F.col("text")).alias("nt")).where(
         F.length("nt") >= 5
     )
-    # DISTINCT char-5-grams kept IN-ROW (zero-shuffle feature build,
-    # same rationale as _doc_shingles); cached because both the
-    # signature pass and the verify join consume it.
+    # DISTINCT hashed char-5-grams kept IN-ROW (zero-shuffle feature
+    # build, same rationale as _doc_shingles); cached because both
+    # the signature pass and the verify join consume it.
     grams = nt.select(
-        "doc_id", F.array_distinct(F.expr(char_ngrams_expr("nt", 5))).alias("fs")
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform({char_ngrams_expr('nt', 5)}, g -> {h32_spark_sql('g')})"
+            )
+        ).alias("fs"),
     ).cache()
-    hv = grams.select("doc_id", F.explode("fs").alias("g")).select(
-        "doc_id", F.expr(h32_spark_sql("g")).alias("h")
-    )
+    hv = grams.select("doc_id", F.explode("fs").alias("h"))
     cand = _minhash_band_candidates(hv)
     return jaccard_on_candidates(cand, grams, _JACCARD_THRESHOLD)
 
@@ -400,18 +411,16 @@ WITH nt AS (
 ), idx AS (
   SELECT doc_id, nt, unnest(generate_series(1, length(nt)-4)) AS i
   FROM nt WHERE length(nt) >= 5
-), grams AS (
-  SELECT DISTINCT doc_id, substr(nt, i, 5) AS g FROM idx
 ), hv AS (
-  SELECT doc_id, {h32_sql('g')} AS h FROM grams
+  SELECT DISTINCT doc_id, {h32_sql('substr(nt, i, 5)')} AS h FROM idx
 ),
 {_minhash_cand_cte()},
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY 1),
 inter AS (
   SELECT da, db, COUNT(*) AS i
   FROM cand
-  JOIN grams a ON a.doc_id = da
-  JOIN grams b ON b.doc_id = db AND a.g = b.g
+  JOIN hv a ON a.doc_id = da
+  JOIN hv b ON b.doc_id = db AND a.h = b.h
   GROUP BY 1, 2
 )
 SELECT da, db, i / (ca.n + cb.n - i) AS jaccard
@@ -1117,11 +1126,23 @@ _DRIVER_CC_EDGES = 500_000
 # SPARK_GRAFT_CHECKPOINT=reliable (and configure
 # spark.sparkContext.setCheckpointDir) to write checkpoints to
 # cluster storage instead. See SCALE.md.
-_CHECKPOINT_MODE = os.environ.get("SPARK_GRAFT_CHECKPOINT", "local")
+
+def _checkpoint_mode() -> str:
+    """Read and VALIDATE the knob at call time (not import time), so
+    a typo ('Reliable', 'relaible') fails loudly instead of silently
+    falling back to localCheckpoint — the exact mode the knob exists
+    to avoid on dynamic-allocation clusters."""
+    mode = os.environ.get("SPARK_GRAFT_CHECKPOINT", "local")
+    if mode not in ("local", "reliable"):
+        raise ValueError(
+            f"SPARK_GRAFT_CHECKPOINT={mode!r} is not a valid mode; "
+            "expected 'local' or 'reliable'"
+        )
+    return mode
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    if _CHECKPOINT_MODE == "reliable":
+    if _checkpoint_mode() == "reliable":
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

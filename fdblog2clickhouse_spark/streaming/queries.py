@@ -33,8 +33,12 @@ from .ingest import normalize_trace, read_trace_stream
 # Stateful streaming operators create one state store PER shuffle
 # partition PER operator; a single-node harness paying 32× state-store
 # setup/commit per micro-batch is pure overhead (measured 9.0 s → 2.5 s
-# at sf0.1 for the stream-stream join by dropping 32 → 8, and a
-# round-7 sweep {2: 2.57, 4: 2.18, 8: 2.46, 16: 3.32} s picked 4).
+# at sf0.1 for the stream-stream join by dropping 32 → 8). A round-7
+# single-run sweep {2: 2.57, 4: 2.18, 8: 2.46, 16: 3.32} s picked 4;
+# an r8 re-sweep under the bench's min-of-3 protocol (per ADVICE r7)
+# measured 4 → 1.92 s vs 8 → 2.00 s — statistically indistinguishable
+# in this sandbox, so 4 stands (marginally fewer store commits), with
+# the honest conclusion that 4 vs 8 is a wash at sf0.1.
 # The store count is fixed at the query's FIRST checkpoint, which is
 # why this is scoped to .start(): on a real cluster the session
 # default (sized to executors) applies, and an existing checkpoint

@@ -85,16 +85,37 @@ def test_cluster_labels_reliable_checkpoint_mode(spark, sf_oracle, tmp_path):
     reliable checkpoint() (dynamic-allocation clusters — see
     SCALE.md). Force the distributed loop so every _ckpt site runs in
     reliable mode, and assert oracle-identical results."""
+    import os as _os
+
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    old_mode, old_gate = dedup._CHECKPOINT_MODE, dedup._DRIVER_CC_EDGES
-    dedup._CHECKPOINT_MODE = "reliable"
+    old_env = _os.environ.get("SPARK_GRAFT_CHECKPOINT")
+    old_gate = dedup._DRIVER_CC_EDGES
+    _os.environ["SPARK_GRAFT_CHECKPOINT"] = "reliable"
     dedup._DRIVER_CC_EDGES = 0
     try:
         df = dedup.dedup_cluster_labels(spark, sf_oracle)
         compare(df, dedup.ORACLE["dedup_cluster_labels"], sf_oracle)
     finally:
-        dedup._CHECKPOINT_MODE = old_mode
+        if old_env is None:
+            del _os.environ["SPARK_GRAFT_CHECKPOINT"]
+        else:
+            _os.environ["SPARK_GRAFT_CHECKPOINT"] = old_env
         dedup._DRIVER_CC_EDGES = old_gate
+
+
+def test_checkpoint_mode_rejects_typos(monkeypatch):
+    """Any value outside {'local','reliable'} must raise — a typo
+    ('Reliable') silently falling back to localCheckpoint is the
+    exact failure the knob exists to avoid."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "Reliable")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CHECKPOINT"):
+        dedup._checkpoint_mode()
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    assert dedup._checkpoint_mode() == "reliable"
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT")
+    assert dedup._checkpoint_mode() == "local"
 
 
 def test_keep_best_one_per_cluster(spark, sf_oracle):
