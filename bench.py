@@ -59,6 +59,9 @@ HEADLINE = [
     "dedup_jaccard_lsh_verified",
     "dedup_containment_lsh_verified",
     "embedding_neardup_lsh_verified",
+    # round 8: incremental dedup (batch-vs-base via the signature
+    # store) — the admission-pipeline shape; tracked from birth
+    "dedup_incremental_minhash",
 ]
 
 

@@ -43,17 +43,20 @@ from pyspark.sql import DataFrame, SparkSession
 #       sequence), oldest greens first per the rotation policy.
 # Dropped to make room (unchanged files since their r5 rows, local
 # pytest green): trace_partition_stats, severity_rollup,
-# top_event_types, error_rate_by_user, events_per_minute — the 5
-# simplest single-aggregate ops in the cohort; they lead the r9
-# re-cover list. NOT in the window by design: streaming/queries.py's
+# top_event_types, error_rate_by_user, events_per_minute,
+# events_dedup_latest, topk_events_by_value — the 7 simplest
+# single-aggregate / single-window ops in the cohort; they lead the
+# r9 re-cover list. NOT in the window by design: streaming/queries.py's
 # r8 diff is comment-only (state-partitions sweep note — functions
 # byte-identical, r07 rows stand); textops/similarity/tpch/curation
 # files are untouched since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) new composed ops (3)
+    # (a) new ops (5): composed candidate-gated trio + the signature
+    # store and its incremental-dedup consumer
     "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
     "embedding_neardup_lsh_verified",
+    "doc_minhash_signatures", "dedup_incremental_minhash",
     # (b) r8-changed dedup.py (9)
     "dedup_minhash_lsh", "dedup_cluster_labels", "dedup_simhash",
     "dedup_exact", "dedup_ngram_jaccard", "embedding_neardup",
@@ -61,12 +64,12 @@ _FRONT_WINDOW = [
     # (c) r8-changed multimodal.py (5)
     "multimodal_decode", "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
-    # (d) r5 cohort: trace_ops (20 of 25)
-    "trace_normalize", "events_dedup_latest", "event_sessionization",
+    # (d) r5 cohort: trace_ops (18 of 25)
+    "trace_normalize", "event_sessionization",
     "json_extract_props", "user_activity_gap", "events_rollup_cube",
     "events_cube", "events_asof_join", "value_percentiles_by_type",
     "events_running_windows", "user_retention_cohorts",
-    "events_range_join", "topk_events_by_value", "events_decay_score",
+    "events_range_join", "events_decay_score",
     "user_recent_events", "churned_users", "events_unpivot_measures",
     "events_dow_hour_heatmap", "error_run_lengths",
     "user_first_last_event",

@@ -104,25 +104,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_band_candidates(hv: DataFrame) -> DataFrame:
-    """MinHash-LSH candidate pairs over ANY feature-hash stream —
-    the sublinear candidate generator every composed `*_lsh_verified`
-    operator feeds into an exact-scoring kernel.
+def _minhash_sig(hv: DataFrame) -> DataFrame:
+    """16-perm MinHash signature over ANY feature-hash stream.
 
     Input: (doc_id, h) rows, one per (doc, feature-hash); duplicates
-    are harmless (min() is idempotent). Output: pair-distinct
-    (da, db) candidates, da < db, emitted from each pair's FIRST
-    shared band only, with degenerate buckets capped.
+    are harmless (min() is idempotent). Output: (doc_id, s0..s15).
 
-    16-perm MinHash signature: apply 16 affine integer permutations
-    to the pre-hashed features and take 16 vectorized MINs in ONE
-    hash aggregate. min() is commutative, so map-side partial
-    aggregation reduces the shuffle to one 16-bigint row per doc
-    per partition — the feature blow-up never crosses the network.
-    (A per-row array_min(transform(...)) variant avoids the shuffle
-    entirely but runs interpreted, ~2x slower end-to-end; measured.)
+    Apply 16 affine integer permutations to the pre-hashed features
+    and take 16 vectorized MINs in ONE hash aggregate. min() is
+    commutative, so map-side partial aggregation reduces the shuffle
+    to one 16-bigint row per doc per partition — the feature blow-up
+    never crosses the network. (A per-row array_min(transform(...))
+    variant avoids the shuffle entirely but runs interpreted, ~2x
+    slower end-to-end; measured.)
     """
-    sig = hv.groupBy("doc_id").agg(
+    return hv.groupBy("doc_id").agg(
         *[
             F.min(
                 (F.lit(_MINHASH_A[i]) * F.col("h") + F.lit(_MINHASH_B[i])) % F.lit(_MINHASH_P)
@@ -130,13 +126,14 @@ def _minhash_band_candidates(hv: DataFrame) -> DataFrame:
             for i in range(_N_PERM)
         ]
     )
-    # 4 bands of 4 rows via one posexplode (single pass; no unionAll
-    # re-computation of the signature per band). Every exploded row
-    # also carries the FULL key array (4 md5 strings — ~130 B on a
-    # 4-rows-per-doc table, trivial) so the band join below can apply
-    # the first-shared-band gate in-row.
+
+
+def _band_keys_col():
+    """4 band keys (md5 over 4 signature rows each) as one array
+    column over a signature row — the persistable index key a
+    signature store materializes."""
     rows_per_band = _N_PERM // _N_BANDS
-    band_keys = F.array(
+    return F.array(
         *[
             F.md5(
                 F.concat_ws(
@@ -150,43 +147,73 @@ def _minhash_band_candidates(hv: DataFrame) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
+
+
+def _minhash_bands(hv: DataFrame) -> DataFrame:
+    """Capped per-doc band rows (doc_id, ks, band, band_key) over a
+    feature-hash stream — the joinable form of the signature store.
+
+    4 bands of 4 rows via one posexplode (single pass; no unionAll
+    re-computation of the signature per band). Every exploded row
+    also carries the FULL key array (4 md5 strings — ~130 B on a
+    4-rows-per-doc table, trivial) so downstream band joins can
+    apply the first-shared-band gate in-row.
+
+    Bucket cap: a band key shared by > _LSH_BUCKET_CAP docs is a
+    degenerate boilerplate bucket whose candidate pairs grow k² —
+    drop the whole bucket (standard LSH practice; such a family is
+    better handled by dedup_exact upstream). Measured max bucket at
+    sf0.1 is 11, so the cap is a pure 100 TB safety valve here, and
+    it costs one window count on the same (band, band_key) key the
+    join shuffles on anyway."""
+    sig = _minhash_sig(hv)
+    band_keys = _band_keys_col()
     bands = sig.select(
         "doc_id",
         band_keys.alias("ks"),
         F.posexplode(band_keys).alias("band", "band_key"),
     )
-
-    # Bucket cap: a band key shared by > _LSH_BUCKET_CAP docs is a
-    # degenerate boilerplate bucket whose candidate pairs grow k² —
-    # drop the whole bucket (standard LSH practice; such a family is
-    # better handled by dedup_exact upstream). Measured max bucket at
-    # sf0.1 is 11, so the cap is a pure 100 TB safety valve here, and
-    # it costs one window count on the same (band, band_key) key the
-    # join shuffles on anyway.
     wb = Window.partitionBy("band", "band_key")
-    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(wb)).where(
-        F.col("bsz") <= _LSH_BUCKET_CAP
-    ).drop("bsz")
+    return (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("bsz") <= _LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
 
-    # The only required shuffle: hash-partition by band key. Bucket
-    # sizes bound the candidate space — never all-pairs. Each pair is
-    # emitted only from its FIRST shared band (for every earlier band
-    # the keys must differ — an in-row test on the carried key
-    # arrays), so the candidate stream is pair-distinct by
-    # construction and the old candidate-set distinct shuffle is
-    # gone (same move as _simhash_candidates). Cap interaction,
-    # deliberate: a pair whose first shared band sits in a dropped
-    # mega-bucket is dropped with it (not resurrected via a later
-    # shared band) — such a pair is by construction a member of the
-    # degenerate family the cap routes to exact-dedup. The oracle
-    # mirrors the same rule.
-    a, b_ = bands.alias("a"), bands.alias("b")
-    first_band = F.expr(
+
+def _first_band_gate(left: str = "a", right: str = "b"):
+    """In-row first-shared-band predicate: for every band earlier
+    than the joined one, the two key arrays must differ — makes any
+    band join pair-distinct by construction with zero extra shuffle."""
+    return F.expr(
         " AND ".join(
-            f"(a.band <= {j} OR a.ks[{j}] != b.ks[{j}])"
+            f"({left}.band <= {j} OR {left}.ks[{j}] != {right}.ks[{j}])"
             for j in range(_N_BANDS - 1)
         )
     )
+
+
+def _minhash_band_candidates(hv: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs over ANY feature-hash stream —
+    the sublinear candidate generator every composed `*_lsh_verified`
+    operator feeds into an exact-scoring kernel. Output:
+    pair-distinct (da, db), da < db, emitted from each pair's FIRST
+    shared band only, with degenerate buckets capped.
+
+    The only required shuffle: hash-partition by band key. Bucket
+    sizes bound the candidate space — never all-pairs. Each pair is
+    emitted only from its FIRST shared band (for every earlier band
+    the keys must differ — an in-row test on the carried key
+    arrays), so the candidate stream is pair-distinct by
+    construction and the old candidate-set distinct shuffle is
+    gone (same move as _simhash_candidates). Cap interaction,
+    deliberate: a pair whose first shared band sits in a dropped
+    mega-bucket is dropped with it (not resurrected via a later
+    shared band) — such a pair is by construction a member of the
+    degenerate family the cap routes to exact-dedup. The oracle
+    mirrors the same rule."""
+    bands = _minhash_bands(hv)
+    a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b_,
@@ -194,7 +221,7 @@ def _minhash_band_candidates(hv: DataFrame) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(first_band)
+        .where(_first_band_gate())
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
     )
 
@@ -298,11 +325,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cand_cte() -> str:
-    """The sig → keys → bands → capped → cand CTE chain over an
-    in-scope CTE named hv(doc_id, h). Shared by every oracle whose
-    Spark side feeds `_minhash_band_candidates` — one SQL text, so
-    the candidate rule can never drift between composed operators."""
+def _minhash_bands_cte() -> str:
+    """The sig → keys → bands → capped CTE chain over an in-scope
+    CTE named hv(doc_id, h) — the oracle's form of the signature
+    store. Shared by every MinHash oracle, so the banding rule can
+    never drift between operators."""
     return f"""sig AS (
   SELECT doc_id,
          {', '.join(f"MIN(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {_MINHASH_P}) AS s{i}" for i in range(_N_PERM))}
@@ -329,15 +356,24 @@ capped AS (
   SELECT doc_id, band, band_key, ks FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
   ) WHERE bsz <= {_LSH_BUCKET_CAP}
-),
+)"""
+
+
+_FIRST_BAND_GATE_SQL = " AND ".join(
+    f"(a.band <= {j} OR a.ks[{j + 1}] <> b.ks[{j + 1}])"
+    for j in range(_N_BANDS - 1)
+)
+
+
+def _minhash_cand_cte() -> str:
+    """bands chain + the self-join cand CTE (pair-distinct, da < db)
+    — the oracle side of `_minhash_band_candidates`."""
+    return f"""{_minhash_bands_cte()},
 cand AS (
   SELECT a.doc_id AS da, b.doc_id AS db
   FROM capped a JOIN capped b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-  WHERE {' AND '.join(
-      f"(a.band <= {j} OR a.ks[{j + 1}] <> b.ks[{j + 1}])"
-      for j in range(_N_BANDS - 1)
-  )}
+  WHERE {_FIRST_BAND_GATE_SQL}
 )"""
 
 
@@ -356,6 +392,121 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT da, db, i / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ----------------------------------------- doc_minhash_signatures
+
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIGNATURE STORE: one row per doc with its 16 MinHash
+    values and 4 band keys — the table a 100 TB pipeline PERSISTS
+    (partitioned/bucketed by band key) so later batches dedup
+    against the corpus without ever recomputing corpus signatures.
+    Exposing it as an operator makes the store schema explicit and
+    oracle-checked; `dedup_incremental_minhash` is its consumer.
+    Docs with < 3 tokens have no shingles and are excluded (same
+    rule both engines)."""
+    docs = _doc_shingles(spark, sf_dir)
+    hv = docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.expr(h32_spark_sql("s")).alias("h")
+    )
+    sig = _minhash_sig(hv)
+    ks = _band_keys_col()
+    return sig.select(
+        "doc_id",
+        *[f"s{i}" for i in range(_N_PERM)],
+        *[ks.getItem(b).alias(f"bk{b}") for b in range(_N_BANDS)],
+    )
+
+
+_SIGNATURES_SQL = f"""
+WITH {shingles_cte_sql('documents', 'text', 3)},
+hv AS (
+  SELECT doc_id, {h32_sql('s')} AS h FROM sh
+),
+{_minhash_bands_cte()}
+SELECT s.doc_id,
+       {', '.join(f's.s{i}' for i in range(_N_PERM))},
+       {', '.join(f'k.ks[{b + 1}] AS bk{b}' for b in range(_N_BANDS))}
+FROM sig s JOIN keys k USING (doc_id)
+"""
+
+
+# -------------------------------------- dedup_incremental_minhash
+
+_INCR_BATCH_MOD = 10  # doc_id % 10 == 0 → the "new batch" slice
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape production pipelines actually
+    run: a NEW batch of documents (deterministic slice
+    doc_id % 10 == 0, ≈10% of the corpus) is deduped against the
+    BASE corpus (the other 90%) without any base-vs-base pair work.
+    Candidates come from the same banded signature store
+    (`_minhash_bands`; in production the base side is read from the
+    persisted `doc_minhash_signatures` table, not recomputed), the
+    band join is batch×base only, and exact Jaccard verifies
+    candidates. Output: (new_doc_id, base_doc_id, jaccard ≥ 0.5) —
+    the keep/drop evidence for batch admission.
+
+    Scale shape: cost is O(batch + matched candidates) given a
+    stored signature table — the base corpus is touched only through
+    its (tiny) band index and the shingle arrays of MATCHED docs.
+    Batch-internal duplicates are deliberately out of scope here
+    (run `dedup_minhash_lsh` within the batch for those). The bucket
+    cap is computed over base+batch together, exactly what a
+    combined store would see — the oracle mirrors this."""
+    docs = _doc_shingles(spark, sf_dir).cache()
+    hv = docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.expr(h32_spark_sql("s")).alias("h")
+    )
+    bands = _minhash_bands(hv)
+    base = bands.where(F.col("doc_id") % _INCR_BATCH_MOD != 0).alias("a")
+    newb = bands.where(F.col("doc_id") % _INCR_BATCH_MOD == 0).alias("b")
+    cand = (
+        newb.join(
+            base,
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.band_key") == F.col("a.band_key")),
+        )
+        .where(_first_band_gate())
+        .select(F.col("b.doc_id").alias("da"), F.col("a.doc_id").alias("db"))
+    )
+    out = jaccard_on_candidates(
+        cand, docs.select("doc_id", F.col("sh").alias("fs")), _JACCARD_THRESHOLD
+    )
+    return out.select(
+        F.col("da").alias("new_doc_id"),
+        F.col("db").alias("base_doc_id"),
+        "jaccard",
+    )
+
+
+_INCREMENTAL_MINHASH_SQL = f"""
+WITH {shingles_cte_sql('documents', 'text', 3)},
+hv AS (
+  SELECT doc_id, {h32_sql('s')} AS h FROM sh
+),
+{_minhash_bands_cte()},
+cand AS (
+  SELECT b.doc_id AS da, a.doc_id AS db
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id % {_INCR_BATCH_MOD} <> 0 AND b.doc_id % {_INCR_BATCH_MOD} = 0
+  WHERE {_FIRST_BAND_GATE_SQL}
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT da, db, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = da
+  JOIN sh sb ON sb.doc_id = db AND sa.s = sb.s
+  GROUP BY 1, 2
+)
+SELECT da AS new_doc_id, db AS base_doc_id,
+       i / (ca.n + cb.n - i) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
 WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
 """
@@ -1630,6 +1781,8 @@ QUERIES = {
     "dedup_jaccard_lsh_verified": dedup_jaccard_lsh_verified,
     "dedup_containment_lsh_verified": dedup_containment_lsh_verified,
     "embedding_neardup_lsh_verified": embedding_neardup_lsh_verified,
+    "doc_minhash_signatures": doc_minhash_signatures,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
 }
 
 ORACLE = {
@@ -1645,4 +1798,6 @@ ORACLE = {
     "dedup_jaccard_lsh_verified": _JACCARD_LSH_VERIFIED_SQL,
     "dedup_containment_lsh_verified": _CONTAINMENT_LSH_VERIFIED_SQL,
     "embedding_neardup_lsh_verified": _NEARDUP_LSH_VERIFIED_SQL,
+    "doc_minhash_signatures": _SIGNATURES_SQL,
+    "dedup_incremental_minhash": _INCREMENTAL_MINHASH_SQL,
 }

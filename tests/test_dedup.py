@@ -133,3 +133,31 @@ def test_keep_best_one_per_cluster(spark, sf_oracle):
         assert len(kept) == 1, (cluster, members)
         best = max(members, key=lambda r: (r["quality_score"], -r["doc_id"]))
         assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_incremental_minhash_consistent_with_full_dedup(spark, sf_oracle):
+    """The incremental op must agree with the full corpus op on the
+    pairs both can see: dedup_incremental_minhash results == the
+    dedup_minhash_lsh pairs with EXACTLY one side in the batch slice
+    (same bands, same cap over the combined corpus, same first-band
+    gate, same exact-Jaccard verify)."""
+    full = {
+        (min(r["da"], r["db"]), max(r["da"], r["db"]), round(r["jaccard"], 12))
+        for r in dedup.dedup_minhash_lsh(spark, sf_oracle).collect()
+        if (r["da"] % dedup._INCR_BATCH_MOD == 0)
+        != (r["db"] % dedup._INCR_BATCH_MOD == 0)
+    }
+    incr = {
+        (
+            min(r["new_doc_id"], r["base_doc_id"]),
+            max(r["new_doc_id"], r["base_doc_id"]),
+            round(r["jaccard"], 12),
+        )
+        for r in dedup.dedup_incremental_minhash(spark, sf_oracle).collect()
+    }
+    assert incr == full
+    assert all(
+        r["new_doc_id"] % dedup._INCR_BATCH_MOD == 0
+        and r["base_doc_id"] % dedup._INCR_BATCH_MOD != 0
+        for r in dedup.dedup_incremental_minhash(spark, sf_oracle).collect()
+    )
