@@ -325,17 +325,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands_cte() -> str:
+def _minhash_bands_cte(prefix: str = "", hv: str = "hv") -> str:
     """The sig → keys → bands → capped CTE chain over an in-scope
-    CTE named hv(doc_id, h) — the oracle's form of the signature
-    store. Shared by every MinHash oracle, so the banding rule can
-    never drift between operators."""
-    return f"""sig AS (
+    CTE `hv`(doc_id, h) — the oracle's form of the signature store.
+    Shared by every MinHash oracle, so the banding rule can never
+    drift between operators. `prefix` namespaces the CTEs when one
+    oracle needs two independent band chains (e.g. the streaming
+    incremental op: a capped BASE store chain + an uncapped batch
+    chain)."""
+    p = prefix
+    return f"""{p}sig AS (
   SELECT doc_id,
          {', '.join(f"MIN(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {_MINHASH_P}) AS s{i}" for i in range(_N_PERM))}
-  FROM hv GROUP BY doc_id
+  FROM {hv} GROUP BY doc_id
 ),
-keys AS (
+{p}keys AS (
   SELECT doc_id, [{', '.join(
       "md5("
       + " || '|' || ".join(
@@ -344,17 +348,17 @@ keys AS (
       )
       + ")"
       for b in range(_N_BANDS)
-  )}] AS ks FROM sig
+  )}] AS ks FROM {p}sig
 ),
-bands AS (
+{p}bands AS (
   {' UNION ALL '.join(
-      f"SELECT doc_id, {b} AS band, ks[{b + 1}] AS band_key, ks FROM keys"
+      f"SELECT doc_id, {b} AS band, ks[{b + 1}] AS band_key, ks FROM {p}keys"
       for b in range(_N_BANDS)
   )}
 ),
-capped AS (
+{p}capped AS (
   SELECT doc_id, band, band_key, ks FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz FROM {p}bands
   ) WHERE bsz <= {_LSH_BUCKET_CAP}
 )"""
 
@@ -1544,7 +1548,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment is not symmetric: a cross-block group emits A→B from
     inter/|A| AND B→A from the same intersection matrix over |B|. The
     final score is the same single float64 division the SQL oracle
-    performs."""
+    performs.
+
+    Round-8 shape change (same results): the fanout carries the
+    per-doc DISTINCT shingle ARRAY (built JVM-side in-row, same
+    `_doc_shingles` construction `dedup_minhash_lsh` uses) instead
+    of exploded (doc, shingle) rows — one row per (doc, block-group)
+    instead of ~hundreds crossing the applyInPandas shuffle, and the
+    block worker only concatenates + factorizes prebuilt strings.
+    Local sf0.1 timing is within noise of the exploded-row build
+    (~3.5-3.9 s both); kept for the ~200x smaller shuffled row count
+    at scale. A token-array variant that built shingle sets with
+    per-window Python joins measured 5.0 s and was rejected."""
     import numpy as np
     import pandas as pd
 
@@ -1552,32 +1567,37 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "lang", tokens(F.col("text")).alias("t")
     ).where(F.size("t") >= 3)
-    # no corpus-wide distinct: the 0/1 assignment is idempotent under
-    # duplicate (doc, shingle) rows (see dedup_ngram_jaccard)
     sh = t.select(
-        "doc_id", "lang", F.explode(F.expr(shingles_expr("t", 3))).alias("s")
+        "doc_id", "lang", F.array_distinct(F.expr(shingles_expr("t", 3))).alias("sh")
     )
-    fanout = _lang_block_fanout(spark, d, sh, "s", _JACCARD_BLOCK_DOCS)
-
-    def _binmat(doc_col, si, nvocab: int):
-        doc_ids, di = np.unique(doc_col, return_inverse=True)
-        m = np.zeros((len(doc_ids), nvocab), dtype=np.float32)
-        m[di, si] = 1.0  # idempotent under duplicate (doc, shingle) rows
-        return doc_ids, m, m.sum(axis=1).astype(np.int64)
+    fanout = _lang_block_fanout(spark, d, sh, "sh", _JACCARD_BLOCK_DOCS)
 
     def containment_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
         diag = key[1] == key[2]
         a_mask = (pdf["role"] == "a").to_numpy()
         if not a_mask.any() or (not diag and a_mask.all()):
             return pd.DataFrame({"da": [], "db": [], "containment": []})
-        si, _ = pd.factorize(pdf["s"])
-        nvocab = int(si.max()) + 1
+        # rows carry DISTINCT shingle arrays → concatenate +
+        # factorize → idempotent 0/1 matrix over the group's joint
+        # vocabulary (row sums are exact set sizes, same as the old
+        # exploded-row build)
+        arrs = [np.asarray(a) for a in pdf["sh"]]
+        row_idx = np.repeat(
+            np.arange(len(arrs), dtype=np.int64),
+            np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs)),
+        )
+        codes, uniq = pd.factorize(np.concatenate(arrs))
+        m = np.zeros((len(pdf), len(uniq)), dtype=np.float32)
+        m[row_idx, codes] = 1.0
+        sz = m.sum(axis=1).astype(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
-        da_ids, am, asz = _binmat(docs[a_mask], si[a_mask], nvocab)
+        a_rows = np.nonzero(a_mask)[0]
+        da_ids, am, asz = docs[a_rows], m[a_rows], sz[a_rows]
         if diag:
             db_ids, bm, bsz = da_ids, am, asz
         else:
-            db_ids, bm, bsz = _binmat(docs[~a_mask], si[~a_mask], nvocab)
+            b_rows = np.nonzero(~a_mask)[0]
+            db_ids, bm, bsz = docs[b_rows], m[b_rows], sz[b_rows]
         out = {"da": [], "db": [], "containment": []}
         chunk = max(1, (64 << 20) // max(len(db_ids) * 4, 1))
         for lo in range(0, len(da_ids), chunk):

@@ -531,6 +531,144 @@ FROM per_type
 """
 
 
+# ----------------------------------- streaming_incremental_dedup
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING admission dedup — the 100 TB online shape: newly
+    arriving documents (a file stream; the doc_id % 10 == 0 slice
+    lands as JSON rotations) are deduped against the STATIC base
+    corpus signature store with a fully STATELESS append plan:
+
+    - stream side: tokens → in-row distinct shingles → in-row
+      16-perm MinHash signature (array_min over transform — no
+      aggregation, so no streaming state at all; identical values to
+      the batch groupBy-min since min over the same set is min) →
+      in-row band keys → posexplode to band rows;
+    - static side: the base corpus's capped band table (in
+      production, the persisted `doc_minhash_signatures` table) and
+      its shingle arrays;
+    - stream-static inner joins only: band match (first-shared-band
+      gate keeps the stream pair-distinct) then exact Jaccard verify
+      against the base doc's shingle array.
+
+    No watermark, no state store, append mode — each arriving doc is
+    scored against the store and emitted immediately. The bucket cap
+    applies to the BASE store only (that is what exists when a batch
+    arrives); at this SF no bucket caps out, and the op's results
+    equal `dedup_incremental_minhash` (asserted in tests).
+    Output: (new_doc_id, base_doc_id, jaccard ≥ threshold)."""
+    from ..operators import dedup as dd
+
+    base_dir = tempfile.mkdtemp(prefix="incr_dedup_stream_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.where(F.col("doc_id") % dd._INCR_BATCH_MOD == 0).coalesce(4).write.mode(
+        "overwrite"
+    ).json(base_dir)
+
+    # static sides (in production: read from the persisted store)
+    docs = dd._doc_shingles(spark, sf_dir)
+    base_docs = docs.where(F.col("doc_id") % dd._INCR_BATCH_MOD != 0)
+    base_hv = base_docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.expr(dd.h32_spark_sql("s")).alias("h")
+    )
+    base_bands = dd._minhash_bands(base_hv).alias("a")
+    base_feats = base_docs.select(
+        F.col("doc_id").alias("base_doc_id"), F.col("sh").alias("fs")
+    )
+
+    # stream side: stateless in-row signature
+    from ..functions.text import shingles_expr, tokens
+
+    stream = spark.readStream.schema("doc_id long, text string").json(base_dir)
+    s_sh = (
+        stream.select("doc_id", tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(F.expr(shingles_expr("t", 3))).alias("sh"),
+        )
+        .withColumn(
+            "hs", F.expr(f"transform(sh, x -> {dd.h32_spark_sql('x')})")
+        )
+    )
+    s_sig = s_sh.select(
+        "doc_id",
+        "sh",
+        *[
+            F.expr(
+                f"array_min(transform(hs, h -> "
+                f"({dd._MINHASH_A[i]} * h + {dd._MINHASH_B[i]}) % {dd._MINHASH_P}))"
+            ).alias(f"s{i}")
+            for i in range(dd._N_PERM)
+        ],
+    )
+    ks = dd._band_keys_col()
+    s_bands = s_sig.select(
+        F.col("doc_id").alias("new_doc_id"),
+        "sh",
+        ks.alias("ks"),
+        F.posexplode(ks).alias("band", "band_key"),
+    ).alias("b")
+
+    cand = (
+        s_bands.join(
+            base_bands,
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.band_key") == F.col("a.band_key")),
+        )
+        .where(dd._first_band_gate())
+        .select(
+            "new_doc_id", F.col("a.doc_id").alias("base_doc_id"), F.col("b.sh").alias("sh")
+        )
+    )
+    verified = cand.join(base_feats, "base_doc_id")
+    inter = F.size(F.array_intersect("sh", "fs"))
+    out = verified.select(
+        "new_doc_id",
+        "base_doc_id",
+        (inter / (F.size("sh") + F.size("fs") - inter)).alias("jaccard"),
+    ).where(F.col("jaccard") >= dd._JACCARD_THRESHOLD)
+    return _run_to_memory(spark, out, "incr_dedup", "append")
+
+
+def _incr_stream_sql() -> str:
+    from ..operators import dedup as dd
+
+    return f"""
+WITH {dd.shingles_cte_sql('documents', 'text', 3)},
+base_hv AS (
+  SELECT doc_id, {dd.h32_sql('s')} AS h FROM sh
+  WHERE doc_id % {dd._INCR_BATCH_MOD} <> 0
+),
+batch_hv AS (
+  SELECT doc_id, {dd.h32_sql('s')} AS h FROM sh
+  WHERE doc_id % {dd._INCR_BATCH_MOD} = 0
+),
+{dd._minhash_bands_cte(prefix='base_', hv='base_hv')},
+{dd._minhash_bands_cte(prefix='batch_', hv='batch_hv')},
+cand AS (
+  SELECT b.doc_id AS new_doc_id, a.doc_id AS base_doc_id
+  FROM base_capped a JOIN batch_bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE {dd._FIRST_BAND_GATE_SQL}
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT new_doc_id, base_doc_id, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = new_doc_id
+  JOIN sh sb ON sb.doc_id = base_doc_id AND sa.s = sb.s
+  GROUP BY 1, 2
+)
+SELECT new_doc_id, base_doc_id,
+       i / (ca.n + cb.n - i) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = new_doc_id
+JOIN cnt cb ON cb.doc_id = base_doc_id
+WHERE i / (ca.n + cb.n - i) >= {dd._JACCARD_THRESHOLD}
+"""
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -541,6 +679,7 @@ QUERIES = {
     "streaming_upsert_ingest": streaming_upsert_ingest,
     "streaming_view_purchase_join": streaming_view_purchase_join,
     "streaming_hll_rollup": streaming_hll_rollup,
+    "streaming_incremental_dedup": streaming_incremental_dedup,
 }
 
 ORACLE = {
@@ -553,4 +692,5 @@ ORACLE = {
     "streaming_upsert_ingest": _UPSERT_INGEST_SQL,
     "streaming_view_purchase_join": _SS_JOIN_SQL,
     "streaming_hll_rollup": _hll_rollup_sql(),
+    "streaming_incremental_dedup": _incr_stream_sql(),
 }

@@ -248,3 +248,30 @@ def test_processing_time_trigger_files_arriving_mid_query(spark, sf_smoke, tmp_p
         tuple(r) for r in batch.select("severity", "machine", "type", "id").collect()
     )
     assert streamed == batched
+
+
+def test_streaming_incremental_dedup_oracle(spark, sf_smoke):
+    compare(
+        sq.streaming_incremental_dedup(spark, sf_smoke),
+        sq.ORACLE["streaming_incremental_dedup"],
+        sf_smoke,
+    )
+
+
+def test_streaming_incremental_matches_batch_incremental(spark, sf_oracle):
+    """While no bucket exceeds the cap (true at this SF), the
+    stateless stream-static plan must produce exactly the batch
+    incremental op's pairs — the streaming path is the same
+    signature store + band join + exact verify, just computed
+    in-row per arriving doc instead of via a corpus aggregate."""
+    from fdblog2clickhouse_spark.operators import dedup as dd
+
+    batch = {
+        (r["new_doc_id"], r["base_doc_id"], round(r["jaccard"], 12))
+        for r in dd.dedup_incremental_minhash(spark, sf_oracle).collect()
+    }
+    stream = {
+        (r["new_doc_id"], r["base_doc_id"], round(r["jaccard"], 12))
+        for r in sq.streaming_incremental_dedup(spark, sf_oracle).collect()
+    }
+    assert stream == batch and batch
