@@ -52,6 +52,13 @@ NAMES = [
     # round-7 additions
     "doc_rarity_score",
     "ann_filtered_topk",
+    # round-8 additions: composed candidate-gated ops + signature
+    # store + incremental dedup
+    "dedup_jaccard_lsh_verified",
+    "dedup_containment_lsh_verified",
+    "embedding_neardup_lsh_verified",
+    "doc_minhash_signatures",
+    "dedup_incremental_minhash",
 ]
 
 
