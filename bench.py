@@ -62,6 +62,7 @@ HEADLINE = [
     # round 8: incremental dedup (batch-vs-base via the signature
     # store) — the admission-pipeline shape; tracked from birth
     "dedup_incremental_minhash",
+    "embedding_incremental_neardup",
 ]
 
 

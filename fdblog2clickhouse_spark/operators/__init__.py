@@ -44,9 +44,13 @@ from pyspark.sql import DataFrame, SparkSession
 # Dropped to make room (unchanged files since their r5 rows, local
 # pytest green): trace_partition_stats, severity_rollup,
 # top_event_types, error_rate_by_user, events_per_minute,
-# events_dedup_latest, topk_events_by_value, user_recent_events —
-# the 8 simplest single-aggregate / single-window ops in the cohort;
-# they lead the r9 re-cover list. streaming/queries.py's r8 diff is
+# events_dedup_latest, topk_events_by_value, user_recent_events,
+# events_unpivot_measures — the 9 simplest single-aggregate /
+# single-window ops in the cohort; they lead the r9 re-cover list.
+# The r7 verdict asked for ≥30 of the r5 cohort; this window holds
+# 29 because SEVEN new operators landed in r8 and new/changed code
+# outranks stale-but-unchanged greens under the window policy — the
+# 9 deferred ops are the cohort's most trivial plans. streaming/queries.py's r8 diff is
 # a comment edit + the ADDITIVE streaming_incremental_dedup (in the
 # window via slot (a)); the other streaming functions are
 # byte-identical, so their r07 rows stand. NOT in the window by design: streaming/queries.py's
@@ -55,12 +59,13 @@ from pyspark.sql import DataFrame, SparkSession
 # files are untouched since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) new ops (6): composed candidate-gated trio, the signature
-    # store + its batch incremental-dedup consumer, and the
-    # stateless stream-static admission-dedup
+    # (a) new ops (7): composed candidate-gated trio, the signature
+    # store + its batch incremental-dedup consumer (text AND vector
+    # forms), and the stateless stream-static admission-dedup
     "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
     "embedding_neardup_lsh_verified",
     "doc_minhash_signatures", "dedup_incremental_minhash",
+    "embedding_incremental_neardup",
     "streaming_incremental_dedup",
     # (b) r8-changed dedup.py (9)
     "dedup_minhash_lsh", "dedup_cluster_labels", "dedup_simhash",
@@ -75,7 +80,7 @@ _FRONT_WINDOW = [
     "events_cube", "events_asof_join", "value_percentiles_by_type",
     "events_running_windows", "user_retention_cohorts",
     "events_range_join", "events_decay_score",
-    "churned_users", "events_unpivot_measures",
+    "churned_users",
     "events_dow_hour_heatmap", "error_run_lengths",
     "user_first_last_event",
     # (d) r5 cohort: sketches (5)

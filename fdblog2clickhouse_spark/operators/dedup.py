@@ -1125,13 +1125,11 @@ def _neardup_planes() -> list[tuple[int, int, int]]:
     ]
 
 
-def _hyperplane_band_candidates(spark: SparkSession, qn: DataFrame) -> DataFrame:
-    """Random-hyperplane LSH candidate pairs over quantized vectors:
-    48 sign bits → 6 bands × 8 bits → bucket join on (band, value).
-    Pair-distinct by construction via the first-shared-band gate
-    (same move as the SimHash/MinHash generators), buckets capped.
-    The only shuffle keyed on data is the (band, band_val) bucket
-    join — 256 values per band spread by content, never all-pairs."""
+def _hyperplane_bands(spark: SparkSession, qn: DataFrame) -> DataFrame:
+    """Capped hyperplane sign-band rows (vec_id, bs, band, band_val)
+    over quantized vectors: 48 sign bits → 6 bands × 8 bits — the
+    embedding analog of `_minhash_bands` (the joinable form of a
+    persistable vector-signature store)."""
     pl = spark.createDataFrame(_neardup_planes(), "p int, i int, w long")
     el = qn.select("vec_id", F.posexplode("q").alias("i", "v"))
     dots = (
@@ -1158,18 +1156,33 @@ def _hyperplane_band_candidates(spark: SparkSession, qn: DataFrame) -> DataFrame
         "vec_id", barr.alias("bs"), F.posexplode(barr).alias("band", "band_val")
     )
     wb = Window.partitionBy("band", "band_val")
-    bands = (
+    return (
         bands.withColumn("bsz", F.count(F.lit(1)).over(wb))
         .where(F.col("bsz") <= _NEARDUP_LSH_BUCKET_CAP)
         .drop("bsz")
     )
-    a, b_ = bands.alias("a"), bands.alias("b")
-    first_band = F.expr(
+
+
+def _hyperplane_first_band_gate(left: str = "a", right: str = "b"):
+    """First-shared-band predicate over the carried band-value
+    arrays — the hyperplane analog of `_first_band_gate`."""
+    return F.expr(
         " AND ".join(
-            f"(a.band <= {j} OR a.bs[{j}] != b.bs[{j}])"
+            f"({left}.band <= {j} OR {left}.bs[{j}] != {right}.bs[{j}])"
             for j in range(_NEARDUP_LSH_BANDS - 1)
         )
     )
+
+
+def _hyperplane_band_candidates(spark: SparkSession, qn: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs over quantized vectors:
+    48 sign bits → 6 bands × 8 bits → bucket join on (band, value).
+    Pair-distinct by construction via the first-shared-band gate
+    (same move as the SimHash/MinHash generators), buckets capped.
+    The only shuffle keyed on data is the (band, band_val) bucket
+    join — 256 values per band spread by content, never all-pairs."""
+    bands = _hyperplane_bands(spark, qn)
+    a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b_,
@@ -1177,7 +1190,7 @@ def _hyperplane_band_candidates(spark: SparkSession, qn: DataFrame) -> DataFrame
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(first_band)
+        .where(_hyperplane_first_band_gate())
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
     )
 
@@ -1210,48 +1223,113 @@ _NEARDUP_COS_SQL_BODY = (
     " / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))"
 )
 
-_NEARDUP_LSH_VERIFIED_SQL = f"""
-WITH {_QUANT_CTE},
-planes(p, i, w) AS (VALUES {_neardup_planes_values_sql()}),
-el AS (
+_HYPERPLANE_GATE_SQL = " AND ".join(
+    f"(a.band <= {j} OR a.bs[{j + 1}] <> b.bs[{j + 1}])"
+    for j in range(_NEARDUP_LSH_BANDS - 1)
+)
+
+
+def _hyperplane_bands_cte(prefix: str = "", src: str = "qn") -> str:
+    """el → dots → bandvals → bands → capped CTE chain over a
+    quantized-vector CTE `src` (expects an in-scope `planes` VALUES
+    CTE) — the oracle side of `_hyperplane_bands`, prefix-namespaced
+    like `_minhash_bands_cte` so one oracle can hold two chains."""
+    p = prefix
+    return f"""{p}el AS (
   SELECT vec_id, unnest(q) AS v,
          unnest(generate_series(0, len(q)-1)) AS i
-  FROM qn
+  FROM {src}
 ),
-dots AS (
+{p}dots AS (
   SELECT vec_id, p, SUM(v * w) AS dot
-  FROM el JOIN planes USING (i) GROUP BY 1, 2
+  FROM {p}el JOIN planes USING (i) GROUP BY 1, 2
 ),
-bandvals AS (
+{p}bandvals AS (
   SELECT vec_id,
          {', '.join(
     f"CAST(SUM(CASE WHEN p >= {b * _NEARDUP_LSH_BAND_BITS} AND p < {(b + 1) * _NEARDUP_LSH_BAND_BITS} AND dot >= 0"
     f" THEN (1 << (p - {b * _NEARDUP_LSH_BAND_BITS})) ELSE 0 END) AS INT) AS bv{b}"
     for b in range(_NEARDUP_LSH_BANDS)
 )}
-  FROM dots GROUP BY 1
+  FROM {p}dots GROUP BY 1
 ),
-bands AS (
+{p}bands AS (
   {' UNION ALL '.join(
-    f"SELECT vec_id, {b} AS band, bv{b} AS band_val, [{', '.join(f'bv{k}' for k in range(_NEARDUP_LSH_BANDS))}] AS bs FROM bandvals"
+    f"SELECT vec_id, {b} AS band, bv{b} AS band_val, [{', '.join(f'bv{k}' for k in range(_NEARDUP_LSH_BANDS))}] AS bs FROM {p}bandvals"
     for b in range(_NEARDUP_LSH_BANDS)
 )}
 ),
-capped AS (
+{p}capped AS (
   SELECT vec_id, band, band_val, bs FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY band, band_val) AS bsz FROM bands
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_val) AS bsz FROM {p}bands
   ) WHERE bsz <= {_NEARDUP_LSH_BUCKET_CAP}
-),
+)"""
+
+
+_NEARDUP_LSH_VERIFIED_SQL = f"""
+WITH {_QUANT_CTE},
+planes(p, i, w) AS (VALUES {_neardup_planes_values_sql()}),
+{_hyperplane_bands_cte()},
 cand AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM capped a JOIN capped b
     ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
-  WHERE {' AND '.join(
-    f"(a.band <= {j} OR a.bs[{j + 1}] <> b.bs[{j + 1}])"
-    for j in range(_NEARDUP_LSH_BANDS - 1)
-)}
+  WHERE {_HYPERPLANE_GATE_SQL}
 )
 SELECT va, vb,
+       {_NEARDUP_COS_SQL_BODY} AS cosine
+FROM cand
+JOIN qn a ON a.vec_id = va
+JOIN qn b ON b.vec_id = vb
+WHERE {_NEARDUP_COS_SQL_BODY} >= {_COSINE_THRESHOLD}
+"""
+
+
+# ---------------------------------- embedding_incremental_neardup
+
+def embedding_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup for VECTORS — the embedding analog of
+    `dedup_incremental_minhash`: a new batch of vectors
+    (vec_id % 10 == 0, ≈10%) is checked against the base corpus
+    through the hyperplane sign-band store (in production the base
+    band table is persisted, not recomputed), batch×base band join
+    only, exact int64 cosine verify. Output:
+    (new_vec_id, base_vec_id, cosine ≥ threshold). The bucket cap is
+    computed over base+batch together (what a combined store sees);
+    the oracle mirrors this."""
+    qn = _quantized(spark, sf_dir).cache()
+    bands = _hyperplane_bands(spark, qn)
+    base = bands.where(F.col("vec_id") % _INCR_BATCH_MOD != 0).alias("a")
+    newb = bands.where(F.col("vec_id") % _INCR_BATCH_MOD == 0).alias("b")
+    cand = (
+        newb.join(
+            base,
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.band_val") == F.col("a.band_val")),
+        )
+        .where(_hyperplane_first_band_gate())
+        .select(F.col("b.vec_id").alias("va"), F.col("a.vec_id").alias("vb"))
+    )
+    out = cosine_on_candidates(cand, qn, _COSINE_THRESHOLD)
+    return out.select(
+        F.col("va").alias("new_vec_id"),
+        F.col("vb").alias("base_vec_id"),
+        "cosine",
+    )
+
+
+_INCR_NEARDUP_SQL = f"""
+WITH {_QUANT_CTE},
+planes(p, i, w) AS (VALUES {_neardup_planes_values_sql()}),
+{_hyperplane_bands_cte()},
+cand AS (
+  SELECT b.vec_id AS va, a.vec_id AS vb
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.vec_id % {_INCR_BATCH_MOD} <> 0 AND b.vec_id % {_INCR_BATCH_MOD} = 0
+  WHERE {_HYPERPLANE_GATE_SQL}
+)
+SELECT va AS new_vec_id, vb AS base_vec_id,
        {_NEARDUP_COS_SQL_BODY} AS cosine
 FROM cand
 JOIN qn a ON a.vec_id = va
@@ -1803,6 +1881,7 @@ QUERIES = {
     "embedding_neardup_lsh_verified": embedding_neardup_lsh_verified,
     "doc_minhash_signatures": doc_minhash_signatures,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "embedding_incremental_neardup": embedding_incremental_neardup,
 }
 
 ORACLE = {
@@ -1820,4 +1899,5 @@ ORACLE = {
     "embedding_neardup_lsh_verified": _NEARDUP_LSH_VERIFIED_SQL,
     "doc_minhash_signatures": _SIGNATURES_SQL,
     "dedup_incremental_minhash": _INCREMENTAL_MINHASH_SQL,
+    "embedding_incremental_neardup": _INCR_NEARDUP_SQL,
 }
