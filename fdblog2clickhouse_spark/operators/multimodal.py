@@ -2,11 +2,13 @@
 
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata — the Spark-side schema, partitioning, and Arrow/Pandas-UDF
-batch shapes are real and tested. Image decode is REAL for four
+batch shapes are real and tested. Image decode is REAL for five
 formats with zero codec libraries (BMP, binary PNM, uncompressed
-TGA, and PNG via stdlib zlib + the five scanline filters); only the
-remaining compressed formats (JPEG/...) are stubbed behind a PIL
-import-try so the pipeline shape is production-true.
+TGA, PNG via stdlib zlib + the five scanline filters, and baseline
+JPEG via a full T.81 implementation in operators/jpeg.py); only
+containers outside these (GIF/WebP/TIFF, non-baseline JPEG modes)
+are stubbed behind a PIL import-try so the pipeline shape is
+production-true.
 
 Deterministic fake payloads are derived from `documents` (md5-based
 bytes, varying length by modality) so the metadata path is
@@ -49,17 +51,25 @@ _CHUNK_BYTES = 16
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload.
 
-    FOUR formats are decoded for real with zero codec libraries —
+    FIVE formats are decoded for real with zero codec libraries —
     BMP (BITMAPINFOHEADER little-endian arithmetic), binary PNM
     (P6/P5 ASCII header + raster), uncompressed TGA (fixed 18-byte
-    header), and PNG (stdlib zlib inflate + the five scanline
-    filters, 8-bit RGB/RGBA non-interlaced) — so the decode path is
-    exercised end-to-end in this container. Remaining compressed
-    formats (JPEG/...) require an image library that is not baked
-    in; that branch is the declared STUB (the surrounding plumbing —
-    schema, batching, partitioning — is real either way)."""
+    header), PNG (stdlib zlib inflate + the five scanline filters,
+    8-bit RGB/RGBA non-interlaced), and baseline JPEG (full T.81
+    sequential DCT: Huffman entropy decode, dequant, IDCT, YCbCr
+    conversion, 4:2:0/4:2:2 upsampling, restart intervals —
+    operators/jpeg.py) — so the decode path is exercised end-to-end
+    in this container. Containers outside these (GIF/WebP/TIFF/...)
+    and non-baseline JPEG modes require an image library that is not
+    baked in; that fall-through is the one remaining stub (the
+    surrounding plumbing — schema, batching, partitioning — is real
+    either way)."""
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if len(payload) >= 54 and payload[:2] == b"BM":
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = int.from_bytes(payload[22:26], "little", signed=True)
@@ -99,8 +109,8 @@ def decode_image(payload: bytes) -> dict:
         return tga
     if not HAVE_IMAGE_DECODER:
         raise NotImplementedError(
-            "compressed-format image decode (JPEG/...) requires PIL; "
-            "install an image codec to enable"
+            "unrecognized image container (GIF/WebP/TIFF/...) requires "
+            "PIL; install an image codec to enable"
         )
     raise NotImplementedError("wire to Image.open(BytesIO(payload)) when enabled")
 

@@ -342,3 +342,107 @@ def test_frame_sample_stride(spark, sf_smoke):
     for doc_id, idxs in per_doc.items():
         n_frames = 1 + doc_id % 3
         assert sorted(idxs) == list(range(0, n_frames, 2))
+
+
+# ------------------------------------------------- baseline JPEG
+
+def test_decode_jpeg_flat_roundtrips_exactly():
+    """A flat-color image is DC-only after the DCT; with fine
+    quantization the round trip is EXACT — pinning Huffman tables,
+    zigzag, quantization, and the IDCT path all at once (any error
+    in any of them produces wildly wrong pixels, not an off-by-one)."""
+    import numpy as np
+
+    from fdblog2clickhouse_spark.operators.jpeg import encode_jpeg
+
+    w, h = 16, 16
+    rgb = bytes([120, 60, 200] * (w * h))
+    d = multimodal.decode_image(encode_jpeg(w, h, rgb, quality_scale=4))
+    assert (d["format"], d["width"], d["height"], d["bpp"]) == ("jpeg", w, h, 24)
+    assert d["n_pixel_bytes"] == w * h * 3
+    a = np.frombuffer(rgb, np.uint8).astype(int)
+    b = np.frombuffer(d["pixels"], np.uint8).astype(int)
+    assert np.abs(a - b).max() == 0
+
+
+def test_decode_jpeg_lossy_roundtrip_bounded():
+    """Random noise is JPEG's worst case; at fine quantization the
+    reconstruction error must stay small and structured (a decoder
+    bug — wrong zigzag, bad EXTEND, broken bit reader — produces
+    errors near 255, not near 4). Non-multiple-of-8 dims exercise
+    edge-block cropping; a restart interval exercises RSTn handling
+    and DC-predictor resets."""
+    import numpy as np
+
+    from fdblog2clickhouse_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(42)
+    w, h = 24, 17
+    raster = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    d = multimodal.decode_image(
+        encode_jpeg(w, h, raster, quality_scale=8, restart_interval=2)
+    )
+    assert (d["width"], d["height"]) == (w, h)
+    a = np.frombuffer(raster, np.uint8).astype(int)
+    b = np.frombuffer(d["pixels"], np.uint8).astype(int)
+    assert np.abs(a - b).mean() < 6.0
+    assert np.abs(a - b).max() < 48
+
+
+def test_decode_jpeg_gradient_smooth():
+    import numpy as np
+
+    from fdblog2clickhouse_spark.operators.jpeg import encode_jpeg
+
+    w, h = 32, 16
+    img = np.zeros((h, w, 3), np.uint8)
+    for x in range(w):
+        img[:, x, :] = int(x * 255 / (w - 1))
+    d = multimodal.decode_image(encode_jpeg(w, h, img.tobytes(), quality_scale=4))
+    b = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(img.astype(int) - b).mean() < 1.5
+
+
+def test_decode_jpeg_rejects_nonbaseline_and_corrupt():
+    import struct as _struct
+
+    from fdblog2clickhouse_spark.operators.jpeg import encode_jpeg
+
+    good = encode_jpeg(8, 8, bytes(8 * 8 * 3))
+    # flip SOF0 -> SOF2 (progressive) in the marker stream
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        multimodal.decode_image(prog)
+    # truncation mid-scan: bit reader runs off the end
+    with pytest.raises((ValueError, IndexError)):
+        multimodal.decode_image(good[: len(good) // 2])
+    # not a JPEG at all (also not any other known container)
+    with pytest.raises((ValueError, NotImplementedError)):
+        multimodal.decode_image(b"\xff\xd8\x00" + b"\x00" * 64)
+
+
+@_settings(max_examples=15, deadline=None)
+@_given(
+    w=_st.integers(1, 20),
+    h=_st.integers(1, 20),
+    seed=_st.integers(0, 2**31 - 1),
+)
+def test_decode_jpeg_roundtrip_property(w, h, seed):
+    """Arbitrary dimensions (including non-multiples of 8 and 1-pixel
+    edges) and random content: the decoded raster must have the right
+    shape and bounded reconstruction error."""
+    import numpy as np
+
+    from fdblog2clickhouse_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    # smooth-ish content (random low-res upsampled) — JPEG's design
+    # domain, keeps the error bound meaningfully tight
+    small = rng.randint(0, 256, size=(-(-h // 4), -(-w // 4), 3))
+    img = np.kron(small, np.ones((4, 4, 1)))[:h, :w, :].astype(np.uint8)
+    d = multimodal.decode_image(
+        encode_jpeg(w, h, img.tobytes(), quality_scale=8)
+    )
+    assert (d["width"], d["height"], d["n_pixel_bytes"]) == (w, h, w * h * 3)
+    b = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(img.astype(int) - b).mean() < 8.0
