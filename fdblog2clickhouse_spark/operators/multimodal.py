@@ -795,6 +795,93 @@ FROM q
 """
 
 
+# --------------------------------------------- multimodal_decode_jpeg
+
+_JPEG_ERR_BOUND = 16.0  # generous mean-abs-error slack (see docstring)
+
+_DECODE_JPEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bpp", IntegerType()),
+        StructField("n_pixel_bytes", IntegerType()),
+        StructField("err_ok", IntegerType()),
+    ]
+)
+
+
+def _decode_jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "format": [], "width": [], "height": [],
+            "bpp": [], "n_pixel_bytes": [], "err_ok": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            w = 8 + (int(doc_id) % 3) * 4
+            h = 8 + (int(doc_id) % 2) * 4
+            raster = _raster(text, w * h * 3)
+            d = decode_jpeg(encode_jpeg(w, h, raster, quality_scale=8))
+            a = np.frombuffer(raster, np.uint8).astype(np.int64)
+            b = np.frombuffer(d["pixels"], np.uint8).astype(np.int64)
+            err = float(np.abs(a - b).mean())
+            out["doc_id"].append(doc_id)
+            out["format"].append(d["format"])
+            out["width"].append(d["width"])
+            out["height"].append(d["height"])
+            out["bpp"].append(d["bpp"])
+            out["n_pixel_bytes"].append(d["n_pixel_bytes"])
+            out["err_ok"].append(int(err <= _JPEG_ERR_BOUND))
+        yield pd.DataFrame(out)
+
+
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY-codec decode path through Spark: every doc's
+    deterministic raster is encoded to a REAL baseline JPEG and
+    decoded back by the full T.81 pipeline (operators/jpeg.py)
+    inside mapInPandas. JPEG loss means pixel bytes have no
+    closed-form SQL oracle, so the oracle-checked surface is the
+    part that IS closed-form — format/dimensions/bpp/raster size
+    derive from doc_id — plus an `err_ok` flag asserting the
+    reconstruction error stays under a slack bound of
+    16 mean-abs-per-sample (typical measured error is ~3-6 at this
+    quantization; a decoder bug — wrong zigzag, broken Huffman, bad
+    IDCT — produces errors near 85, the mean |a-b| of independent
+    uniform bytes, so the bound separates working from broken by an
+    order of magnitude while being insensitive to float rounding).
+
+    Runs over the deterministic doc_id % 5 == 0 SAMPLE (20%): a
+    lossy-codec integrity audit is a sampled QA pass in a real
+    pipeline — you spot-check codec health, you don't re-encode the
+    corpus — and the pure-Python per-block codec (fine inside unit
+    tests) would otherwise dominate the full-corpus sweep."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 5 == 0)
+    )
+    return d.mapInPandas(_decode_jpeg_batches, schema=_DECODE_JPEG_SCHEMA)
+
+
+_DECODE_JPEG_SQL = """
+SELECT doc_id,
+       'jpeg' AS format,
+       CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+       CAST(8 + (doc_id % 2) * 4 AS INT) AS height,
+       CAST(24 AS INT) AS bpp,
+       CAST((8 + (doc_id % 3) * 4) * (8 + (doc_id % 2) * 4) * 3 AS INT)
+         AS n_pixel_bytes,
+       CAST(1 AS INT) AS err_ok
+FROM documents
+WHERE doc_id % 5 = 0
+"""
+
+
 # ------------------------------------------- multimodal_frame_sample
 
 _FRAME_STRIDE = 2
@@ -874,6 +961,7 @@ QUERIES = {
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_decode": multimodal_decode,
+    "multimodal_decode_jpeg": multimodal_decode_jpeg,
 }
 
 ORACLE = {
@@ -882,4 +970,5 @@ ORACLE = {
     "multimodal_feature_extract": _FEATURE_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "multimodal_decode": _DECODE_SQL,
+    "multimodal_decode_jpeg": _DECODE_JPEG_SQL,
 }
