@@ -45,10 +45,10 @@ from pyspark.sql import DataFrame, SparkSession
 # pytest green): trace_partition_stats, severity_rollup,
 # top_event_types, error_rate_by_user, events_per_minute,
 # events_dedup_latest, topk_events_by_value, user_recent_events,
-# events_unpivot_measures, events_decay_score — the 10 simplest ops
-# in the cohort; they lead the r9 re-cover list.
+# events_unpivot_measures, events_decay_score, events_range_join —
+# the 11 simplest ops in the cohort; they lead the r9 re-cover list.
 # The r7 verdict asked for ≥30 of the r5 cohort; this window holds
-# 28 because EIGHT new operators landed in r8 and new/changed code
+# 27 because NINE new operators landed in r8 and new/changed code
 # outranks stale-but-unchanged greens under the window policy — the
 # deferred ops are the cohort's most trivial plans. streaming/queries.py's r8 diff is
 # a comment edit + the ADDITIVE streaming_incremental_dedup (in the
@@ -71,8 +71,10 @@ _FRONT_WINDOW = [
     "dedup_minhash_lsh", "dedup_cluster_labels", "dedup_simhash",
     "dedup_exact", "dedup_ngram_jaccard", "embedding_neardup",
     "chunk_dedup", "neardup_keep_best", "dedup_containment",
-    # (c) r8-changed multimodal.py (6, incl. the NEW jpeg audit op)
+    # (c) r8-changed multimodal.py (7, incl. the NEW jpeg-audit and
+    # wav-decode ops)
     "multimodal_decode", "multimodal_decode_jpeg",
+    "multimodal_audio_decode",
     "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
     # (d) r5 cohort: trace_ops (18 of 25)
@@ -80,7 +82,6 @@ _FRONT_WINDOW = [
     "json_extract_props", "user_activity_gap", "events_rollup_cube",
     "events_cube", "events_asof_join", "value_percentiles_by_type",
     "events_running_windows", "user_retention_cohorts",
-    "events_range_join",
     "churned_users",
     "events_dow_hour_heatmap", "error_run_lengths",
     "user_first_last_event",

@@ -795,6 +795,173 @@ FROM q
 """
 
 
+# ----------------------------------------------------- WAV decode
+
+def decode_audio(payload: bytes) -> dict:
+    """REAL audio container decode: RIFF/WAVE with PCM (format 1),
+    8/16-bit — pure byte arithmetic, no codec library. Walks the
+    chunk list (tolerating extra chunks like LIST/fact), validates
+    the fmt chunk's internal consistency (block_align, byte_rate)
+    and the data chunk against the actual payload; compressed
+    formats (MP3/AAC/IEEE-float WAV) raise NotImplementedError,
+    structural corruption raises ValueError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "byte_rate": int.from_bytes(body[8:12], "little"),
+                "block_align": int.from_bytes(body[12:14], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt["audio_format"] != 1:
+        raise NotImplementedError(
+            f"non-PCM WAV (format {fmt['audio_format']}) requires a codec"
+        )
+    if fmt["bits"] not in (8, 16):
+        raise NotImplementedError(f"{fmt['bits']}-bit PCM not supported")
+    if fmt["channels"] < 1 or fmt["sample_rate"] <= 0:
+        raise ValueError("WAV declares invalid channels/sample_rate")
+    expect_align = fmt["channels"] * fmt["bits"] // 8
+    if fmt["block_align"] != expect_align:
+        raise ValueError(
+            f"block_align {fmt['block_align']} != channels*bits/8 {expect_align}"
+        )
+    if fmt["byte_rate"] != fmt["sample_rate"] * expect_align:
+        raise ValueError("byte_rate inconsistent with rate*block_align")
+    if len(data) % expect_align != 0:
+        raise ValueError("data chunk is not a whole number of frames")
+    n_frames = len(data) // expect_align
+    return {
+        "format": "wav",
+        "channels": fmt["channels"],
+        "sample_rate": fmt["sample_rate"],
+        "bits": fmt["bits"],
+        "n_frames": n_frames,
+        "duration_us": n_frames * 1_000_000 // fmt["sample_rate"],
+        "pcm": data,
+    }
+
+
+def _wav_bytes(doc_id: int, text: str) -> bytes:
+    """A REAL PCM WAV deterministically derived from (doc_id, text):
+    header fields from doc_id, sample bytes from the md5(text)
+    digest repeated — the same closed-form-oracle construction as the
+    image builders."""
+    channels = 1 + doc_id % 2
+    sample_rate = 8000 + (doc_id % 4) * 4000
+    bits = 16
+    n_frames = 64 + doc_id % 32
+    block = channels * bits // 8
+    pcm = _raster(text, n_frames * block)
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+_AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_us", LongType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def _audio_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import binascii
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "format": [], "channels": [], "sample_rate": [],
+            "bits": [], "n_frames": [], "duration_us": [], "pcm_md5": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            d = decode_audio(_wav_bytes(int(doc_id), text))
+            out["doc_id"].append(doc_id)
+            out["format"].append(d["format"])
+            out["channels"].append(d["channels"])
+            out["sample_rate"].append(d["sample_rate"])
+            out["bits"].append(d["bits"])
+            out["n_frames"].append(d["n_frames"])
+            out["duration_us"].append(d["duration_us"])
+            out["pcm_md5"].append(
+                hashlib.md5(binascii.hexlify(d["pcm"]).upper()).hexdigest()
+            )
+        yield pd.DataFrame(out)
+
+
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode through Spark: each doc's
+    deterministic PCM WAV (RIFF assembled per doc, chunk-validated)
+    is decoded by `decode_audio` inside mapInPandas and every
+    recovered field — container format, channels, sample rate, bit
+    depth, frame count, integer duration, PCM fingerprint — is
+    ORACLE-checked in closed form. The audio sibling of
+    `multimodal_decode`; swap the body for an MP3/AAC codec call and
+    the Spark plumbing is unchanged."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_audio_decode_batches, schema=_AUDIO_DECODE_SCHEMA)
+
+
+_AUDIO_DECODE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS INT) AS channels,
+         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         CAST(64 + doc_id % 32 AS INT) AS n_frames,
+         md5(text) AS hx
+  FROM documents
+),
+q AS (
+  SELECT doc_id, channels, sample_rate, n_frames, hx,
+         n_frames * channels * 2 AS n_pcm
+  FROM p
+)
+SELECT doc_id, 'wav' AS format, channels, sample_rate,
+       CAST(16 AS INT) AS bits, n_frames,
+       CAST(n_frames AS BIGINT) * 1000000 // sample_rate AS duration_us,
+       md5(upper(substr(repeat(hx, n_pcm // 16 + 1), 1, 2 * n_pcm)))
+         AS pcm_md5
+FROM q
+"""
+
+
 # --------------------------------------------- multimodal_decode_jpeg
 
 _JPEG_ERR_BOUND = 16.0  # generous mean-abs-error slack (see docstring)
@@ -962,6 +1129,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_jpeg": multimodal_decode_jpeg,
+    "multimodal_audio_decode": multimodal_audio_decode,
 }
 
 ORACLE = {
@@ -971,4 +1139,5 @@ ORACLE = {
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "multimodal_decode": _DECODE_SQL,
     "multimodal_decode_jpeg": _DECODE_JPEG_SQL,
+    "multimodal_audio_decode": _AUDIO_DECODE_SQL,
 }

@@ -446,3 +446,78 @@ def test_decode_jpeg_roundtrip_property(w, h, seed):
     assert (d["width"], d["height"], d["n_pixel_bytes"]) == (w, h, w * h * 3)
     b = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3).astype(int)
     assert np.abs(img.astype(int) - b).mean() < 8.0
+
+
+# --------------------------------------------------- WAV (audio)
+
+def test_decode_wav_real_values():
+    """Hand-assembled PCM WAV (with an extra LIST chunk the walker
+    must skip) decodes to exact header fields and PCM bytes."""
+    pcm = bytes(range(16))  # 4 frames, stereo 16-bit
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"LIST" + (4).to_bytes(4, "little") + b"INFO"  # skipped
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    d = multimodal.decode_audio(b"RIFF" + len(chunks).to_bytes(4, "little") + chunks)
+    assert d["format"] == "wav"
+    assert (d["channels"], d["sample_rate"], d["bits"]) == (2, 8000, 16)
+    assert d["n_frames"] == 4
+    assert d["duration_us"] == 4 * 1_000_000 // 8000
+    assert d["pcm"] == pcm
+
+
+def test_decode_wav_rejects_corruption_and_nonpcm():
+    good = multimodal._wav_bytes(5, "hello")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_audio(good[:-1])
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_audio(b"\x00" * 64)
+    # flip format code 1 -> 3 (IEEE float): declared NotImplementedError
+    bad = bytearray(good)
+    fmt_at = good.index(b"fmt ") + 8
+    bad[fmt_at] = 3
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        multimodal.decode_audio(bytes(bad))
+    # inconsistent block_align: structural corruption
+    bad = bytearray(good)
+    bad[fmt_at + 12] = 99
+    with pytest.raises(ValueError, match="block_align"):
+        multimodal.decode_audio(bytes(bad))
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    channels=_st.integers(1, 4),
+    rate=_st.integers(1, 96000),
+    n=_st.integers(0, 64),
+    seed=_st.binary(min_size=1, max_size=32),
+)
+def test_decode_wav_roundtrip_property(channels, rate, n, seed):
+    pcm = (seed * (n * channels * 2 // len(seed) + 1))[: n * channels * 2]
+    block = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    d = multimodal.decode_audio(
+        b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+    )
+    assert (d["channels"], d["sample_rate"], d["n_frames"]) == (channels, rate, n)
+    assert d["pcm"] == pcm
+
+
+def test_audio_decode_oracle_parity(spark, sf_oracle):
+    df = multimodal.multimodal_audio_decode(spark, sf_oracle)
+    compare(df, multimodal.ORACLE["multimodal_audio_decode"], sf_oracle)
