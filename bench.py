@@ -63,6 +63,12 @@ HEADLINE = [
     # store) — the admission-pipeline shape; tracked from birth
     "dedup_incremental_minhash",
     "embedding_incremental_neardup",
+    # round 8: training-assembly ops — packing's parallel prefix sum
+    # is the one whose cost profile matters at 100 TB; tracked from
+    # birth alongside its cheap in-row siblings
+    "sequence_packing",
+    "embedding_int8_quantize",
+    "doc_skyline_select",
 ]
 
 

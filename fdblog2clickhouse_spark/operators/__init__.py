@@ -45,10 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 # pytest green): trace_partition_stats, severity_rollup,
 # top_event_types, error_rate_by_user, events_per_minute,
 # events_dedup_latest, topk_events_by_value, user_recent_events,
-# events_unpivot_measures, events_decay_score, events_range_join —
-# the 11 simplest ops in the cohort; they lead the r9 re-cover list.
+# events_unpivot_measures, events_decay_score, events_range_join,
+# events_dow_hour_heatmap, user_first_last_event,
+# events_pivot_usertype — the 14 simplest ops in the cohort; they
+# lead the r9 re-cover list.
 # The r7 verdict asked for ≥30 of the r5 cohort; this window holds
-# 27 because NINE new operators landed in r8 and new/changed code
+# 24 because TWELVE new operators landed in r8 and new/changed code
 # outranks stale-but-unchanged greens under the window policy — the
 # deferred ops are the cohort's most trivial plans. streaming/queries.py's r8 diff is
 # a comment edit + the ADDITIVE streaming_incremental_dedup (in the
@@ -59,14 +61,16 @@ from pyspark.sql import DataFrame, SparkSession
 # files are untouched since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) new ops (7): composed candidate-gated trio, the signature
+    # (a) new ops (10): composed candidate-gated trio, the signature
     # store + its batch incremental-dedup consumer (text AND vector
-    # forms), and the stateless stream-static admission-dedup
+    # forms), the stateless stream-static admission-dedup, and the
+    # training-assembly trio (operators/training.py, NEW file)
     "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
     "embedding_neardup_lsh_verified",
     "doc_minhash_signatures", "dedup_incremental_minhash",
     "embedding_incremental_neardup",
     "streaming_incremental_dedup",
+    "sequence_packing", "embedding_int8_quantize", "doc_skyline_select",
     # (b) r8-changed dedup.py (9)
     "dedup_minhash_lsh", "dedup_cluster_labels", "dedup_simhash",
     "dedup_exact", "dedup_ngram_jaccard", "embedding_neardup",
@@ -77,26 +81,25 @@ _FRONT_WINDOW = [
     "multimodal_audio_decode",
     "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
-    # (d) r5 cohort: trace_ops (18 of 25)
+    # (d) r5 cohort: trace_ops (12 of 25)
     "trace_normalize", "event_sessionization",
     "json_extract_props", "user_activity_gap", "events_rollup_cube",
     "events_cube", "events_asof_join", "value_percentiles_by_type",
     "events_running_windows", "user_retention_cohorts",
     "churned_users",
-    "events_dow_hour_heatmap", "error_run_lengths",
-    "user_first_last_event",
+    "error_run_lengths",
     # (d) r5 cohort: sketches (5)
     "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
     "minute_anomaly_zscore", "value_quantile_hist",
-    # (d) r5 cohort: sequence (8)
-    "funnel_conversion", "user_path_transitions", "events_pivot_usertype",
+    # (d) r5 cohort: sequence (7)
+    "funnel_conversion", "user_path_transitions",
     "events_sliding_windows", "max_concurrent_events", "user_value_deltas",
     "events_moving_avg", "funnel_windowed",
 ]
 
 
 def _collect() -> tuple[dict, dict]:
-    from . import curation, dedup, multimodal, sequence, similarity, sketches, textops, tpch, trace_ops
+    from . import curation, dedup, multimodal, sequence, similarity, sketches, textops, tpch, trace_ops, training
     from ..sources import trace_json
     from ..streaming import queries as streaming_queries
 
@@ -114,6 +117,7 @@ def _collect() -> tuple[dict, dict]:
         sketches,
         sequence,
         curation,
+        training,
     ):
         for k, v in mod.QUERIES.items():
             if k in queries:

@@ -1,0 +1,294 @@
+"""Training-data assembly operators over `documents` / `embeddings`
+(SURVEY §2.9 extension — the steps between a curated corpus and a
+training run).
+
+Three ops a large-scale LLM data pipeline needs after dedup/curation:
+
+* ``sequence_packing`` — GPT-style concat-and-slice packing: the
+  corpus is one token stream in doc_id order, sliced into
+  fixed-budget training sequences; each doc learns its byte-offset
+  equivalent (start token offset), owning pack, and how many packs
+  it straddles.
+* ``embedding_int8_quantize`` — symmetric per-dimension int8
+  quantization of the embedding store (the standard vector-DB
+  compression) with per-vector reconstruction-error audit.
+* ``doc_skyline_select`` — 2-D Pareto skyline (length × lexical
+  diversity): the classic skyline query as a data-selection gate —
+  keep documents no other document dominates on both axes.
+
+All three are DuckDB-oracle-checked with driver-strict equality:
+integer outputs everywhere, and every double intermediate uses an
+IDENTICAL op order in both engines (see tests/oracle.py docstring).
+
+Reference parity note: the reference (trace-converter.py:96-135)
+ships raw rows to ClickHouse and leaves downstream assembly to SQL;
+these are that promised downstream surface, Spark-native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_text, norm_text_sql, tokens, tokens_sql
+from ..sources.tables import table
+
+# Token budget of one packed training sequence.
+_PACK_BUDGET = 512
+
+# Carry-bucket width for the two-pass parallel prefix sum. At sf0.01
+# (500 docs) this is cosmetic; at N docs choose ~sqrt(N) so both the
+# in-bucket windows and the carry window hold ~sqrt(N) rows (or add a
+# third level — the scan composes hierarchically).
+_PACK_BUCKET = 64
+
+
+# --------------------------------------------------- sequence_packing
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-slice packing: documents are concatenated in doc_id
+    order into one token stream and sliced into _PACK_BUDGET-token
+    training sequences. Output per doc: its token count, its start
+    offset in the stream (exclusive prefix sum), the pack holding its
+    first token, and how many packs it spans.
+
+    Scale design: the prefix sum is the two-pass PARALLEL scan (the
+    ``max_concurrent_events`` pattern, sequence.py:212) — a naive
+    ``SUM() OVER (ORDER BY doc_id)`` puts the whole corpus in one
+    sort partition. Docs are bucketed by doc_id range; each bucket
+    computes its local running sum independently; an O(n/bucket)-row
+    carry window adds the sum of earlier buckets. No global ordering
+    anywhere; the oracle uses the naive single-window spelling (same
+    semantics, different physical plan).
+    """
+    d = table(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            F.size(
+                F.filter(tokens(norm_text(F.col("text"))), lambda x: x != "")
+            ).alias("n_tok"),
+        )
+        .where(F.col("n_tok") >= 1)
+        .withColumn("bucket", (F.col("doc_id") / F.lit(_PACK_BUCKET)).cast("long"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("incl", F.sum("n_tok").over(w_in))
+    per_bucket = local.groupBy("bucket").agg(F.sum("n_tok").alias("tot"))
+    w_carry = (
+        Window.orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = per_bucket.withColumn(
+        "car", F.coalesce(F.sum("tot").over(w_carry), F.lit(0))
+    ).select("bucket", "car")
+    j = local.join(F.broadcast(carried), "bucket")
+    b = F.lit(_PACK_BUDGET)
+    start = (F.col("car") + F.col("incl") - F.col("n_tok")).alias("start_off")
+    out = j.select(
+        "doc_id",
+        "n_tok",
+        start,
+    ).select(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        F.floor(F.col("start_off") / b).alias("pack_id"),
+        (
+            F.floor((F.col("start_off") + F.col("n_tok") - 1) / b)
+            - F.floor(F.col("start_off") / b)
+            + 1
+        ).alias("packs_spanned"),
+    )
+    return out
+
+
+_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter({tokens_sql(norm_text_sql('text'))}, x -> x <> ''))
+           AS n_tok
+  FROM documents
+), nz AS (
+  SELECT doc_id, CAST(n_tok AS INT) AS n_tok FROM t WHERE n_tok >= 1
+), cum AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
+              - n_tok AS BIGINT) AS start_off
+  FROM nz
+)
+SELECT doc_id, n_tok, start_off,
+       start_off // {_PACK_BUDGET} AS pack_id,
+       (start_off + n_tok - 1) // {_PACK_BUDGET}
+         - start_off // {_PACK_BUDGET} + 1 AS packs_spanned
+FROM cum
+"""
+
+
+# --------------------------------------------- embedding_int8_quantize
+
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    store: scale_d = max(|x_d|) over the corpus, q = round-half-up of
+    x·127/scale_d, clamped by construction to [-127, 127]. Output per
+    vector: integer checksum/min/max of the quantized codes and the
+    max absolute reconstruction error in milli-units — the audit a
+    vector store runs before switching serving to the compressed
+    codes.
+
+    Scale design: the per-dimension stats pass shuffles ONE row per
+    (dim) key after map-side combine; the quantization itself is
+    IN-ROW ``zip_with`` against the broadcast 64-float scale array —
+    the corpus is touched once and never shuffled. Doubles use one
+    fixed op order (floor(x·127/scale + 0.5); abs(x − (q·scale)/127))
+    mirrored exactly in the oracle, then integer aggregation, so the
+    result is order-free and hash-exact.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("i", "x"))
+    stats = dims.groupBy("i").agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
+    scales = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("scales")
+    )
+    j = e.crossJoin(F.broadcast(scales))
+    q = F.zip_with(
+        F.col("embedding"),
+        F.col("scales"),
+        lambda x, m: F.floor(x.cast("double") * F.lit(127.0) / m + F.lit(0.5)),
+    )
+    err_milli = F.zip_with(
+        F.col("embedding"),
+        F.col("scales"),
+        lambda x, m: F.floor(
+            F.abs(
+                x.cast("double")
+                - (F.floor(x.cast("double") * F.lit(127.0) / m + F.lit(0.5)) * m)
+                / F.lit(127.0)
+            )
+            * F.lit(1000.0)
+        ),
+    )
+    out = j.select(
+        "vec_id", q.alias("q"), err_milli.alias("em")
+    ).select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        F.array_max("em").cast("long").alias("max_err_milli"),
+    )
+    return out
+
+
+_QUANTIZE_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding,
+                               (v, i) -> {'i': i, 'x': CAST(v AS DOUBLE)})) AS u
+  FROM embeddings
+), el AS (
+  SELECT vec_id, u.i AS i, u.x AS x FROM ex
+), sc AS (
+  SELECT i, MAX(abs(x)) AS m FROM el GROUP BY 1
+), qe AS (
+  SELECT el.vec_id,
+         CAST(floor(el.x * 127.0 / sc.m + 0.5) AS BIGINT) AS q,
+         CAST(floor(abs(el.x - (floor(el.x * 127.0 / sc.m + 0.5) * sc.m)
+                         / 127.0) * 1000.0) AS BIGINT) AS em
+  FROM el JOIN sc USING (i)
+)
+SELECT vec_id,
+       CAST(SUM(q) AS BIGINT) AS q_sum,
+       MIN(q) AS q_min,
+       MAX(q) AS q_max,
+       MAX(em) AS max_err_milli
+FROM qe
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------- doc_skyline_select
+
+def doc_skyline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over (n_tokens, n_distinct_tokens): keep a
+    document iff no other document is ≥ on both axes and > on one —
+    the skyline/top-k-dominating query as a curation gate (longest ×
+    most lexically diverse frontier).
+
+    Sort-based skyline, not all-pairs: per-x groups reduce to their
+    max y; a running max over x descending marks the frontier
+    (y > max(y | x' > x) and y = max(y | x' = x)); the surviving
+    (x, y) frontier — at most |distinct x| rows, bounded by the max
+    document length, NOT by corpus size — broadcast-joins back to the
+    per-doc stats. The corpus is scanned once in-row, shuffled once
+    on x (aggregated rows), never compared pairwise. The oracle
+    spells the same rule with a naive window.
+    """
+    d = table(spark, sf_dir, "documents")
+    st = d.select(
+        "doc_id",
+        F.filter(tokens(norm_text(F.col("text"))), lambda t: t != "").alias("tk"),
+    ).select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+    ).where(F.col("n_tokens") >= 1)
+    per_x = st.groupBy("n_tokens").agg(F.max("n_distinct").alias("ymax"))
+    w = (
+        Window.orderBy(F.desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_x.withColumn("mstrict", F.coalesce(F.max("ymax").over(w), F.lit(-1)))
+        .where(F.col("ymax") > F.col("mstrict"))
+        .select("n_tokens", F.col("ymax").alias("n_distinct"))
+    )
+    return st.join(F.broadcast(frontier), ["n_tokens", "n_distinct"]).select(
+        "doc_id", "n_tokens", "n_distinct"
+    )
+
+
+_SKYLINE_SQL = f"""
+WITH st AS (
+  SELECT doc_id,
+         list_filter({tokens_sql(norm_text_sql('text'))}, x -> x <> '') AS tk
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS INT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS INT) AS n_distinct
+  FROM st WHERE len(tk) >= 1
+), per_x AS (
+  SELECT n_tokens, MAX(n_distinct) AS ymax FROM m GROUP BY 1
+), fr AS (
+  SELECT n_tokens, ymax AS n_distinct
+  FROM (
+    SELECT n_tokens, ymax,
+           COALESCE(MAX(ymax) OVER (ORDER BY n_tokens DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), -1) AS mstrict
+    FROM per_x
+  ) WHERE ymax > mstrict
+)
+SELECT m.doc_id, m.n_tokens, m.n_distinct
+FROM m JOIN fr USING (n_tokens, n_distinct)
+"""
+
+
+QUERIES = {
+    "sequence_packing": sequence_packing,
+    "embedding_int8_quantize": embedding_int8_quantize,
+    "doc_skyline_select": doc_skyline_select,
+}
+
+ORACLE = {
+    "sequence_packing": _PACKING_SQL,
+    "embedding_int8_quantize": _QUANTIZE_SQL,
+    "doc_skyline_select": _SKYLINE_SQL,
+}

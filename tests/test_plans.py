@@ -395,3 +395,28 @@ def test_lsh_verified_candidates_are_subquadratic(spark, sf_oracle):
     qn = dd._quantized(spark, sf_oracle)
     n_vcand = dd._hyperplane_band_candidates(spark, qn).count()
     assert n_vcand < n_vecs * (n_vecs - 1) / 2 / 10, (n_vcand, n_vecs)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sequence_packing", "embedding_int8_quantize", "doc_skyline_select"],
+)
+def test_training_ops_stay_jvm_side(spark, sf_smoke, name):
+    """Training-assembly operators are pure column algebra: no Python
+    eval, no cartesian products (quantize's scale join is a broadcast
+    nested loop over ONE row, not a cartesian)."""
+    plan = _plan(spark, name, sf_smoke)
+    assert "BatchEvalPython" not in plan, f"{name}: python UDF\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian\n{plan}"
+
+
+def test_packing_has_no_global_window(spark, sf_smoke):
+    """The packing prefix sum must stay parallel: every Window sort in
+    the plan is preceded by a hash-partitioning on `bucket` except the
+    O(n/bucket) carry scan — i.e. no window partitions the FULL corpus
+    into a single sort partition keyed on doc_id alone."""
+    from fdblog2clickhouse_spark.operators import training
+
+    plan = training.sequence_packing(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    # the in-bucket scan must be hash-distributed on bucket
+    assert "hashpartitioning(bucket" in plan, plan

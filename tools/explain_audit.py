@@ -59,6 +59,10 @@ NAMES = [
     "embedding_neardup_lsh_verified",
     "doc_minhash_signatures",
     "dedup_incremental_minhash",
+    # round-8 training-assembly trio
+    "sequence_packing",
+    "embedding_int8_quantize",
+    "doc_skyline_select",
 ]
 
 
