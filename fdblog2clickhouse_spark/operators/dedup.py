@@ -1628,16 +1628,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     final score is the same single float64 division the SQL oracle
     performs.
 
-    Round-8 shape change (same results): the fanout carries the
-    per-doc DISTINCT shingle ARRAY (built JVM-side in-row, same
-    `_doc_shingles` construction `dedup_minhash_lsh` uses) instead
-    of exploded (doc, shingle) rows — one row per (doc, block-group)
-    instead of ~hundreds crossing the applyInPandas shuffle, and the
-    block worker only concatenates + factorizes prebuilt strings.
-    Local sf0.1 timing is within noise of the exploded-row build
-    (~3.5-3.9 s both); kept for the ~200x smaller shuffled row count
-    at scale. A token-array variant that built shingle sets with
-    per-window Python joins measured 5.0 s and was rejected."""
+    Shape A/B (round 8, median-of-5 interleaved at sf0.1): the fanout
+    carries EXPLODED (doc, shingle) rows (4.7 s), not per-doc shingle
+    ARRAYS (6.1 s). The array form shuffles ~200× fewer ROWS but the
+    same BYTES (every shingle string still crosses the network), and
+    Arrow list<string> transfer into the applyInPandas worker costs
+    more than the row framing it saves — so the exploded build wins
+    at every scale where bytes, not record count, bound the shuffle.
+    A token-array variant that built shingle sets with per-window
+    Python joins measured 5.0 s and was likewise rejected. The 0/1
+    assignment is idempotent under duplicate (doc, shingle) rows, so
+    no corpus-wide distinct is needed (see dedup_ngram_jaccard)."""
     import numpy as np
     import pandas as pd
 
@@ -1646,36 +1647,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", tokens(F.col("text")).alias("t")
     ).where(F.size("t") >= 3)
     sh = t.select(
-        "doc_id", "lang", F.array_distinct(F.expr(shingles_expr("t", 3))).alias("sh")
+        "doc_id", "lang", F.explode(F.expr(shingles_expr("t", 3))).alias("s")
     )
-    fanout = _lang_block_fanout(spark, d, sh, "sh", _JACCARD_BLOCK_DOCS)
+    fanout = _lang_block_fanout(spark, d, sh, "s", _JACCARD_BLOCK_DOCS)
+
+    def _binmat(doc_col, si, nvocab: int):
+        doc_ids, di = np.unique(doc_col, return_inverse=True)
+        m = np.zeros((len(doc_ids), nvocab), dtype=np.float32)
+        m[di, si] = 1.0  # idempotent under duplicate (doc, shingle) rows
+        return doc_ids, m, m.sum(axis=1).astype(np.int64)
 
     def containment_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
         diag = key[1] == key[2]
         a_mask = (pdf["role"] == "a").to_numpy()
         if not a_mask.any() or (not diag and a_mask.all()):
             return pd.DataFrame({"da": [], "db": [], "containment": []})
-        # rows carry DISTINCT shingle arrays → concatenate +
-        # factorize → idempotent 0/1 matrix over the group's joint
-        # vocabulary (row sums are exact set sizes, same as the old
-        # exploded-row build)
-        arrs = [np.asarray(a) for a in pdf["sh"]]
-        row_idx = np.repeat(
-            np.arange(len(arrs), dtype=np.int64),
-            np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs)),
-        )
-        codes, uniq = pd.factorize(np.concatenate(arrs))
-        m = np.zeros((len(pdf), len(uniq)), dtype=np.float32)
-        m[row_idx, codes] = 1.0
-        sz = m.sum(axis=1).astype(np.int64)
+        si, _ = pd.factorize(pdf["s"])
+        nvocab = int(si.max()) + 1
         docs = pdf["doc_id"].to_numpy(np.int64)
-        a_rows = np.nonzero(a_mask)[0]
-        da_ids, am, asz = docs[a_rows], m[a_rows], sz[a_rows]
+        da_ids, am, asz = _binmat(docs[a_mask], si[a_mask], nvocab)
         if diag:
             db_ids, bm, bsz = da_ids, am, asz
         else:
-            b_rows = np.nonzero(~a_mask)[0]
-            db_ids, bm, bsz = docs[b_rows], m[b_rows], sz[b_rows]
+            db_ids, bm, bsz = _binmat(docs[~a_mask], si[~a_mask], nvocab)
         out = {"da": [], "db": [], "containment": []}
         chunk = max(1, (64 << 20) // max(len(db_ids) * 4, 1))
         for lo in range(0, len(da_ids), chunk):
