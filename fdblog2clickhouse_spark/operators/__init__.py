@@ -52,13 +52,14 @@ from pyspark.sql import DataFrame, SparkSession
 # The r7 verdict asked for ≥30 of the r5 cohort; this window holds
 # 24 because TWELVE new operators landed in r8 and new/changed code
 # outranks stale-but-unchanged greens under the window policy — the
-# deferred ops are the cohort's most trivial plans. streaming/queries.py's r8 diff is
-# a comment edit + the ADDITIVE streaming_incremental_dedup (in the
-# window via slot (a)); the other streaming functions are
-# byte-identical, so their r07 rows stand. NOT in the window by design: streaming/queries.py's
-# r8 diff is comment-only (state-partitions sweep note — functions
-# byte-identical, r07 rows stand); textops/similarity/tpch/curation
-# files are untouched since their last green rows.
+# deferred ops are the cohort's most trivial plans.
+# streaming/queries.py's r8 diff is the ADDITIVE
+# streaming_incremental_dedup (in the window via slot (a)) plus a
+# static-side cache fix inside that same new function and a
+# state-partitions sweep comment; every other streaming function is
+# byte-identical, so their r07 rows stand. NOT in the window by
+# design: textops/similarity/tpch/curation files are untouched since
+# their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
     # (a) new ops (10): composed candidate-gated trio, the signature

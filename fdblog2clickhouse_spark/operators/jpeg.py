@@ -208,7 +208,24 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline JPEG to raw RGB (or grayscale) bytes.
-    Returns the same dict shape as the other decode branches."""
+    Returns the same dict shape as the other decode branches.
+
+    Error taxonomy (the module contract): structural corruption —
+    including truncation anywhere (segment, table, entropy data) and
+    references to undeclared tables — raises ValueError; unsupported
+    but spec-legal modes raise NotImplementedError. Raw IndexError/
+    KeyError/struct.error from short reads are normalized here so a
+    corrupt record is classifiable by callers instead of killing the
+    task with an opaque error."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"truncated or corrupt JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -275,10 +292,21 @@ def decode_jpeg(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # spec-legal but out of scope: one scan per component
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG"
+                )
             scan_tables = {}
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cs] = (tds >> 4, tds & 0x0F)
+            # T.81 B.2.3: scan component order must follow the frame
+            # header order; a mismatch would entropy-decode garbage
+            if [seg[1 + 2 * c] for c in range(ns)] != [
+                c["id"] for c in frame["comps"]
+            ]:
+                raise ValueError("scan component order != frame order")
             return _decode_scan(
                 payload, pos + seglen, frame, scan_tables, qt,
                 huff_dc, huff_ac, restart_interval,

@@ -146,7 +146,11 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is touched once and never shuffled. Doubles use one
     fixed op order (floor(x·127/scale + 0.5); abs(x − (q·scale)/127))
     mirrored exactly in the oracle, then integer aggregation, so the
-    result is order-free and hash-exact.
+    result is order-free and hash-exact. A dimension that is zero
+    across the whole corpus (pruned/padded dims are common in real
+    stores) quantizes to code 0 with zero error via an explicit
+    scale>0 guard — 0/0 NaN semantics are engine-divergent, so the
+    guard is spelled identically in both engines.
     """
     e = table(spark, sf_dir, "embeddings")
     dims = e.select(F.posexplode("embedding").alias("i", "x"))
@@ -160,19 +164,25 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.zip_with(
         F.col("embedding"),
         F.col("scales"),
-        lambda x, m: F.floor(x.cast("double") * F.lit(127.0) / m + F.lit(0.5)),
+        lambda x, m: F.when(
+            m > F.lit(0.0),
+            F.floor(x.cast("double") * F.lit(127.0) / m + F.lit(0.5)),
+        ).otherwise(F.lit(0).cast("long")),
     )
     err_milli = F.zip_with(
         F.col("embedding"),
         F.col("scales"),
-        lambda x, m: F.floor(
-            F.abs(
-                x.cast("double")
-                - (F.floor(x.cast("double") * F.lit(127.0) / m + F.lit(0.5)) * m)
-                / F.lit(127.0)
-            )
-            * F.lit(1000.0)
-        ),
+        lambda x, m: F.when(
+            m > F.lit(0.0),
+            F.floor(
+                F.abs(
+                    x.cast("double")
+                    - (F.floor(x.cast("double") * F.lit(127.0) / m + F.lit(0.5)) * m)
+                    / F.lit(127.0)
+                )
+                * F.lit(1000.0)
+            ),
+        ).otherwise(F.lit(0).cast("long")),
     )
     out = j.select(
         "vec_id", q.alias("q"), err_milli.alias("em")
@@ -198,9 +208,13 @@ WITH ex AS (
   SELECT i, MAX(abs(x)) AS m FROM el GROUP BY 1
 ), qe AS (
   SELECT el.vec_id,
-         CAST(floor(el.x * 127.0 / sc.m + 0.5) AS BIGINT) AS q,
-         CAST(floor(abs(el.x - (floor(el.x * 127.0 / sc.m + 0.5) * sc.m)
-                         / 127.0) * 1000.0) AS BIGINT) AS em
+         CASE WHEN sc.m > 0.0
+              THEN CAST(floor(el.x * 127.0 / sc.m + 0.5) AS BIGINT)
+              ELSE 0 END AS q,
+         CASE WHEN sc.m > 0.0
+              THEN CAST(floor(abs(el.x - (floor(el.x * 127.0 / sc.m + 0.5) * sc.m)
+                              / 127.0) * 1000.0) AS BIGINT)
+              ELSE 0 END AS em
   FROM el JOIN sc USING (i)
 )
 SELECT vec_id,

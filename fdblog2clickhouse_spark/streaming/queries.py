@@ -565,8 +565,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).json(base_dir)
 
-    # static sides (in production: read from the persisted store)
-    docs = dd._doc_shingles(spark, sf_dir)
+    # static sides (in production: read from the persisted store).
+    # cache: BOTH static legs (band chain and verify-side features)
+    # re-evaluate per micro-batch of the stream-static join without
+    # it — the shingle build over the base corpus would run twice per
+    # trigger (same rationale as dedup_incremental_minhash's cache).
+    docs = dd._doc_shingles(spark, sf_dir).cache()
     base_docs = docs.where(F.col("doc_id") % dd._INCR_BATCH_MOD != 0)
     base_hv = base_docs.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", F.expr(dd.h32_spark_sql("s")).alias("h")

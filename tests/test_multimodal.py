@@ -413,12 +413,56 @@ def test_decode_jpeg_rejects_nonbaseline_and_corrupt():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="non-baseline"):
         multimodal.decode_image(prog)
-    # truncation mid-scan: bit reader runs off the end
-    with pytest.raises((ValueError, IndexError)):
+    # truncation mid-scan: bit reader runs off the end — the module
+    # contract says structural corruption is ALWAYS ValueError (raw
+    # IndexError would kill the Spark task unclassified)
+    with pytest.raises(ValueError):
         multimodal.decode_image(good[: len(good) // 2])
+    # truncation inside a table segment, before any entropy data
+    with pytest.raises(ValueError):
+        multimodal.decode_image(good[:24])
     # not a JPEG at all (also not any other known container)
     with pytest.raises((ValueError, NotImplementedError)):
         multimodal.decode_image(b"\xff\xd8\x00" + b"\x00" * 64)
+
+
+def test_decode_jpeg_rejects_noninterleaved_scan():
+    """A spec-legal baseline file with one scan per component (ns <
+    frame component count) is declared out of scope — clean
+    NotImplementedError, not a KeyError mid-scan."""
+    import struct as _struct
+
+    from fdblog2clickhouse_spark.operators.jpeg import decode_jpeg
+
+    sof = _struct.pack(
+        ">HBHHB", 17, 8, 8, 8, 3
+    ) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = _struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    payload = (
+        b"\xff\xd8" + b"\xff\xc0" + sof + b"\xff\xda" + sos + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(payload)
+
+
+def test_decode_jpeg_rejects_scan_order_mismatch():
+    """Interleaved scan listing components in non-frame order is
+    non-conforming (T.81 B.2.3) and must raise, not decode garbage."""
+    import struct as _struct
+
+    from fdblog2clickhouse_spark.operators.jpeg import decode_jpeg
+
+    sof = _struct.pack(
+        ">HBHHB", 17, 8, 8, 8, 3
+    ) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = _struct.pack(">HB", 12, 3) + bytes(
+        [3, 0x11, 2, 0x11, 1, 0x00, 0, 63, 0]
+    )
+    payload = (
+        b"\xff\xd8" + b"\xff\xc0" + sof + b"\xff\xda" + sos + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="scan component order"):
+        decode_jpeg(payload)
 
 
 @_settings(max_examples=15, deadline=None)

@@ -82,3 +82,93 @@ def test_skyline_is_pareto_frontier(spark, sf_oracle):
         for (ox, oy) in all_stats:
             dominated = ox >= x and oy >= y and (ox > x or oy > y)
             assert not dominated, (r, (ox, oy))
+
+
+def test_quantize_zero_dimension_guard(spark, tmp_path):
+    """A dimension that is 0.0 across the whole store (pruned/padded
+    dims) must quantize to code 0 with zero error in BOTH engines —
+    0/0 NaN semantics are engine-divergent without the guard."""
+    import os
+
+    from .oracle import compare
+    from fdblog2clickhouse_spark.sources.tables import TABLE_NAMES
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    for name in TABLE_NAMES:
+        if name != "embeddings":
+            os.symlink(
+                f"/root/testdata/sf0.001/{name}.parquet",
+                f"{sf_dir}/{name}.parquet",
+            )
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": [
+                np.array([0.0, 0.5 + 0.25 * i, -1.0 * i, 0.0], dtype=np.float32)
+                for i in range(6)
+            ],
+            "label": np.arange(6, dtype=np.int32) % 2,
+        }
+    )
+    # single parquet FILE (like the driver's tables; Spark dirs don't
+    # match the oracle harness's read_parquet path)
+    pdf.to_parquet(f"{sf_dir}/embeddings.parquet", index=False)
+
+    df = training.embedding_int8_quantize(spark, sf_dir)
+    got = {r["vec_id"]: r for r in df.collect()}
+    assert len(got) == 6
+    # dims 0 and 3 have m=0 corpus-wide → both quantize to exactly 0;
+    # vec_id 0 is zero in EVERY dim except dim 1 (0.5 → q=127·0.5/m)
+    assert got[0]["max_err_milli"] >= 0 and got[0]["q_min"] == 0
+    compare(df, training.ORACLE["embedding_int8_quantize"], sf_dir)
+
+
+def test_packing_sparse_doc_ids(spark, tmp_path):
+    """doc_id-range bucketing must tile correctly when ids are sparse
+    and straddle bucket boundaries unevenly (the carry join's edge
+    case: empty buckets between populated ones)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from .oracle import compare
+    from fdblog2clickhouse_spark.sources.tables import TABLE_NAMES
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    for name in TABLE_NAMES:
+        if name != "documents":
+            os.symlink(
+                f"/root/testdata/sf0.001/{name}.parquet",
+                f"{sf_dir}/{name}.parquet",
+            )
+    ids = [0, 1, 63, 64, 129, 4096, 1_000_000, 1_000_001]
+    pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": [("tok " * (7 * (k + 1))).strip() for k in range(len(ids))],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": np.array([1] * len(ids), dtype=np.int64),
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    rows = sorted(
+        training.sequence_packing(spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["doc_id"] for r in rows] == ids
+    expect = 0
+    for r in rows:
+        assert r["start_off"] == expect, (r, expect)
+        expect += r["n_tok"]
+    compare(
+        training.sequence_packing(spark, sf_dir),
+        training.ORACLE["sequence_packing"],
+        sf_dir,
+    )

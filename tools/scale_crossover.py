@@ -28,9 +28,10 @@ OPS = ["dedup_ngram_jaccard", "dedup_jaccard_lsh_verified"]
 
 
 def make_scaled(spark, k: int) -> str:
+    # always rebuild: a stale dir (older BASE, interrupted write)
+    # would silently time the wrong corpus
     out = f"{OUT_ROOT}/k{k}"
-    if os.path.exists(f"{out}/documents.parquet"):
-        return out
+    shutil.rmtree(out, ignore_errors=True)
     from pyspark.sql import functions as F
 
     d = spark.read.parquet(f"{BASE}/documents.parquet")
