@@ -30,3 +30,46 @@ def sf_smoke():
 @pytest.fixture(scope="session")
 def sf_oracle():
     return SF_ORACLE
+
+
+@pytest.fixture()
+def fake_ch():
+    """In-process fake ClickHouse HTTP endpoint (shared by the sink
+    unit tests and the CLI watch integration test). Yields (url,
+    received, state); `received` collects one dict per POST with
+    parsed query params, the Authorization header, and the body.
+    Set state['status'] to force non-200 responses."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    received: list[dict] = []
+    state = {"status": 200}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            q = parse_qs(urlparse(self.path).query)
+            received.append(
+                {
+                    "params": {k: v[0] for k, v in q.items()},
+                    "auth": self.headers.get("Authorization"),
+                    "body": body,
+                }
+            )
+            self.send_response(state["status"])
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}", received, state
+    finally:
+        srv.shutdown()
+        srv.server_close()

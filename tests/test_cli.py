@@ -242,3 +242,39 @@ def test_optimize_command_compacts(spark, sf_smoke, tmp_path, capsys):
     for part in glob.glob(os.path.join(path, "yyyymm=*")):
         files = [f for f in os.listdir(part) if f.endswith(".parquet")]
         assert len(files) == 1, (part, files)
+
+
+def test_watch_once_live_http_end_to_end(spark, sf_smoke, tmp_path, fake_ch, monkeypatch):
+    """The reference's FULL production loop against a live socket:
+    rotated logs → stream → foreachBatch → HTTP POST with basic auth
+    (no spool dry-run anywhere). Config flows the reference's way —
+    CLICKHOUSE_* env vars (trace-converter.py:11-17)."""
+    import base64
+    import json
+
+    from fdblog2clickhouse_spark.sources.tables import table
+    from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
+
+    url, received, _ = fake_ch
+    monkeypatch.setenv("CLICKHOUSE_ADDR", url)
+    monkeypatch.setenv("CLICKHOUSE_DB", "tracedb")
+    monkeypatch.setenv("CLICKHOUSE_TABLE", "trace")
+    monkeypatch.setenv("CLICKHOUSE_USER", "u1")
+    monkeypatch.setenv("CLICKHOUSE_PASS", "p1")
+
+    log_dir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    _export_trace_logs(spark, sf_smoke, log_dir)
+
+    rc = cli.main(["watch", log_dir, "--once", "--checkpoint", ckpt])
+    assert rc == 0
+    assert received, "no POST reached the fake server"
+    expected_auth = "Basic " + base64.b64encode(b"u1:p1").decode()
+    rows = []
+    for r in received:
+        assert r["auth"] == expected_auth
+        assert r["params"]["database"] == "tracedb"
+        assert r["params"]["query"] == "INSERT INTO trace FORMAT JSONEachRow"
+        rows.extend(json.loads(x) for x in r["body"].splitlines() if x.strip())
+    assert len(rows) == table(spark, sf_smoke, "events").count()
+    assert set(rows[0]) <= {"severity", "machine", "log_group", "time", "type", "id"}

@@ -399,54 +399,14 @@ def test_hll_rollup_slicing_invariant_and_idempotent(spark, sf_smoke, tmp_path):
 # ---------------------------------------- live-HTTP leg (fake server)
 #
 # The POST is the reference's entire job (trace-converter.py:66-72);
-# every other test runs dry_run spooling. A stdlib http.server
-# fixture exercises requests.post + raise_for_status + the auth
-# tuple + batch chunking end-to-end with a real socket, no network.
+# every other test runs dry_run spooling. The stdlib http.server
+# fixture (`fake_ch`, tests/conftest.py — shared with the CLI watch
+# integration test) exercises requests.post + raise_for_status + the
+# auth tuple + batch chunking end-to-end with a real socket.
 
 import base64
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
 
 import pytest
-
-
-@pytest.fixture()
-def fake_ch():
-    """In-process fake ClickHouse HTTP endpoint. Yields (url,
-    received, state); `received` collects one dict per POST with
-    parsed query params, the Authorization header, and the body.
-    Set state['status'] to force non-200 responses."""
-    received: list[dict] = []
-    state = {"status": 200}
-
-    class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):
-            n = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(n).decode()
-            q = parse_qs(urlparse(self.path).query)
-            received.append(
-                {
-                    "params": {k: v[0] for k, v in q.items()},
-                    "auth": self.headers.get("Authorization"),
-                    "body": body,
-                }
-            )
-            self.send_response(state["status"])
-            self.send_header("Content-Length", "0")
-            self.end_headers()
-
-        def log_message(self, *args):  # keep pytest output clean
-            pass
-
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    try:
-        yield f"http://127.0.0.1:{srv.server_port}", received, state
-    finally:
-        srv.shutdown()
-        srv.server_close()
 
 
 def _http_sink(url: str) -> ClickHouseHttpSink:
