@@ -47,10 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 # events_dedup_latest, topk_events_by_value, user_recent_events,
 # events_unpivot_measures, events_decay_score, events_range_join,
 # events_dow_hour_heatmap, user_first_last_event,
-# events_pivot_usertype — the 14 simplest ops in the cohort; they
-# lead the r9 re-cover list.
+# events_pivot_usertype, user_path_transitions, events_moving_avg —
+# the 16 simplest ops in the cohort; they lead the r9 re-cover list.
 # The r7 verdict asked for ≥30 of the r5 cohort; this window holds
-# 24 because TWELVE new operators landed in r8 and new/changed code
+# 22 because FOURTEEN new operators landed in r8 (incl. the first
+# driver-oracle-checked §2.8 sink roundtrips) and new/changed code
 # outranks stale-but-unchanged greens under the window policy — the
 # deferred ops are the cohort's most trivial plans.
 # streaming/queries.py's r8 diff is the ADDITIVE
@@ -62,16 +63,19 @@ from pyspark.sql import DataFrame, SparkSession
 # their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) new ops (10): composed candidate-gated trio, the signature
+    # (a) new ops (12): composed candidate-gated trio, the signature
     # store + its batch incremental-dedup consumer (text AND vector
-    # forms), the stateless stream-static admission-dedup, and the
-    # training-assembly trio (operators/training.py, NEW file)
+    # forms), the stateless stream-static admission-dedup, the
+    # training-assembly trio (operators/training.py, NEW file), and
+    # the first driver-oracle-checked sink roundtrips
+    # (operators/sinkcheck.py, NEW file)
     "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
     "embedding_neardup_lsh_verified",
     "doc_minhash_signatures", "dedup_incremental_minhash",
     "embedding_incremental_neardup",
     "streaming_incremental_dedup",
     "sequence_packing", "embedding_int8_quantize", "doc_skyline_select",
+    "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
     # (b) r8-changed dedup.py (9)
     "dedup_minhash_lsh", "dedup_cluster_labels", "dedup_simhash",
     "dedup_exact", "dedup_ngram_jaccard", "embedding_neardup",
@@ -92,15 +96,15 @@ _FRONT_WINDOW = [
     # (d) r5 cohort: sketches (5)
     "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
     "minute_anomaly_zscore", "value_quantile_hist",
-    # (d) r5 cohort: sequence (7)
-    "funnel_conversion", "user_path_transitions",
+    # (d) r5 cohort: sequence (5)
+    "funnel_conversion",
     "events_sliding_windows", "max_concurrent_events", "user_value_deltas",
-    "events_moving_avg", "funnel_windowed",
+    "funnel_windowed",
 ]
 
 
 def _collect() -> tuple[dict, dict]:
-    from . import curation, dedup, multimodal, sequence, similarity, sketches, textops, tpch, trace_ops, training
+    from . import curation, dedup, multimodal, sequence, similarity, sinkcheck, sketches, textops, tpch, trace_ops, training
     from ..sources import trace_json
     from ..streaming import queries as streaming_queries
 
@@ -119,6 +123,7 @@ def _collect() -> tuple[dict, dict]:
         sequence,
         curation,
         training,
+        sinkcheck,
     ):
         for k, v in mod.QUERIES.items():
             if k in queries:
