@@ -161,3 +161,32 @@ def test_incremental_minhash_consistent_with_full_dedup(spark, sf_oracle):
         and r["base_doc_id"] % dedup._INCR_BATCH_MOD != 0
         for r in dedup.dedup_incremental_minhash(spark, sf_oracle).collect()
     )
+
+
+def test_minhash_sig_inrow_equals_exploded(spark, sf_oracle):
+    """The in-row signature (array_min over transform) is value-
+    identical to the exploded hash-aggregate form on the same
+    feature arrays — the char-gram composed op relies on it."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.functions.hashing import h32_spark_sql
+    from fdblog2clickhouse_spark.functions.text import char_ngrams_expr, norm_text
+
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    d = table(spark, sf_oracle, "documents")
+    nt = d.select("doc_id", norm_text(F.col("text")).alias("nt")).where(
+        F.length("nt") >= 5
+    )
+    grams = nt.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform({char_ngrams_expr('nt', 5)}, g -> {h32_spark_sql('g')})"
+            )
+        ).alias("fs"),
+    )
+    hv = grams.select("doc_id", F.explode("fs").alias("h"))
+    a = dedup._minhash_sig(hv)
+    b = dedup._minhash_sig_inrow(grams)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
