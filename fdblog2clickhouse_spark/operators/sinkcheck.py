@@ -21,6 +21,8 @@ table layouts.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,17 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import cents, cents_sql
 from ..sources.tables import table
+
+
+def scratch_dir(name: str) -> str:
+    """Deterministic per-operator scratch dir, WIPED on entry so
+    repeated bench/correctness runs overwrite one copy instead of
+    accumulating mkdtemp leftovers in /tmp (ADVICE r8). Keyed by pid
+    so concurrent driver + pytest sessions don't race each other."""
+    d = os.path.join(tempfile.gettempdir(), f"sinkcheck_{name}_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def mergetree_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,11 +54,14 @@ def mergetree_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         F.col("ts").alias("time"), "event_id", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="mt_roundtrip_") + "/t"
+    out = scratch_dir("mt_roundtrip") + "/t"
     # two appends = at least two files per partition, so compaction
-    # has real merge work before the read
-    write_mergetree(e.where(F.col("event_id") % 2 == 0), out, mode="append")
-    write_mergetree(e.where(F.col("event_id") % 2 == 1), out, mode="append")
+    # has real merge work before the read. pmod (not %): Spark's %
+    # takes the dividend's sign, so a negative odd event_id would
+    # match neither == 0 nor == 1 and silently vanish from the
+    # roundtrip — pmod makes the split a true partition of all rows.
+    write_mergetree(e.where(F.pmod(F.col("event_id"), F.lit(2)) == 0), out, mode="append")
+    write_mergetree(e.where(F.pmod(F.col("event_id"), F.lit(2)) == 1), out, mode="append")
     optimize_mergetree(spark, out)
     back = read_mergetree(spark, out)
     return back.groupBy(F.col("yyyymm").cast("int").alias("yyyymm")).agg(
@@ -80,7 +96,7 @@ def zorder_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="z_roundtrip_") + "/t"
+    out = scratch_dir("z_roundtrip") + "/t"
     write_zordered(e, out, ["user_id", "value"], num_files=4)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(

@@ -151,6 +151,12 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores) quantizes to code 0 with zero error via an explicit
     scale>0 guard — 0/0 NaN semantics are engine-divergent, so the
     guard is spelled identically in both engines.
+
+    The store is assumed UNIFORM-dimension (every vector exactly
+    |scales| floats — what a real vector store guarantees at write
+    time). A shorter/longer vector would otherwise null-pad through
+    ``zip_with`` and silently poison q_sum, so the op raises an
+    explicit per-vector error instead (the guard on q_sum below).
     """
     e = table(spark, sf_dir, "embeddings")
     dims = e.select(F.posexplode("embedding").alias("i", "x"))
@@ -184,11 +190,30 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0).cast("long")),
     )
+    # fail loud on a non-uniform vector: zip_with null-pads length
+    # mismatches, which would otherwise surface as a silent null
+    # q_sum (one guard is enough — any bad row kills the job).
+    dim_ok = F.size("embedding") == F.size("scales")
+    bad_dim = F.raise_error(
+        F.concat(
+            F.lit("embedding_int8_quantize: embedding length != "),
+            F.size("scales").cast("string"),
+            F.lit(" for vec_id="),
+            F.col("vec_id").cast("string"),
+        )
+    ).cast("long")
+    guarded_q_sum = F.when(
+        dim_ok, F.lit(0).cast("long")
+    ).otherwise(bad_dim)
     out = j.select(
-        "vec_id", q.alias("q"), err_milli.alias("em")
+        "vec_id", guarded_q_sum.alias("zero_or_raise"),
+        q.alias("q"), err_milli.alias("em")
     ).select(
         "vec_id",
-        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        (
+            F.col("zero_or_raise")
+            + F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x)
+        ).alias("q_sum"),
         F.array_min("q").cast("long").alias("q_min"),
         F.array_max("q").cast("long").alias("q_max"),
         F.array_max("em").cast("long").alias("max_err_milli"),

@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# bits per dimension; 16 bits × up to 4 cols stays far inside int64
+# bits per dimension; 16 bits × up to 3 cols (the cap zorder_key
+# enforces: len(cols) * _ZBITS must stay within int64's 62 usable
+# bits) — 3 × 16 = 48 interleaved bits.
 _ZBITS = 16
 
 
