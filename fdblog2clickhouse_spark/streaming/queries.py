@@ -533,57 +533,34 @@ FROM per_type
 
 # ----------------------------------- streaming_incremental_dedup
 
-def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING admission dedup — the 100 TB online shape: newly
-    arriving documents (a file stream; the doc_id % 10 == 0 slice
-    lands as JSON rotations) are deduped against the STATIC base
-    corpus signature store with a fully STATELESS append plan:
+def stream_vs_store(
+    stream: DataFrame, store_bands: DataFrame, store_feats: DataFrame
+) -> DataFrame:
+    """The REUSABLE stream-vs-store admission plan — the production
+    entrypoint (the operator below is one harness around it; a real
+    deployment hands it its own readStream and its own persisted
+    store). Input: a streaming (doc_id, text) DataFrame, the store's
+    band rows aliased "a" (doc_id, ks, band, band_key — e.g.
+    `_bands_from_sig` over a read of the persisted
+    `doc_minhash_signatures` table), and the store docs' shingle
+    arrays (base_doc_id, fs). Output: an UNSTARTED streaming
+    DataFrame (new_doc_id, base_doc_id, jaccard ≥ threshold).
 
+    Fully STATELESS append plan:
     - stream side: tokens → in-row distinct shingles → in-row
       16-perm MinHash signature (array_min over transform — no
       aggregation, so no streaming state at all; identical values to
       the batch groupBy-min since min over the same set is min) →
       in-row band keys → posexplode to band rows;
-    - static side: the base corpus's capped band table (in
-      production, the persisted `doc_minhash_signatures` table) and
-      its shingle arrays;
     - stream-static inner joins only: band match (first-shared-band
       gate keeps the stream pair-distinct) then exact Jaccard verify
-      against the base doc's shingle array.
+      against the store doc's shingle array.
 
-    No watermark, no state store, append mode — each arriving doc is
-    scored against the store and emitted immediately. The bucket cap
-    applies to the BASE store only (that is what exists when a batch
-    arrives); at this SF no bucket caps out, and the op's results
-    equal `dedup_incremental_minhash` (asserted in tests).
-    Output: (new_doc_id, base_doc_id, jaccard ≥ threshold)."""
+    No watermark, no state store — each arriving doc is scored
+    against the store and emitted immediately."""
+    from ..functions.text import shingles_expr, tokens
     from ..operators import dedup as dd
 
-    base_dir = tempfile.mkdtemp(prefix="incr_dedup_stream_")
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    d.where(F.col("doc_id") % dd._INCR_BATCH_MOD == 0).coalesce(4).write.mode(
-        "overwrite"
-    ).json(base_dir)
-
-    # static sides (in production: read from the persisted store).
-    # cache: BOTH static legs (band chain and verify-side features)
-    # re-evaluate per micro-batch of the stream-static join without
-    # it — the shingle build over the base corpus would run twice per
-    # trigger (same rationale as dedup_incremental_minhash's cache).
-    docs = dd._doc_shingles(spark, sf_dir).cache()
-    base_docs = docs.where(F.col("doc_id") % dd._INCR_BATCH_MOD != 0)
-    base_hv = base_docs.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.expr(dd.h32_spark_sql("s")).alias("h")
-    )
-    base_bands = dd._minhash_bands(base_hv).alias("a")
-    base_feats = base_docs.select(
-        F.col("doc_id").alias("base_doc_id"), F.col("sh").alias("fs")
-    )
-
-    # stream side: stateless in-row signature
-    from ..functions.text import shingles_expr, tokens
-
-    stream = spark.readStream.schema("doc_id long, text string").json(base_dir)
     s_sh = (
         stream.select("doc_id", tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= 3)
@@ -616,7 +593,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = (
         s_bands.join(
-            base_bands,
+            store_bands,
             (F.col("b.band") == F.col("a.band"))
             & (F.col("b.band_key") == F.col("a.band_key")),
         )
@@ -625,13 +602,60 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_doc_id", F.col("a.doc_id").alias("base_doc_id"), F.col("b.sh").alias("sh")
         )
     )
-    verified = cand.join(base_feats, "base_doc_id")
+    verified = cand.join(store_feats, "base_doc_id")
     inter = F.size(F.array_intersect("sh", "fs"))
-    out = verified.select(
+    return verified.select(
         "new_doc_id",
         "base_doc_id",
         (inter / (F.size("sh") + F.size("fs") - inter)).alias("jaccard"),
     ).where(F.col("jaccard") >= dd._JACCARD_THRESHOLD)
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING admission dedup — the 100 TB online shape: newly
+    arriving documents (the doc_id % 10 == 0 slice, landed as JSON
+    rotations — the test harness part) are deduped against a
+    PERSISTED base-corpus signature store via the reusable
+    `stream_vs_store` plan above.
+
+    Since round 9 the static side is the real store lifecycle, not a
+    recompute: the base corpus's `doc_minhash_signatures` rows are
+    WRITTEN to parquet and read back, and the band rows the join
+    sees come from that on-disk table (`_bands_from_sig` — identical
+    capped-band semantics to the batch ops, cap population = the
+    store). Only the exact-verify shingle arrays come from the
+    corpus (a production verifier recomputes features for candidate
+    docs; the store persists signatures only).
+
+    The bucket cap applies to the BASE store only (that is what
+    exists when a batch arrives); at this SF no bucket caps out, and
+    the op's results equal `dedup_incremental_minhash` (asserted in
+    tests). Output: (new_doc_id, base_doc_id, jaccard ≥ threshold)."""
+    from ..operators import dedup as dd
+    from ..operators.dedup_store import signature_frame
+
+    base_dir = tempfile.mkdtemp(prefix="incr_dedup_stream_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.where(F.col("doc_id") % dd._INCR_BATCH_MOD == 0).coalesce(4).write.mode(
+        "overwrite"
+    ).json(base_dir)
+
+    # static sides. cache the shingle build: the store write, the
+    # verify-side features, and each micro-batch of the stream-static
+    # join would otherwise re-walk it.
+    docs = dd._doc_shingles(spark, sf_dir).cache()
+    base_docs = docs.where(F.col("doc_id") % dd._INCR_BATCH_MOD != 0)
+    # sibling dir, NOT inside base_dir: the readStream below lists
+    # base_dir for JSON rotations and must never see store files.
+    store_path = base_dir + "_signatures"
+    signature_frame(base_docs).write.mode("overwrite").parquet(store_path)
+    store_bands = dd._bands_from_sig(spark.read.parquet(store_path)).alias("a")
+    base_feats = base_docs.select(
+        F.col("doc_id").alias("base_doc_id"), F.col("sh").alias("fs")
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").json(base_dir)
+    out = stream_vs_store(stream, store_bands, base_feats)
     return _run_to_memory(spark, out, "incr_dedup", "append")
 
 

@@ -1,0 +1,91 @@
+"""Signature-store lifecycle tests (operators/dedup_store.py).
+
+The driver oracle proves sequential-two-batch ≡ one-shot-union on
+the real corpus; these tests pin the lifecycle MECHANICS the oracle
+can't see — that batch 2's matches really come from signatures
+batch 1 APPENDED to the on-disk store, that store×store pairs are
+never emitted, and that the store ends holding every doc seen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fdblog2clickhouse_spark.operators import dedup_store
+from tests.oracle import compare
+
+
+def test_store_admission_matches_oracle(spark, sf_oracle):
+    df = dedup_store.dedup_store_admission(spark, sf_oracle)
+    compare(df, dedup_store._STORE_ADMISSION_SQL, sf_oracle)
+
+
+_DOCS = [
+    # base (doc_id % 10 not in {0, 5})
+    (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    (3, "kilo lima mike november oscar papa quebec romeo sierra tango"),
+    # batch 1 (doc_id % 10 == 0)
+    (40, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    (50, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"),
+    # batch 2 (doc_id % 10 == 5): 45 duplicates a BATCH-1 doc only —
+    # its pair can exist only if batch 2 read batch 1's appended
+    # signatures from the store.
+    (45, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"),
+    (25, "solo document with no duplicate partner anywhere in corpus"),
+]
+
+
+@pytest.fixture()
+def tiny_sf(spark, tmp_path):
+    d = spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in _DOCS],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_lifecycle_mechanics(spark, tiny_sf):
+    out = dedup_store.dedup_store_admission(spark, tiny_sf)
+    pairs = {(r["da"], r["db"]) for r in out.collect()}
+    # batch1 doc 40 vs both base copies; batch2 doc 45 vs batch1 doc
+    # 50 — the store-append evidence.
+    assert (45, 50) in pairs, "batch 2 did not see batch 1's appended signatures"
+    assert (1, 40) in pairs and (2, 40) in pairs
+    # base×base dup (1, 2) must NOT be admission evidence
+    assert (1, 2) not in pairs
+    # nothing matches the solo docs
+    assert not any(25 in p or 3 in p for p in pairs)
+    # canonical ordering
+    assert all(da < db for da, db in pairs)
+
+
+def test_store_holds_every_doc_seen(spark, tiny_sf):
+    dedup_store.dedup_store_admission(spark, tiny_sf)
+    import os
+    import tempfile
+
+    store = spark.read.parquet(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"sinkcheck_minhash_store_{os.getpid()}",
+            "signatures",
+        )
+    )
+    assert sorted(r["doc_id"] for r in store.select("doc_id").collect()) == [
+        1, 2, 3, 25, 40, 45, 50,
+    ]
+    # the persisted schema is the doc_minhash_signatures schema
+    assert store.columns == (
+        ["doc_id"] + [f"s{i}" for i in range(16)] + [f"bk{b}" for b in range(4)]
+    )
+
+
+def test_rerun_overwrites_scratch(spark, tiny_sf):
+    """Two runs must not double-append (the scratch wipe): identical
+    results both times."""
+    a = sorted(map(tuple, dedup_store.dedup_store_admission(spark, tiny_sf).collect()))
+    b = sorted(map(tuple, dedup_store.dedup_store_admission(spark, tiny_sf).collect()))
+    assert a == b
