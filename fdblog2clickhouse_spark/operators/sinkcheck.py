@@ -118,12 +118,184 @@ GROUP BY 1
 """
 
 
+# ------------------------- incremental-merge sink roundtrips (r9)
+#
+# The streaming_* ingest ops (streaming/queries.py) drive these
+# sinks under trigger(availableNow) — which, over a finite local
+# input, delivers ONE micro-batch, so their merge-into-EXISTING-
+# state path (read state → union → re-aggregate → swap) never runs
+# against non-empty state in a driver-checked row. These four rows
+# close that: explicit multi-batch merges with real prior state on
+# disk, read back and hash-matched against the one-shot batch
+# spelling. Batch-boundary independence is the sinks' core design
+# claim (commutative/associative merges); here the driver enforces
+# it, not just pytest.
+
+
+def _event_batches(e: DataFrame, n: int) -> list[DataFrame]:
+    """Deterministic n-way TRUE partition of the events slice (pmod,
+    not % — same negative-dividend trap as the mergetree split)."""
+    return [e.where(F.pmod(F.col("event_id"), F.lit(n)) == i) for i in range(n)]
+
+
+def rollup_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → SummingMergeTree-style rollup sink in THREE merge
+    batches (each after the first merges into existing on-disk
+    state) → read the state table back. Exact-integer measures make
+    the stored rollup equal the one-shot GROUP BY whatever the
+    slicing — the oracle is the batch spelling, shared verbatim with
+    the streaming ingest row."""
+    from ..sinks.rollup import merge_rollup, read_rollup
+
+    path = scratch_dir("rollup_roundtrip") + "/rollup"
+    rows = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("time"),
+        F.when(F.col("event_type") == "error", F.lit(40))
+        .otherwise(F.lit(10))
+        .cast("int")
+        .alias("severity"),
+        F.col("event_type").alias("type"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+    )
+    for b in _event_batches(rows, 3):
+        merge_rollup(spark, path, b.drop("event_id"))
+    return read_rollup(spark, path).select(
+        "yyyymm",
+        "severity",
+        "type",
+        "n_events",
+        (F.col("value_c").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+def upsert_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ReplacingMergeTree-style latest-wins upsert sink,
+    three merge batches against on-disk state, keyed (user_id,
+    event_type) versioned (ts, event_id) → read the state back.
+    Total-order resolution makes the final state equal the batch
+    window-dedup however the CDC stream was sliced or reordered —
+    the batches are applied LAST slice first to prove order
+    independence, and the oracle is the batch ROW_NUMBER spelling."""
+    from ..sinks.upsert import merge_upsert, read_upsert
+
+    path = scratch_dir("upsert_roundtrip") + "/state"
+    rows = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+    )
+    for b in reversed(_event_batches(rows, 3)):
+        merge_upsert(
+            spark, path, b,
+            keys=["user_id", "event_type"], version="ts", tiebreak="event_id",
+        )
+    return read_upsert(spark, path).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        (F.col("value_c").cast("double") / 100.0).alias("last_value"),
+    )
+
+
+def hll_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → AggregatingMergeTree-style mergeable-HLL register
+    sink: three merge batches, then batch 1 REDELIVERED (per-register
+    MAX is idempotent, so at-least-once delivery must leave the state
+    bit-identical) → finalize to the distinct-user estimate. The
+    oracle is the one-shot batch HLL — if redelivery skewed a single
+    register the estimate hash breaks."""
+    from ..sinks.hll_rollup import merge_hll, read_estimate
+
+    path = scratch_dir("hll_roundtrip") + "/hll"
+    rows = table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    batches = _event_batches(rows, 3)
+    for b in batches + [batches[0]]:
+        merge_hll(spark, path, b.drop("event_id"))
+    return read_estimate(spark, path)
+
+
+def bucketed_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders + lineitem written through the BUCKETED warehouse sink
+    (both bucketed & sorted on the join key), joined back
+    co-located, aggregated per order priority. The bucketed layout
+    is pure reorganization: any row dropped/duplicated by the
+    bucketing write or a bucket misrouted at join time breaks the
+    hash against the plain-join oracle. (The no-Exchange property of
+    the same layout is CI-pinned in tests/test_plans.py — this row
+    pins the CORRECTNESS half of the bucketing contract.)"""
+    from ..sinks.bucketed import bucketed_join, write_bucketed
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    # a PREVIOUS session's run leaves the managed-table location on
+    # disk while this session's in-memory catalog has no entry for
+    # it — overwrite then refuses (LOCATION_ALREADY_EXISTS). Clear
+    # both halves before writing, same wipe-on-entry rule as
+    # scratch_dir.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("sinkcheck_orders_bkt", "sinkcheck_lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_bucketed(o, "sinkcheck_orders_bkt", "o_orderkey", n_buckets=8)
+    write_bucketed(l, "sinkcheck_lineitem_bkt", "o_orderkey", n_buckets=8)
+    j = bucketed_join(
+        spark, "sinkcheck_orders_bkt", "sinkcheck_lineitem_bkt", "o_orderkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(
+            cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+        ).alias("revenue_c2"),
+    )
+
+
+_BUCKETED_ROUNDTRIP_SQL = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(SUM({cents_sql('l.l_extendedprice')}
+                * (100 - {cents_sql('l.l_discount')})) AS BIGINT) AS revenue_c2
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def _streaming_oracles():
+    from ..streaming.queries import (
+        _ROLLUP_INGEST_SQL,
+        _UPSERT_INGEST_SQL,
+        _hll_rollup_sql,
+    )
+
+    return _ROLLUP_INGEST_SQL, _UPSERT_INGEST_SQL, _hll_rollup_sql()
+
+
+_ROLLUP_SQL, _UPSERT_SQL, _HLL_SQL = _streaming_oracles()
+
+
 QUERIES = {
     "mergetree_sink_roundtrip": mergetree_sink_roundtrip,
     "zorder_sink_roundtrip": zorder_sink_roundtrip,
+    "rollup_sink_roundtrip": rollup_sink_roundtrip,
+    "upsert_sink_roundtrip": upsert_sink_roundtrip,
+    "hll_sink_roundtrip": hll_sink_roundtrip,
+    "bucketed_sink_roundtrip": bucketed_sink_roundtrip,
 }
 
 ORACLE = {
     "mergetree_sink_roundtrip": _MERGETREE_ROUNDTRIP_SQL,
     "zorder_sink_roundtrip": _ZORDER_ROUNDTRIP_SQL,
+    # the final sink state must equal the ONE-SHOT batch spelling —
+    # identical oracles to the streaming ingest rows, deliberately:
+    # stream-sliced and merge-batched paths converge on one truth.
+    "rollup_sink_roundtrip": _ROLLUP_SQL,
+    "upsert_sink_roundtrip": _UPSERT_SQL,
+    "hll_sink_roundtrip": _HLL_SQL,
+    "bucketed_sink_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
 }
