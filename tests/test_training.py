@@ -172,3 +172,21 @@ def test_packing_sparse_doc_ids(spark, tmp_path):
         training.ORACLE["sequence_packing"],
         sf_dir,
     )
+
+
+def test_packing_independent_of_bucket_width(spark, sf_oracle, monkeypatch):
+    """The hierarchical scan's output must not depend on
+    _PACK_BUCKET: odd widths (3, 7) force multi-superbucket,
+    boundary-straddling layouts where a wrong carry (level-2/level-3
+    composition) would shift every downstream offset."""
+    from fdblog2clickhouse_spark.operators import training
+
+    baseline = sorted(
+        map(tuple, training.sequence_packing(spark, sf_oracle).collect())
+    )
+    for width in (3, 7):
+        monkeypatch.setattr(training, "_PACK_BUCKET", width)
+        got = sorted(
+            map(tuple, training.sequence_packing(spark, sf_oracle).collect())
+        )
+        assert got == baseline, f"width={width} changed results"
