@@ -1,0 +1,249 @@
+"""Pure-stdlib baseline GIF codec (GIF87a/89a, non-interlaced).
+
+Closes the VERDICT r8 #6 decode-scope item: GIF's LZW is
+pure-stdlib implementable, so `multimodal_decode`'s oracle row now
+exercises a fifth real container instead of a declared
+NotImplementedError. Same shape as operators/jpeg.py: a spec-true
+DECODER (the production path) plus a real ENCODER (dictionary-built
+LZW, not literal-only codes) used to synthesize round-trip test
+payloads — the encoder emitting genuine compression is what makes
+the decoder's dictionary-growth and code-width paths honestly
+tested.
+
+Implements the public GIF spec (CompuServe GIF89a, 1990) and the
+standard GIF flavor of LZW (variable-width codes, LSB-first bit
+packing, CLEAR/END codes, 12-bit cap): header + logical screen
+descriptor, global/local color tables, extension-block skipping,
+first image frame. Declared out of scope (explicit errors, PIL'able
+in deployment): interlaced frames, sub-rectangle frames, animation
+beyond frame 1.
+
+Reference parity note: the reference repo has no media handling at
+all (trace-converter.py is log ingest only); this module belongs to
+the survey's training-data-pipeline mandate, not reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+# ------------------------------------------------------- LZW core
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: LSB-first bit stream, variable code width
+    starting at min_code_size+1, dictionary reset on CLEAR, KwKwK
+    special case, width grows when the next code would not fit
+    (capped at 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+
+    # bit reader state
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read_code(width: int) -> int | None:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def fresh_dict() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh_dict()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = fresh_dict()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real dictionary-building GIF LZW (greedy longest-match), so
+    encoded test payloads drive the decoder's growth/width paths."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            # GIF "deferred width" rule: the DECODER grows width after
+            # assigning next_code-1, so the encoder must grow as soon
+            # as next_code fills the current width.
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ----------------------------------------------------------- encode
+
+def encode_gif(width: int, height: int, raster: bytes) -> bytes:
+    """RGB raster → single-frame GIF89a with a global color table
+    built from the raster's distinct colors (must be ≤ 256 — GIF is
+    palette-based; the deterministic test rasters stay far below)."""
+    if len(raster) != width * height * 3:
+        raise ValueError("raster length != w*h*3")
+    palette: list[bytes] = []
+    index_of: dict[bytes, int] = {}
+    indices = bytearray()
+    for i in range(0, len(raster), 3):
+        c = raster[i : i + 3]
+        if c not in index_of:
+            index_of[c] = len(palette)
+            palette.append(c)
+        indices.append(index_of[c])
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    # GCT size field: 2^(n+1) entries; also bounds min LZW code size
+    n = 0
+    while (2 << n) < len(palette):
+        n += 1
+    gct_entries = 2 << n
+    mcs = max(2, n + 1)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | (7 << 4) | n)  # GCT present, 8-bit color res
+    out += b"\x00\x00"  # bg index, aspect
+    for c in palette:
+        out += c
+    out += b"\x00\x00\x00" * (gct_entries - len(palette))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(mcs)
+    comp = _lzw_encode(bytes(indices), mcs)
+    for off in range(0, len(comp), 255):
+        block = comp[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+# ----------------------------------------------------------- decode
+
+def decode_gif(payload: bytes) -> dict:
+    """First frame of a GIF87a/89a → dict(format, width, height,
+    bpp, n_pixel_bytes, pixels) with pixels as palette-resolved RGB
+    (so a lossless round trip reproduces the source raster exactly —
+    GIF's only lossy step is palettization, which happens at encode
+    time). Extensions are skipped per spec; interlace/sub-rectangle/
+    later frames raise (declared scope)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        entries = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * entries]
+        pos += 3 * entries
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF is not supported")
+        table = gct
+        if ipacked & 0x80:
+            entries = 2 << (ipacked & 0x07)
+            table = payload[pos : pos + 3 * entries]
+            pos += 3 * entries
+        if table is None:
+            raise ValueError("GIF frame without any color table")
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise NotImplementedError("sub-rectangle GIF frames not supported")
+        mcs = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos] != 0:
+            n = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        indices = _lzw_decode(bytes(comp), mcs)
+        if len(indices) < iw * ih:
+            raise ValueError("LZW stream shorter than frame")
+        pixels = bytearray()
+        for idx in indices[: iw * ih]:
+            if 3 * idx + 3 > len(table):
+                raise ValueError("palette index out of range")
+            pixels += table[3 * idx : 3 * idx + 3]
+        return {
+            "format": "gif",
+            "width": w,
+            "height": h,
+            "bpp": 24,  # decoded RGB depth, matching the other branches
+            "n_pixel_bytes": len(pixels),
+            "pixels": bytes(pixels),
+        }
+    raise ValueError("GIF with no image frame")

@@ -2,12 +2,13 @@
 
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata — the Spark-side schema, partitioning, and Arrow/Pandas-UDF
-batch shapes are real and tested. Image decode is REAL for five
+batch shapes are real and tested. Image decode is REAL for six
 formats with zero codec libraries (BMP, binary PNM, uncompressed
-TGA, PNG via stdlib zlib + the five scanline filters, and baseline
-JPEG via a full T.81 implementation in operators/jpeg.py); only
-containers outside these (GIF/WebP/TIFF, non-baseline JPEG modes)
-are stubbed behind a PIL import-try so the pipeline shape is
+TGA, PNG via stdlib zlib + the five scanline filters, GIF via the
+LZW codec in operators/gif.py, and baseline JPEG via a full T.81
+implementation in operators/jpeg.py); only containers outside these
+(WebP/TIFF, non-baseline JPEG modes, interlaced PNG/GIF) are
+stubbed behind a PIL import-try so the pipeline shape is
 production-true.
 
 Deterministic fake payloads are derived from `documents` (md5-based
@@ -51,21 +52,27 @@ _CHUNK_BYTES = 16
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload.
 
-    FIVE formats are decoded for real with zero codec libraries —
+    SIX formats are decoded for real with zero codec libraries —
     BMP (BITMAPINFOHEADER little-endian arithmetic), binary PNM
     (P6/P5 ASCII header + raster), uncompressed TGA (fixed 18-byte
     header), PNG (stdlib zlib inflate + the five scanline filters,
-    8-bit RGB/RGBA non-interlaced), and baseline JPEG (full T.81
-    sequential DCT: Huffman entropy decode, dequant, IDCT, YCbCr
-    conversion, 4:2:0/4:2:2 upsampling, restart intervals —
-    operators/jpeg.py) — so the decode path is exercised end-to-end
-    in this container. Containers outside these (GIF/WebP/TIFF/...)
-    and non-baseline JPEG modes require an image library that is not
-    baked in; that fall-through is the one remaining stub (the
+    8-bit RGB/RGBA non-interlaced), GIF (variable-width LSB-first
+    LZW + palette resolution, extension skipping — operators/gif.py)
+    and baseline JPEG (full T.81 sequential DCT: Huffman entropy
+    decode, dequant, IDCT, YCbCr conversion, 4:2:0/4:2:2
+    upsampling, restart intervals — operators/jpeg.py) — so the
+    decode path is exercised end-to-end in this container.
+    Containers outside these (WebP/TIFF/...), non-baseline JPEG
+    modes, and interlaced PNG/GIF require an image library that is
+    not baked in; that fall-through is the one remaining stub (the
     surrounding plumbing — schema, batching, partitioning — is real
     either way)."""
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg
 
@@ -707,10 +714,23 @@ def _png_bytes(doc_id: int, text: str) -> bytes:
     return _png_encode(w, h, _raster(text, w * h * 3))
 
 
-# doc_id % 4 routes each document to one of the four real formats,
+def _gif_bytes(doc_id: int, text: str) -> bytes:
+    """A REAL single-frame GIF89a (LZW-compressed, palette built
+    from the raster's distinct colors — ≤12 pixels, so palettization
+    is lossless and the decode round-trips the exact raster)."""
+    from .gif import encode_gif
+
+    w = 1 + doc_id % 4
+    h = 1 + doc_id % 3
+    return encode_gif(w, h, _raster(text, w * h * 3))
+
+
+# doc_id % 5 routes each document to one of the five real formats,
 # so a single driver row exercises every codec-free decode branch —
-# including the compressed (zlib) PNG path.
-_FORMAT_BUILDERS = {0: _bmp_bytes, 1: _ppm_bytes, 2: _tga_bytes, 3: _png_bytes}
+# including the compressed PNG (zlib) and GIF (LZW) paths.
+_FORMAT_BUILDERS = {
+    0: _bmp_bytes, 1: _ppm_bytes, 2: _tga_bytes, 3: _png_bytes, 4: _gif_bytes,
+}
 
 
 _DECODE_SCHEMA = StructType(
@@ -736,7 +756,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "bpp": [], "n_pixel_bytes": [], "pixel_md5": [],
         }
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = _FORMAT_BUILDERS[int(doc_id) % 4](int(doc_id), text)
+            payload = _FORMAT_BUILDERS[int(doc_id) % 5](int(doc_id), text)
             d = decode_image(payload)  # the REAL (non-stub) path
             out["doc_id"].append(doc_id)
             out["format"].append(d["format"])
@@ -751,31 +771,32 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL image decode through Spark across FOUR
+    """End-to-end REAL image decode through Spark across FIVE
     container-decodable formats: each doc's deterministic payload
-    (BMP / binary PPM / uncompressed TGA / zlib-compressed PNG by
-    doc_id % 4, headers + raster built per doc) is decoded by
-    `decode_image`'s codec-free branches inside mapInPandas, and
-    every recovered field — format, dimensions, bpp, raster size,
-    pixel fingerprint — is ORACLE-checked in closed form (the PNG
-    round-trips through real deflate + all five scanline filters and
-    must reproduce the identical raster). This is the non-stub proof
-    of the multimodal plumbing: swap a branch for a PIL/codec call
-    and nothing about the Spark side changes."""
+    (BMP / binary PPM / uncompressed TGA / zlib-compressed PNG /
+    LZW-compressed GIF by doc_id % 5, headers + raster built per
+    doc) is decoded by `decode_image`'s codec-free branches inside
+    mapInPandas, and every recovered field — format, dimensions,
+    bpp, raster size, pixel fingerprint — is ORACLE-checked in
+    closed form (the PNG round-trips through real deflate + all five
+    scanline filters, the GIF through real LZW + palette resolution,
+    and both must reproduce the identical raster). This is the
+    non-stub proof of the multimodal plumbing: swap a branch for a
+    PIL/codec call and nothing about the Spark side changes."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 
 
 # format + width/height derive from doc_id; BMP rasters are 4-byte
-# row-padded while PPM/TGA/PNG are exact w*h*3 (PNG's deflate +
-# filters round-trip back to the same raw raster); pixels are
-# md5(text) digests repeated and truncated, so the pixel fingerprint
-# is md5 over a substring of repeated hex.
+# row-padded while PPM/TGA/PNG/GIF are exact w*h*3 (PNG's deflate +
+# filters and GIF's LZW + palette round-trip back to the same raw
+# raster); pixels are md5(text) digests repeated and truncated, so
+# the pixel fingerprint is md5 over a substring of repeated hex.
 _DECODE_SQL = """
 WITH p AS (
   SELECT doc_id,
-         CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-              WHEN 2 THEN 'tga' ELSE 'png' END AS format,
+         CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+              WHEN 2 THEN 'tga' WHEN 3 THEN 'png' ELSE 'gif' END AS format,
          CAST(1 + doc_id % 4 AS INT) AS width,
          CAST(1 + doc_id % 3 AS INT) AS height,
          md5(text) AS hx

@@ -565,3 +565,55 @@ def test_decode_wav_roundtrip_property(channels, rate, n, seed):
 def test_audio_decode_oracle_parity(spark, sf_oracle):
     df = multimodal.multimodal_audio_decode(spark, sf_oracle)
     compare(df, multimodal.ORACLE["multimodal_audio_decode"], sf_oracle)
+
+
+# ------------------------------------------------------- GIF codec
+
+def test_gif_roundtrip_small_and_large():
+    """Palette-lossless round trips: tiny rasters (the operator's
+    payloads) and a large repetitive raster that forces real LZW
+    dictionary growth through multiple code widths."""
+    import hashlib
+
+    from fdblog2clickhouse_spark.operators.gif import decode_gif, encode_gif
+
+    for w, h in [(1, 1), (4, 3), (2, 3)]:
+        raster = (hashlib.md5(f"{w}x{h}".encode()).digest() * 3)[: w * h * 3]
+        d = decode_gif(encode_gif(w, h, raster))
+        assert (d["format"], d["width"], d["height"], d["bpp"]) == ("gif", w, h, 24)
+        assert d["pixels"] == raster
+    big = bytes(range(0, 240, 3)) * 300  # 80 colors, 8000 px, heavy repeats
+    d = decode_gif(encode_gif(100, 80, big))
+    assert d["pixels"] == big
+
+
+def test_gif_skips_extensions_and_rejects_interlace():
+    import pytest as _pytest
+
+    from fdblog2clickhouse_spark.operators.gif import decode_gif, encode_gif
+
+    g = encode_gif(3, 2, bytes(range(18)))
+    i = g.index(b"\x2c")
+    # splice a Graphic Control Extension before the frame
+    with_ext = g[:i] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + g[i:]
+    assert decode_gif(with_ext)["pixels"] == bytes(range(18))
+    # flip the interlace bit in the image descriptor
+    interlaced = bytearray(g)
+    interlaced[i + 9] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        decode_gif(bytes(interlaced))
+
+
+def test_gif_truncated_stream_raises():
+    """LZW carries no checksum (a bit-flip can decode to wrong
+    pixels), but a TRUNCATED stream must fail loudly: fewer decoded
+    indices than the frame declares."""
+    import pytest as _pytest
+
+    from fdblog2clickhouse_spark.operators.gif import decode_gif, encode_gif
+
+    g = encode_gif(4, 3, bytes(range(36)))
+    mcs_at = g.index(b"\x2c") + 10  # descriptor + packed byte
+    truncated = g[: mcs_at + 1] + b"\x00\x3b"  # no data sub-blocks
+    with _pytest.raises(ValueError, match="shorter than frame"):
+        decode_gif(truncated)
