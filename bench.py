@@ -69,6 +69,13 @@ HEADLINE = [
     "sequence_packing",
     "embedding_int8_quantize",
     "doc_skyline_select",
+    # round 9: the persisted-store admission lifecycle (disk
+    # read-append-read is part of the measured cost — that IS the
+    # production shape) and the BPE merge-loop trainer (12
+    # driver-iterated vocab-sized jobs; tracked from birth so
+    # per-iteration overhead regressions are visible)
+    "dedup_store_admission",
+    "bpe_train_merges",
 ]
 
 

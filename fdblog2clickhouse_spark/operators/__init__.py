@@ -27,84 +27,69 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-8 window (policy above; VERDICT r7 item #2 names the r5
-# cohort as the stalest greens). Triage, strictest first:
-#   (a) NEW in r8: the 3 composed candidate-gated ops
-#       (dedup.py *_lsh_verified);
-#   (b) r8-changed dedup.py: minhash_lsh was refactored onto the
-#       shared candidate generator + scoring kernel, cluster_labels
-#       gained call-time checkpoint-mode validation, and the other 7
-#       are file-changed siblings (a bad edit to the new shared
-#       helpers would surface here);
-#   (c) r8-changed multimodal.py: decode gained the stdlib PNG
-#       branch + doc_id % 4 routing (its oracle changed!) and the
-#       PNM separator validation; 4 siblings file-changed;
-#   (d) the r5 cohort — 33 of its 38 ops (§2.1 trace/sketch/
-#       sequence), oldest greens first per the rotation policy.
-# Dropped to make room (unchanged files since their r5 rows, local
-# pytest green): trace_partition_stats, severity_rollup,
-# top_event_types, error_rate_by_user, events_per_minute,
-# events_dedup_latest, topk_events_by_value, user_recent_events,
-# events_unpivot_measures, events_decay_score, events_range_join,
-# events_dow_hour_heatmap, user_first_last_event,
-# events_pivot_usertype, user_path_transitions, events_moving_avg —
-# the 16 simplest ops in the cohort; they lead the r9 re-cover list.
-# The r7 verdict asked for ≥30 of the r5 cohort; this window holds
-# 22 because FOURTEEN new operators landed in r8 (incl. the first
-# driver-oracle-checked §2.8 sink roundtrips) and new/changed code
-# outranks stale-but-unchanged greens under the window policy — the
-# deferred ops are the cohort's most trivial plans.
-# streaming/queries.py's r8 diff is the ADDITIVE
-# streaming_incremental_dedup (in the window via slot (a)) plus a
-# static-side cache fix inside that same new function and a
-# state-partitions sweep comment; every other streaming function is
-# byte-identical, so their r07 rows stand. NOT in the window by
-# design: textops/similarity/tpch/curation files are untouched since
-# their last green rows.
+# Round-9 window (policy above; VERDICT r8 item #2 names the 16
+# deferred r5-cohort ops as the must-cover). Triage:
+#   (a) the 16 r5-cohort ops deferred from the r8 window — their
+#       files (trace_ops/sequence) are unchanged since r5, but their
+#       newest driver rows are three rounds old and the r8 verdict
+#       put them first;
+#   (b) NEW in r9: the persisted signature-store admission lifecycle
+#       (operators/dedup_store.py — sequential two-batch admission
+#       reading/appending a parquet store, oracle = one-shot union),
+#       the BPE merge-loop trainer (operators/bpe.py), and four
+#       incremental-merge sink roundtrips (rollup/upsert/HLL/
+#       bucketed — §2.8 now fully driver-checked);
+#   (c) r9-changed sinkcheck.py siblings (scratch-dir reuse + pmod
+#       split touched both existing roundtrips);
+#   (d) r9-changed training.py: sequence_packing is now the
+#       THREE-level hierarchical prefix scan, int8_quantize gained
+#       the uniform-dim guard; skyline is a file-changed sibling;
+#   (e) r9-changed streaming/queries.py: streaming_incremental_dedup
+#       was split into the reusable stream_vs_store plan + harness
+#       and now reads a PERSISTED signature store; every other
+#       streaming function is byte-identical, so their r07 rows
+#       stand;
+#   (f) r9-changed multimodal.py: multimodal_decode routes
+#       doc_id % 5 across FIVE real containers (new pure-stdlib GIF
+#       LZW codec, operators/gif.py — its oracle changed!); 6
+#       siblings file-changed.
+# Remaining 15 slots: the stalest r6 greens (tpch q1-q15; tpch.py
+# unchanged since r6 — pure re-cover rotation; q16-q22 + the 6 tpch
+# extras lead the r10 re-cover list).
+# NOT in the window by design: dedup.py/textops/similarity/curation/
+# sketches files are untouched since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) new ops (12): composed candidate-gated trio, the signature
-    # store + its batch incremental-dedup consumer (text AND vector
-    # forms), the stateless stream-static admission-dedup, the
-    # training-assembly trio (operators/training.py, NEW file), and
-    # the first driver-oracle-checked sink roundtrips
-    # (operators/sinkcheck.py, NEW file)
-    "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
-    "embedding_neardup_lsh_verified",
-    "doc_minhash_signatures", "dedup_incremental_minhash",
-    "embedding_incremental_neardup",
-    "streaming_incremental_dedup",
-    "sequence_packing", "embedding_int8_quantize", "doc_skyline_select",
+    # (a) r5 cohort re-cover (16)
+    "trace_partition_stats", "severity_rollup", "events_per_minute",
+    "top_event_types", "error_rate_by_user", "events_dedup_latest",
+    "events_range_join", "topk_events_by_value", "events_decay_score",
+    "user_recent_events", "events_unpivot_measures",
+    "events_dow_hour_heatmap", "user_first_last_event",
+    "user_path_transitions", "events_pivot_usertype", "events_moving_avg",
+    # (b) new r9 ops (6)
+    "dedup_store_admission", "bpe_train_merges",
+    "rollup_sink_roundtrip", "upsert_sink_roundtrip",
+    "hll_sink_roundtrip", "bucketed_sink_roundtrip",
+    # (c) r9-changed sinkcheck.py (2)
     "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
-    # (b) r8-changed dedup.py (9)
-    "dedup_minhash_lsh", "dedup_cluster_labels", "dedup_simhash",
-    "dedup_exact", "dedup_ngram_jaccard", "embedding_neardup",
-    "chunk_dedup", "neardup_keep_best", "dedup_containment",
-    # (c) r8-changed multimodal.py (7, incl. the NEW jpeg-audit and
-    # wav-decode ops)
+    # (d) r9-changed training.py (3)
+    "sequence_packing", "embedding_int8_quantize", "doc_skyline_select",
+    # (e) r9-changed streaming function (1)
+    "streaming_incremental_dedup",
+    # (f) r9-changed multimodal.py (7)
     "multimodal_decode", "multimodal_decode_jpeg",
-    "multimodal_audio_decode",
-    "multimodal_metadata", "multimodal_chunk",
+    "multimodal_audio_decode", "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
-    # (d) r5 cohort: trace_ops (12 of 25)
-    "trace_normalize", "event_sessionization",
-    "json_extract_props", "user_activity_gap", "events_rollup_cube",
-    "events_cube", "events_asof_join", "value_percentiles_by_type",
-    "events_running_windows", "user_retention_cohorts",
-    "churned_users",
-    "error_run_lengths",
-    # (d) r5 cohort: sketches (5)
-    "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
-    "minute_anomaly_zscore", "value_quantile_hist",
-    # (d) r5 cohort: sequence (5)
-    "funnel_conversion",
-    "events_sliding_windows", "max_concurrent_events", "user_value_deltas",
-    "funnel_windowed",
+    # stalest r6 greens (15)
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
 ]
 
 
 def _collect() -> tuple[dict, dict]:
-    from . import curation, dedup, multimodal, sequence, similarity, sinkcheck, sketches, textops, tpch, trace_ops, training
+    from . import bpe, curation, dedup, dedup_store, multimodal, sequence, similarity, sinkcheck, sketches, textops, tpch, trace_ops, training
     from ..sources import trace_json
     from ..streaming import queries as streaming_queries
 
@@ -114,8 +99,10 @@ def _collect() -> tuple[dict, dict]:
         trace_ops,
         tpch,
         dedup,
+        dedup_store,
         similarity,
         textops,
+        bpe,
         multimodal,
         streaming_queries,
         trace_json,

@@ -278,3 +278,88 @@ def test_watch_once_live_http_end_to_end(spark, sf_smoke, tmp_path, fake_ch, mon
         rows.extend(json.loads(x) for x in r["body"].splitlines() if x.strip())
     assert len(rows) == table(spark, sf_smoke, "events").count()
     assert set(rows[0]) <= {"severity", "machine", "log_group", "time", "type", "id"}
+
+
+def test_watch_keeps_ingesting_through_schema_evolution(
+    spark, sf_smoke, tmp_path, fake_ch, monkeypatch, capsys
+):
+    """VERDICT r8 #8 — schema evolution UNDER the stream: the watch
+    loop runs against the live fake ClickHouse socket; a later
+    rotation introduces a new field. The declared-schema ingest path
+    must keep POSTing (unknown fields ignored — no crash, no dropped
+    rotation), and `alter-schema` over the same log dir must emit
+    the positioned ADD for the new field — the operational sequence
+    a producer-side log-format change actually triggers."""
+    import base64
+    import json
+    import threading
+    import time
+
+    from fdblog2clickhouse_spark.sources.tables import table
+    from fdblog2clickhouse_spark.streaming.queries import _export_trace_logs
+
+    url, received, _ = fake_ch
+    monkeypatch.setenv("CLICKHOUSE_ADDR", url)
+    monkeypatch.setenv("CLICKHOUSE_DB", "tracedb")
+    monkeypatch.setenv("CLICKHOUSE_TABLE", "trace")
+    monkeypatch.setenv("CLICKHOUSE_USER", "u1")
+    monkeypatch.setenv("CLICKHOUSE_PASS", "p1")
+
+    log_dir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    sentinel = str(tmp_path / "sim-completed")
+    _export_trace_logs(spark, sf_smoke, log_dir)
+    n_base = table(spark, sf_smoke, "events").count()
+
+    rc: list[int] = []
+    t = threading.Thread(
+        target=lambda: rc.append(
+            cli.main(
+                ["watch", log_dir, "--checkpoint", ckpt,
+                 "--completion-file", sentinel]
+            )
+        )
+    )
+    t.start()
+    # wait for the first rotation to reach the socket
+    deadline = time.time() + 120
+    while time.time() < deadline and not received:
+        time.sleep(0.5)
+    assert received, "first rotation never reached the fake server"
+
+    # the producer rolls a NEW rotation carrying an extra field
+    extra_rows = [
+        {"Severity": 40, "Machine": f"m-{i}", "LogGroup": "default",
+         "Time": 1700000000.0 + i, "Type": "error", "ID": f"evolved-{i}",
+         "TraceFile": "fdb.log.9"}
+        for i in range(3)
+    ]
+    with open(os.path.join(log_dir, "part-evolved.json"), "w") as f:
+        for r in extra_rows:
+            f.write(json.dumps(r) + "\n")
+
+    open(sentinel, "w").close()  # drain everything, then exit
+    t.join(timeout=180)
+    assert not t.is_alive(), "watch did not exit on completion file"
+    assert rc == [0]
+
+    rows = []
+    expected_auth = "Basic " + base64.b64encode(b"u1:p1").decode()
+    for r in received:
+        assert r["auth"] == expected_auth
+        rows.extend(json.loads(x) for x in r["body"].splitlines() if x.strip())
+    # every row of BOTH rotations ingested; the unknown field never
+    # leaks into the declared-schema sink payload
+    assert len(rows) == n_base + len(extra_rows)
+    evolved = [r for r in rows if str(r.get("id", "")).startswith("evolved-")]
+    assert len(evolved) == len(extra_rows)
+    assert all("trace_file" not in r and "TraceFile" not in r for r in rows)
+
+    # ...and the deploy gate reports exactly the migration to run
+    capsys.readouterr()  # drain the watch thread's ingest log lines
+    rc2 = cli.main(["alter-schema", log_dir, "--table", "trace"])
+    out = capsys.readouterr().out
+    assert rc2 == 0
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert "ADD COLUMN IF NOT EXISTS `trace_file` Nullable(String)" in lines[0]
