@@ -87,7 +87,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
     ).cache()
 
+    # ONE job per merge: the argmax action both finds the best pair
+    # and materializes the current state's cache (which is one in-row
+    # replace away from the parent's cache). The parent is only
+    # unpersisted after that materialization, so nothing recomputes
+    # from scratch and no extra count() job is spent per iteration.
     merges: list[tuple] = []
+    parent = None
     for rank in range(1, _N_MERGES + 1):
         # the argmax row — limit(1) bounds the driver transfer to ONE
         # row by construction (allowlisted in tests/test_plans.py)
@@ -95,6 +101,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").desc(), F.col("pair").asc()
         ).limit(1)
         best = argmax_one_row.collect()
+        if parent is not None:
+            parent.unpersist()
         if not best:
             break
         pair, n = best[0]["pair"], best[0]["n"]
@@ -108,10 +116,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "freq",
         ).cache()
-        nxt.count()  # materialize before dropping the parent cache
-        state.unpersist()
+        parent = state
         state = nxt
     state.unpersist()
+    if parent is not None:
+        parent.unpersist()
 
     return spark.createDataFrame(
         merges,
