@@ -66,12 +66,14 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train _N_MERGES BPE merges on the documents corpus. One
-    corpus pass builds (word, freq); the loop then runs entirely on
-    the vocab-sized state. Deterministic argmax: highest weighted
-    count, then lexicographically smallest pair — identical tiebreak
-    in the oracle's unrolled spelling."""
+def _train(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
+    """Run the merge loop; return (merge table rows, FINAL vocab
+    state). The state carries the word key (w, s, freq) — after N
+    merges each word's `s` is its fully-merged symbol string, i.e.
+    the state IS the trained tokenizer's vocab lookup
+    (`bpe_tokenize` consumes it). Deterministic argmax: highest
+    weighted count, then lexicographically smallest pair — identical
+    tiebreak in the oracle's unrolled spelling."""
     d = table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -81,6 +83,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # double-spaced character form: "abc" → " a  b  c "
     state = vocab.select(
+        "w",
         F.concat(
             F.lit(" "), F.regexp_replace(F.col("w"), "(.)", " $1 "), F.lit(" ")
         ).alias("s"),
@@ -109,6 +112,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         lhs, rhs = pair.split(" ")
         merges.append((rank, lhs, rhs, lhs + rhs, n))
         nxt = state.select(
+            "w",
             F.replace(
                 F.col("s"),
                 F.lit(f" {lhs}  {rhs} "),
@@ -118,22 +122,74 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cache()
         parent = state
         state = nxt
+    # release the loop caches: every merge decision is already in
+    # `merges`, and consumers of the returned state evaluate it
+    # lazily (the full replace chain is narrow — one vocab pass).
     state.unpersist()
     if parent is not None:
         parent.unpersist()
+    return merges, state
 
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train _N_MERGES BPE merges on the documents corpus; emit the
+    learned merge table. One corpus pass builds (word, freq); the
+    loop then runs entirely on the vocab-sized state."""
+    merges, _ = _train(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, pair_count long",
     )
 
 
-def _bpe_train_sql() -> str:
-    """The oracle: the SAME loop, unrolled into N chained CTE steps
-    (pairs_r → best_r argmax → state_r rewrite). DuckDB runs the
-    byte-identical replace expression, so any drift in pair
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer to the corpus — the consumer step
+    a pipeline runs after training: per document, the exact BPE
+    token count under the learned merges, alongside word and
+    character counts (the compression evidence that decides a
+    tokenizer rollout).
+
+    Scale shape: after training, the final state is a (word →
+    merged-symbol-string) VOCAB table, so tokenization is not a
+    per-document re-merge — it is one explode of the corpus into
+    word instances joined against the vocab (hash join on the word;
+    at 100 TB the vocab side is O(distinct words) and the corpus is
+    touched once), then a per-doc integer aggregate. The oracle
+    reuses the unrolled training CTEs' final state for the same
+    join."""
+    merges, state = _train(spark, sf_dir)
+    sym = state.select(
+        "w",
+        F.size(F.filter(F.split(F.col("s"), "  "), lambda x: x != "")).alias(
+            "n_sym"
+        ),
+    )
+    d = table(spark, sf_dir, "documents")
+    inst = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    out = (
+        inst.join(sym, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+    )
+    return out
+
+
+def _bpe_cte_chain() -> str:
+    """The oracle's training loop: N chained CTE steps (pairs_r →
+    best_r argmax → state_r rewrite), MATERIALIZED so each state is
+    evaluated once (the chain references every state twice; inlined
+    CTEs would re-evaluate the whole prefix — 2^N blowup). DuckDB
+    runs the byte-identical replace expression, so any drift in pair
     counting, tiebreak, or greedy rewrite order breaks the match at
-    the first diverging rank."""
+    the first diverging rank. The word key `w` rides along so
+    state{N} doubles as the trained vocab lookup for the tokenize
+    oracle."""
     steps = []
     prev = "state0"
     for r in range(1, _N_MERGES + 1):
@@ -149,27 +205,32 @@ def _bpe_train_sql() -> str:
 best{r} AS (SELECT {r} AS rank, pair, n FROM pairs{r}
             ORDER BY n DESC, pair ASC LIMIT 1),
 state{r} AS MATERIALIZED (
-  SELECT replace(s,
+  SELECT w,
+         replace(s,
                  ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
                  ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s,
          freq
   FROM {prev} CROSS JOIN best{r}
 )""")
         prev = f"state{r}"
-    all_best = " UNION ALL ".join(
-        f"SELECT rank, pair, n FROM best{r}" for r in range(1, _N_MERGES + 1)
-    )
-    return f"""
-WITH vocab AS (
+    return f"""vocab AS (
   SELECT w, COUNT(*) AS freq FROM (
     SELECT unnest({tokens_sql('text')}) AS w FROM documents
   ) WHERE w <> '' GROUP BY 1
 ),
 state0 AS MATERIALIZED (
-  SELECT ' ' || regexp_replace(w, '(.)', ' \\1 ', 'g') || ' ' AS s, freq
+  SELECT w, ' ' || regexp_replace(w, '(.)', ' \\1 ', 'g') || ' ' AS s, freq
   FROM vocab
 ),
-{', '.join(steps)}
+{', '.join(steps)}"""
+
+
+def _bpe_train_sql() -> str:
+    all_best = " UNION ALL ".join(
+        f"SELECT rank, pair, n FROM best{r}" for r in range(1, _N_MERGES + 1)
+    )
+    return f"""
+WITH {_bpe_cte_chain()}
 SELECT CAST(rank AS INT) AS rank,
        split_part(pair, ' ', 1) AS lhs,
        split_part(pair, ' ', 2) AS rhs,
@@ -179,10 +240,33 @@ FROM ({all_best})
 """
 
 
+def _bpe_tokenize_sql() -> str:
+    return f"""
+WITH {_bpe_cte_chain()},
+sym AS (
+  SELECT w, len(list_filter(string_split(s, '  '), x -> x <> '')) AS n_sym
+  FROM state{_N_MERGES}
+),
+inst AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest({tokens_sql('text')}) AS w FROM documents
+  ) WHERE w <> ''
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars
+FROM inst JOIN sym USING (w)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
+    "bpe_tokenize": bpe_tokenize,
 }
 
 ORACLE = {
     "bpe_train_merges": _bpe_train_sql(),
+    "bpe_tokenize": _bpe_tokenize_sql(),
 }

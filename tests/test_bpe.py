@@ -39,3 +39,22 @@ def test_greedy_overlap_and_termination(spark, aaaa_sf):
         (1, "a", "a", "aa", 6),
         (2, "aa", "aa", "aaaa", 2),
     ]
+
+
+def test_tokenize_conservation_and_fixture(spark, aaaa_sf, sf_oracle):
+    """Tokenize invariants: per doc, n_words <= n_bpe_tokens <=
+    n_chars (merges only ever shrink the symbol count toward 1 per
+    word, never below). On the aaaa fixture the counts are exact:
+    'aaaa aaaa b' -> words [aaaa, aaaa, b]; after (a,a)->(aa,aa)->
+    aaaa merges each 'aaaa' is ONE token."""
+    rows = bpe.bpe_tokenize(spark, aaaa_sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_words"], r["n_bpe_tokens"], r["n_chars"]) == (3, 3, 9)
+    for row in bpe.bpe_tokenize(spark, sf_oracle).collect():
+        assert row["n_words"] <= row["n_bpe_tokens"] <= row["n_chars"]
+    compare(
+        bpe.bpe_tokenize(spark, sf_oracle),
+        bpe.ORACLE["bpe_tokenize"],
+        sf_oracle,
+    )
