@@ -56,14 +56,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
+    _COSINE_THRESHOLD,
     _FIRST_BAND_GATE_SQL,
+    _HYPERPLANE_GATE_SQL,
     _JACCARD_THRESHOLD,
     _N_BANDS,
+    _NEARDUP_COS_SQL_BODY,
+    _NEARDUP_LSH_BAND_BITS,
+    _NEARDUP_LSH_BANDS,
+    _QUANT_CTE,
     _band_keys_col,
     _doc_shingles,
-    _first_band_gate,
+    _hyperplane_bands_cte,
     _minhash_bands_cte,
     _minhash_sig,
+    _neardup_planes,
+    _neardup_planes_values_sql,
+    _quantized,
+    cosine_on_candidates,
     h32_spark_sql,
     h32_sql,
     jaccard_on_candidates,
@@ -104,21 +114,41 @@ def signature_frame(sh: DataFrame) -> DataFrame:
     )
 
 
-def store_band_rows(store: DataFrame) -> DataFrame:
-    """Persisted store rows → joinable band rows (doc_id, ks, band,
+def store_band_rows(
+    store: DataFrame, key_cols: list[str] | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Persisted store rows → joinable band rows (id, ks, band,
     band_key). This is the ONLY reconstruction the store needs at
-    read time: one posexplode over the 4 stored keys; the carried ks
+    read time: one posexplode over the stored keys; the carried ks
     array serves the first-shared-band gate in-row. Works identically
     on a just-computed batch signature frame — both sides of every
-    admission join go through this one function."""
-    ks = F.array(*[F.col(f"bk{b}") for b in range(_N_BANDS)])
-    return store.select("doc_id", ks.alias("ks")).select(
-        "doc_id", "ks", F.posexplode("ks").alias("band", "band_key")
+    admission join go through this one function. key_cols defaults to
+    the MinHash store's bk0..bk3; the vector store passes its
+    bv0..bv5 sign-band ints (the gate is type-agnostic)."""
+    key_cols = key_cols or [f"bk{b}" for b in range(_N_BANDS)]
+    ks = F.array(*[F.col(c) for c in key_cols])
+    return store.select(F.col(id_col).alias("id"), ks.alias("ks")).select(
+        "id", "ks", F.posexplode("ks").alias("band", "band_key")
+    )
+
+
+def _first_band_gate_n(n_bands: int):
+    """In-row first-shared-band predicate over the generic band rows
+    (same rule as dedup._first_band_gate, parameterized by band
+    count for the two store families)."""
+    return F.expr(
+        " AND ".join(
+            f"(a.band <= {j} OR a.ks[{j}] != b.ks[{j}])"
+            for j in range(n_bands - 1)
+        )
     )
 
 
 def admission_candidates(
-    store_sigs: DataFrame, batch_sigs: DataFrame
+    store_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    key_cols: list[str] | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Band candidates with at least one NEW side, canonical
     (da < db), pair-distinct via the first-shared-band gate. The
@@ -126,12 +156,13 @@ def admission_candidates(
     band_key); store×store pairs are excluded at the join, so the
     pair work is O(batch-involved candidates) however large the
     store grows."""
-    rows = store_band_rows(store_sigs.select(
-        "doc_id", *[f"bk{b}" for b in range(_N_BANDS)]
-    )).withColumn("is_new", F.lit(False)).unionByName(
-        store_band_rows(batch_sigs.select(
-            "doc_id", *[f"bk{b}" for b in range(_N_BANDS)]
-        )).withColumn("is_new", F.lit(True))
+    key_cols = key_cols or [f"bk{b}" for b in range(_N_BANDS)]
+    rows = store_band_rows(store_sigs, key_cols, id_col).withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(
+        store_band_rows(batch_sigs, key_cols, id_col).withColumn(
+            "is_new", F.lit(True)
+        )
     )
     a, b_ = rows.alias("a"), rows.alias("b")
     return (
@@ -139,11 +170,11 @@ def admission_candidates(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.id") < F.col("b.id"))
             & (F.col("a.is_new") | F.col("b.is_new")),
         )
-        .where(_first_band_gate())
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .where(_first_band_gate_n(len(key_cols)))
+        .select(F.col("a.id").alias("da"), F.col("b.id").alias("db"))
     )
 
 
@@ -228,10 +259,103 @@ WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
 """
 
 
+# --------------------------------- embedding_store_admission
+
+def emb_signature_frame(spark: SparkSession, qn: DataFrame) -> DataFrame:
+    """(vec_id, q) → the persistable VECTOR store row: 6 hyperplane
+    sign-band values (bv0..bv5) — the embedding analog of
+    `signature_frame` (the `_hyperplane_bands` construction up to
+    the bandvals stage, kept here so the store build, like the text
+    side, shares one code path between base and batches)."""
+    pl = spark.createDataFrame(_neardup_planes(), "p int, i int, w long")
+    el = qn.select("vec_id", F.posexplode("q").alias("i", "v"))
+    dots = (
+        el.join(F.broadcast(pl), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    bb = _NEARDUP_LSH_BAND_BITS
+    return dots.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN p >= {b * bb} AND p < {(b + 1) * bb} AND dot >= 0 "
+                    f"THEN shiftleft(1, p - {b * bb}) ELSE 0 END"
+                )
+            )
+            .cast("int")
+            .alias(f"bv{b}")
+            for b in range(_NEARDUP_LSH_BANDS)
+        ]
+    )
+
+
+def embedding_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VECTOR-store admission lifecycle — same read-append-read
+    contract as `dedup_store_admission`, over the hyperplane
+    sign-band store: base vectors' band signatures written to
+    parquet; two sequential batches (vec_id ≡ 0, then ≡ 5 mod 10)
+    each read the store from disk, band-join against it (plus
+    batch-internal pairs), verify candidates with EXACT
+    int64-quantized cosine, and append their signatures. The oracle
+    is the one-shot union spelling (all non-base×base pairs over
+    uncapped bands), so the hash match proves the same sequential ≡
+    one-shot equivalence — the store persists signatures only; the
+    verifier re-reads candidate vectors from the embedding table,
+    exactly how a production vector store splits index vs payload."""
+    root = scratch_dir("hyperplane_store")
+    store_path = root + "/signatures"
+    evidence = root + "/evidence"
+
+    qn = _quantized(spark, sf_dir).cache()
+    emb_signature_frame(
+        spark, qn.where(_base_pred(F.col("vec_id")))
+    ).write.mode("overwrite").parquet(store_path)
+
+    key_cols = [f"bv{b}" for b in range(_NEARDUP_LSH_BANDS)]
+    for step, rem in ((1, _BATCH1_REM), (2, _BATCH2_REM)):
+        batch_sigs = emb_signature_frame(
+            spark, qn.where(_slice(F.col("vec_id"), rem))
+        )
+        store_sigs = spark.read.parquet(store_path)
+        cand = admission_candidates(
+            store_sigs, batch_sigs, key_cols, id_col="vec_id"
+        ).select(F.col("da").alias("va"), F.col("db").alias("vb"))
+        verified = cosine_on_candidates(cand, qn, _COSINE_THRESHOLD)
+        verified.write.mode("append").parquet(evidence)
+        batch_sigs.write.mode("append").parquet(store_path)
+
+    return spark.read.parquet(evidence).select("va", "vb", "cosine")
+
+
+_EMB_STORE_ADMISSION_SQL = f"""
+WITH {_QUANT_CTE},
+planes(p, i, w) AS (VALUES {_neardup_planes_values_sql()}),
+{_hyperplane_bands_cte()},
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+  WHERE {_HYPERPLANE_GATE_SQL}
+    AND NOT (a.vec_id % {_STORE_MOD} NOT IN ({_BATCH1_REM}, {_BATCH2_REM})
+         AND b.vec_id % {_STORE_MOD} NOT IN ({_BATCH1_REM}, {_BATCH2_REM}))
+)
+SELECT va, vb,
+       {_NEARDUP_COS_SQL_BODY} AS cosine
+FROM cand
+JOIN qn a ON a.vec_id = va
+JOIN qn b ON b.vec_id = vb
+WHERE {_NEARDUP_COS_SQL_BODY} >= {_COSINE_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_store_admission": dedup_store_admission,
+    "embedding_store_admission": embedding_store_admission,
 }
 
 ORACLE = {
     "dedup_store_admission": _STORE_ADMISSION_SQL,
+    "embedding_store_admission": _EMB_STORE_ADMISSION_SQL,
 }

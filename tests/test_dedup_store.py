@@ -89,3 +89,34 @@ def test_rerun_overwrites_scratch(spark, tiny_sf):
     a = sorted(map(tuple, dedup_store.dedup_store_admission(spark, tiny_sf).collect()))
     b = sorted(map(tuple, dedup_store.dedup_store_admission(spark, tiny_sf).collect()))
     assert a == b
+
+
+def test_embedding_store_admission_matches_oracle(spark, sf_oracle):
+    df = dedup_store.embedding_store_admission(spark, sf_oracle)
+    compare(df, dedup_store._EMB_STORE_ADMISSION_SQL, sf_oracle)
+
+
+def test_embedding_store_rerun_and_store_contents(spark, sf_oracle):
+    """Rerun idempotence (scratch wipe) + the persisted vector store
+    ends holding every vector's sign-band signature row."""
+    import os
+    import tempfile
+
+    a = sorted(
+        map(tuple, dedup_store.embedding_store_admission(spark, sf_oracle).collect())
+    )
+    b = sorted(
+        map(tuple, dedup_store.embedding_store_admission(spark, sf_oracle).collect())
+    )
+    assert a == b
+    store = spark.read.parquet(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"sinkcheck_hyperplane_store_{os.getpid()}",
+            "signatures",
+        )
+    )
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    assert store.count() == table(spark, sf_oracle, "embeddings").count()
+    assert store.columns == ["vec_id"] + [f"bv{b}" for b in range(6)]
