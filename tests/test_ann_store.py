@@ -1,0 +1,47 @@
+"""Persisted IVF index lifecycle tests (operators/ann_store.py)."""
+
+from __future__ import annotations
+
+from fdblog2clickhouse_spark.operators import ann_store, similarity
+from tests.oracle import compare
+
+
+def test_store_search_matches_oracle(spark, sf_oracle):
+    compare(
+        ann_store.ann_ivf_store_search(spark, sf_oracle),
+        ann_store.ORACLE["ann_ivf_store_search"],
+        sf_oracle,
+    )
+
+
+def test_store_search_equals_in_memory_ivf(spark, sf_oracle):
+    """The disk-roundtripped, incrementally-inserted index must
+    produce byte-identical search results to the one-shot in-memory
+    plan (`ann_ivf_topk`) — the insert ≡ rebuild equivalence at the
+    DataFrame level, independent of the DuckDB oracle."""
+    via_store = sorted(
+        map(tuple, ann_store.ann_ivf_store_search(spark, sf_oracle).collect())
+    )
+    in_memory = sorted(
+        map(tuple, similarity.ann_ivf_topk(spark, sf_oracle).collect())
+    )
+    assert via_store == in_memory
+
+
+def test_lists_table_covers_every_vector(spark, sf_oracle):
+    """After build + insert the lists table holds exactly one
+    assignment row per corpus vector."""
+    import os
+    import tempfile
+
+    ann_store.ann_ivf_store_search(spark, sf_oracle)
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    lists = spark.read.parquet(
+        os.path.join(
+            tempfile.gettempdir(), f"sinkcheck_ivf_store_{os.getpid()}", "lists"
+        )
+    )
+    n = table(spark, sf_oracle, "embeddings").count()
+    assert lists.count() == n
+    assert lists.select("n_id").distinct().count() == n
