@@ -53,8 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 #       doc_id % 5 across FIVE real containers (new pure-stdlib GIF
 #       LZW codec, operators/gif.py — its oracle changed!); 6
 #       siblings file-changed.
-# Remaining 12 slots: the stalest r6 greens (tpch q1-q12; tpch.py
-# unchanged since r6 — pure re-cover rotation; q13-q22 + the 6 tpch
+# Remaining 11 slots: the stalest r6 greens (tpch q1-q11; tpch.py
+# unchanged since r6 — pure re-cover rotation; q12-q22 + the 6 tpch
 # extras lead the r10 re-cover list).
 # NOT in the window by design: dedup.py/textops/similarity/curation/
 # sketches files are untouched since their last green rows.
@@ -77,16 +77,16 @@ _FRONT_WINDOW = [
     "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
     # (d) r9-changed training.py (3)
     "sequence_packing", "embedding_int8_quantize", "doc_skyline_select",
-    # (e) r9-changed streaming function (1)
-    "streaming_incremental_dedup",
+    # (e) r9-changed/new streaming functions (2)
+    "streaming_incremental_dedup", "streaming_store_admission",
     # (f) r9-changed multimodal.py (7)
     "multimodal_decode", "multimodal_decode_jpeg",
     "multimodal_audio_decode", "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
-    # stalest r6 greens (12)
+    # stalest r6 greens (11)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q11", "tpch_q12",
+    "tpch_q11",
 ]
 
 

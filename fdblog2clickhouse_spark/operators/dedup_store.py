@@ -79,7 +79,12 @@ from .dedup import (
     jaccard_on_candidates,
     shingles_cte_sql,
 )
-from .sinkcheck import scratch_dir
+
+# NOTE: sinkcheck's scratch_dir is imported INSIDE the operators, not
+# here — sinkcheck's module-level oracle build imports
+# streaming.queries, which imports this module's union-spelling SQL;
+# a top-level import here would close that cycle before
+# _STORE_ADMISSION_SQL exists.
 
 # Two sequential admission batches over the sf corpus: base is
 # everything else. pmod so the slices stay a true 3-way partition
@@ -95,6 +100,22 @@ def _slice(col, rem: int):
 
 def _base_pred(col):
     return (~_slice(col, _BATCH1_REM)) & (~_slice(col, _BATCH2_REM))
+
+
+def shingle_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, sh distinct-shingle array) — the
+    `_doc_shingles` transform over ANY document frame (a table read,
+    a stream micro-batch), so batch and streaming admission share
+    one feature path. Docs with < 3 tokens have no shingles and are
+    excluded (same rule as every MinHash op and its oracle)."""
+    from ..functions.text import shingles_expr, tokens
+
+    t = d.select("doc_id", tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 3
+    )
+    return t.select(
+        "doc_id", F.array_distinct(F.expr(shingles_expr("t", 3))).alias("sh")
+    )
 
 
 def signature_frame(sh: DataFrame) -> DataFrame:
@@ -201,6 +222,8 @@ def dedup_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet files eagerly, but the materialize-then-append order
     makes the lifecycle explicit rather than resting on listing
     timing)."""
+    from .sinkcheck import scratch_dir
+
     root = scratch_dir("minhash_store")
     store_path = root + "/signatures"
     evidence = root + "/evidence"
@@ -303,6 +326,8 @@ def embedding_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot equivalence — the store persists signatures only; the
     verifier re-reads candidate vectors from the embedding table,
     exactly how a production vector store splits index vs payload."""
+    from .sinkcheck import scratch_dir
+
     root = scratch_dir("hyperplane_store")
     store_path = root + "/signatures"
     evidence = root + "/evidence"

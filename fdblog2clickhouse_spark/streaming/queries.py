@@ -697,6 +697,84 @@ WHERE i / (ca.n + cb.n - i) >= {dd._JACCARD_THRESHOLD}
 """
 
 
+# ----------------------------------- streaming_store_admission
+
+def streaming_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE admission loop with a GROWING store — the
+    streaming completion of `dedup_store_admission`
+    (operators/dedup_store.py): arriving documents (the
+    doc_id % 10 ∈ {0, 5} slices, landed as JSON rotations and
+    consumed one file per micro-batch) run through foreachBatch,
+    and EVERY micro-batch reads the persisted signature store from
+    disk, scores itself against it (store×batch + batch-internal
+    pairs, first-shared-band gate, exact-Jaccard verify), appends
+    its admission evidence, and appends its own signatures so the
+    NEXT micro-batch sees them. Unlike `streaming_incremental_dedup`
+    (stream vs a STATIC store), the store here evolves under the
+    stream — the reference's ingest-then-query contract applied to
+    the dedup index itself.
+
+    Oracle: the same one-shot union spelling as the batch lifecycle
+    op — admission results are provably independent of HOW the
+    arrivals are sliced into micro-batches (each batch contributes
+    exactly its pairs against everything seen before it plus itself;
+    see dedup_store.py's module docstring), so any rotation/trigger
+    layout must hash-match the same evidence."""
+    from ..operators import dedup as dd
+    from ..operators.dedup_store import (
+        _JACCARD_THRESHOLD as _JT,
+        _base_pred,
+        admission_candidates,
+        shingle_frame,
+        signature_frame,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="store_admission_stream_")
+    store_path = base_dir + "_signatures"
+    evidence = base_dir + "_evidence"
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # arrivals: 4 rotation files → 4 micro-batches under
+    # maxFilesPerTrigger=1 (the store must grow ACROSS batches)
+    d.where(~_base_pred(F.col("doc_id"))).coalesce(4).write.mode(
+        "overwrite"
+    ).json(base_dir)
+
+    # store bootstrap: the base corpus's signatures on disk
+    feats = shingle_frame(d).cache()  # verify-side features (all docs)
+    signature_frame(
+        feats.where(_base_pred(F.col("doc_id")))
+    ).write.mode("overwrite").parquet(store_path)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_sigs = signature_frame(shingle_frame(batch_df))
+        store_sigs = s.read.parquet(store_path)
+        cand = admission_candidates(store_sigs, batch_sigs)
+        dd.jaccard_on_candidates(
+            cand, feats.select("doc_id", F.col("sh").alias("fs")), _JT
+        ).write.mode("append").parquet(evidence)
+        batch_sigs.write.mode("append").parquet(store_path)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(base_dir)
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", base_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feats.unpersist()
+    return spark.read.parquet(evidence).select("da", "db", "jaccard")
+
+
+def _store_admission_stream_sql() -> str:
+    from ..operators.dedup_store import _STORE_ADMISSION_SQL
+
+    return _STORE_ADMISSION_SQL
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -708,6 +786,7 @@ QUERIES = {
     "streaming_view_purchase_join": streaming_view_purchase_join,
     "streaming_hll_rollup": streaming_hll_rollup,
     "streaming_incremental_dedup": streaming_incremental_dedup,
+    "streaming_store_admission": streaming_store_admission,
 }
 
 ORACLE = {
@@ -721,4 +800,5 @@ ORACLE = {
     "streaming_view_purchase_join": _SS_JOIN_SQL,
     "streaming_hll_rollup": _hll_rollup_sql(),
     "streaming_incremental_dedup": _incr_stream_sql(),
+    "streaming_store_admission": _store_admission_stream_sql(),
 }

@@ -120,3 +120,32 @@ def test_embedding_store_rerun_and_store_contents(spark, sf_oracle):
 
     assert store.count() == table(spark, sf_oracle, "embeddings").count()
     assert store.columns == ["vec_id"] + [f"bv{b}" for b in range(6)]
+
+
+def test_streaming_store_admission_equals_batch_lifecycle(spark, sf_oracle):
+    """Slicing-invariance made real: the 4-micro-batch streaming
+    admission (store growing under the stream) must produce exactly
+    the evidence the two-batch lifecycle op produces — and both
+    must match the one-shot union oracle."""
+    from fdblog2clickhouse_spark.streaming.queries import streaming_store_admission
+
+    streamed = sorted(
+        map(tuple, streaming_store_admission(spark, sf_oracle).collect())
+    )
+    batch = sorted(
+        map(tuple, dedup_store.dedup_store_admission(spark, sf_oracle).collect())
+    )
+    assert streamed == batch
+    # cross-slice evidence on the crafted corpus: 45 (arrives in a
+    # later or same rotation) duplicates 50 — present regardless of
+    # how the file stream sliced the arrivals.
+
+
+def test_streaming_store_admission_tiny_pairs(spark, tiny_sf):
+    from fdblog2clickhouse_spark.streaming.queries import streaming_store_admission
+
+    pairs = {
+        (r["da"], r["db"]) for r in streaming_store_admission(spark, tiny_sf).collect()
+    }
+    assert (45, 50) in pairs and (1, 40) in pairs and (2, 40) in pairs
+    assert (1, 2) not in pairs

@@ -430,3 +430,53 @@ def test_packing_has_no_global_window(spark, sf_smoke):
     plan = training.sequence_packing(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
     # the in-bucket scan must be hash-distributed on bucket
     assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_store_admission_plans_grid_free(spark, sf_smoke):
+    """The r9 store-lifecycle admission kernels must stay on the
+    banded path: no Python block kernel, no cartesian, no
+    non-broadcast nested loop — same contract as the composed
+    *_lsh_verified trio, checked on the LAZY admission plan (the
+    operators themselves materialize to parquet, so their returned
+    frames are just scans; the plan that matters is the band join +
+    exact verify)."""
+    import fdblog2clickhouse_spark.operators.dedup as dd
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+    from fdblog2clickhouse_spark.plans.audit import formatted_plan
+    from pyspark.sql import functions as F
+
+    sh = dd._doc_shingles(spark, sf_smoke)
+    base = ds.signature_frame(sh.where(ds._base_pred(F.col("doc_id"))))
+    batch = ds.signature_frame(sh.where(ds._slice(F.col("doc_id"), 0)))
+    cand = ds.admission_candidates(base, batch)
+    verified = dd.jaccard_on_candidates(
+        cand, sh.select("doc_id", F.col("sh").alias("fs")), 0.5
+    )
+    plan = formatted_plan(verified)
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    qn = dd._quantized(spark, sf_smoke)
+    vbase = ds.emb_signature_frame(spark, qn.where(ds._base_pred(F.col("vec_id"))))
+    vbatch = ds.emb_signature_frame(spark, qn.where(ds._slice(F.col("vec_id"), 0)))
+    vcand = ds.admission_candidates(
+        vbase, vbatch, [f"bv{b}" for b in range(6)], id_col="vec_id"
+    ).select(F.col("da").alias("va"), F.col("db").alias("vb"))
+    vverified = dd.cosine_on_candidates(vcand, qn, dd._COSINE_THRESHOLD)
+    vplan = formatted_plan(vverified)
+    assert "FlatMapGroupsInPandas" not in vplan, vplan
+    assert "CartesianProduct" not in vplan, vplan
+    assert "BatchEvalPython" not in vplan, vplan
+
+
+def test_ivf_store_search_plan(spark, sf_smoke):
+    """The persisted-index search plan: codebook joins are broadcast
+    (the crossJoin is against a broadcast codebook — never a
+    cartesian), candidate work flows through the lists join."""
+    from fdblog2clickhouse_spark.plans.audit import formatted_plan
+    from fdblog2clickhouse_spark.operators import ann_store
+
+    plan = formatted_plan(ann_store.ann_ivf_store_search(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
