@@ -53,8 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 #       doc_id % 5 across FIVE real containers (new pure-stdlib GIF
 #       LZW codec, operators/gif.py — its oracle changed!); 6
 #       siblings file-changed.
-# Remaining 11 slots: the stalest r6 greens (tpch q1-q11; tpch.py
-# unchanged since r6 — pure re-cover rotation; q12-q22 + the 6 tpch
+# Remaining 10 slots: the stalest r6 greens (tpch q1-q10; tpch.py
+# unchanged since r6 — pure re-cover rotation; q11-q22 + the 6 tpch
 # extras lead the r10 re-cover list).
 # NOT in the window by design: dedup.py/textops/similarity/curation/
 # sketches files are untouched since their last green rows.
@@ -75,18 +75,18 @@ _FRONT_WINDOW = [
     "hll_sink_roundtrip", "bucketed_sink_roundtrip",
     # (c) r9-changed sinkcheck.py (2)
     "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
-    # (d) r9-changed training.py (3)
+    # (d) r9-changed training.py (4, incl. the NEW pack_manifest)
     "sequence_packing", "embedding_int8_quantize", "doc_skyline_select",
+    "pack_manifest",
     # (e) r9-changed/new streaming functions (2)
     "streaming_incremental_dedup", "streaming_store_admission",
     # (f) r9-changed multimodal.py (7)
     "multimodal_decode", "multimodal_decode_jpeg",
     "multimodal_audio_decode", "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
-    # stalest r6 greens (11)
+    # stalest r6 greens (10)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q11",
 ]
 
 

@@ -349,14 +349,86 @@ FROM m JOIN fr USING (n_tokens, n_distinct)
 """
 
 
+# ------------------------------------------------- pack_manifest
+
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table a training job actually READS: one row per
+    (pack, contributing doc) with the token slice each side sees —
+    where the doc's tokens land in the pack (`pos_in_pack`), which
+    of the doc's tokens they are (`doc_off`), and how many
+    (`n_from_doc`). Derived entirely from `sequence_packing`'s
+    offsets by exploding each doc over the packs it spans
+    (packs_spanned is tiny — ceil(n_tok/budget)+1 — so the explode
+    is bounded per doc, never a data blow-up), then pure integer
+    min/max slice arithmetic in whole-stage codegen. Exact-integer
+    output, order-free, hash-checked.
+
+    Conservation laws (pinned in tests): per doc, n_from_doc sums to
+    n_tok; per pack, n_from_doc sums to _PACK_BUDGET except the final
+    pack."""
+    b = F.lit(_PACK_BUDGET)
+    p = sequence_packing(spark, sf_dir)
+    spans = p.select(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.col("pack_id"),
+                F.col("pack_id") + F.col("packs_spanned") - 1,
+            )
+        ).alias("pk"),
+    )
+    pack_lo = F.col("pk") * b
+    seg_lo = F.greatest(F.col("start_off"), pack_lo)
+    seg_hi = F.least(F.col("start_off") + F.col("n_tok"), pack_lo + b)
+    return spans.select(
+        F.col("pk").alias("pack_id"),
+        "doc_id",
+        (seg_lo - pack_lo).alias("pos_in_pack"),
+        (seg_lo - F.col("start_off")).alias("doc_off"),
+        (seg_hi - seg_lo).alias("n_from_doc"),
+    )
+
+
+_MANIFEST_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter({tokens_sql(norm_text_sql('text'))}, x -> x <> ''))
+           AS n_tok
+  FROM documents
+), nz AS (
+  SELECT doc_id, CAST(n_tok AS INT) AS n_tok FROM t WHERE n_tok >= 1
+), cum AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
+              - n_tok AS BIGINT) AS start_off
+  FROM nz
+), spans AS (
+  SELECT doc_id, n_tok, start_off,
+         unnest(generate_series(start_off // {_PACK_BUDGET},
+                                (start_off + n_tok - 1) // {_PACK_BUDGET})) AS pk
+  FROM cum
+)
+SELECT pk AS pack_id, doc_id,
+       GREATEST(start_off, pk * {_PACK_BUDGET}) - pk * {_PACK_BUDGET} AS pos_in_pack,
+       GREATEST(start_off, pk * {_PACK_BUDGET}) - start_off AS doc_off,
+       LEAST(start_off + n_tok, (pk + 1) * {_PACK_BUDGET})
+         - GREATEST(start_off, pk * {_PACK_BUDGET}) AS n_from_doc
+FROM spans
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
     "embedding_int8_quantize": embedding_int8_quantize,
     "doc_skyline_select": doc_skyline_select,
+    "pack_manifest": pack_manifest,
 }
 
 ORACLE = {
     "sequence_packing": _PACKING_SQL,
     "embedding_int8_quantize": _QUANTIZE_SQL,
     "doc_skyline_select": _SKYLINE_SQL,
+    "pack_manifest": _MANIFEST_SQL,
 }

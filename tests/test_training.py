@@ -190,3 +190,40 @@ def test_packing_independent_of_bucket_width(spark, sf_oracle, monkeypatch):
             map(tuple, training.sequence_packing(spark, sf_oracle).collect())
         )
         assert got == baseline, f"width={width} changed results"
+
+
+def test_pack_manifest_conservation(spark, sf_oracle):
+    """Per doc, the manifest slices sum to the doc's token count and
+    tile contiguously from doc_off 0; per pack, slices sum to the
+    budget (except the final pack) and tile from pos_in_pack 0."""
+    from collections import defaultdict
+
+    from fdblog2clickhouse_spark.operators import training
+
+    rows = training.pack_manifest(spark, sf_oracle).collect()
+    toks = {
+        r["doc_id"]: r["n_tok"]
+        for r in training.sequence_packing(spark, sf_oracle).collect()
+    }
+    by_doc = defaultdict(list)
+    by_pack = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+        by_pack[r["pack_id"]].append(r)
+    for doc, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_off"])
+        assert sum(s["n_from_doc"] for s in segs) == toks[doc]
+        pos = 0
+        for s in segs:
+            assert s["doc_off"] == pos
+            pos += s["n_from_doc"]
+    last_pack = max(by_pack)
+    for pack, segs in by_pack.items():
+        segs.sort(key=lambda r: r["pos_in_pack"])
+        total = sum(s["n_from_doc"] for s in segs)
+        if pack != last_pack:
+            assert total == training._PACK_BUDGET, (pack, total)
+        pos = 0
+        for s in segs:
+            assert s["pos_in_pack"] == pos
+            pos += s["n_from_doc"]
