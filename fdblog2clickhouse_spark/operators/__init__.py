@@ -53,8 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 #       doc_id % 5 across FIVE real containers (new pure-stdlib GIF
 #       LZW codec, operators/gif.py — its oracle changed!); 6
 #       siblings file-changed.
-# Remaining 10 slots: the stalest r6 greens (tpch q1-q10; tpch.py
-# unchanged since r6 — pure re-cover rotation; q11-q22 + the 6 tpch
+# Remaining 9 slots: the stalest r6 greens (tpch q1-q9; tpch.py
+# unchanged since r6 — pure re-cover rotation; q10-q22 + the 6 tpch
 # extras lead the r10 re-cover list).
 # NOT in the window by design: dedup.py/textops/similarity/curation/
 # sketches files are untouched since their last green rows.
@@ -67,9 +67,9 @@ _FRONT_WINDOW = [
     "user_recent_events", "events_unpivot_measures",
     "events_dow_hour_heatmap", "user_first_last_event",
     "user_path_transitions", "events_pivot_usertype", "events_moving_avg",
-    # (b) new r9 ops (9)
+    # (b) new r9 ops (10)
     "dedup_store_admission", "embedding_store_admission",
-    "ann_ivf_store_search",
+    "ann_ivf_store_search", "ann_ivfpq_topk",
     "bpe_train_merges", "bpe_tokenize",
     "rollup_sink_roundtrip", "upsert_sink_roundtrip",
     "hll_sink_roundtrip", "bucketed_sink_roundtrip",
@@ -84,9 +84,9 @@ _FRONT_WINDOW = [
     "multimodal_decode", "multimodal_decode_jpeg",
     "multimodal_audio_decode", "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
-    # stalest r6 greens (10)
+    # stalest r6 greens (9)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
 ]
 
 

@@ -129,8 +129,154 @@ def ann_ivf_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- ann_ivfpq_topk
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production billion-vector combo (the FAISS
+    IVF,PQ index family, public method): IVF restricts each query's
+    candidates to its nprobe nearest inverted lists, and PQ scores
+    those candidates through the asymmetric-distance LUT over 8-byte
+    codes instead of raw vectors. Composes the two existing index
+    shapes (`ann_ivf_topk` lists/probes + `ann_pq_topk` codes/LUT):
+    at 100 TB the query-side cost is (corpus/k_lists)·nprobe LUT
+    lookups per query — compressed candidates from a pruned
+    partition of the corpus, never a full scan and never raw-vector
+    I/O. All distances are exact BIGINTs; the codebooks are
+    md5-derived constants shared with the oracle, so the composed
+    plan stays hash-exact."""
+    from .similarity import (
+        _PQ_SUBDIM,
+        _pq_codebook,
+    )
+
+    qn = _quantized(spark, sf_dir).cache()
+
+    # --- IVF side: inverted lists + query probes (broadcast codebook)
+    cent = qn.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    )
+    lists = _assign(qn, cent, 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    )
+    probes = _assign(qn.where(F.col("vec_id") < _N_QUERIES), cent, _N_PROBE).select(
+        F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list")
+    )
+
+    # --- PQ side: per-vector codes + per-query asymmetric LUT
+    cb = spark.createDataFrame(
+        _pq_codebook(), "sub int, code int, carr array<bigint>"
+    )
+
+    def sub_d2(vec_col: str):
+        return F.aggregate(
+            F.zip_with(
+                F.expr(f"slice({vec_col}, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"),
+                F.col("carr"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = qn.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "sub", "code", sub_d2("q").alias("d2")
+    )
+    w_arg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_arg))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    lut = (
+        qn.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "q")
+        .crossJoin(F.broadcast(cb))
+        .select("q_id", "sub", "code", sub_d2("q").alias("d2"))
+    )
+
+    # --- compose: ADC-score ONLY vectors in probed lists
+    cand = (
+        lists.join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "list_id")
+    )
+    adc = (
+        cand.join(codes, F.col("n_id") == F.col("vec_id"))
+        .join(broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "n_id", "list_id")
+        .agg(F.sum("d2").alias("approx_dist"))
+    )
+    w_top = Window.partitionBy("q_id").orderBy("approx_dist", "n_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_top).cast("int"))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("q_id", "n_id", "list_id", "approx_dist", "rank")
+    )
+
+
+def _ivfpq_sql() -> str:
+    from .dedup import _QUANT_CTE
+    from .similarity import (
+        _COS_SQL,
+        _PQ_D2_SQL,
+        _pq_codebook_values_sql,
+    )
+
+    return f"""
+WITH {_QUANT_CTE},
+cent AS (
+  SELECT vec_id AS c_id, q, nq FROM qn
+  WHERE vec_id IN ({', '.join(map(str, _CENTROID_IDS))})
+),
+assign AS (
+  SELECT v.vec_id AS v_id, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_COS_SQL.format(a='v', b='c')} DESC, c.c_id ASC
+         ) AS crank
+  FROM qn v JOIN cent c ON TRUE
+),
+lists AS (SELECT v_id AS n_id, c_id AS list_id FROM assign WHERE crank = 1),
+probes AS (
+  SELECT v_id AS q_id, c_id AS probe_list FROM assign
+  WHERE v_id < {_N_QUERIES} AND crank <= {_N_PROBE}
+),
+cb(sub, code, carr) AS (VALUES {_pq_codebook_values_sql()}),
+scored AS (
+  SELECT vec_id, sub, code, {_PQ_D2_SQL} AS d2 FROM qn, cb
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT qn.vec_id AS q_id, sub, code, {_PQ_D2_SQL} AS d2
+  FROM qn, cb WHERE qn.vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT p.q_id, l.n_id, l.list_id
+  FROM lists l JOIN probes p ON l.list_id = p.probe_list AND l.n_id <> p.q_id
+),
+adc AS (
+  SELECT c.q_id, c.n_id, c.list_id, CAST(SUM(t.d2) AS BIGINT) AS approx_dist
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.n_id
+  JOIN lut t ON t.q_id = c.q_id AND t.sub = k.sub AND t.code = k.code
+  GROUP BY 1, 2, 3
+)
+SELECT q_id, n_id, list_id, approx_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dist, n_id) AS rank
+  FROM adc
+) r WHERE rank <= {_IVF_TOPK}
+"""
+
+
 QUERIES = {
     "ann_ivf_store_search": ann_ivf_store_search,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }
 
 ORACLE = {
@@ -138,4 +284,5 @@ ORACLE = {
     # provably equivalent (assignment is per-vector independent), so
     # one oracle pins both the equivalence and the index roundtrip.
     "ann_ivf_store_search": _ANN_IVF_SQL,
+    "ann_ivfpq_topk": _ivfpq_sql(),
 }

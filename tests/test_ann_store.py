@@ -45,3 +45,36 @@ def test_lists_table_covers_every_vector(spark, sf_oracle):
     n = table(spark, sf_oracle, "embeddings").count()
     assert lists.count() == n
     assert lists.select("n_id").distinct().count() == n
+
+
+def test_ivfpq_matches_oracle_and_restricts_to_probed_lists(spark, sf_oracle):
+    """Composition correctness: every IVF-PQ result's list_id is one
+    of its query's probed lists (the pruning actually happened), and
+    the full result hash-matches the composed oracle."""
+    from pyspark.sql import functions as F
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.similarity import _CENTROID_IDS, _N_PROBE, _N_QUERIES
+
+    df = ann_store.ann_ivfpq_topk(spark, sf_oracle)
+    compare(df, ann_store.ORACLE["ann_ivfpq_topk"], sf_oracle)
+
+    qn = _quantized(spark, sf_oracle)
+    cent = qn.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    )
+    probes = {
+        (r["v_id"], r["c_id"])
+        for r in ann_store._assign(
+            qn.where(F.col("vec_id") < _N_QUERIES), cent, _N_PROBE
+        ).collect()
+    }
+    for r in df.collect():
+        assert (r["q_id"], r["list_id"]) in probes
+
+
+def test_ivfpq_plan_broadcasts_and_no_cartesian(spark, sf_smoke):
+    from fdblog2clickhouse_spark.plans import formatted_plan
+
+    plan = formatted_plan(ann_store.ann_ivfpq_topk(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
