@@ -282,6 +282,41 @@ WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
 """
 
 
+def compact_signature_store(
+    spark: SparkSession, path: str, *, sort_col: str = "bk0", n_files: int = 1
+) -> int:
+    """OPTIMIZE FINAL for the (flat-layout) signature store: every
+    admission batch appends one file group, so a long-running
+    admission loop accumulates one tiny parquet file per batch —
+    scan-open overhead and listing pressure on every subsequent
+    store read, the same unmerged-parts failure mode
+    `optimize_mergetree` handles for the time-partitioned table.
+    Rewrites the store into `n_files` files sorted by a band key
+    (band-key locality tightens row-group min/max stats for the
+    admission band join's store scan), through a staging dir so a
+    crash leaves old or new, never a mix. Returns the file count
+    before compaction. Content-invariance (admission results
+    identical before/after) is CI-pinned."""
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if len(files) <= n_files:
+        return len(files)
+    staging = path + ".compact"
+    (
+        spark.read.parquet(path)
+        .repartition(n_files)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return len(files)
+
+
 # --------------------------------- embedding_store_admission
 
 def emb_signature_frame(spark: SparkSession, qn: DataFrame) -> DataFrame:

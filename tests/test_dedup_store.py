@@ -149,3 +149,35 @@ def test_streaming_store_admission_tiny_pairs(spark, tiny_sf):
     }
     assert (45, 50) in pairs and (1, 40) in pairs and (2, 40) in pairs
     assert (1, 2) not in pairs
+
+
+def test_store_compaction_preserves_admission(spark, sf_oracle):
+    """OPTIMIZE FINAL on the signature store: after the streaming
+    admission loop leaves one file group per micro-batch, compaction
+    must shrink the file count without changing a single store row —
+    so a batch scored against the compacted store produces identical
+    evidence."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from fdblog2clickhouse_spark.streaming.queries import streaming_store_admission
+
+    streaming_store_admission(spark, sf_oracle).collect()
+    # the streaming op's store path (mkdtemp prefix + _signatures)
+    candidates = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(), "store_admission_stream_*_signatures")),
+        key=os.path.getmtime,
+    )
+    store_path = candidates[-1]
+    before_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+    n_before = len(glob.glob(os.path.join(store_path, "*.parquet")))
+    assert n_before > 1, "expected one file group per micro-batch append"
+
+    compacted = dedup_store.compact_signature_store(spark, store_path)
+    assert compacted == n_before
+    n_after = len(glob.glob(os.path.join(store_path, "*.parquet")))
+    assert n_after == 1
+    after_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+    assert after_rows == before_rows
