@@ -76,6 +76,14 @@ HEADLINE = [
     # per-iteration overhead regressions are visible)
     "dedup_store_admission",
     "bpe_train_merges",
+    # round 9 (cont.): the remaining lifecycle/composition flagships
+    # — streaming admission (growing store under foreachBatch), the
+    # persisted IVF index loop, the IVF-PQ combo, and the pack
+    # manifest; tracked from birth
+    "streaming_store_admission",
+    "ann_ivf_store_search",
+    "ann_ivfpq_topk",
+    "pack_manifest",
 ]
 
 
