@@ -63,6 +63,14 @@ NAMES = [
     "sequence_packing",
     "embedding_int8_quantize",
     "doc_skyline_select",
+    # round-9 additions whose RETURNED frame is the interesting plan
+    # (the store-admission ops materialize to parquet and return
+    # scans — their admission kernels are plan-pinned in
+    # tests/test_plans.py instead)
+    "ann_ivf_store_search",
+    "ann_ivfpq_topk",
+    "pack_manifest",
+    "bpe_tokenize",
 ]
 
 
