@@ -53,8 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 #       doc_id % 5 across FIVE real containers (new pure-stdlib GIF
 #       LZW codec, operators/gif.py — its oracle changed!); 6
 #       siblings file-changed.
-# Remaining 9 slots: the stalest r6 greens (tpch q1-q9; tpch.py
-# unchanged since r6 — pure re-cover rotation; q10-q22 + the 6 tpch
+# Remaining 8 slots: the stalest r6 greens (tpch q1-q8; tpch.py
+# unchanged since r6 — pure re-cover rotation; q9-q22 + the 6 tpch
 # extras lead the r10 re-cover list).
 # NOT in the window by design: dedup.py/textops/similarity/curation/
 # sketches files are untouched since their last green rows.
@@ -80,13 +80,14 @@ _FRONT_WINDOW = [
     "pack_manifest",
     # (e) r9-changed/new streaming functions (2)
     "streaming_incremental_dedup", "streaming_store_admission",
-    # (f) r9-changed multimodal.py (7)
+    # (f) r9-changed multimodal.py (8, incl. the NEW gif-frames op)
     "multimodal_decode", "multimodal_decode_jpeg",
     "multimodal_audio_decode", "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
-    # stalest r6 greens (9)
+    "multimodal_gif_frames",
+    # stalest r6 greens (8)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q6", "tpch_q7", "tpch_q8",
 ]
 
 

@@ -135,12 +135,8 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 
 # ----------------------------------------------------------- encode
 
-def encode_gif(width: int, height: int, raster: bytes) -> bytes:
-    """RGB raster → single-frame GIF89a with a global color table
-    built from the raster's distinct colors (must be ≤ 256 — GIF is
-    palette-based; the deterministic test rasters stay far below)."""
-    if len(raster) != width * height * 3:
-        raise ValueError("raster length != w*h*3")
+def _palettize(raster: bytes) -> tuple[list[bytes], bytes, int, int]:
+    """raster → (palette, indices, size-field n, min code size)."""
     palette: list[bytes] = []
     index_of: dict[bytes, int] = {}
     indices = bytearray()
@@ -152,12 +148,46 @@ def encode_gif(width: int, height: int, raster: bytes) -> bytes:
         indices.append(index_of[c])
     if len(palette) > 256:
         raise ValueError("more than 256 distinct colors")
-    # GCT size field: 2^(n+1) entries; also bounds min LZW code size
     n = 0
     while (2 << n) < len(palette):
         n += 1
+    return palette, bytes(indices), n, max(2, n + 1)
+
+
+def _frame_blocks(
+    width: int, height: int, raster: bytes, *, local_table: bool
+) -> bytes:
+    """One image frame: descriptor (+ optional local color table) +
+    LZW sub-blocks. Caller supplies the GCT when local_table is
+    False."""
+    palette, indices, n, mcs = _palettize(raster)
+    out = bytearray(b"\x2c" + struct.pack("<HHHH", 0, 0, width, height))
+    if local_table:
+        out.append(0x80 | n)
+        entries = 2 << n
+        for c in palette:
+            out += c
+        out += b"\x00\x00\x00" * (entries - len(palette))
+    else:
+        out.append(0x00)
+    out.append(mcs)
+    comp = _lzw_encode(indices, mcs)
+    for off in range(0, len(comp), 255):
+        block = comp[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00"  # block terminator
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, raster: bytes) -> bytes:
+    """RGB raster → single-frame GIF89a with a global color table
+    built from the raster's distinct colors (must be ≤ 256 — GIF is
+    palette-based; the deterministic test rasters stay far below)."""
+    if len(raster) != width * height * 3:
+        raise ValueError("raster length != w*h*3")
+    palette, indices, n, mcs = _palettize(raster)
     gct_entries = 2 << n
-    mcs = max(2, n + 1)
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
@@ -168,7 +198,7 @@ def encode_gif(width: int, height: int, raster: bytes) -> bytes:
     out += b"\x00\x00\x00" * (gct_entries - len(palette))
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
     out.append(mcs)
-    comp = _lzw_encode(bytes(indices), mcs)
+    comp = _lzw_encode(indices, mcs)
     for off in range(0, len(comp), 255):
         block = comp[off : off + 255]
         out.append(len(block))
@@ -177,15 +207,35 @@ def encode_gif(width: int, height: int, raster: bytes) -> bytes:
     return bytes(out)
 
 
+def encode_gif_animation(
+    width: int, height: int, rasters: list[bytes]
+) -> bytes:
+    """Full-frame animated GIF89a: Netscape looping extension, one
+    Graphic Control Extension + local-color-table frame per raster —
+    the realistic multi-frame container (extensions between frames
+    exercise the decoder's skip path; local tables exercise the
+    per-frame palette path)."""
+    for r in rasters:
+        if len(r) != width * height * 3:
+            raise ValueError("raster length != w*h*3")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += b"\x00\x00\x00"  # no GCT
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop ext
+    for r in rasters:
+        out += b"\x21\xf9\x04\x00\x02\x00\x00\x00"  # GCE, 2cs delay
+        out += _frame_blocks(width, height, r, local_table=True)
+    out += b"\x3b"
+    return bytes(out)
+
+
 # ----------------------------------------------------------- decode
 
-def decode_gif(payload: bytes) -> dict:
-    """First frame of a GIF87a/89a → dict(format, width, height,
-    bpp, n_pixel_bytes, pixels) with pixels as palette-resolved RGB
-    (so a lossless round trip reproduces the source raster exactly —
-    GIF's only lossy step is palettization, which happens at encode
-    time). Extensions are skipped per spec; interlace/sub-rectangle/
-    later frames raise (declared scope)."""
+def _iter_frames(payload: bytes):
+    """Walk a GIF87a/89a block stream, yielding (width, height,
+    rgb_pixels) per FULL-FRAME image. Extensions are skipped per
+    spec; interlaced or sub-rectangle frames raise (declared
+    scope — frame composition/disposal belongs to a codec lib)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack_from("<HH", payload, 6)
@@ -200,7 +250,7 @@ def decode_gif(payload: bytes) -> dict:
         b = payload[pos]
         pos += 1
         if b == 0x3B:  # trailer
-            break
+            return
         if b == 0x21:  # extension: label + sub-blocks, skip
             pos += 1
             while payload[pos] != 0:
@@ -230,6 +280,7 @@ def decode_gif(payload: bytes) -> dict:
             n = payload[pos]
             comp += payload[pos + 1 : pos + 1 + n]
             pos += 1 + n
+        pos += 1  # block terminator
         indices = _lzw_decode(bytes(comp), mcs)
         if len(indices) < iw * ih:
             raise ValueError("LZW stream shorter than frame")
@@ -238,12 +289,35 @@ def decode_gif(payload: bytes) -> dict:
             if 3 * idx + 3 > len(table):
                 raise ValueError("palette index out of range")
             pixels += table[3 * idx : 3 * idx + 3]
+        yield w, h, bytes(pixels)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """First frame of a GIF87a/89a → dict(format, width, height,
+    bpp, n_pixel_bytes, pixels) with pixels as palette-resolved RGB
+    (so a lossless round trip reproduces the source raster exactly —
+    GIF's only lossy step is palettization, which happens at encode
+    time)."""
+    for w, h, pixels in _iter_frames(payload):
         return {
             "format": "gif",
             "width": w,
             "height": h,
             "bpp": 24,  # decoded RGB depth, matching the other branches
             "n_pixel_bytes": len(pixels),
-            "pixels": bytes(pixels),
+            "pixels": pixels,
         }
     raise ValueError("GIF with no image frame")
+
+
+def decode_gif_frames(payload: bytes) -> dict:
+    """Every full frame of an animated GIF → dict(width, height,
+    frames=[rgb bytes, ...]) — the real multi-frame container behind
+    `multimodal_gif_frames`' video-style frame sampling."""
+    frames: list[bytes] = []
+    w = h = 0
+    for w, h, pixels in _iter_frames(payload):
+        frames.append(pixels)
+    if not frames:
+        raise ValueError("GIF with no image frame")
+    return {"width": w, "height": h, "frames": frames}

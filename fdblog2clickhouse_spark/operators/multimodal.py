@@ -1143,11 +1143,101 @@ WHERE i % {_FRAME_STRIDE} = 0
 """
 
 
+# ------------------------------------------- multimodal_gif_frames
+
+_GIF_FRAME_STRIDE = 2
+
+_GIF_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _gif_frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import binascii
+    import hashlib
+
+    from .gif import decode_gif_frames, encode_gif_animation
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "n_frames": [], "frame_idx": [],
+            "width": [], "height": [], "frame_md5": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            w = 1 + doc_id % 4
+            h = 1 + doc_id % 3
+            k = 2 + doc_id % 3
+            payload = encode_gif_animation(
+                w, h, [_raster(f"{text}|frame{i}", w * h * 3) for i in range(k)]
+            )
+            d = decode_gif_frames(payload)  # the REAL multi-frame decode
+            for idx in range(0, len(d["frames"]), _GIF_FRAME_STRIDE):
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(d["frames"]))
+                out["frame_idx"].append(idx)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["frame_md5"].append(
+                    hashlib.md5(
+                        binascii.hexlify(d["frames"][idx]).upper()
+                    ).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-style frame sampling through a REAL multi-frame
+    container: each doc becomes a (2 + doc_id % 3)-frame animated
+    GIF (per-frame local palettes, Netscape loop + GCE extension
+    blocks — the realistic layout), decoded frame-by-frame by the
+    pure-stdlib LZW codec inside mapInPandas, with every 2nd frame
+    fingerprinted. Unlike `multimodal_frame_sample` (byte-stride
+    plumbing over opaque payloads — kept as the codec-free
+    baseline), the frames here EXIST only after a real container
+    decode; the oracle reconstructs each sampled frame's raster in
+    closed form, so a single wrong pixel in LZW, palette resolution,
+    or frame walking breaks the hash. Runs where the bytes live —
+    no shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_gif_frames_batches, schema=_GIF_FRAMES_SCHEMA)
+
+
+# frame rasters are md5(text || '|frame' || i) digests repeated to
+# w*h*3 bytes (the _raster construction), so the sampled frame
+# fingerprint is md5 over the repeated-hex substring — same closed
+# form as _DECODE_SQL.
+_GIF_FRAMES_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 4 AS INT) AS width,
+         CAST(1 + doc_id % 3 AS INT) AS height,
+         CAST(2 + doc_id % 3 AS INT) AS n_frames,
+         (1 + doc_id % 4) * (1 + doc_id % 3) * 3 AS npix
+  FROM documents
+)
+SELECT doc_id, n_frames, CAST(i AS INT) AS frame_idx, width, height,
+       md5(upper(substr(repeat(md5(d.text || '|frame' || i), npix // 16 + 1),
+                        1, 2 * npix))) AS frame_md5
+FROM p JOIN documents d USING (doc_id),
+     LATERAL unnest(generate_series(0, n_frames - 1)) AS t(i)
+WHERE i % {_GIF_FRAME_STRIDE} = 0
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_chunk": multimodal_chunk,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_gif_frames": multimodal_gif_frames,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_jpeg": multimodal_decode_jpeg,
     "multimodal_audio_decode": multimodal_audio_decode,
@@ -1158,6 +1248,7 @@ ORACLE = {
     "multimodal_chunk": _CHUNK_SQL,
     "multimodal_feature_extract": _FEATURE_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
+    "multimodal_gif_frames": _GIF_FRAMES_SQL,
     "multimodal_decode": _DECODE_SQL,
     "multimodal_decode_jpeg": _DECODE_JPEG_SQL,
     "multimodal_audio_decode": _AUDIO_DECODE_SQL,

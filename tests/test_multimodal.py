@@ -180,11 +180,13 @@ def test_decode_tga_rejects_truncated_raster():
         multimodal.decode_image(multimodal._tga_bytes(2, "x")[:-1])
 
 
-def test_decode_routes_all_four_formats():
-    """doc_id % 4 routing exercises every real branch — including
-    the compressed (zlib) PNG path."""
-    for doc_id, expect in ((0, "bmp"), (1, "ppm"), (2, "tga"), (3, "png")):
-        payload = multimodal._FORMAT_BUILDERS[doc_id % 4](doc_id, "hello")
+def test_decode_routes_all_five_formats():
+    """doc_id % 5 routing exercises every real branch — including
+    the compressed PNG (zlib) and GIF (LZW) paths."""
+    for doc_id, expect in (
+        (0, "bmp"), (1, "ppm"), (2, "tga"), (3, "png"), (4, "gif"),
+    ):
+        payload = multimodal._FORMAT_BUILDERS[doc_id % 5](doc_id, "hello")
         assert multimodal.decode_image(payload)["format"] == expect
 
 
@@ -617,3 +619,30 @@ def test_gif_truncated_stream_raises():
     truncated = g[: mcs_at + 1] + b"\x00\x3b"  # no data sub-blocks
     with _pytest.raises(ValueError, match="shorter than frame"):
         decode_gif(truncated)
+
+
+def test_gif_animation_roundtrip_and_frames_op(spark, sf_oracle):
+    """Animated GIF: per-frame local palettes + extension blocks
+    round-trip losslessly; the frames operator hash-matches its
+    closed-form oracle."""
+    import hashlib
+
+    from fdblog2clickhouse_spark.operators import multimodal
+    from fdblog2clickhouse_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+    from tests.oracle import compare
+
+    frames = [(hashlib.md5(f"f{k}".encode()).digest() * 3)[:36] for k in range(5)]
+    g = encode_gif_animation(4, 3, frames)
+    d = decode_gif_frames(g)
+    assert d["frames"] == frames
+    assert decode_gif(g)["pixels"] == frames[0]  # still-decode = frame 1
+
+    compare(
+        multimodal.multimodal_gif_frames(spark, sf_oracle),
+        multimodal._GIF_FRAMES_SQL,
+        sf_oracle,
+    )
