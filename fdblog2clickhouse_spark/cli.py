@@ -230,6 +230,78 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+_DOC_SCHEMA = "doc_id long, text string"
+
+
+def cmd_build_store(args) -> int:
+    """Bootstrap the MinHash signature store from a document corpus
+    (JSON-lines rotations, doc_id + text) — the backfill step before
+    the `admit` loop runs. The store persists signatures only
+    (operators/dedup_store.py schema)."""
+    from .operators.dedup_store import shingle_frame, signature_frame
+
+    spark = _spark()
+    d = spark.read.schema(_DOC_SCHEMA).json(args.docs)
+    signature_frame(shingle_frame(d)).write.mode("overwrite").parquet(args.store)
+    print(f"store rows: {spark.read.parquet(args.store).count()}")
+    return 0
+
+
+def cmd_admit(args) -> int:
+    """One admission batch, operationally: read the persisted store,
+    score the batch against it (store×batch + batch-internal pairs,
+    exact-Jaccard verified against --corpus, which must cover the
+    candidate docs' text), append evidence, append the batch's
+    signatures so the NEXT `admit` run sees them. This is the CLI
+    form of `dedup_store_admission`'s loop body — run it per
+    rotation and the sequence provably equals the one-shot dedup
+    over everything admitted (dedup_store.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as dd
+    from .operators.dedup_store import (
+        admission_candidates,
+        shingle_frame,
+        signature_frame,
+    )
+
+    spark = _spark()
+    batch = spark.read.schema(_DOC_SCHEMA).json(args.batch)
+    batch_sigs = signature_frame(shingle_frame(batch)).cache()
+    store_sigs = spark.read.parquet(args.store)
+    cand = admission_candidates(store_sigs, batch_sigs)
+    corpus = spark.read.schema(_DOC_SCHEMA).json(args.corpus)
+    feats = shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
+    verified = dd.jaccard_on_candidates(cand, feats, args.threshold)
+    if args.evidence:
+        verified.write.mode("append").parquet(args.evidence)
+        n_pairs = spark.read.parquet(args.evidence).count()
+    else:
+        n_pairs = verified.count()
+    appended = 0
+    if not args.no_append:
+        batch_sigs.write.mode("append").parquet(args.store)
+        appended = batch_sigs.count()
+    batch_sigs.unpersist()
+    print(
+        f"admit: batch_sigs={appended if appended else batch_sigs.count()} "
+        f"verified_pairs={verified.count()} evidence_total={n_pairs} "
+        f"appended={bool(not args.no_append)}"
+    )
+    return 0
+
+
+def cmd_compact_store(args) -> int:
+    """OPTIMIZE FINAL for the signature store: merge the one-file-
+    group-per-admit appends into band-key-sorted files."""
+    from .operators.dedup_store import compact_signature_store
+
+    spark = _spark()
+    before = compact_signature_store(spark, args.store, n_files=args.target_files)
+    print(f"compacted: files_before={before} files_after={args.target_files}")
+    return 0
+
+
 def cmd_list_queries(args) -> int:
     from . import operators
 
@@ -304,6 +376,28 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--time-col", default="time")
     so.add_argument("--target-files", type=int, default=1)
     so.set_defaults(fn=cmd_optimize)
+
+    sb = sub.add_parser("build-store")
+    sb.add_argument("docs", help="JSON-lines doc corpus (doc_id, text)")
+    sb.add_argument("store", help="signature-store parquet path")
+    sb.set_defaults(fn=cmd_build_store)
+
+    sm = sub.add_parser("admit")
+    sm.add_argument("batch", help="JSON-lines batch of new docs")
+    sm.add_argument("store", help="signature-store parquet path")
+    sm.add_argument("--corpus", required=True,
+                    help="JSON-lines docs covering candidate texts (verify side)")
+    sm.add_argument("--evidence", default=None,
+                    help="append verified pairs to this parquet path")
+    sm.add_argument("--threshold", type=float, default=0.5)
+    sm.add_argument("--no-append", action="store_true",
+                    help="score only; do not grow the store")
+    sm.set_defaults(fn=cmd_admit)
+
+    sk = sub.add_parser("compact-store")
+    sk.add_argument("store")
+    sk.add_argument("--target-files", type=int, default=1)
+    sk.set_defaults(fn=cmd_compact_store)
 
     sl = sub.add_parser("list-queries")
     sl.set_defaults(fn=cmd_list_queries)

@@ -363,3 +363,57 @@ def test_watch_keeps_ingesting_through_schema_evolution(
     lines = [l for l in out.splitlines() if l.strip()]
     assert len(lines) == 1
     assert "ADD COLUMN IF NOT EXISTS `trace_file` Nullable(String)" in lines[0]
+
+
+def test_admit_cli_lifecycle(spark, tmp_path, capsys):
+    """build-store → admit batch 1 → admit batch 2 (must see batch
+    1's appended signatures) → compact-store, all through the CLI.
+    Mirrors tests/test_dedup_store.py's lifecycle-mechanics corpus:
+    doc 45 (batch 2) duplicates doc 50 (batch 1) ONLY, so its pair
+    exists only if admit #2 read admit #1's append."""
+    import json
+
+    docs = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (3, "kilo lima mike november oscar papa quebec romeo sierra tango"),
+        (40, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (50, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"),
+        (45, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"),
+        (25, "solo document with no duplicate partner anywhere in corpus"),
+    ]
+
+    def write_json(name, ids):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in docs:
+                if i in ids:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    corpus = write_json("corpus.json", {i for i, _ in docs})
+    base = write_json("base.json", {1, 2, 3})
+    b1 = write_json("b1.json", {40, 50})
+    b2 = write_json("b2.json", {45, 25})
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-store", base, store]) == 0
+    assert cli.main(["admit", b1, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    assert cli.main(["admit", b2, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    pairs = {
+        (r["da"], r["db"]) for r in spark.read.parquet(evidence).collect()
+    }
+    assert (45, 50) in pairs, "admit #2 did not see admit #1's append"
+    assert (1, 40) in pairs and (2, 40) in pairs
+    assert (1, 2) not in pairs  # store-internal pairs are not admission evidence
+
+    store_ids = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert store_ids == [1, 2, 3, 25, 40, 45, 50]
+
+    assert cli.main(["compact-store", store]) == 0
+    out = capsys.readouterr().out
+    assert "compacted:" in out
+    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == store_ids
