@@ -255,7 +255,14 @@ def cmd_admit(args) -> int:
     signatures so the NEXT `admit` run sees them. This is the CLI
     form of `dedup_store_admission`'s loop body — run it per
     rotation and the sequence provably equals the one-shot dedup
-    over everything admitted (dedup_store.py docstring)."""
+    over everything admitted (dedup_store.py docstring).
+
+    IDEMPOTENT under redelivery: docs whose doc_id is already in the
+    store are dropped before scoring (left-anti against the store's
+    key column), so re-running a rotation after a crash or an
+    at-least-once delivery is a no-op — no duplicate signatures, no
+    duplicate evidence (the same guarantee the mergeable-HLL sink
+    gets from MAX-idempotence, here by keyed exclusion)."""
     from pyspark.sql import functions as F
 
     from .operators import dedup as dd
@@ -267,8 +274,15 @@ def cmd_admit(args) -> int:
 
     spark = _spark()
     batch = spark.read.schema(_DOC_SCHEMA).json(args.batch)
-    batch_sigs = signature_frame(shingle_frame(batch)).cache()
     store_sigs = spark.read.parquet(args.store)
+    batch_sigs = (
+        signature_frame(shingle_frame(batch))
+        .join(store_sigs.select("doc_id"), "doc_id", "left_anti")
+        .cache()
+    )
+    n_new = batch_sigs.count()  # materialize BEFORE the store append:
+    # the anti-join reads the same path the append writes to, so the
+    # append must run off the cache, not a re-scan of the store.
     cand = admission_candidates(store_sigs, batch_sigs)
     corpus = spark.read.schema(_DOC_SCHEMA).json(args.corpus)
     feats = shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
@@ -278,15 +292,13 @@ def cmd_admit(args) -> int:
         n_pairs = spark.read.parquet(args.evidence).count()
     else:
         n_pairs = verified.count()
-    appended = 0
-    if not args.no_append:
+    if not args.no_append and n_new:
         batch_sigs.write.mode("append").parquet(args.store)
-        appended = batch_sigs.count()
     batch_sigs.unpersist()
     print(
-        f"admit: batch_sigs={appended if appended else batch_sigs.count()} "
+        f"admit: new_docs={n_new} "
         f"verified_pairs={verified.count()} evidence_total={n_pairs} "
-        f"appended={bool(not args.no_append)}"
+        f"appended={bool(not args.no_append and n_new)}"
     )
     return 0
 

@@ -417,3 +417,45 @@ def test_admit_cli_lifecycle(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "compacted:" in out
     assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == store_ids
+
+
+def test_admit_cli_idempotent_under_redelivery(spark, tmp_path, capsys):
+    """Re-delivering an already-admitted rotation must be a no-op:
+    no duplicate signatures in the store, no duplicate evidence."""
+    import json
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    base = write_json("base.json", [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    ])
+    b1 = write_json("b1.json", [
+        (10, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    ])
+    corpus = write_json("corpus.json", [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (10, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    ])
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-store", base, store]) == 0
+    assert cli.main(["admit", b1, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    ev1 = sorted(map(tuple, spark.read.parquet(evidence).collect()))
+    st1 = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert (1, 10) in {(a, b) for a, b, _ in ev1}
+    assert st1 == [1, 10]
+
+    # crash-retry / at-least-once: the same rotation delivered again
+    assert cli.main(["admit", b1, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    out = capsys.readouterr().out
+    assert "new_docs=0" in out
+    assert sorted(map(tuple, spark.read.parquet(evidence).collect())) == ev1
+    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == st1
