@@ -257,12 +257,22 @@ def cmd_admit(args) -> int:
     rotation and the sequence provably equals the one-shot dedup
     over everything admitted (dedup_store.py docstring).
 
-    IDEMPOTENT under redelivery: docs whose doc_id is already in the
-    store are dropped before scoring (left-anti against the store's
-    key column), so re-running a rotation after a crash or an
-    at-least-once delivery is a no-op — no duplicate signatures, no
-    duplicate evidence (the same guarantee the mergeable-HLL sink
-    gets from MAX-idempotence, here by keyed exclusion)."""
+    EXACTLY-ONCE under crash-retry / at-least-once delivery, by two
+    complementary mechanisms in a deliberate order:
+    - evidence is written FIRST, with OVERWRITE semantics into a
+      per-rotation partition (`batch_key=md5(batch path)`), so a
+      retried rotation rewrites its own partition instead of
+      appending duplicates;
+    - the signature append happens LAST, gated on store membership
+      (docs already in the store are dropped by a keyed anti-join
+      before scoring).
+    Crash after evidence, before signatures → the retry rescores
+    (docs not yet in the store) and overwrites the same evidence
+    partition. Crash after signatures (or full redelivery of a
+    completed rotation) → the retry has no new docs, so it SKIPS the
+    evidence write entirely — the previous run's partition stands.
+    Either way the store and evidence converge to the single-run
+    state."""
     from pyspark.sql import functions as F
 
     from .operators import dedup as dd
@@ -288,8 +298,26 @@ def cmd_admit(args) -> int:
     feats = shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
     verified = dd.jaccard_on_candidates(cand, feats, args.threshold)
     if args.evidence:
-        verified.write.mode("append").parquet(args.evidence)
-        n_pairs = spark.read.parquet(args.evidence).count()
+        import hashlib
+        import os
+
+        if n_new:
+            # n_new == 0 means this rotation was fully admitted by a
+            # previous run — its evidence partition (if any) already
+            # holds the truth; overwriting now would wipe it with the
+            # empty rescore.
+            batch_key = hashlib.md5(
+                os.path.abspath(args.batch).encode()
+            ).hexdigest()[:12]
+            part = os.path.join(args.evidence, f"batch_key={batch_key}")
+            verified.write.mode("overwrite").parquet(part)
+        n_pairs = (
+            spark.read.option("basePath", args.evidence)
+            .parquet(args.evidence + "/batch_key=*")
+            .count()
+            if os.path.exists(args.evidence)
+            else 0
+        )
     else:
         n_pairs = verified.count()
     if not args.no_append and n_new:

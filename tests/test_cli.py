@@ -444,10 +444,20 @@ def test_admit_cli_idempotent_under_redelivery(spark, tmp_path, capsys):
     store = str(tmp_path / "store")
     evidence = str(tmp_path / "evidence")
 
+    def ev_rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(evidence)
+                .select("da", "db", "jaccard")
+                .collect(),
+            )
+        )
+
     assert cli.main(["build-store", base, store]) == 0
     assert cli.main(["admit", b1, store, "--corpus", corpus,
                      "--evidence", evidence]) == 0
-    ev1 = sorted(map(tuple, spark.read.parquet(evidence).collect()))
+    ev1 = ev_rows()
     st1 = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
     assert (1, 10) in {(a, b) for a, b, _ in ev1}
     assert st1 == [1, 10]
@@ -457,5 +467,39 @@ def test_admit_cli_idempotent_under_redelivery(spark, tmp_path, capsys):
                      "--evidence", evidence]) == 0
     out = capsys.readouterr().out
     assert "new_docs=0" in out
-    assert sorted(map(tuple, spark.read.parquet(evidence).collect())) == ev1
+    assert ev_rows() == ev1
     assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == st1
+
+
+def test_admit_cli_crash_between_evidence_and_append(spark, tmp_path):
+    """Crash-window exactly-once: evidence written but signatures
+    not yet appended (simulated with --no-append), then the rotation
+    is retried in full. The evidence partition must be overwritten,
+    not duplicated, and the store must converge to the single-run
+    state."""
+    import json
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    base = write_json("base.json", [(1, text)])
+    b1 = write_json("b1.json", [(10, text)])
+    corpus = write_json("corpus.json", [(1, text), (10, text)])
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-store", base, store]) == 0
+    # crashed run: evidence landed, signature append did not
+    assert cli.main(["admit", b1, store, "--corpus", corpus,
+                     "--evidence", evidence, "--no-append"]) == 0
+    # retry runs to completion
+    assert cli.main(["admit", b1, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    ev = [(r["da"], r["db"]) for r in spark.read.parquet(evidence).collect()]
+    assert ev == [(1, 10)], f"evidence duplicated or lost: {ev}"
+    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1, 10]
