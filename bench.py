@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_ivf_store_search",
     "ann_ivfpq_topk",
     "pack_manifest",
+    "doc_bigram_fluency",
 ]
 
 
