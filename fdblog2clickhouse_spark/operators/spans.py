@@ -1,0 +1,155 @@
+"""Exact duplicated-substring span statistics (SURVEY §2.3).
+
+The token-span-level dedup signal from the public "Deduplicating
+Training Data Makes Language Models Better" method (Lee et al.
+2022): find every maximal token span of length ≥ K that occurs more
+than once in the corpus, and report per document how much of it is
+duplicated text. Doc-level MinHash (dedup.py) catches near-identical
+DOCUMENTS; this catches the boilerplate/quote/license SPANS inside
+otherwise-unique documents — the thing substring dedup exists for.
+
+Distributed shape (suffix arrays don't shard; overlapping shingles
+do): each doc emits its K-token shingles WITH positions (in-row
+build + one posexplode, ~1 row per token); a shingle hash occurring
+more than once corpus-wide marks all its occurrences as duplicated
+(one vocab-bounded count + a semi-join back — the same broadcast
+shape as benchmark_decontam); per doc, the duplicated positions
+merge into MAXIMAL spans with a gaps-and-islands window (fixed
+shingle length K makes the union trivial: a new island starts
+exactly when the next start is > K past the previous start — the
+window partition is one doc's positions, bounded by doc length,
+never corpus-sized). Pure integer arithmetic end to end.
+
+A span duplicated WITHIN one doc counts too (global occurrence
+count, not distinct-doc count) — self-plagiarized boilerplate is
+still boilerplate, and Lee et al. dedup within documents as well.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32_spark_sql, h32_sql
+from ..functions.text import norm_text, norm_text_sql, tokens, tokens_sql
+from ..sources.tables import table
+
+_SPAN_K = 8  # minimum duplicated span length, in tokens
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc (with ≥ K tokens): token count, number of maximal
+    duplicated spans, duplicated-token total, and the duplicated
+    fraction in milli (floored — integer, hash-exact)."""
+    k = _SPAN_K
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.filter(tokens(norm_text(F.col("text"))), lambda x: x != "").alias("tk"),
+    ).where(F.size("tk") >= k)
+    parts = ", ".join(f"tk[i+{j}]" for j in range(k))
+    sh = t.select(
+        "doc_id",
+        F.size("tk").alias("n_tok"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tk)-{k}), "
+                f"i -> concat_ws(' ', {parts}))"
+            )
+        ).alias("i", "s"),
+    ).select("doc_id", "n_tok", "i", F.expr(h32_spark_sql("s")).alias("h"))
+    dup_h = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+    dup_pos = sh.join(dup_h.select("h"), "h", "left_semi")
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = dup_pos.withColumn(
+        "brk",
+        F.when(
+            F.col("i") - F.lag("i").over(w) > F.lit(k), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "n_tok", "island").agg(
+        (F.max("i") - F.min("i") + F.lit(k)).alias("span_len")
+    )
+    return spans.groupBy("doc_id", "n_tok").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+        F.floor(
+            F.sum("span_len") * F.lit(1000) / F.col("n_tok").cast("double")
+        ).alias("dup_frac_milli"),
+    ).unionByName(
+        # docs with ≥ K tokens but no duplicated shingle: explicit
+        # zero rows, so the output covers every eligible doc
+        t.select("doc_id", F.size("tk").alias("n_tok"))
+        .join(dup_pos.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.lit(0).cast("int").alias("n_dup_spans"),
+            F.lit(0).cast("long").alias("dup_tokens"),
+            F.lit(0).cast("long").alias("dup_frac_milli"),
+        )
+    )
+
+
+_DUP_SPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({tokens_sql(norm_text_sql('text'))}, x -> x <> '') AS tk
+  FROM documents
+), el AS (
+  SELECT doc_id, len(tk) AS n_tok, tk FROM t WHERE len(tk) >= {_SPAN_K}
+), sh AS (
+  SELECT doc_id, n_tok,
+         unnest(range(0, n_tok - {_SPAN_K} + 1)) AS i,
+         unnest(list_transform(range(1, n_tok - {_SPAN_K} + 2),
+                i -> {" || ' ' || ".join(f"tk[i+{j}]" for j in range(_SPAN_K))}))
+           AS s
+  FROM el
+), hv AS (
+  SELECT doc_id, n_tok, i, {h32_sql('s')} AS h FROM sh
+), dup_h AS (
+  SELECT h FROM hv GROUP BY h HAVING COUNT(*) > 1
+), dup_pos AS (
+  SELECT doc_id, n_tok, i FROM hv WHERE h IN (SELECT h FROM dup_h)
+), brk AS (
+  SELECT doc_id, n_tok, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {_SPAN_K} THEN 1 ELSE 0 END AS b
+  FROM dup_pos
+), isl AS (
+  SELECT doc_id, n_tok, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, n_tok, island,
+         MAX(i) - MIN(i) + {_SPAN_K} AS span_len
+  FROM isl GROUP BY 1, 2, 3
+), agg AS (
+  SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+         CAST(COUNT(*) AS INT) AS n_dup_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+         CAST(FLOOR(CAST(SUM(span_len) * 1000 AS DOUBLE)
+                    / CAST(n_tok AS DOUBLE)) AS BIGINT) AS dup_frac_milli
+  FROM spans GROUP BY doc_id, n_tok
+)
+SELECT * FROM agg
+UNION ALL
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+       0 AS n_dup_spans, 0 AS dup_tokens, 0 AS dup_frac_milli
+FROM el
+WHERE doc_id NOT IN (SELECT doc_id FROM dup_pos)
+"""
+
+
+QUERIES = {
+    "dup_span_stats": dup_span_stats,
+}
+
+ORACLE = {
+    "dup_span_stats": _DUP_SPAN_SQL,
+}

@@ -1,0 +1,58 @@
+"""Duplicated-substring span tests (operators/spans.py)."""
+
+from __future__ import annotations
+
+from fdblog2clickhouse_spark.operators import spans
+from tests.oracle import compare
+
+
+def test_dup_spans_match_oracle(spark, sf_oracle):
+    compare(spans.dup_span_stats(spark, sf_oracle), spans._DUP_SPAN_SQL, sf_oracle)
+
+
+def test_planted_spans(spark, tmp_path):
+    """Exact span accounting on crafted docs: a 12-token run shared
+    by two docs inside otherwise-unique text must surface in BOTH as
+    one maximal span of exactly 12 tokens; a doc that repeats its
+    own 8-token run twice gets both occurrences as spans; a fully
+    unique doc reports zeros."""
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    uniq_a = "aa bb cc dd ee ff gg hh"
+    uniq_b = "ii jj kk ll mm nn oo pp"
+    run8 = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = [
+        (1, f"{uniq_a} {shared} {uniq_b}"),
+        (2, f"qq ww ee2 rr tt yy uu oo2 {shared} zz xx cc2 vv bb2 nn2 mm2 ll2"),
+        (3, f"{run8} s1 s2 s3 s4 s5 s6 s7 s8 {run8}"),
+        (4, "totally unique words here that repeat nowhere else at all ok"),
+    ]
+    import os
+
+    from fdblog2clickhouse_spark.sources.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        if name != "documents":
+            os.symlink(
+                f"/root/testdata/sf0.001/{name}.parquet",
+                str(tmp_path / f"{name}.parquet"),
+            )
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in spans.dup_span_stats(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, 12)
+    assert got[2] == (1, 12)
+    # doc 3: both 8-token runs duplicated; 8 unique tokens between
+    # them keep the islands separate (gap 16 > K=8)
+    assert got[3] == (2, 16)
+    assert got[4] == (0, 0)
+    compare(
+        spans.dup_span_stats(spark, str(tmp_path)),
+        spans._DUP_SPAN_SQL,
+        str(tmp_path),
+    )
