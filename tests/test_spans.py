@@ -36,11 +36,20 @@ def test_planted_spans(spark, tmp_path):
                 f"/root/testdata/sf0.001/{name}.parquet",
                 str(tmp_path / f"{name}.parquet"),
             )
-    d = spark.createDataFrame(
-        [(i, t, "en", "s", len(t)) for i, t in docs],
-        "doc_id long, text string, lang string, source string, n_chars int",
-    )
-    d.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    import numpy as np
+    import pandas as pd
+
+    # single parquet FILE (not a Spark part-dir): the DuckDB oracle
+    # harness reads {sf_dir}/documents.parquet directly
+    pd.DataFrame(
+        {
+            "doc_id": np.array([i for i, _ in docs], dtype=np.int64),
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": np.array([len(t) for _, t in docs], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
     got = {
         r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
         for r in spans.dup_span_stats(spark, str(tmp_path)).collect()
