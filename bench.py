@@ -85,6 +85,8 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "pack_manifest",
     "doc_bigram_fluency",
+    "dup_span_stats",
+    "multimodal_gif_frames",
 ]
 
 
