@@ -146,10 +146,152 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dup_pos)
 """
 
 
+# --------------------------------------------------- dup_span_dedup
+
+def dup_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL decision (`dup_span_stats` measures; this cuts):
+    for every duplicated K-shingle, the globally FIRST occurrence —
+    smallest (doc_id, position), encoded as one BIGINT key so the
+    argmin is a plain MIN aggregate in both engines — is kept;
+    every other occurrence marks its K-token span for excision.
+    Non-canonical positions merge into maximal cut spans with the
+    same gaps-and-islands window; per doc the op reports tokens
+    kept/removed and the cut-span count — the numbers a corpus
+    rewrite job applies.
+
+    Scale notes: the canonical choice is per-shingle-hash (one MIN
+    per hash key, map-side combined); everything else is the stats
+    op's shape. Keeping the first occurrence is the public
+    ExactSubstr policy (deterministic, no coordination: the min key
+    is a pure function of the corpus)."""
+    k = _SPAN_K
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.filter(tokens(norm_text(F.col("text"))), lambda x: x != "").alias("tk"),
+    ).where(F.size("tk") >= k)
+    parts = ", ".join(f"tk[i+{j}]" for j in range(k))
+    sh = t.select(
+        "doc_id",
+        F.size("tk").alias("n_tok"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tk)-{k}), "
+                f"i -> concat_ws(' ', {parts}))"
+            )
+        ).alias("i", "s"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "i",
+        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("i")).alias("key"),
+        F.expr(h32_spark_sql("s")).alias("h"),
+    )
+    per_h = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("key").alias("min_key")
+    )
+    cut_pos = (
+        sh.join(per_h.where(F.col("c") > 1), "h")
+        .where(F.col("key") != F.col("min_key"))
+        .select("doc_id", "n_tok", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = cut_pos.withColumn(
+        "brk",
+        F.when(
+            F.col("i") - F.lag("i").over(w) > F.lit(k), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans_df = islands.groupBy("doc_id", "n_tok", "island").agg(
+        (F.max("i") - F.min("i") + F.lit(k)).alias("span_len")
+    )
+    cut = spans_df.groupBy("doc_id", "n_tok").agg(
+        F.count(F.lit(1)).cast("int").alias("n_cut_spans"),
+        F.sum("span_len").alias("removed_tokens"),
+    )
+    return cut.select(
+        "doc_id",
+        "n_tok",
+        "n_cut_spans",
+        "removed_tokens",
+        (F.col("n_tok") - F.col("removed_tokens")).alias("kept_tokens"),
+    ).unionByName(
+        t.select("doc_id", F.size("tk").alias("n_tok"))
+        .join(cut_pos.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.lit(0).cast("int").alias("n_cut_spans"),
+            F.lit(0).cast("long").alias("removed_tokens"),
+            F.col("n_tok").cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+_DUP_SPAN_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({tokens_sql(norm_text_sql('text'))}, x -> x <> '') AS tk
+  FROM documents
+), el AS (
+  SELECT doc_id, len(tk) AS n_tok, tk FROM t WHERE len(tk) >= {_SPAN_K}
+), sh AS (
+  SELECT doc_id, n_tok,
+         unnest(range(0, n_tok - {_SPAN_K} + 1)) AS i,
+         unnest(list_transform(range(1, n_tok - {_SPAN_K} + 2),
+                i -> {" || ' ' || ".join(f"tk[i+{j}]" for j in range(_SPAN_K))}))
+           AS s
+  FROM el
+), hv AS (
+  SELECT doc_id, n_tok, i,
+         doc_id * 1000000000 + i AS key,
+         {h32_sql('s')} AS h
+  FROM sh
+), per_h AS (
+  SELECT h, COUNT(*) AS c, MIN(key) AS min_key FROM hv GROUP BY h
+), cut_pos AS (
+  SELECT doc_id, n_tok, i
+  FROM hv JOIN per_h USING (h)
+  WHERE c > 1 AND key <> min_key
+), brk AS (
+  SELECT doc_id, n_tok, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {_SPAN_K} THEN 1 ELSE 0 END AS b
+  FROM cut_pos
+), isl AS (
+  SELECT doc_id, n_tok, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, n_tok, island,
+         MAX(i) - MIN(i) + {_SPAN_K} AS span_len
+  FROM isl GROUP BY doc_id, n_tok, island
+), agg AS (
+  SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+         CAST(COUNT(*) AS INT) AS n_cut_spans,
+         CAST(SUM(span_len) AS BIGINT) AS removed_tokens,
+         CAST(n_tok - SUM(span_len) AS BIGINT) AS kept_tokens
+  FROM spans GROUP BY doc_id, n_tok
+)
+SELECT * FROM agg
+UNION ALL
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok, 0 AS n_cut_spans,
+       0 AS removed_tokens, CAST(n_tok AS BIGINT) AS kept_tokens
+FROM el
+WHERE doc_id NOT IN (SELECT doc_id FROM cut_pos)
+"""
+
+
 QUERIES = {
     "dup_span_stats": dup_span_stats,
+    "dup_span_dedup": dup_span_dedup,
 }
 
 ORACLE = {
     "dup_span_stats": _DUP_SPAN_SQL,
+    "dup_span_dedup": _DUP_SPAN_DEDUP_SQL,
 }

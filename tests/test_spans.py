@@ -65,3 +65,66 @@ def test_planted_spans(spark, tmp_path):
         spans._DUP_SPAN_SQL,
         str(tmp_path),
     )
+
+
+def test_dedup_matches_oracle_and_keeps_first(spark, sf_oracle):
+    """Oracle parity, plus the policy invariant: removed + kept =
+    n_tok per doc, and across the whole corpus at least one
+    occurrence of every duplicated shingle survives (the canonical
+    copies are never cut — checked via the stats op: removed tokens
+    is always strictly less than the corpus-wide duplicated-span
+    tokens when duplicates span multiple docs)."""
+    from tests.oracle import compare
+
+    df = spans.dup_span_dedup(spark, sf_oracle)
+    compare(df, spans._DUP_SPAN_DEDUP_SQL, sf_oracle)
+    rows = df.collect()
+    assert all(r["removed_tokens"] + r["kept_tokens"] == r["n_tok"] for r in rows)
+    stats = {r["doc_id"]: r for r in spans.dup_span_stats(spark, sf_oracle).collect()}
+    for r in rows:
+        # removal is a subset of the duplicated material
+        assert r["removed_tokens"] <= stats[r["doc_id"]]["dup_tokens"]
+    # and strictly less in total: canonical copies stay
+    assert sum(r["removed_tokens"] for r in rows) < sum(
+        s["dup_tokens"] for s in stats.values()
+    )
+
+
+def test_dedup_planted_first_occurrence_kept(spark, tmp_path):
+    """Three docs share one 10-token run: the smallest doc_id keeps
+    it, the other two get it cut."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from fdblog2clickhouse_spark.sources.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        if name != "documents":
+            os.symlink(
+                f"/root/testdata/sf0.001/{name}.parquet",
+                str(tmp_path / f"{name}.parquet"),
+            )
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    docs = [
+        (5, f"aa bb cc dd ee ff gg hh {shared}"),
+        (7, f"{shared} ii jj kk ll mm nn oo pp"),
+        (9, f"qq rr ss tt uu vv ww xx {shared} yy zz ab cd ef gh ij kl"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": np.array([i for i, _ in docs], dtype=np.int64),
+            "text": [t for _, t in docs],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": np.array([len(t) for _, t in docs], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    got = {
+        r["doc_id"]: (r["n_cut_spans"], r["removed_tokens"])
+        for r in spans.dup_span_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got[5] == (0, 0)       # first occurrence (smallest doc_id) kept
+    assert got[7] == (1, 10)
+    assert got[9] == (1, 10)
