@@ -86,6 +86,7 @@ HEADLINE = [
     "pack_manifest",
     "doc_bigram_fluency",
     "dup_span_stats",
+    "dup_span_dedup",
     "multimodal_gif_frames",
 ]
 

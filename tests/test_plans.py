@@ -235,12 +235,24 @@ def test_partitioning_independence_odd_parallelism(spark, sf_oracle):
 
     from .oracle import compare
 
+    import fdblog2clickhouse_spark.operators.lm as lmod
+    import fdblog2clickhouse_spark.operators.spans as spn
+    import fdblog2clickhouse_spark.operators.training as tr
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
         for name in ("dedup_cluster_labels", "dedup_minhash_lsh",
                      "dedup_ngram_jaccard"):
             compare(dd.QUERIES[name](spark, sf_oracle), dd.ORACLE[name], sf_oracle)
+        # r9 additions with window/island/scan machinery
+        for mod, name in (
+            (spn, "dup_span_stats"),
+            (spn, "dup_span_dedup"),
+            (lmod, "doc_bigram_fluency"),
+            (tr, "pack_manifest"),
+        ):
+            compare(mod.QUERIES[name](spark, sf_oracle), mod.ORACLE[name], sf_oracle)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
