@@ -53,8 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 #       doc_id % 5 across FIVE real containers (new pure-stdlib GIF
 #       LZW codec, operators/gif.py — its oracle changed!); 6
 #       siblings file-changed.
-# Remaining 5 slots: the stalest r6 greens (tpch q1-q5; tpch.py
-# unchanged since r6 — pure re-cover rotation; q6-q22 + the 6 tpch
+# Remaining 4 slots: the stalest r6 greens (tpch q1-q4; tpch.py
+# unchanged since r6 — pure re-cover rotation; q5-q22 + the 6 tpch
 # extras lead the r10 re-cover list).
 # NOT in the window by design: dedup.py/textops/similarity/curation/
 # sketches files are untouched since their last green rows.
@@ -67,13 +67,14 @@ _FRONT_WINDOW = [
     "user_recent_events", "events_unpivot_measures",
     "events_dow_hour_heatmap", "user_first_last_event",
     "user_path_transitions", "events_pivot_usertype", "events_moving_avg",
-    # (b) new r9 ops (13)
+    # (b) new r9 ops (14)
     "dedup_store_admission", "embedding_store_admission",
     "ann_ivf_store_search", "ann_ivfpq_topk", "doc_bigram_fluency",
     "dup_span_stats", "dup_span_dedup",
     "bpe_train_merges", "bpe_tokenize",
     "rollup_sink_roundtrip", "upsert_sink_roundtrip",
-    "hll_sink_roundtrip", "bucketed_sink_roundtrip",
+    "hll_sink_roundtrip", "hist_sink_roundtrip",
+    "bucketed_sink_roundtrip",
     # (c) r9-changed sinkcheck.py (2)
     "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
     # (d) r9-changed training.py (4, incl. the NEW pack_manifest)
@@ -86,8 +87,8 @@ _FRONT_WINDOW = [
     "multimodal_audio_decode", "multimodal_metadata", "multimodal_chunk",
     "multimodal_feature_extract", "multimodal_frame_sample",
     "multimodal_gif_frames",
-    # stalest r6 greens (5)
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+    # stalest r6 greens (4)
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
 ]
 
 

@@ -215,6 +215,23 @@ def hll_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_estimate(spark, path)
 
 
+def hist_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → mergeable quantile-histogram sink in three merge
+    batches (per-bin SUM against real on-disk state) → finalize to
+    per-type p50/p90/p99. The oracle is the one-shot batch sketch
+    spelling (operators/sketches.py value_quantile_hist) — any bin
+    miscounted or misrouted across the merges shifts an interpolated
+    quantile and breaks the hash. Completes the sketch-sink family's
+    driver coverage: counts, distincts, quantiles."""
+    from ..sinks.hist_rollup import merge_hist, read_quantiles
+
+    path = scratch_dir("hist_roundtrip") + "/hist"
+    rows = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    for b in _event_batches(rows, 3):
+        merge_hist(spark, path, b.drop("event_id"))
+    return read_quantiles(spark, path)
+
+
 def bucketed_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders + lineitem written through the BUCKETED warehouse sink
     (both bucketed & sorted on the join key), joined back
@@ -279,12 +296,22 @@ def _streaming_oracles():
 _ROLLUP_SQL, _UPSERT_SQL, _HLL_SQL = _streaming_oracles()
 
 
+def _hist_sql() -> str:
+    from .sketches import _QUANTILE_HIST_SQL
+
+    return _QUANTILE_HIST_SQL
+
+
+_HIST_SQL = _hist_sql()
+
+
 QUERIES = {
     "mergetree_sink_roundtrip": mergetree_sink_roundtrip,
     "zorder_sink_roundtrip": zorder_sink_roundtrip,
     "rollup_sink_roundtrip": rollup_sink_roundtrip,
     "upsert_sink_roundtrip": upsert_sink_roundtrip,
     "hll_sink_roundtrip": hll_sink_roundtrip,
+    "hist_sink_roundtrip": hist_sink_roundtrip,
     "bucketed_sink_roundtrip": bucketed_sink_roundtrip,
 }
 
@@ -297,5 +324,6 @@ ORACLE = {
     "rollup_sink_roundtrip": _ROLLUP_SQL,
     "upsert_sink_roundtrip": _UPSERT_SQL,
     "hll_sink_roundtrip": _HLL_SQL,
+    "hist_sink_roundtrip": _HIST_SQL,
     "bucketed_sink_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
 }

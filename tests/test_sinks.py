@@ -458,3 +458,28 @@ def test_http_create_schema_raises_on_non_200(fake_ch):
     state["status"] = 403
     with pytest.raises(Exception, match="403"):
         _http_sink(url).create_schema(TRACE_COLUMNS)
+
+
+def test_hist_sink_slicing_invariant(spark, sf_smoke, tmp_path):
+    """Per-bin SUM merge: 1-batch and 3-batch merge orders must leave
+    bit-identical state and finalized quantiles."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.sinks.hist_rollup import merge_hist, read_quantiles
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    e = table(spark, sf_smoke, "events").select("event_id", "event_type", "value")
+    one = str(tmp_path / "one")
+    three = str(tmp_path / "three")
+    merge_hist(spark, one, e.drop("event_id"))
+    for i in range(3):
+        merge_hist(
+            spark, three,
+            e.where(F.pmod(F.col("event_id"), F.lit(3)) == i).drop("event_id"),
+        )
+    a = sorted(map(tuple, spark.read.parquet(one).collect()))
+    b = sorted(map(tuple, spark.read.parquet(three).collect()))
+    assert a == b
+    qa = sorted(map(tuple, read_quantiles(spark, one).collect()))
+    qb = sorted(map(tuple, read_quantiles(spark, three).collect()))
+    assert qa == qb
