@@ -293,8 +293,21 @@ def cmd_admit(args) -> int:
     n_new = batch_sigs.count()  # materialize BEFORE the store append:
     # the anti-join reads the same path the append writes to, so the
     # append must run off the cache, not a re-scan of the store.
-    cand = admission_candidates(store_sigs, batch_sigs)
-    corpus = spark.read.schema(_DOC_SCHEMA).json(args.corpus)
+    # candidates are small after LSH — materialize them once so (a)
+    # the verify-side corpus can be PRUNED to candidate docs BEFORE
+    # the shingle computation (at 100 TB the corpus read is the cost;
+    # shingling only candidate docs is the difference between a
+    # corpus-sized pass and a candidates-sized one) and (b) the
+    # evidence/store writes below never recompute the band join.
+    cand = admission_candidates(store_sigs, batch_sigs).cache()
+    cand_ids = (
+        cand.select(F.col("da").alias("doc_id"))
+        .unionByName(cand.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    corpus = spark.read.schema(_DOC_SCHEMA).json(args.corpus).join(
+        cand_ids, "doc_id", "left_semi"
+    )
     feats = shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
     verified = dd.jaccard_on_candidates(cand, feats, args.threshold)
     if args.evidence:
