@@ -54,8 +54,15 @@ from pyspark.sql import DataFrame, SparkSession
 #       LZW codec, operators/gif.py — its oracle changed!); 6
 #       siblings file-changed.
 # Remaining 4 slots: the stalest r6 greens (tpch q1-q4; tpch.py
-# unchanged since r6 — pure re-cover rotation; q5-q22 + the 6 tpch
-# extras lead the r10 re-cover list).
+# unchanged since r6 — pure re-cover rotation).
+# r10 RE-COVER PRIORITY (for the next rotation, stalest first,
+# assuming their files stay unchanged): (1) tpch q5-q22 + the 6
+# tpch extras (r6 greens), (2) the r7 cohort — similarity.py's 15,
+# curation.py's 5, textops.py's 14, streaming/queries.py's 9
+# unchanged functions, sources/trace_json.py — whose newest rows
+# will then be three rounds old, (3) dedup.py's 15 r8 greens.
+# That is ~60 ops for ~36 free slots once r10's new/changed code
+# takes its share — expect a two-round rotation like r8→r9's.
 # NOT in the window by design: dedup.py/textops/similarity/curation/
 # sketches files are untouched since their last green rows.
 # Exactly 50.
