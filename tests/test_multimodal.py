@@ -646,3 +646,39 @@ def test_gif_animation_roundtrip_and_frames_op(spark, sf_oracle):
         multimodal._GIF_FRAMES_SQL,
         sf_oracle,
     )
+
+
+def test_gif_lzw_dictionary_saturation():
+    """Direct LZW round trip through dictionary SATURATION: a
+    pseudo-random 60k-symbol stream over 256 values drives the
+    phrase dictionary past 4096 entries, exercising the 12-bit
+    width cap and the no-more-assignments regime on both encoder
+    and decoder (the whole-file fuzz never gets there — GIF frames
+    in the operator are tiny). Also pins every min-code-size the
+    palette builder can emit (2..8)."""
+    import hashlib
+
+    from fdblog2clickhouse_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    # deterministic pseudo-random bytes, no RNG state
+    stream = b"".join(
+        hashlib.md5(f"lzw|{i}".encode()).digest() for i in range(4000)
+    )  # 64k symbols, ~full byte alphabet -> dictionary saturates
+    enc = _lzw_encode(stream, 8)
+    assert _lzw_decode(enc, 8) == stream
+    # random bytes are incompressible — LZW correctly EXPANDS them
+    # (9-12-bit codes per ~1 symbol); compression is asserted on a
+    # repetitive stream instead
+    assert len(enc) > len(stream)
+    rep = (b"abcdefgh" * 8000)  # 64k symbols, highly repetitive
+    enc_rep = _lzw_encode(rep, 8)
+    assert _lzw_decode(enc_rep, 8) == rep
+    assert len(enc_rep) < len(rep) // 10
+
+    for mcs in range(2, 9):
+        alphabet = 1 << mcs
+        small = bytes(
+            hashlib.md5(f"m{mcs}|{i}".encode()).digest()[0] % alphabet
+            for i in range(3000)
+        )
+        assert _lzw_decode(_lzw_encode(small, mcs), mcs) == small
