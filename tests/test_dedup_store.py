@@ -181,3 +181,47 @@ def test_store_compaction_preserves_admission(spark, sf_oracle):
     assert n_after == 1
     after_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
     assert after_rows == before_rows
+
+
+def test_admission_mega_bucket_contract(spark, tmp_path):
+    """The admission kernel is deliberately UNCAPPED (the cap's
+    population would be mode-dependent and break the sequential ≡
+    one-shot proof — dedup_store.py module docstring). This pins the
+    honest consequence: a degenerate bucket of B identical docs
+    split across store and batches yields exactly the all-qualifying-
+    pairs output (minus store-internal pairs), i.e. quadratic BY
+    CONTRACT, matching the oracle — and the op still completes fine
+    at bucket sizes well past the bulk ops' cap."""
+    import numpy as np
+    import pandas as pd
+
+    text = "mega bucket boilerplate sentence repeated verbatim in every copy"
+    n = 90  # > _LSH_BUCKET_CAP (64) — the bulk ops would drop this bucket
+    ids = list(range(1, n + 1))  # mods spread over base/batch1/batch2
+    pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": [text] * n,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": np.array([len(text)] * n, dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    pairs = {
+        (r["da"], r["db"])
+        for r in dedup_store.dedup_store_admission(spark, str(tmp_path)).collect()
+    }
+    base = [i for i in ids if i % 10 not in (0, 5)]
+    batch = [i for i in ids if i % 10 in (0, 5)]
+    expect = {
+        (min(a, b), max(a, b))
+        for a in ids
+        for b in ids
+        if a < b and not (a in base and b in base)
+    }
+    assert pairs == expect
+    # sanity on the magnitude: all-pairs minus base-internal
+    n_base = len(base)
+    assert len(pairs) == n * (n - 1) // 2 - n_base * (n_base - 1) // 2
+    assert len(batch) == n - n_base
