@@ -33,12 +33,16 @@ from pyspark.sql import DataFrame, SparkSession
 #       files (trace_ops/sequence) are unchanged since r5, but their
 #       newest driver rows are three rounds old and the r8 verdict
 #       put them first;
-#   (b) NEW in r9: the persisted signature-store admission lifecycle
-#       (operators/dedup_store.py — sequential two-batch admission
-#       reading/appending a parquet store, oracle = one-shot union),
-#       the BPE merge-loop trainer (operators/bpe.py), and four
-#       incremental-merge sink roundtrips (rollup/upsert/HLL/
-#       bucketed — §2.8 now fully driver-checked);
+#   (b) NEW in r9 (14): the persisted-store admission lifecycles
+#       (operators/dedup_store.py — text AND vector, sequential
+#       read-append-read on a parquet store, oracle = one-shot
+#       union), the persisted IVF index loop + the IVF-PQ combo
+#       (operators/ann_store.py), the bigram fluency filter
+#       (operators/lm.py), duplicated-substring span stats + removal
+#       (operators/spans.py), the BPE merge-loop trainer + tokenizer
+#       (operators/bpe.py), and five incremental-merge sink
+#       roundtrips (rollup/upsert/HLL/histogram/bucketed — §2.8 now
+#       fully driver-checked);
 #   (c) r9-changed sinkcheck.py siblings (scratch-dir reuse + pmod
 #       split touched both existing roundtrips);
 #   (d) r9-changed training.py: sequence_packing is now the
