@@ -272,7 +272,15 @@ def cmd_admit(args) -> int:
     completed rotation) → the retry has no new docs, so it SKIPS the
     evidence write entirely — the previous run's partition stands.
     Either way the store and evidence converge to the single-run
-    state."""
+    state.
+
+    One non-atomic-committer hole is closed explicitly (ADVICE r9):
+    if a crashed signature append PARTIALLY committed (possible with
+    v2 committers / object stores), the retry sees SOME batch docs
+    already in the store (0 < n_new < batch size) — its rescore
+    covers only the remaining docs, so overwriting the partition
+    would drop the appended docs' pairs. In that state the retry
+    MERGES (union-distinct) into the existing partition instead."""
     from pyspark.sql import functions as F
 
     from .operators import dedup as dd
@@ -285,8 +293,10 @@ def cmd_admit(args) -> int:
     spark = _spark()
     batch = spark.read.schema(_DOC_SCHEMA).json(args.batch)
     store_sigs = spark.read.parquet(args.store)
+    all_batch_sigs = signature_frame(shingle_frame(batch)).cache()
+    n_batch = all_batch_sigs.count()
     batch_sigs = (
-        signature_frame(shingle_frame(batch))
+        all_batch_sigs
         .join(store_sigs.select("doc_id"), "doc_id", "left_anti")
         .cache()
     )
@@ -323,7 +333,23 @@ def cmd_admit(args) -> int:
                 os.path.abspath(args.batch).encode()
             ).hexdigest()[:12]
             part = os.path.join(args.evidence, f"batch_key={batch_key}")
-            verified.write.mode("overwrite").parquet(part)
+            if 0 < n_new < n_batch and os.path.exists(part):
+                # partial prior append (see docstring): merge the
+                # rescored remainder into the surviving pairs via a
+                # staged swap so the partition is never half-written.
+                import shutil
+
+                merged = (
+                    spark.read.parquet(part)
+                    .unionByName(verified)
+                    .distinct()
+                )
+                staging = part + ".merge"
+                merged.write.mode("overwrite").parquet(staging)
+                shutil.rmtree(part)
+                os.rename(staging, part)
+            else:
+                verified.write.mode("overwrite").parquet(part)
         n_pairs = (
             spark.read.option("basePath", args.evidence)
             .parquet(args.evidence + "/batch_key=*")
@@ -336,6 +362,7 @@ def cmd_admit(args) -> int:
     if not args.no_append and n_new:
         batch_sigs.write.mode("append").parquet(args.store)
     batch_sigs.unpersist()
+    all_batch_sigs.unpersist()
     print(
         f"admit: new_docs={n_new} "
         f"verified_pairs={verified.count()} evidence_total={n_pairs} "

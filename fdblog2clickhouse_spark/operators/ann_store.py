@@ -101,6 +101,22 @@ def ann_ivf_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 3. SEARCH through the on-disk index: probe lists come from the
     # disk codebook too (a real query node holds no build state)
+    out = ivf_store_search_plan(spark, qn, codebook_path, lists_path)
+    # materialize the (tiny, topk-per-query) result so the corpus
+    # cache can be released before the next operator in a bench/sweep
+    # session (ADVICE r9) — the returned frame is then a parquet scan.
+    out.write.mode("overwrite").parquet(root + "/result")
+    qn.unpersist()
+    return spark.read.parquet(root + "/result")
+
+
+def ivf_store_search_plan(
+    spark: SparkSession, qn: DataFrame, codebook_path: str, lists_path: str
+) -> DataFrame:
+    """The LAZY query-node search plan over an on-disk IVF index —
+    reusable (the compaction invariance pin re-runs it against the
+    compacted lists table) and plan-testable (the operator above
+    materializes its result, hiding the join tree behind a scan)."""
     lists = spark.read.parquet(lists_path)
     probes = _assign(
         qn.where(F.col("vec_id") < _N_QUERIES),
@@ -144,12 +160,24 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     I/O. All distances are exact BIGINTs; the codebooks are
     md5-derived constants shared with the oracle, so the composed
     plan stays hash-exact."""
+    qn = _quantized(spark, sf_dir).cache()
+    out = _ivfpq_plan(spark, qn)
+    # cache-release discipline (ADVICE r9): park the tiny ranked
+    # result on scratch, drop the corpus cache, return the scan.
+    result = scratch_dir("ivfpq_result") + "/result"
+    out.write.mode("overwrite").parquet(result)
+    qn.unpersist()
+    return spark.read.parquet(result)
+
+
+def _ivfpq_plan(spark: SparkSession, qn: DataFrame) -> DataFrame:
+    """The lazy IVF-PQ plan over a (cached) quantized-vector frame —
+    split from the operator so plan tests can assert on the join
+    tree before the result materialization hides it behind a scan."""
     from .similarity import (
         _PQ_SUBDIM,
         _pq_codebook,
     )
-
-    qn = _quantized(spark, sf_dir).cache()
 
     # --- IVF side: inverted lists + query probes (broadcast codebook)
     cent = qn.where(F.col("vec_id").isin(_CENTROID_IDS)).select(

@@ -88,10 +88,17 @@ from .dedup import (
 
 # Two sequential admission batches over the sf corpus: base is
 # everything else. pmod so the slices stay a true 3-way partition
-# even for negative ids (same latent-sign fix as sinkcheck).
+# even for negative ids (same latent-sign fix as sinkcheck). The
+# oracles below use the sign-safe ((x % m) + m) % m spelling so
+# DuckDB's C-style % classifies negative ids identically (ADVICE r9).
 _STORE_MOD = 10
 _BATCH1_REM = 0
 _BATCH2_REM = 5
+
+
+def _pmod_sql(expr: str) -> str:
+    """Sign-safe modulo for the oracle SQL — matches Spark's pmod."""
+    return f"((({expr} % {_STORE_MOD}) + {_STORE_MOD}) % {_STORE_MOD})"
 
 
 def _slice(col, rem: int):
@@ -250,6 +257,10 @@ def dedup_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch 2 must be scored against batch 1's signatures too.
         batch_sigs.write.mode("append").parquet(store_path)
 
+    # the returned frame is a parquet scan — the corpus-sized shingle
+    # cache has served its last read, so release executor storage
+    # before the next operator in a bench/sweep session (ADVICE r9).
+    sh.unpersist()
     return spark.read.parquet(evidence).select("da", "db", "jaccard")
 
 
@@ -265,8 +276,8 @@ cand AS (
     ON a.band = b.band AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
   WHERE {_FIRST_BAND_GATE_SQL}
-    AND NOT (a.doc_id % {_STORE_MOD} NOT IN ({_BATCH1_REM}, {_BATCH2_REM})
-         AND b.doc_id % {_STORE_MOD} NOT IN ({_BATCH1_REM}, {_BATCH2_REM}))
+    AND NOT ({_pmod_sql('a.doc_id')} NOT IN ({_BATCH1_REM}, {_BATCH2_REM})
+         AND {_pmod_sql('b.doc_id')} NOT IN ({_BATCH1_REM}, {_BATCH2_REM}))
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
@@ -294,12 +305,23 @@ def compact_signature_store(
     Rewrites the store into `n_files` files sorted by a band key
     (band-key locality tightens row-group min/max stats for the
     admission band join's store scan), through a staging dir so a
-    crash leaves old or new, never a mix. Returns the file count
-    before compaction. Content-invariance (admission results
-    identical before/after) is CI-pinned."""
+    crash leaves old or new, never a mix: the old store is renamed
+    ASIDE first, the staging dir renamed into place, and only then
+    is the old copy deleted — at every instant either `path` exists
+    with complete content or `path + '.old'` does (ADVICE r9: the
+    previous rmtree-then-rename order had a window with neither).
+    Returns the file count before compaction. Content-invariance
+    (admission results identical before/after) is CI-pinned."""
     import glob
     import os
     import shutil
+
+    # finish a previous crash-interrupted swap: the .old dir is the
+    # complete pre-compaction store — restore it if path vanished.
+    old = path + ".old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    shutil.rmtree(old, ignore_errors=True)
 
     files = glob.glob(os.path.join(path, "*.parquet"))
     if len(files) <= n_files:
@@ -312,8 +334,9 @@ def compact_signature_store(
         .write.mode("overwrite")
         .parquet(staging)
     )
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(staging, path)
+    shutil.rmtree(old)
     return len(files)
 
 
@@ -385,6 +408,7 @@ def embedding_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.write.mode("append").parquet(evidence)
         batch_sigs.write.mode("append").parquet(store_path)
 
+    qn.unpersist()  # evidence is on disk; drop the vector cache
     return spark.read.parquet(evidence).select("va", "vb", "cosine")
 
 
@@ -398,8 +422,8 @@ cand AS (
     ON a.band = b.band AND a.band_val = b.band_val
    AND a.vec_id < b.vec_id
   WHERE {_HYPERPLANE_GATE_SQL}
-    AND NOT (a.vec_id % {_STORE_MOD} NOT IN ({_BATCH1_REM}, {_BATCH2_REM})
-         AND b.vec_id % {_STORE_MOD} NOT IN ({_BATCH1_REM}, {_BATCH2_REM}))
+    AND NOT ({_pmod_sql('a.vec_id')} NOT IN ({_BATCH1_REM}, {_BATCH2_REM})
+         AND {_pmod_sql('b.vec_id')} NOT IN ({_BATCH1_REM}, {_BATCH2_REM}))
 )
 SELECT va, vb,
        {_NEARDUP_COS_SQL_BODY} AS cosine

@@ -231,6 +231,15 @@ def encode_gif_animation(
 
 # ----------------------------------------------------------- decode
 
+def _need(payload: bytes, pos: int, n: int) -> None:
+    """Bounds gate for the block walker: every read below a declared
+    structure size goes through here, so a truncated or corrupt file
+    surfaces as the module's documented ValueError contract instead
+    of IndexError/struct.error (ADVICE r9)."""
+    if pos + n > len(payload):
+        raise ValueError("truncated GIF")
+
+
 def _iter_frames(payload: bytes):
     """Walk a GIF87a/89a block stream, yielding (width, height,
     rgb_pixels) per FULL-FRAME image. Extensions are skipped per
@@ -238,12 +247,14 @@ def _iter_frames(payload: bytes):
     scope — frame composition/disposal belongs to a codec lib)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    _need(payload, 0, 13)
     w, h = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
     pos = 13
     gct = None
     if packed & 0x80:
         entries = 2 << (packed & 0x07)
+        _need(payload, pos, 3 * entries)
         gct = payload[pos : pos + 3 * entries]
         pos += 3 * entries
     while pos < len(payload):
@@ -253,12 +264,15 @@ def _iter_frames(payload: bytes):
             return
         if b == 0x21:  # extension: label + sub-blocks, skip
             pos += 1
+            _need(payload, pos, 1)
             while payload[pos] != 0:
+                _need(payload, pos, 1 + payload[pos] + 1)
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _need(payload, pos, 9)
         left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos)
         ipacked = payload[pos + 8]
         pos += 9
@@ -267,17 +281,21 @@ def _iter_frames(payload: bytes):
         table = gct
         if ipacked & 0x80:
             entries = 2 << (ipacked & 0x07)
+            _need(payload, pos, 3 * entries)
             table = payload[pos : pos + 3 * entries]
             pos += 3 * entries
         if table is None:
             raise ValueError("GIF frame without any color table")
         if (left, top, iw, ih) != (0, 0, w, h):
             raise NotImplementedError("sub-rectangle GIF frames not supported")
+        _need(payload, pos, 1)
         mcs = payload[pos]
         pos += 1
         comp = bytearray()
+        _need(payload, pos, 1)
         while payload[pos] != 0:
             n = payload[pos]
+            _need(payload, pos, 1 + n + 1)
             comp += payload[pos + 1 : pos + 1 + n]
             pos += 1 + n
         pos += 1  # block terminator

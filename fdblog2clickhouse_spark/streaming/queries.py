@@ -633,8 +633,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests). Output: (new_doc_id, base_doc_id, jaccard ≥ threshold)."""
     from ..operators import dedup as dd
     from ..operators.dedup_store import signature_frame
+    from ..operators.sinkcheck import scratch_dir
 
-    base_dir = tempfile.mkdtemp(prefix="incr_dedup_stream_")
+    # deterministic per-run root, wiped on entry — repeated bench/
+    # correctness runs in one session reuse one copy instead of
+    # accumulating mkdtemp leftovers (VERDICT r9 item 8). Import is
+    # function-local: sinkcheck's module-level oracle build imports
+    # this module.
+    base_dir = scratch_dir("incr_dedup_stream") + "/rotations"
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     d.where(F.col("doc_id") % dd._INCR_BATCH_MOD == 0).coalesce(4).write.mode(
         "overwrite"
@@ -656,7 +662,9 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema("doc_id long, text string").json(base_dir)
     out = stream_vs_store(stream, store_bands, base_feats)
-    return _run_to_memory(spark, out, "incr_dedup", "append")
+    result = _run_to_memory(spark, out, "incr_dedup", "append")
+    docs.unpersist()  # the memory sink holds the results now
+    return result
 
 
 def _incr_stream_sql() -> str:
@@ -728,10 +736,14 @@ def streaming_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_frame,
         signature_frame,
     )
+    from ..operators.sinkcheck import scratch_dir
 
-    base_dir = tempfile.mkdtemp(prefix="store_admission_stream_")
-    store_path = base_dir + "_signatures"
-    evidence = base_dir + "_evidence"
+    # deterministic per-run root (wiped on entry) — same hygiene as
+    # the batch lifecycle ops (VERDICT r9 item 8).
+    root = scratch_dir("store_admission_stream")
+    base_dir = root + "/rotations"
+    store_path = root + "/signatures"
+    evidence = root + "/evidence"
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # arrivals: 4 rotation files → 4 micro-batches under
     # maxFilesPerTrigger=1 (the store must grow ACROSS batches)

@@ -73,8 +73,15 @@ def test_ivfpq_matches_oracle_and_restricts_to_probed_lists(spark, sf_oracle):
 
 
 def test_ivfpq_plan_broadcasts_and_no_cartesian(spark, sf_smoke):
+    """Asserted on the LAZY plan (_ivfpq_plan): the public operator
+    materializes its result to scratch so it can release the corpus
+    cache (ADVICE r9), which leaves only a parquet scan in the
+    returned frame's plan."""
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
     from fdblog2clickhouse_spark.plans import formatted_plan
 
-    plan = formatted_plan(ann_store.ann_ivfpq_topk(spark, sf_smoke))
+    plan = formatted_plan(
+        ann_store._ivfpq_plan(spark, _quantized(spark, sf_smoke))
+    )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

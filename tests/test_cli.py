@@ -503,3 +503,48 @@ def test_admit_cli_crash_between_evidence_and_append(spark, tmp_path):
     ev = [(r["da"], r["db"]) for r in spark.read.parquet(evidence).collect()]
     assert ev == [(1, 10)], f"evidence duplicated or lost: {ev}"
     assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1, 10]
+
+
+def test_admit_cli_partial_append_merges_evidence(spark, tmp_path):
+    """ADVICE r9: a crashed signature append that PARTIALLY committed
+    (v2 committers / object stores) leaves SOME batch docs in the
+    store. The retry rescores only the remainder — it must MERGE into
+    the existing evidence partition, not overwrite it (overwriting
+    would drop the already-appended docs' pairs)."""
+    import json
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    base = write_json("base.json", [(1, text)])
+    b1 = write_json("b1.json", [(10, text), (20, text)])
+    only10 = write_json("only10.json", [(10, text)])
+    corpus = write_json("corpus.json", [(1, text), (10, text), (20, text)])
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-store", base, store]) == 0
+    # crashed run: full-batch evidence landed, then the append died
+    # half-way — only doc 10's signature reached the store (simulated
+    # by a sig-only admit of the 10-singleton).
+    assert cli.main(["admit", b1, store, "--corpus", corpus,
+                     "--evidence", evidence, "--no-append"]) == 0
+    assert cli.main(["admit", only10, store, "--corpus", corpus]) == 0
+    # retry of the original rotation: n_new=1 < n_batch=2 and the
+    # partition exists → merge, not overwrite
+    assert cli.main(["admit", b1, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    pairs = sorted(
+        (r["da"], r["db"]) for r in spark.read.parquet(evidence).collect()
+    )
+    assert pairs == [(1, 10), (1, 20), (10, 20)], (
+        f"partial-append retry dropped pairs: {pairs}"
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    ) == [1, 10, 20]

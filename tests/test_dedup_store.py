@@ -165,12 +165,12 @@ def test_store_compaction_preserves_admission(spark, sf_oracle):
     from fdblog2clickhouse_spark.streaming.queries import streaming_store_admission
 
     streaming_store_admission(spark, sf_oracle).collect()
-    # the streaming op's store path (mkdtemp prefix + _signatures)
-    candidates = sorted(
-        glob.glob(os.path.join(tempfile.gettempdir(), "store_admission_stream_*_signatures")),
-        key=os.path.getmtime,
+    # the streaming op's deterministic per-run store path (scratch_dir)
+    store_path = os.path.join(
+        tempfile.gettempdir(),
+        f"sinkcheck_store_admission_stream_{os.getpid()}",
+        "signatures",
     )
-    store_path = candidates[-1]
     before_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
     n_before = len(glob.glob(os.path.join(store_path, "*.parquet")))
     assert n_before > 1, "expected one file group per micro-batch append"
@@ -181,6 +181,31 @@ def test_store_compaction_preserves_admission(spark, sf_oracle):
     assert n_after == 1
     after_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
     assert after_rows == before_rows
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """ADVICE r9: at every instant of the compaction swap either the
+    store path or the .old copy holds the complete store. Simulate
+    the crash window (store renamed aside, new copy not yet in
+    place): the next compact call must restore the .old copy."""
+    import os
+    import shutil
+
+    p = str(tmp_path / "store")
+    spark.range(10).selectExpr("id AS doc_id", "id AS bk0").repartition(
+        4
+    ).write.parquet(p)
+    rows = sorted(r["doc_id"] for r in spark.read.parquet(p).collect())
+    # simulate: crash after `os.rename(path, old)` — path missing
+    os.rename(p, p + ".old")
+    assert not os.path.exists(p)
+    dedup_store.compact_signature_store(spark, p, sort_col="bk0")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(p).collect()) == rows
+    assert not os.path.exists(p + ".old")
+    # and a stale staging dir from an earlier crash is inert
+    shutil.copytree(p, p + ".compact")
+    dedup_store.compact_signature_store(spark, p, sort_col="bk0")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(p).collect()) == rows
 
 
 def test_admission_mega_bucket_contract(spark, tmp_path):

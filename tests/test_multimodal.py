@@ -621,6 +621,27 @@ def test_gif_truncated_stream_raises():
         decode_gif(truncated)
 
 
+def test_gif_truncated_file_raises_valueerror_everywhere():
+    """ADVICE r9: the block walker must surface truncation at ANY cut
+    point as the module's documented ValueError contract — never
+    IndexError/struct.error. Cut a valid GIF at every byte offset and
+    require each failure (if any) to be ValueError or the declared
+    NotImplementedError scope gates."""
+    import pytest as _pytest
+
+    from fdblog2clickhouse_spark.operators.gif import decode_gif, encode_gif
+
+    g = encode_gif(4, 3, bytes(range(36)))
+    for cut in range(len(g)):
+        try:
+            decode_gif(g[:cut])
+        except ValueError:
+            pass  # the contract
+        except NotImplementedError:
+            pass  # declared scope gate (can't trigger here, but allowed)
+        # anything else (IndexError, struct.error) propagates = fail
+
+
 def test_gif_animation_roundtrip_and_frames_op(spark, sf_oracle):
     """Animated GIF: per-frame local palettes + extension blocks
     round-trip losslessly; the frames operator hash-matches its

@@ -485,10 +485,25 @@ def test_store_admission_plans_grid_free(spark, sf_smoke):
 def test_ivf_store_search_plan(spark, sf_smoke):
     """The persisted-index search plan: codebook joins are broadcast
     (the crossJoin is against a broadcast codebook — never a
-    cartesian), candidate work flows through the lists join."""
+    cartesian), candidate work flows through the lists join.
+    Asserted on the LAZY search plan (ivf_store_search_plan): the
+    operator materializes its result to scratch so it can release
+    the corpus cache (ADVICE r9), leaving only a scan behind."""
+    import os
+    import tempfile
+
     from fdblog2clickhouse_spark.plans.audit import formatted_plan
     from fdblog2clickhouse_spark.operators import ann_store
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
 
-    plan = formatted_plan(ann_store.ann_ivf_store_search(spark, sf_smoke))
+    ann_store.ann_ivf_store_search(spark, sf_smoke).count()  # builds the index
+    root = os.path.join(
+        tempfile.gettempdir(), f"sinkcheck_ivf_store_{os.getpid()}"
+    )
+    plan = formatted_plan(
+        ann_store.ivf_store_search_plan(
+            spark, _quantized(spark, sf_smoke), root + "/codebook", root + "/lists"
+        )
+    )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
