@@ -32,12 +32,22 @@ from ..functions.hashing import cents, cents_sql
 from ..sources.tables import table
 
 
+def scratch_path(name: str) -> str:
+    """The deterministic per-operator scratch PATH (no wipe) — the
+    single source of the naming convention. Tests that need to
+    inspect an operator's on-disk state after it ran use this instead
+    of re-deriving the `sinkcheck_<name>_<pid>` spelling (VERDICT r10
+    nit: the hard-coded copies in tests would silently break on a
+    rename here)."""
+    return os.path.join(tempfile.gettempdir(), f"sinkcheck_{name}_{os.getpid()}")
+
+
 def scratch_dir(name: str) -> str:
     """Deterministic per-operator scratch dir, WIPED on entry so
     repeated bench/correctness runs overwrite one copy instead of
     accumulating mkdtemp leftovers in /tmp (ADVICE r8). Keyed by pid
     so concurrent driver + pytest sessions don't race each other."""
-    d = os.path.join(tempfile.gettempdir(), f"sinkcheck_{name}_{os.getpid()}")
+    d = scratch_path(name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d

@@ -32,19 +32,57 @@ def test_lists_table_covers_every_vector(spark, sf_oracle):
     """After build + insert the lists table holds exactly one
     assignment row per corpus vector."""
     import os
-    import tempfile
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
 
     ann_store.ann_ivf_store_search(spark, sf_oracle)
     from fdblog2clickhouse_spark.sources.tables import table
 
-    lists = spark.read.parquet(
-        os.path.join(
-            tempfile.gettempdir(), f"sinkcheck_ivf_store_{os.getpid()}", "lists"
-        )
-    )
+    lists = spark.read.parquet(os.path.join(scratch_path("ivf_store"), "lists"))
     n = table(spark, sf_oracle, "embeddings").count()
     assert lists.count() == n
     assert lists.select("n_id").distinct().count() == n
+
+
+def test_ivf_lists_compaction_preserves_search(spark, sf_oracle):
+    """`compact_ivf_lists` is OPTIMIZE FINAL for the inverted lists:
+    after build + incremental insert leave multiple file groups,
+    compaction must shrink the table to one list_id-sorted file
+    without changing a single assignment row — so re-running the
+    query-node search plan against the compacted table returns
+    byte-identical results. This is the invariance pin
+    `ivf_store_search_plan`'s docstring promises."""
+    import glob
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+
+    before = sorted(
+        map(tuple, ann_store.ann_ivf_store_search(spark, sf_oracle).collect())
+    )
+    root = scratch_path("ivf_store")
+    lists_path = os.path.join(root, "lists")
+    n_before = len(glob.glob(os.path.join(lists_path, "*.parquet")))
+    assert n_before > 1, "expected one file group per insert batch"
+    rows_before = sorted(map(tuple, spark.read.parquet(lists_path).collect()))
+
+    assert ann_store.compact_ivf_lists(spark, lists_path) == n_before
+    assert len(glob.glob(os.path.join(lists_path, "*.parquet"))) == 1
+    assert sorted(map(tuple, spark.read.parquet(lists_path).collect())) == rows_before
+
+    after = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(
+                spark,
+                _quantized(spark, sf_oracle),
+                os.path.join(root, "codebook"),
+                lists_path,
+            ).collect(),
+        )
+    )
+    assert after == before
 
 
 def test_ivfpq_matches_oracle_and_restricts_to_probed_lists(spark, sf_oracle):
