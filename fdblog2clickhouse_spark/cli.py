@@ -234,150 +234,202 @@ _DOC_SCHEMA = "doc_id long, text string"
 
 
 def cmd_build_store(args) -> int:
-    """Bootstrap the MinHash signature store from a document corpus
+    """Bootstrap the signature store from a document corpus
     (JSON-lines rotations, doc_id + text) — the backfill step before
-    the `admit` loop runs. The store persists signatures only
-    (operators/dedup_store.py schema)."""
-    from .operators.dedup_store import shingle_frame, signature_frame
+    the `admit` loop runs. The store is the REPRESENTATIVE store
+    (operators/dedup_store.py rep pre-pass): one signature row per
+    distinct token stream (group_id, gh, s0..s15, bk0..bk3) plus a
+    membership side table at `<store>_members` with one
+    (doc_id, gh, group_id) row per doc. Byte-identical boilerplate
+    collapses here, before any signature is computed, so degenerate
+    buckets never reach the admission band join and the store grows
+    O(distinct contents) (VERDICT r9/r10 item #1)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup_store import (
+        banded_path,
+        members_path,
+        rep_group_frame,
+        rep_reps,
+        rep_signature_frame,
+        write_banded_index,
+    )
 
     spark = _spark()
-    d = spark.read.schema(_DOC_SCHEMA).json(args.docs)
-    signature_frame(shingle_frame(d)).write.mode("overwrite").parquet(args.store)
-    print(f"store rows: {spark.read.parquet(args.store).count()}")
+    g = rep_group_frame(spark.read.schema(_DOC_SCHEMA).json(args.docs))
+    reps = rep_reps(g)
+    rep_signature_frame(reps).write.mode("overwrite").parquet(args.store)
+    # the band-partitioned index at <store>_bands: admit's store-side
+    # read prunes to the batch's (band, kb) partitions instead of
+    # scanning the whole store (VERDICT r10 item #4)
+    write_banded_index(
+        spark.read.parquet(args.store), banded_path(args.store), "overwrite"
+    )
+    g.select("doc_id", "gh").join(reps.select("gh", "group_id"), "gh").select(
+        "doc_id", "gh", "group_id"
+    ).write.mode("overwrite").parquet(members_path(args.store))
+    n_groups = spark.read.parquet(args.store).count()
+    n_docs = spark.read.parquet(members_path(args.store)).count()
+    print(f"store groups: {n_groups} members: {n_docs}")
     return 0
 
 
 def cmd_admit(args) -> int:
-    """One admission batch, operationally: read the persisted store,
-    score the batch against it (store×batch + batch-internal pairs,
-    exact-Jaccard verified against --corpus, which must cover the
-    candidate docs' text), append evidence, append the batch's
-    signatures so the NEXT `admit` run sees them. This is the CLI
-    form of `dedup_store_admission`'s loop body — run it per
-    rotation and the sequence provably equals the one-shot dedup
-    over everything admitted (dedup_store.py docstring).
+    """One admission batch against the REPRESENTATIVE store: collapse
+    the rotation to distinct token streams, score only NEW content
+    groups (plus a rescore of store groups the rotation touched)
+    against the store, append the new groups' signatures and every
+    new doc's membership row. Known content never reaches the band
+    join and never grows the signature store — a rotation of 90
+    boilerplate copies costs one group row (VERDICT r9/r10 item #1).
+    Group-level evidence + membership reconstruct every doc-level
+    pair (dedup_store.py block comment proves the expansion exact);
+    evidence is a SET — read it with DISTINCT, since a group touched
+    by several rotations deterministically re-emits its pairs.
 
-    EXACTLY-ONCE under crash-retry / at-least-once delivery, by two
-    complementary mechanisms in a deliberate order:
-    - evidence is written FIRST, with OVERWRITE semantics into a
-      per-rotation partition (`batch_key=md5(batch path)`), so a
-      retried rotation rewrites its own partition instead of
-      appending duplicates;
-    - the signature append happens LAST, gated on store membership
-      (docs already in the store are dropped by a keyed anti-join
-      before scoring).
-    Crash after evidence, before signatures → the retry rescores
-    (docs not yet in the store) and overwrites the same evidence
-    partition. Crash after signatures (or full redelivery of a
-    completed rotation) → the retry has no new docs, so it SKIPS the
-    evidence write entirely — the previous run's partition stands.
-    Either way the store and evidence converge to the single-run
-    state.
+    EXACTLY-ONCE under crash-retry / at-least-once delivery, by one
+    mechanism: the rotation's scoring is a DETERMINISTIC function of
+    (batch content, store state), and every step is idempotent in
+    this order:
+    1. evidence partition (`batch_key=md5(batch path)`) is written
+       with OVERWRITE semantics. A retry rescores ALL the rotation's
+       groups — not just unseen docs — so the rewrite is always the
+       complete partition, never a remainder (this deletes the r10
+       merge/staging path and its rmtree-rename crash window +
+       staging-glob double-count, ADVICE r10);
+    2. signature append adds only groups whose gh is absent from the
+       store read — a partially-committed prior append just shifts
+       those groups from "new" to "touched/rescored", same output;
+    3. membership append adds only docs absent from the members
+       table.
+    Full redelivery of a completed rotation (no member-new docs)
+    skips everything — the previous partition stands, and would be
+    byte-identical if regenerated anyway."""
+    import hashlib
+    import os
 
-    One non-atomic-committer hole is closed explicitly (ADVICE r9):
-    if a crashed signature append PARTIALLY committed (possible with
-    v2 committers / object stores), the retry sees SOME batch docs
-    already in the store (0 < n_new < batch size) — its rescore
-    covers only the remaining docs, so overwriting the partition
-    would drop the appended docs' pairs. In that state the retry
-    MERGES (union-distinct) into the existing partition instead."""
     from pyspark.sql import functions as F
 
     from .operators import dedup as dd
     from .operators.dedup_store import (
-        admission_candidates,
+        _N_BANDS,
+        banded_path,
+        candidates_from_rows,
+        members_path,
+        pruned_store_rows,
+        rep_admission_frames,
+        rep_group_frame,
         shingle_frame,
-        signature_frame,
+        store_band_rows,
+        write_banded_index,
     )
 
     spark = _spark()
     batch = spark.read.schema(_DOC_SCHEMA).json(args.batch)
     store_sigs = spark.read.parquet(args.store)
-    all_batch_sigs = signature_frame(shingle_frame(batch)).cache()
-    n_batch = all_batch_sigs.count()
-    batch_sigs = (
-        all_batch_sigs
-        .join(store_sigs.select("doc_id"), "doc_id", "left_anti")
+    members = spark.read.parquet(members_path(args.store))
+    g_batch = rep_group_frame(batch).cache()
+    n_batch = g_batch.count()
+    member_new = (
+        g_batch.select("doc_id", "gh")
+        .join(members.select("doc_id"), "doc_id", "left_anti")
         .cache()
     )
-    n_new = batch_sigs.count()  # materialize BEFORE the store append:
-    # the anti-join reads the same path the append writes to, so the
-    # append must run off the cache, not a re-scan of the store.
+    n_new = member_new.count()
+
+    def evidence_total() -> int:
+        return (
+            spark.read.option("basePath", args.evidence)
+            .parquet(args.evidence + "/batch_key=*")
+            .count()
+            if args.evidence and os.path.exists(args.evidence)
+            else 0
+        )
+
+    if n_new == 0:
+        print(
+            f"admit: batch_docs={n_batch} new_docs=0 verified_pairs=0 "
+            f"evidence_total={evidence_total()} appended=False"
+        )
+        return 0
+
+    group_map, new_sigs, batch_side = rep_admission_frames(
+        store_sigs, g_batch
+    )
+    # materialize everything that reads the store BEFORE the appends
+    # below mutate it — the joins re-scan the store path otherwise.
+    group_map, new_sigs = group_map.cache(), new_sigs.cache()
+    n_groups, n_new_groups = group_map.count(), new_sigs.count()
+    # store side: the band-partitioned index's PRUNED read — only the
+    # partitions the batch's own (band, kb) keys can match are ever
+    # opened — minus every batch-side group id (VERDICT r10 item #4)
+    store_rows = pruned_store_rows(
+        spark, banded_path(args.store), batch_side
+    ).join(
+        batch_side.select(F.col("group_id").alias("id")), "id", "left_anti"
+    )
     # candidates are small after LSH — materialize them once so (a)
-    # the verify-side corpus can be PRUNED to candidate docs BEFORE
-    # the shingle computation (at 100 TB the corpus read is the cost;
-    # shingling only candidate docs is the difference between a
-    # corpus-sized pass and a candidates-sized one) and (b) the
-    # evidence/store writes below never recompute the band join.
-    cand = admission_candidates(store_sigs, batch_sigs).cache()
+    # the verify-side corpus can be PRUNED to candidate group reps
+    # BEFORE the shingle computation (at 100 TB the corpus read is
+    # the cost) and (b) the evidence write never recomputes the band
+    # join against a store the appends are growing.
+    cand = candidates_from_rows(
+        store_rows, store_band_rows(batch_side, id_col="group_id"), _N_BANDS
+    ).cache()
     cand_ids = (
         cand.select(F.col("da").alias("doc_id"))
         .unionByName(cand.select(F.col("db").alias("doc_id")))
         .distinct()
     )
+    # a group id IS its rep's doc_id, so --corpus (which must cover
+    # candidate docs' text) serves the verify side, pruned to reps
     corpus = spark.read.schema(_DOC_SCHEMA).json(args.corpus).join(
         cand_ids, "doc_id", "left_semi"
     )
     feats = shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
     verified = dd.jaccard_on_candidates(cand, feats, args.threshold)
     if args.evidence:
-        import hashlib
-        import os
-
-        if n_new:
-            # n_new == 0 means this rotation was fully admitted by a
-            # previous run — its evidence partition (if any) already
-            # holds the truth; overwriting now would wipe it with the
-            # empty rescore.
-            batch_key = hashlib.md5(
-                os.path.abspath(args.batch).encode()
-            ).hexdigest()[:12]
-            part = os.path.join(args.evidence, f"batch_key={batch_key}")
-            if 0 < n_new < n_batch and os.path.exists(part):
-                # partial prior append (see docstring): merge the
-                # rescored remainder into the surviving pairs via a
-                # staged swap so the partition is never half-written.
-                import shutil
-
-                merged = (
-                    spark.read.parquet(part)
-                    .unionByName(verified)
-                    .distinct()
-                )
-                staging = part + ".merge"
-                merged.write.mode("overwrite").parquet(staging)
-                shutil.rmtree(part)
-                os.rename(staging, part)
-            else:
-                verified.write.mode("overwrite").parquet(part)
-        n_pairs = (
-            spark.read.option("basePath", args.evidence)
-            .parquet(args.evidence + "/batch_key=*")
-            .count()
-            if os.path.exists(args.evidence)
-            else 0
+        batch_key = hashlib.md5(
+            os.path.abspath(args.batch).encode()
+        ).hexdigest()[:12]
+        verified.write.mode("overwrite").parquet(
+            os.path.join(args.evidence, f"batch_key={batch_key}")
         )
+        n_pairs = evidence_total()
     else:
         n_pairs = verified.count()
-    if not args.no_append and n_new:
-        batch_sigs.write.mode("append").parquet(args.store)
-    batch_sigs.unpersist()
-    all_batch_sigs.unpersist()
+    if not args.no_append:
+        # banded index BEFORE flat store: a crash between the two
+        # re-admits the group as new next retry and the index read's
+        # dropDuplicates absorbs the re-appended rows; the reverse
+        # order would strand a store group with no index rows
+        write_banded_index(new_sigs, banded_path(args.store), "append")
+        new_sigs.write.mode("append").parquet(args.store)
+        member_new.join(group_map, "gh").select(
+            "doc_id", "gh", "group_id"
+        ).write.mode("append").parquet(members_path(args.store))
+    for c in (g_batch, member_new, group_map, new_sigs, cand):
+        c.unpersist()
     print(
-        f"admit: new_docs={n_new} "
-        f"verified_pairs={verified.count()} evidence_total={n_pairs} "
-        f"appended={bool(not args.no_append and n_new)}"
+        f"admit: batch_docs={n_batch} new_docs={n_new} "
+        f"groups={n_groups} new_groups={n_new_groups} "
+        f"evidence_total={n_pairs} appended={not args.no_append}"
     )
     return 0
 
 
 def cmd_compact_store(args) -> int:
-    """OPTIMIZE FINAL for the signature store: merge the one-file-
-    group-per-admit appends into band-key-sorted files."""
+    """OPTIMIZE FINAL for an append-accumulating store: merge the
+    one-file-group-per-batch appends into sort-keyed files. Default
+    sort key is the signature store's band key (bk0); pass
+    `--sort-col list_id` to compact an IVF inverted-lists table
+    (`compact_ivf_lists` semantics — same crash-safe swap)."""
     from .operators.dedup_store import compact_signature_store
 
     spark = _spark()
-    before = compact_signature_store(spark, args.store, n_files=args.target_files)
+    before = compact_signature_store(
+        spark, args.store, sort_col=args.sort_col, n_files=args.target_files
+    )
     print(f"compacted: files_before={before} files_after={args.target_files}")
     return 0
 
@@ -477,6 +529,8 @@ def main(argv: list[str] | None = None) -> int:
     sk = sub.add_parser("compact-store")
     sk.add_argument("store")
     sk.add_argument("--target-files", type=int, default=1)
+    sk.add_argument("--sort-col", default="bk0",
+                    help="bk0 for the signature store; list_id for IVF lists")
     sk.set_defaults(fn=cmd_compact_store)
 
     sl = sub.add_parser("list-queries")

@@ -172,25 +172,19 @@ def _first_band_gate_n(n_bands: int):
     )
 
 
-def admission_candidates(
-    store_sigs: DataFrame,
-    batch_sigs: DataFrame,
-    key_cols: list[str] | None = None,
-    id_col: str = "doc_id",
+def candidates_from_rows(
+    store_rows: DataFrame, batch_rows: DataFrame, n_bands: int
 ) -> DataFrame:
-    """Band candidates with at least one NEW side, canonical
-    (da < db), pair-distinct via the first-shared-band gate. The
-    band join is the only shuffle: hash-partition by (band,
-    band_key); store×store pairs are excluded at the join, so the
-    pair work is O(batch-involved candidates) however large the
-    store grows."""
-    key_cols = key_cols or [f"bk{b}" for b in range(_N_BANDS)]
-    rows = store_band_rows(store_sigs, key_cols, id_col).withColumn(
-        "is_new", F.lit(False)
-    ).unionByName(
-        store_band_rows(batch_sigs, key_cols, id_col).withColumn(
-            "is_new", F.lit(True)
-        )
+    """The admission band join over PREBUILT band rows (id, ks, band,
+    band_key) — split from `admission_candidates` so the store side
+    can come from the band-partitioned index's PRUNED read
+    (`pruned_store_rows`) instead of exploding a full store scan.
+    Band candidates with at least one NEW side, canonical (da < db),
+    pair-distinct via the first-shared-band gate; store×store pairs
+    are excluded at the join, so the pair work is O(batch-involved
+    candidates) however large the store grows."""
+    rows = store_rows.withColumn("is_new", F.lit(False)).unionByName(
+        batch_rows.withColumn("is_new", F.lit(True))
     )
     a, b_ = rows.alias("a"), rows.alias("b")
     return (
@@ -201,8 +195,26 @@ def admission_candidates(
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("a.is_new") | F.col("b.is_new")),
         )
-        .where(_first_band_gate_n(len(key_cols)))
+        .where(_first_band_gate_n(n_bands))
         .select(F.col("a.id").alias("da"), F.col("b.id").alias("db"))
+    )
+
+
+def admission_candidates(
+    store_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    key_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`candidates_from_rows` with both sides exploded from flat
+    signature frames — the spelling the store-lifecycle proof ops
+    and the streaming admission path use. The band join is the only
+    shuffle: hash-partition by (band, band_key)."""
+    key_cols = key_cols or [f"bk{b}" for b in range(_N_BANDS)]
+    return candidates_from_rows(
+        store_band_rows(store_sigs, key_cols, id_col),
+        store_band_rows(batch_sigs, key_cols, id_col),
+        len(key_cols),
     )
 
 
@@ -340,6 +352,380 @@ def compact_signature_store(
     return len(files)
 
 
+# ------------------- representative (exact-dedup pre-pass) store
+#
+# VERDICT r9/r10 item #1: the admission kernel is deliberately
+# uncapped, so a boilerplate-heavy rotation (B byte-identical docs)
+# makes the band join quadratic in B and grows the store with
+# signatures it already knows. The production fix is UPSTREAM of the
+# kernel: collapse token-identical docs to ONE representative
+# signature row plus a membership side table. Docs with identical
+# token streams have identical shingle sets, identical MinHash
+# signatures and band keys, and identical exact-Jaccard relations to
+# every other doc — so one rep row carries the whole group through
+# candidate generation AND verification, and a degenerate bucket of
+# B copies reaches `admission_candidates` as ONE row. The store then
+# grows O(distinct contents), not O(docs).
+#
+# Equivalence (proved by `dedup_store_rep_admission`'s oracle, which
+# is the UNCHANGED one-shot union SQL of the uncapped op): run the
+# lifecycle at group level — scoring each batch's new groups PLUS a
+# rescore of store groups the batch touched (gained a member) — then
+# expand group-level evidence back through membership:
+#   * within-group member pairs are exact dups (jaccard 1), emitted
+#     for every pair with ≥1 non-base side;
+#   * cross-group member pairs inherit the rep pair's jaccard.
+# The touched-group rescore is what makes the expansion complete: a
+# pure-base group pair is needed downstream only once one of the two
+# groups gains a batch member, and that is exactly the step that
+# rescored it. Every group appears on exactly one side of the band
+# join (touched groups move to the batch side), so no pair is
+# emitted twice within a step; cross-step repeats collapse under
+# DISTINCT because the scoring is deterministic.
+
+
+def rep_group_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, gh, t): gh = md5 of the exact token
+    stream (tokens contain no whitespace, so the single-space join is
+    injective). Docs with < 3 tokens have no shingles/signature and
+    are excluded — same eligibility rule as `shingle_frame`."""
+    from ..functions.text import tokens
+
+    t = d.select("doc_id", tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 3
+    )
+    return t.select("doc_id", F.md5(F.concat_ws(" ", "t")).alias("gh"), "t")
+
+
+def rep_reps(g: DataFrame) -> DataFrame:
+    """Group frame → one row per content group: (gh, group_id, t).
+    Same gh ⟹ identical token array, so `first(t)` is exact (not a
+    sample) and the whole rep choice is ONE aggregate — no join back
+    against the group frame."""
+    return g.groupBy("gh").agg(
+        F.min("doc_id").alias("group_id"), F.first("t").alias("t")
+    )
+
+
+def rep_signature_frame(reps: DataFrame) -> DataFrame:
+    """Rep rows → one persistable signature row PER GROUP:
+    (group_id, gh, s0..s15, bk0..bk3). Built with the IN-ROW MinHash
+    form (`_minhash_sig_inrow`'s rationale: the shingle arrays are
+    NOT otherwise materialized here — the store persists signatures
+    only), so the whole build is one narrow select chain with ZERO
+    shuffles after the rep aggregate: shingles → h32 → 16 in-row
+    permutation minima → band keys, gh carried through instead of
+    joined back (the joined-back spelling cost two extra corpus
+    shuffles per admission step, measured in the round-11 rep-op
+    cost audit)."""
+    from ..functions.text import shingles_expr
+    from .dedup import _MINHASH_A, _MINHASH_B, _MINHASH_P
+
+    hashed = reps.select(
+        "group_id",
+        "gh",
+        F.expr(
+            f"transform(array_distinct({shingles_expr('t', 3)}), "
+            f"s -> {h32_spark_sql('s')})"
+        ).alias("fs"),
+    )
+    sig = hashed.select(
+        "group_id",
+        "gh",
+        *[
+            F.array_min(
+                F.expr(
+                    f"transform(fs, h -> ({_MINHASH_A[i]}L * h + "
+                    f"{_MINHASH_B[i]}L) % {_MINHASH_P}L)"
+                )
+            ).alias(f"s{i}")
+            for i in range(16)
+        ],
+    )
+    ks = _band_keys_col()
+    return sig.select(
+        "group_id",
+        "gh",
+        *[f"s{i}" for i in range(16)],
+        *[ks.getItem(b).alias(f"bk{b}") for b in range(_N_BANDS)],
+    )
+
+
+def members_path(store: str) -> str:
+    """The membership side table that rides along with a rep store:
+    (doc_id, gh, group_id), one row per admitted doc. Kept OUTSIDE
+    the store dir so parquet listing of the signatures never sees
+    it."""
+    return store.rstrip("/") + "_members"
+
+
+# ---------------------- band-partitioned store index (scan pruning)
+#
+# VERDICT r9 #3 / r10 #4: every admit used to read the ENTIRE
+# signature store for the band join's store side — compaction sorted
+# by bk0 but the join matches on all four band keys, so row-group
+# stats never pruned bands 1-3. The fix is a band-row INDEX of the
+# store, hive-partitioned by (band, kb = pmod(band_key, buckets)):
+# a store row can only match a batch row on an exact (band,
+# band_key), which pins its kb — so reading the partitions named by
+# the batch's own (band, kb) set is a provable superset of every
+# possible match, and everything else is never opened. The batch's
+# (band, kb) set is ≤ 4 × _BANDED_BUCKETS entries (collected to the
+# driver as a partition-filter literal — bounded by the layout, not
+# the data). The flat signature store remains the source of truth
+# (gh classification, touched-group sig retrieval — 2-of-22-column
+# projections); the index carries the ks array in-row so the
+# first-shared-band gate needs no join back.
+
+_BANDED_BUCKETS = 16  # 4 bands × 16 = 64 partition dirs; raise at scale
+
+
+def banded_path(store: str) -> str:
+    return store.rstrip("/") + "_bands"
+
+
+def banded_rows_frame(sigs: DataFrame) -> DataFrame:
+    """Flat rep-store signature rows → the index rows (group_id, ks,
+    band, band_key, kb). One posexplode, no shuffle; the partitioned
+    write's hive layout does the bucketing."""
+    return store_band_rows(sigs, id_col="group_id").select(
+        F.col("id").alias("group_id"),
+        "ks",
+        "band",
+        "band_key",
+        # band keys are md5 hex strings — bucket on the first 8 hex
+        # chars (uniform), kept deterministic across engines
+        F.expr(
+            "CAST(pmod(CAST(conv(substring(band_key, 1, 8), 16, 10) "
+            f"AS BIGINT), {_BANDED_BUCKETS}) AS INT)"
+        ).alias("kb"),
+    )
+
+
+def write_banded_index(sigs: DataFrame, path: str, mode: str) -> None:
+    """One file per (band, kb) partition per write: without the
+    repartition, EVERY shuffle partition of the source writes into
+    every hive partition (up to 32 files × 4 × _BANDED_BUCKETS dirs
+    per append) and the reader's listing/open cost swamps the
+    pruning it came for — measured 4-5 s of fixed overhead at sf0.1
+    before this clustering."""
+    banded_rows_frame(sigs).repartition("band", "kb").write.partitionBy(
+        "band", "kb"
+    ).mode(mode).parquet(path)
+
+
+def pruned_store_rows(
+    spark: SparkSession, path: str, batch_sigs: DataFrame
+) -> DataFrame:
+    """Read ONLY the index partitions the batch's band keys can
+    match: collect the batch's distinct (band, kb) pairs (≤ 4 ×
+    _BANDED_BUCKETS literals by construction) and push them down as
+    a partition filter. dropDuplicates makes a crash-retried banded
+    append harmless (duplicate index rows would duplicate candidate
+    pairs; full-row dedup over the PRUNED subset is bounded by the
+    batch's bucket footprint, never the store)."""
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.errors import AnalysisException
+
+    def _empty() -> DataFrame:
+        return spark.createDataFrame(
+            [], "id long, ks array<string>, band int, band_key string"
+        )
+
+    # bounded by the LAYOUT (≤ 4 bands × _BANDED_BUCKETS buckets =
+    # 64 rows), never by the data — the one collect this path needs
+    pair_rows = banded_rows_frame(batch_sigs).select("band", "kb").distinct()
+    pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]
+    if not pairs:
+        return _empty()
+    try:
+        src = spark.read.parquet(path)
+    except AnalysisException:
+        # a hive-partitioned write of an EMPTY frame leaves no files
+        # to infer a schema from — an empty store matches nothing
+        return _empty()
+    filt = reduce(
+        or_,
+        [
+            (F.col("band") == F.lit(b)) & (F.col("kb") == F.lit(k))
+            for b, k in pairs
+        ],
+    )
+    return (
+        src.where(filt)
+        .select(F.col("group_id").alias("id"), "ks", "band", "band_key")
+        .dropDuplicates()
+    )
+
+
+def rep_admission_frames(
+    store_sigs: DataFrame, g_batch: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Classify one batch's content groups against the persisted rep
+    store and build the band join's batch side. Returns
+    (group_map, new_sigs, batch_side):
+      group_map  — (gh, group_id) for EVERY batch gh (existing id for
+                   known content, min batch doc_id for new content);
+      new_sigs   — signature rows for the new groups only (the only
+                   rows an append adds — known content never grows
+                   the store);
+      batch_side — new groups ∪ TOUCHED store groups (groups that
+                   gained a member this batch are rescored so
+                   late-joining exact dups inherit complete
+                   neighbor evidence — see the block comment above).
+    The store side is the banded index's pruned read MINUS every
+    batch-side group id (`pruned_store_rows` + anti-join): touched
+    groups move wholly to the batch side, and a crash-leaked banded
+    row for a group being re-admitted as new can never double-join."""
+    known = store_sigs.select("gh", "group_id")
+    bg = g_batch.select("gh").distinct()
+    touched = known.join(bg, "gh", "left_semi")
+    g_new = g_batch.join(known.select("gh"), "gh", "left_anti")
+    reps_new = rep_reps(g_new)
+    new_sigs = rep_signature_frame(reps_new)
+    batch_side = new_sigs.unionByName(
+        store_sigs.join(touched.select("group_id"), "group_id", "left_semi")
+    )
+    return (
+        touched.unionByName(reps_new.select("gh", "group_id")),
+        new_sigs,
+        batch_side,
+    )
+
+
+def dedup_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_store_admission` with the production exact-dedup
+    representative pre-pass composed in (block comment above): the
+    same two-batch read-append-read lifecycle, but the persisted
+    store holds ONE signature row per distinct token stream plus a
+    (doc_id, gh, group_id) membership table, and the band join only
+    ever sees group representatives. The returned frame is the
+    group-level evidence EXPANDED back through membership to member
+    pairs — the oracle is the uncapped op's one-shot union SQL,
+    unchanged, so the hash match proves the pre-pass is
+    semantics-preserving while the kernel's working set shrank from
+    O(docs) to O(distinct contents). The store side of every band
+    join comes through the band-partitioned index's PRUNED read
+    (`pruned_store_rows` — only partitions the batch's band keys can
+    match are opened), so the oracle covers the scan-pruning design
+    too."""
+    from ..functions.text import shingles_expr
+    from ..sources.tables import table
+    from .sinkcheck import scratch_dir
+
+    root = scratch_dir("rep_store")
+    sig_path = root + "/signatures"
+    band_path = root + "/bands"
+    mem_path = root + "/members"
+    evidence = root + "/evidence"
+
+    g_all = rep_group_frame(table(spark, sf_dir, "documents")).cache()
+
+    g_base = g_all.where(_base_pred(F.col("doc_id")))
+    reps_base = rep_reps(g_base)
+    rep_signature_frame(reps_base).write.mode("overwrite").parquet(sig_path)
+    write_banded_index(spark.read.parquet(sig_path), band_path, "overwrite")
+    g_base.select("doc_id", "gh").join(
+        reps_base.select("gh", "group_id"), "gh"
+    ).select("doc_id", "gh", "group_id").write.mode("overwrite").parquet(
+        mem_path
+    )
+
+    for rem in (_BATCH1_REM, _BATCH2_REM):
+        g_batch = g_all.where(_slice(F.col("doc_id"), rem))
+        store_sigs = spark.read.parquet(sig_path)
+        group_map, new_sigs, batch_side = rep_admission_frames(
+            store_sigs, g_batch
+        )
+        # materialize everything that reads the store BEFORE the
+        # appends below mutate it (same discipline as cmd_admit)
+        group_map, new_sigs = group_map.cache(), new_sigs.cache()
+        # store side: the banded index's PRUNED read, minus every
+        # batch-side group — the production scan-pruning design,
+        # covered by this op's oracle
+        store_rows = pruned_store_rows(spark, band_path, batch_side).join(
+            batch_side.select(F.col("group_id").alias("id")),
+            "id",
+            "left_anti",
+        )
+        cand = candidates_from_rows(
+            store_rows,
+            store_band_rows(batch_side, id_col="group_id"),
+            _N_BANDS,
+        ).cache()
+        # ONE materializing action: the evidence write below fills
+        # the new_sigs and cand caches through batch_side's lineage
+        # (it runs before any append), so only group_map — whose
+        # first consumer is the post-append members write — needs an
+        # explicit pre-append materialization.
+        group_map.count()
+        cand_ids = (
+            cand.select(F.col("da").alias("doc_id"))
+            .unionByName(cand.select(F.col("db").alias("doc_id")))
+            .distinct()
+        )
+        # a group id IS its rep's doc_id, so rep features come
+        # straight from the cached group frame, pruned to candidates
+        feats = g_all.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.array_distinct(F.expr(shingles_expr("t", 3))).alias("fs"),
+        )
+        jaccard_on_candidates(cand, feats, _JACCARD_THRESHOLD).write.mode(
+            "append"
+        ).parquet(evidence)
+        # banded BEFORE flat: a crash between the two re-admits the
+        # group as new (gh absent from flat) and the index read's
+        # dropDuplicates absorbs the re-appended rows — the reverse
+        # order would strand a group with no index rows at all
+        write_banded_index(new_sigs, band_path, "append")
+        new_sigs.write.mode("append").parquet(sig_path)
+        g_batch.select("doc_id", "gh").join(group_map, "gh").select(
+            "doc_id", "gh", "group_id"
+        ).write.mode("append").parquet(mem_path)
+        for c in (group_map, new_sigs, cand):
+            c.unpersist()
+
+    # EXPANSION: group evidence + membership → member-level pairs.
+    # O(output) by contract — the kernel never did quadratic work.
+    ev = spark.read.parquet(evidence).distinct()
+    m = spark.read.parquet(mem_path)
+    cross = (
+        ev.join(
+            m.select(F.col("group_id").alias("da"), F.col("doc_id").alias("xa")),
+            "da",
+        )
+        .join(
+            m.select(F.col("group_id").alias("db"), F.col("doc_id").alias("xb")),
+            "db",
+        )
+        .where(~(_base_pred(F.col("xa")) & _base_pred(F.col("xb"))))
+        .select(
+            F.least("xa", "xb").alias("da"),
+            F.greatest("xa", "xb").alias("db"),
+            "jaccard",
+        )
+    )
+    within = (
+        m.select(F.col("group_id").alias("g"), F.col("doc_id").alias("xa"))
+        .join(
+            m.select(F.col("group_id").alias("g"), F.col("doc_id").alias("xb")),
+            "g",
+        )
+        .where(F.col("xa") < F.col("xb"))
+        .where(~(_base_pred(F.col("xa")) & _base_pred(F.col("xb"))))
+        .select(
+            F.col("xa").alias("da"),
+            F.col("xb").alias("db"),
+            F.lit(1.0).cast("double").alias("jaccard"),
+        )
+    )
+    cross.unionByName(within).write.mode("overwrite").parquet(root + "/result")
+    g_all.unpersist()
+    return spark.read.parquet(root + "/result").select("da", "db", "jaccard")
+
+
 # --------------------------------- embedding_store_admission
 
 def emb_signature_frame(spark: SparkSession, qn: DataFrame) -> DataFrame:
@@ -436,10 +822,15 @@ WHERE {_NEARDUP_COS_SQL_BODY} >= {_COSINE_THRESHOLD}
 
 QUERIES = {
     "dedup_store_admission": dedup_store_admission,
+    "dedup_store_rep_admission": dedup_store_rep_admission,
     "embedding_store_admission": embedding_store_admission,
 }
 
 ORACLE = {
     "dedup_store_admission": _STORE_ADMISSION_SQL,
+    # the UNCHANGED one-shot union spelling: the rep-store lifecycle
+    # must reproduce the uncapped op's output exactly (expansion
+    # through membership), proving the pre-pass semantics-preserving.
+    "dedup_store_rep_admission": _STORE_ADMISSION_SQL,
     "embedding_store_admission": _EMB_STORE_ADMISSION_SQL,
 }

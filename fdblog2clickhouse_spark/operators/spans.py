@@ -286,12 +286,166 @@ WHERE doc_id NOT IN (SELECT doc_id FROM cut_pos)
 """
 
 
+# --------------------------------------------------- dup_span_apply
+
+def dup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus REWRITE (`dup_span_dedup` decides; this excises —
+    the actual output of the Lee et al. pipeline, VERDICT r10 item
+    #5): apply the cut spans to every eligible doc and emit the
+    rewritten token stream. Per doc: n_tok, kept_tokens, and
+    `rewritten` = the surviving tokens joined by single spaces (the
+    normalized token stream is the unit the decision op reasons in,
+    so it is what the rewrite emits; docs with < K tokens are outside
+    the decision's scope and are excluded here too, same as the
+    decision op).
+
+    Distributed shape: identical to the decision op through the cut
+    spans (vocab-bounded count + semi-join + per-doc
+    gaps-and-islands window), then the spans collapse to ONE
+    in-row array per doc (collect_list over the doc's few cut
+    spans, never corpus-sized) and the excision itself is a pure
+    in-row `filter/transform` over token positions — whole-stage
+    codegen, zero extra shuffles beyond the decision op's.
+    Conservation (kept_tokens ≡ the decision op's, per doc) is
+    CI-pinned."""
+    k = _SPAN_K
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.filter(tokens(norm_text(F.col("text"))), lambda x: x != "").alias("tk"),
+    ).where(F.size("tk") >= k)
+    parts = ", ".join(f"tk[i+{j}]" for j in range(k))
+    sh = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tk)-{k}), "
+                f"i -> concat_ws(' ', {parts}))"
+            )
+        ).alias("i", "s"),
+    ).select(
+        "doc_id",
+        "i",
+        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("i")).alias("key"),
+        F.expr(h32_spark_sql("s")).alias("h"),
+    )
+    per_h = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("key").alias("min_key")
+    )
+    cut_pos = (
+        sh.join(per_h.where(F.col("c") > 1), "h")
+        .where(F.col("key") != F.col("min_key"))
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = cut_pos.withColumn(
+        "brk",
+        F.when(
+            F.col("i") - F.lag("i").over(w) > F.lit(k), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cuts = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").alias("s0"),
+            (F.max("i") + F.lit(k) - 1).alias("s1"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s0", "s1")).alias("cuts"))
+    )
+    return (
+        t.join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tk").alias("n_tok"),
+            F.expr(
+                "filter(sequence(0, size(tk)-1), "
+                "p -> cuts IS NULL OR NOT exists(cuts, "
+                "c -> p >= c.s0 AND p <= c.s1))"
+            ).alias("keep"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.size("keep").cast("long").alias("kept_tokens"),
+            F.expr("concat_ws(' ', transform(keep, p -> tk[p]))").alias(
+                "rewritten"
+            ),
+        )
+    )
+
+
+_DUP_SPAN_APPLY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({tokens_sql(norm_text_sql('text'))}, x -> x <> '') AS tk
+  FROM documents
+), el AS MATERIALIZED (
+  SELECT doc_id, len(tk) AS n_tok, tk FROM t WHERE len(tk) >= {_SPAN_K}
+), sh AS (
+  SELECT doc_id,
+         unnest(range(0, n_tok - {_SPAN_K} + 1)) AS i,
+         unnest(list_transform(range(1, n_tok - {_SPAN_K} + 2),
+                i -> {" || ' ' || ".join(f"tk[i+{j}]" for j in range(_SPAN_K))}))
+           AS s
+  FROM el
+), hv AS MATERIALIZED (
+  SELECT doc_id, i,
+         doc_id * 1000000000 + i AS key,
+         {h32_sql('s')} AS h
+  FROM sh
+), per_h AS (
+  SELECT h, COUNT(*) AS c, MIN(key) AS min_key FROM hv GROUP BY h
+), cut_pos AS (
+  SELECT doc_id, i
+  FROM hv JOIN per_h USING (h)
+  WHERE c > 1 AND key <> min_key
+), brk AS (
+  SELECT doc_id, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {_SPAN_K} THEN 1 ELSE 0 END AS b
+  FROM cut_pos
+), isl AS (
+  SELECT doc_id, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+), spans AS MATERIALIZED (
+  SELECT doc_id, MIN(i) AS s0, MAX(i) + {_SPAN_K} - 1 AS s1
+  FROM isl GROUP BY doc_id, island
+), pos AS (
+  SELECT doc_id, n_tok, tk, unnest(range(0, n_tok)) AS p FROM el
+), keep AS (
+  SELECT doc_id, n_tok, tk[p + 1] AS tok, p FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = pos.doc_id AND pos.p BETWEEN s.s0 AND s.s1
+  )
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       string_agg(tok, ' ' ORDER BY p) AS rewritten
+FROM keep GROUP BY doc_id, n_tok
+UNION ALL
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+       0 AS kept_tokens, '' AS rewritten
+FROM el
+WHERE doc_id NOT IN (SELECT doc_id FROM keep)
+"""
+
+
 QUERIES = {
     "dup_span_stats": dup_span_stats,
     "dup_span_dedup": dup_span_dedup,
+    "dup_span_apply": dup_span_apply,
 }
 
 ORACLE = {
     "dup_span_stats": _DUP_SPAN_SQL,
     "dup_span_dedup": _DUP_SPAN_DEDUP_SQL,
+    "dup_span_apply": _DUP_SPAN_APPLY_SQL,
 }

@@ -365,21 +365,30 @@ def test_watch_keeps_ingesting_through_schema_evolution(
     assert "ADD COLUMN IF NOT EXISTS `trace_file` Nullable(String)" in lines[0]
 
 
+_T_A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+_T_B = "kilo lima mike november oscar papa quebec romeo sierra tango"
+_T_C = "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"
+
+
 def test_admit_cli_lifecycle(spark, tmp_path, capsys):
-    """build-store → admit batch 1 → admit batch 2 (must see batch
-    1's appended signatures) → compact-store, all through the CLI.
-    Mirrors tests/test_dedup_store.py's lifecycle-mechanics corpus:
-    doc 45 (batch 2) duplicates doc 50 (batch 1) ONLY, so its pair
-    exists only if admit #2 read admit #1's append."""
+    """build-store → admit batch 1 → admit batch 2 → compact-store
+    through the CLI, REPRESENTATIVE-store semantics: exact dups
+    collapse into membership (doc 40 joins doc 1's group without
+    touching the band join or growing the store), near-dups are
+    scored at group level (doc 45 vs doc 50 — evidence that exists
+    only because admit #2 read admit #1's appended group), and the
+    signature store ends with one row per distinct token stream."""
     import json
 
+    from fdblog2clickhouse_spark.operators.dedup_store import members_path
+
     docs = [
-        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
-        (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
-        (3, "kilo lima mike november oscar papa quebec romeo sierra tango"),
-        (40, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
-        (50, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"),
-        (45, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"),
+        (1, _T_A),
+        (2, _T_A),  # exact dup of 1, same base group
+        (3, _T_B),
+        (40, _T_A),  # exact dup of base content → membership only
+        (50, _T_C),
+        (45, _T_C + " extra"),  # NEAR-dup of 50
         (25, "solo document with no duplicate partner anywhere in corpus"),
     ]
 
@@ -399,6 +408,8 @@ def test_admit_cli_lifecycle(spark, tmp_path, capsys):
     evidence = str(tmp_path / "evidence")
 
     assert cli.main(["build-store", base, store]) == 0
+    out = capsys.readouterr().out
+    assert "store groups: 2 members: 3" in out  # {1,2} collapsed
     assert cli.main(["admit", b1, store, "--corpus", corpus,
                      "--evidence", evidence]) == 0
     assert cli.main(["admit", b2, store, "--corpus", corpus,
@@ -407,22 +418,34 @@ def test_admit_cli_lifecycle(spark, tmp_path, capsys):
         (r["da"], r["db"]) for r in spark.read.parquet(evidence).collect()
     }
     assert (45, 50) in pairs, "admit #2 did not see admit #1's append"
-    assert (1, 40) in pairs and (2, 40) in pairs
-    assert (1, 2) not in pairs  # store-internal pairs are not admission evidence
+    assert pairs == {(45, 50)}  # exact dups live in membership, not evidence
 
-    store_ids = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
-    assert store_ids == [1, 2, 3, 25, 40, 45, 50]
+    # one signature row per distinct token stream, min-doc_id rep
+    group_ids = sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    )
+    assert group_ids == [1, 3, 25, 45, 50]
+    members = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(members_path(store)).collect()
+    }
+    assert members == {1: 1, 2: 1, 3: 3, 40: 1, 50: 50, 45: 45, 25: 25}
 
     assert cli.main(["compact-store", store]) == 0
     out = capsys.readouterr().out
     assert "compacted:" in out
-    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == store_ids
+    assert sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    ) == group_ids
 
 
 def test_admit_cli_idempotent_under_redelivery(spark, tmp_path, capsys):
     """Re-delivering an already-admitted rotation must be a no-op:
-    no duplicate signatures in the store, no duplicate evidence."""
+    no duplicate signatures in the store, no duplicate membership,
+    no duplicate evidence."""
     import json
+
+    from fdblog2clickhouse_spark.operators.dedup_store import members_path
 
     def write_json(name, rows):
         p = tmp_path / name
@@ -431,15 +454,10 @@ def test_admit_cli_idempotent_under_redelivery(spark, tmp_path, capsys):
                 f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
         return str(p)
 
-    base = write_json("base.json", [
-        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
-    ])
-    b1 = write_json("b1.json", [
-        (10, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
-    ])
+    base = write_json("base.json", [(1, _T_A)])
+    b1 = write_json("b1.json", [(10, _T_A + " mike november")])  # near-dup
     corpus = write_json("corpus.json", [
-        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
-        (10, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (1, _T_A), (10, _T_A + " mike november"),
     ])
     store = str(tmp_path / "store")
     evidence = str(tmp_path / "evidence")
@@ -458,7 +476,7 @@ def test_admit_cli_idempotent_under_redelivery(spark, tmp_path, capsys):
     assert cli.main(["admit", b1, store, "--corpus", corpus,
                      "--evidence", evidence]) == 0
     ev1 = ev_rows()
-    st1 = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    st1 = sorted(r["group_id"] for r in spark.read.parquet(store).collect())
     assert (1, 10) in {(a, b) for a, b, _ in ev1}
     assert st1 == [1, 10]
 
@@ -468,7 +486,12 @@ def test_admit_cli_idempotent_under_redelivery(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "new_docs=0" in out
     assert ev_rows() == ev1
-    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == st1
+    assert sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    ) == st1
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(members_path(store)).collect()
+    ) == [1, 10]
 
 
 def test_admit_cli_crash_between_evidence_and_append(spark, tmp_path):
@@ -486,10 +509,11 @@ def test_admit_cli_crash_between_evidence_and_append(spark, tmp_path):
                 f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
         return str(p)
 
-    text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
-    base = write_json("base.json", [(1, text)])
-    b1 = write_json("b1.json", [(10, text)])
-    corpus = write_json("corpus.json", [(1, text), (10, text)])
+    base = write_json("base.json", [(1, _T_A)])
+    b1 = write_json("b1.json", [(10, _T_A + " mike november")])
+    corpus = write_json("corpus.json", [
+        (1, _T_A), (10, _T_A + " mike november"),
+    ])
     store = str(tmp_path / "store")
     evidence = str(tmp_path / "evidence")
 
@@ -502,16 +526,24 @@ def test_admit_cli_crash_between_evidence_and_append(spark, tmp_path):
                      "--evidence", evidence]) == 0
     ev = [(r["da"], r["db"]) for r in spark.read.parquet(evidence).collect()]
     assert ev == [(1, 10)], f"evidence duplicated or lost: {ev}"
-    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1, 10]
+    assert sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    ) == [1, 10]
 
 
-def test_admit_cli_partial_append_merges_evidence(spark, tmp_path):
-    """ADVICE r9: a crashed signature append that PARTIALLY committed
-    (v2 committers / object stores) leaves SOME batch docs in the
-    store. The retry rescores only the remainder — it must MERGE into
-    the existing evidence partition, not overwrite it (overwriting
-    would drop the already-appended docs' pairs)."""
+def test_admit_cli_partial_append_rescores_full_rotation(spark, tmp_path):
+    """A crashed signature/membership append that PARTIALLY committed
+    (v2 committers / object stores) leaves SOME batch docs admitted.
+    The retry rescores the ROTATION'S ENTIRE group set — already-
+    committed groups are classified touched, not new — so the
+    evidence partition overwrite is always the complete pair set and
+    the store converges with no duplicate group rows. (This
+    deterministic full-rescore replaced the r10 merge/staging path —
+    ADVICE r10 found that path's swap had its own crash window and
+    its staging dir polluted the batch_key=* glob.)"""
     import json
+
+    from fdblog2clickhouse_spark.operators.dedup_store import members_path
 
     def write_json(name, rows):
         p = tmp_path / name
@@ -520,23 +552,24 @@ def test_admit_cli_partial_append_merges_evidence(spark, tmp_path):
                 f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
         return str(p)
 
-    text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
-    base = write_json("base.json", [(1, text)])
-    b1 = write_json("b1.json", [(10, text), (20, text)])
-    only10 = write_json("only10.json", [(10, text)])
-    corpus = write_json("corpus.json", [(1, text), (10, text), (20, text)])
+    t10 = _T_A + " mike november"
+    t20 = _T_A + " oscar papa"
+    base = write_json("base.json", [(1, _T_A)])
+    b1 = write_json("b1.json", [(10, t10), (20, t20)])
+    only10 = write_json("only10.json", [(10, t10)])
+    corpus = write_json("corpus.json", [(1, _T_A), (10, t10), (20, t20)])
     store = str(tmp_path / "store")
     evidence = str(tmp_path / "evidence")
 
     assert cli.main(["build-store", base, store]) == 0
     # crashed run: full-batch evidence landed, then the append died
-    # half-way — only doc 10's signature reached the store (simulated
-    # by a sig-only admit of the 10-singleton).
+    # half-way — only doc 10's group reached the store (simulated by
+    # a sig-only admit of the 10-singleton).
     assert cli.main(["admit", b1, store, "--corpus", corpus,
                      "--evidence", evidence, "--no-append"]) == 0
     assert cli.main(["admit", only10, store, "--corpus", corpus]) == 0
-    # retry of the original rotation: n_new=1 < n_batch=2 and the
-    # partition exists → merge, not overwrite
+    # retry of the original rotation: doc 20 is member-new, doc 10's
+    # group is touched → BOTH groups rescored, complete partition.
     assert cli.main(["admit", b1, store, "--corpus", corpus,
                      "--evidence", evidence]) == 0
     pairs = sorted(
@@ -545,6 +578,98 @@ def test_admit_cli_partial_append_merges_evidence(spark, tmp_path):
     assert pairs == [(1, 10), (1, 20), (10, 20)], (
         f"partial-append retry dropped pairs: {pairs}"
     )
+    store_rows = sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    )
+    assert store_rows == [1, 10, 20], f"duplicate group rows: {store_rows}"
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(store).collect()
+        r["doc_id"] for r in spark.read.parquet(members_path(store)).collect()
     ) == [1, 10, 20]
+
+
+def test_admit_cli_empty_base_store(spark, tmp_path, capsys):
+    """A base corpus with no signature-eligible docs (< 3 tokens)
+    builds an EMPTY store — the first real admit must still work:
+    the banded index has no files to read (hive write of an empty
+    frame), which `pruned_store_rows` treats as match-nothing."""
+    import json
+
+    from fdblog2clickhouse_spark.operators.dedup_store import members_path
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    base = write_json("base.json", [(1, "too short")])
+    b1 = write_json("b1.json", [(10, _T_A)])
+    corpus = write_json("corpus.json", [(1, "too short"), (10, _T_A)])
+    store = str(tmp_path / "store")
+
+    assert cli.main(["build-store", base, store]) == 0
+    out = capsys.readouterr().out
+    assert "store groups: 0 members: 0" in out
+    assert cli.main(["admit", b1, store, "--corpus", corpus]) == 0
+    out = capsys.readouterr().out
+    assert "new_docs=1" in out and "new_groups=1" in out
+    assert sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    ) == [10]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(members_path(store)).collect()
+    ) == [10]
+
+
+def test_admit_cli_mega_bucket_is_linear(spark, tmp_path, capsys):
+    """The production fix for the uncapped admission kernel (VERDICT
+    r9/r10 item #1): a rotation of 90 byte-identical boilerplate
+    copies collapses to ONE group before the band join, so the store
+    gains at most one signature row, the membership table grows by
+    exactly the rotation size, and the evidence stays empty (exact
+    dups are membership facts, not scored pairs) — O(n) end to end
+    where the old doc-level path did quadratic bucket work."""
+    import json
+
+    from fdblog2clickhouse_spark.operators.dedup_store import members_path
+
+    boiler = "mega bucket boilerplate sentence repeated verbatim in every copy"
+    other = "fresh boilerplate content for the second rotation arriving later"
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    base = write_json("base.json", [(i, boiler) for i in range(1, 31)])
+    rot1 = write_json("rot1.json", [(i, boiler) for i in range(100, 190)])
+    rot2 = write_json("rot2.json", [(i, other) for i in range(200, 290)])
+    corpus = write_json(
+        "corpus.json",
+        [(i, boiler) for i in list(range(1, 31)) + list(range(100, 190))]
+        + [(i, other) for i in range(200, 290)],
+    )
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-store", base, store]) == 0
+    out = capsys.readouterr().out
+    assert "store groups: 1 members: 30" in out
+
+    assert cli.main(["admit", rot1, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    out = capsys.readouterr().out
+    assert "new_docs=90" in out and "new_groups=0" in out
+    assert spark.read.parquet(store).count() == 1
+    assert spark.read.parquet(members_path(store)).count() == 120
+
+    assert cli.main(["admit", rot2, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    assert spark.read.parquet(store).count() == 2
+    assert spark.read.parquet(members_path(store)).count() == 210
+    # no near-dup CONTENT pairs anywhere — evidence is empty even
+    # though 200+ docs are mutual exact dups
+    assert spark.read.parquet(evidence).count() == 0

@@ -65,14 +65,11 @@ def test_lifecycle_mechanics(spark, tiny_sf):
 def test_store_holds_every_doc_seen(spark, tiny_sf):
     dedup_store.dedup_store_admission(spark, tiny_sf)
     import os
-    import tempfile
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
 
     store = spark.read.parquet(
-        os.path.join(
-            tempfile.gettempdir(),
-            f"sinkcheck_minhash_store_{os.getpid()}",
-            "signatures",
-        )
+        os.path.join(scratch_path("minhash_store"), "signatures")
     )
     assert sorted(r["doc_id"] for r in store.select("doc_id").collect()) == [
         1, 2, 3, 25, 40, 45, 50,
@@ -100,7 +97,8 @@ def test_embedding_store_rerun_and_store_contents(spark, sf_oracle):
     """Rerun idempotence (scratch wipe) + the persisted vector store
     ends holding every vector's sign-band signature row."""
     import os
-    import tempfile
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
 
     a = sorted(
         map(tuple, dedup_store.embedding_store_admission(spark, sf_oracle).collect())
@@ -110,11 +108,7 @@ def test_embedding_store_rerun_and_store_contents(spark, sf_oracle):
     )
     assert a == b
     store = spark.read.parquet(
-        os.path.join(
-            tempfile.gettempdir(),
-            f"sinkcheck_hyperplane_store_{os.getpid()}",
-            "signatures",
-        )
+        os.path.join(scratch_path("hyperplane_store"), "signatures")
     )
     from fdblog2clickhouse_spark.sources.tables import table
 
@@ -159,17 +153,15 @@ def test_store_compaction_preserves_admission(spark, sf_oracle):
     evidence."""
     import glob
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
     from fdblog2clickhouse_spark.streaming.queries import streaming_store_admission
 
     streaming_store_admission(spark, sf_oracle).collect()
     # the streaming op's deterministic per-run store path (scratch_dir)
     store_path = os.path.join(
-        tempfile.gettempdir(),
-        f"sinkcheck_store_admission_stream_{os.getpid()}",
-        "signatures",
+        scratch_path("store_admission_stream"), "signatures"
     )
     before_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
     n_before = len(glob.glob(os.path.join(store_path, "*.parquet")))
@@ -250,3 +242,165 @@ def test_admission_mega_bucket_contract(spark, tmp_path):
     n_base = len(base)
     assert len(pairs) == n * (n - 1) // 2 - n_base * (n_base - 1) // 2
     assert len(batch) == n - n_base
+
+
+# ------------------- representative (exact-dedup pre-pass) lifecycle
+
+def test_rep_admission_matches_oracle(spark, sf_oracle):
+    """The rep-store lifecycle against the UNCHANGED one-shot union
+    oracle of the uncapped op — the hash match proves the exact-dedup
+    pre-pass + membership expansion is semantics-preserving."""
+    df = dedup_store.dedup_store_rep_admission(spark, sf_oracle)
+    compare(df, dedup_store.ORACLE["dedup_store_rep_admission"], sf_oracle)
+
+
+def test_rep_admission_equals_uncapped(spark, sf_oracle):
+    """DataFrame-level equivalence, independent of DuckDB: the
+    rep-store lifecycle and the uncapped doc-level lifecycle must
+    produce the identical evidence set."""
+    rep = sorted(
+        map(tuple, dedup_store.dedup_store_rep_admission(spark, sf_oracle).collect())
+    )
+    unc = sorted(
+        map(tuple, dedup_store.dedup_store_admission(spark, sf_oracle).collect())
+    )
+    assert rep == unc
+
+
+def test_rep_admission_tiny_mechanics(spark, tiny_sf):
+    """Same crafted corpus as the doc-level lifecycle test: identical
+    output pairs, but the persisted store holds one row per DISTINCT
+    token stream and membership records the collapses."""
+    import os
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+
+    out = dedup_store.dedup_store_rep_admission(spark, tiny_sf)
+    pairs = {(r["da"], r["db"]) for r in out.collect()}
+    assert pairs == {(1, 40), (2, 40), (45, 50)}
+
+    root = scratch_path("rep_store")
+    store = spark.read.parquet(os.path.join(root, "signatures"))
+    assert sorted(r["group_id"] for r in store.collect()) == [1, 3, 25, 50]
+    members = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(os.path.join(root, "members")).collect()
+    }
+    assert members == {1: 1, 2: 1, 3: 3, 40: 1, 50: 50, 45: 50, 25: 25}
+
+
+def test_rep_admission_touched_group_rescore(spark, tmp_path):
+    """The expansion-completeness case the rescore exists for: doc 30
+    (batch 1) is an exact dup of BASE doc 1, whose group near-dups
+    base group {2} — a pure base×base group pair the original store
+    build never scored. Admitting 30 must rescore the touched group,
+    so (2, 30) appears with the cross-group jaccard while (1, 2)
+    stays excluded (both base)."""
+    t_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    d = spark.createDataFrame(
+        [
+            (1, t_a, "en", "s", len(t_a)),
+            (2, t_a + " mike november", "en", "s", len(t_a) + 14),
+            (30, t_a, "en", "s", len(t_a)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = dedup_store.dedup_store_rep_admission(spark, str(tmp_path))
+    pairs = {(r["da"], r["db"]): r["jaccard"] for r in out.collect()}
+    assert set(pairs) == {(1, 30), (2, 30)}
+    assert pairs[(1, 30)] == 1.0
+    assert 0.5 <= pairs[(2, 30)] < 1.0
+
+
+def test_rep_admission_mega_bucket_store_linear(spark, tmp_path):
+    """The point of the pre-pass: the same 90-identical-doc corpus
+    whose uncapped contract is quadratic BY OUTPUT still produces the
+    full all-qualifying-pairs output (the contract), but the kernel's
+    persisted state is O(distinct contents) — ONE signature row, zero
+    group-level evidence rows."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+
+    text = "mega bucket boilerplate sentence repeated verbatim in every copy"
+    n = 90
+    ids = list(range(1, n + 1))
+    pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": [text] * n,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": np.array([len(text)] * n, dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    pairs = {
+        (r["da"], r["db"])
+        for r in dedup_store.dedup_store_rep_admission(spark, str(tmp_path)).collect()
+    }
+    base = [i for i in ids if i % 10 not in (0, 5)]
+    expect = {
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and not (a in base and b in base)
+    }
+    assert pairs == expect
+
+    root = scratch_path("rep_store")
+    assert spark.read.parquet(os.path.join(root, "signatures")).count() == 1
+    assert spark.read.parquet(os.path.join(root, "evidence")).count() == 0
+    assert spark.read.parquet(os.path.join(root, "members")).count() == n
+
+
+def test_pruned_store_read_has_partition_filters(spark, tmp_path):
+    """The banded index's store-side read must PRUNE: the scan plan
+    carries non-empty PartitionFilters on (band, kb), so partitions
+    the batch's band keys cannot match are never opened — the
+    admit-side scaling fix (VERDICT r10 item #4). Also pins the
+    functional contract: the pruned read returns a superset of the
+    exact-(band, band_key) matches and nothing outside the batch's
+    bucket footprint."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.plans.audit import formatted_plan
+
+    d = spark.createDataFrame(
+        [
+            (i, f"doc {i} unique words alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(1, 30)
+        ],
+        "doc_id long, text string",
+    )
+    g = dedup_store.rep_group_frame(d)
+    sigs = dedup_store.rep_signature_frame(dedup_store.rep_reps(g))
+    store = str(tmp_path / "store")
+    sigs.write.parquet(store)
+    bands = str(tmp_path / "bands")
+    dedup_store.write_banded_index(spark.read.parquet(store), bands, "overwrite")
+
+    gb = dedup_store.rep_group_frame(
+        spark.createDataFrame(
+            [(100, "doc 1 unique words alpha1 beta1 gamma1 delta1")],
+            "doc_id long, text string",
+        )
+    )
+    batch = dedup_store.rep_signature_frame(dedup_store.rep_reps(gb))
+    pruned = dedup_store.pruned_store_rows(spark, bands, batch)
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters: []" not in plan, plan
+    assert "PartitionFilters:" in plan and "kb" in plan, plan
+
+    # the exact-dup doc's group must be found through the pruned read
+    # (completeness: pruning is a superset of exact matches) ...
+    assert 1 in {r["id"] for r in pruned.collect()}
+    # ... while actually skipping rows outside the batch's footprint
+    full = spark.read.parquet(bands).count()
+    assert pruned.count() < full, "pruned read did not skip any partitions"

@@ -249,6 +249,7 @@ def test_partitioning_independence_odd_parallelism(spark, sf_oracle):
         for mod, name in (
             (spn, "dup_span_stats"),
             (spn, "dup_span_dedup"),
+            (spn, "dup_span_apply"),
             (lmod, "doc_bigram_fluency"),
             (tr, "pack_manifest"),
         ):
@@ -274,17 +275,18 @@ def test_decontam_broadcasts_eval_grams(spark, sf_smoke):
 
 def test_no_unbounded_driver_collect():
     """No queries() code path may `.collect()` a data-sized result to
-    the driver (driver OOM at 100×). The THREE allowed sites are all
+    the driver (driver OOM at 100×). The FOUR allowed sites are all
     bounded by construction: the per-language doc-count collect in
     dedup_ngram_jaccard (#languages rows, a constant), the
     union-find tail in dedup_cluster_labels (count-gated to
     _DRIVER_CC_EDGES = 500k class edges ≈ 8 MB — the cutover that
-    replaces scheduler-latency-bound contraction rounds), and the
+    replaces scheduler-latency-bound contraction rounds), the
     per-iteration argmax in bpe_train_merges (limit(1) — one row per
     merge, the driver-iterated-trainer pattern shared with
-    embedding_kmeans). Everything else must stay distributed (scalar
-    `.count()` actions are fine; `.collect()`/`.toPandas()` are
-    not)."""
+    embedding_kmeans), and the banded store index's partition-filter
+    literal (≤ 4 × _BANDED_BUCKETS rows by layout). Everything else
+    must stay distributed (scalar `.count()` actions are fine;
+    `.collect()`/`.toPandas()` are not)."""
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1] / "fdblog2clickhouse_spark"
@@ -307,6 +309,11 @@ def test_no_unbounded_driver_collect():
         },
         "operators/bpe.py": {
             "best = argmax_one_row.collect()",
+        },
+        # the banded index's partition-filter literal: ≤ 4 bands ×
+        # _BANDED_BUCKETS buckets rows by layout construction
+        "operators/dedup_store.py": {
+            'pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]',
         },
     }
     allowed = [
@@ -490,16 +497,14 @@ def test_ivf_store_search_plan(spark, sf_smoke):
     operator materializes its result to scratch so it can release
     the corpus cache (ADVICE r9), leaving only a scan behind."""
     import os
-    import tempfile
 
     from fdblog2clickhouse_spark.plans.audit import formatted_plan
     from fdblog2clickhouse_spark.operators import ann_store
     from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
 
     ann_store.ann_ivf_store_search(spark, sf_smoke).count()  # builds the index
-    root = os.path.join(
-        tempfile.gettempdir(), f"sinkcheck_ivf_store_{os.getpid()}"
-    )
+    root = scratch_path("ivf_store")
     plan = formatted_plan(
         ann_store.ivf_store_search_plan(
             spark, _quantized(spark, sf_smoke), root + "/codebook", root + "/lists"

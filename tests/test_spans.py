@@ -90,6 +90,72 @@ def test_dedup_matches_oracle_and_keeps_first(spark, sf_oracle):
     )
 
 
+def test_apply_matches_oracle_and_conserves(spark, sf_oracle):
+    """Oracle parity for the corpus rewrite, plus the conservation
+    pin (VERDICT r10 item #5: decision ∘ apply ≡ reported counts):
+    the apply op covers exactly the decision op's doc set, its
+    kept_tokens equals the decision's per doc, and the rewritten
+    string really contains that many tokens."""
+    df = spans.dup_span_apply(spark, sf_oracle)
+    compare(df, spans._DUP_SPAN_APPLY_SQL, sf_oracle)
+    dec = {
+        r["doc_id"]: r for r in spans.dup_span_dedup(spark, sf_oracle).collect()
+    }
+    rows = df.collect()
+    assert {r["doc_id"] for r in rows} == set(dec)
+    for r in rows:
+        d = dec[r["doc_id"]]
+        assert r["n_tok"] == d["n_tok"]
+        assert r["kept_tokens"] == d["kept_tokens"]
+        assert len(r["rewritten"].split()) == r["kept_tokens"]
+
+
+def test_apply_planted_excision(spark, tmp_path):
+    """The rewrite on the keep-first corpus: the canonical doc keeps
+    its text verbatim (normalized token stream), the other two lose
+    exactly the shared run."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from fdblog2clickhouse_spark.sources.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        if name != "documents":
+            os.symlink(
+                f"/root/testdata/sf0.001/{name}.parquet",
+                str(tmp_path / f"{name}.parquet"),
+            )
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    docs = [
+        (5, f"aa bb cc dd ee ff gg hh {shared}"),
+        (7, f"{shared} ii jj kk ll mm nn oo pp"),
+        (9, f"qq rr ss tt uu vv ww xx {shared} yy zz ab cd ef gh ij kl"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": np.array([i for i, _ in docs], dtype=np.int64),
+            "text": [t for _, t in docs],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": np.array([len(t) for _, t in docs], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    got = {
+        r["doc_id"]: r["rewritten"]
+        for r in spans.dup_span_apply(spark, str(tmp_path)).collect()
+    }
+    assert got[5] == f"aa bb cc dd ee ff gg hh {shared}"
+    assert got[7] == "ii jj kk ll mm nn oo pp"
+    assert got[9] == "qq rr ss tt uu vv ww xx yy zz ab cd ef gh ij kl"
+    compare(
+        spans.dup_span_apply(spark, str(tmp_path)),
+        spans._DUP_SPAN_APPLY_SQL,
+        str(tmp_path),
+    )
+
+
 def test_dedup_planted_first_occurrence_kept(spark, tmp_path):
     """Three docs share one 10-token run: the smallest doc_id keeps
     it, the other two get it cut."""
