@@ -27,79 +27,70 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-9 window (policy above; VERDICT r8 item #2 names the 16
-# deferred r5-cohort ops as the must-cover). Triage:
-#   (a) the 16 r5-cohort ops deferred from the r8 window — their
-#       files (trace_ops/sequence) are unchanged since r5, but their
-#       newest driver rows are three rounds old and the r8 verdict
-#       put them first;
-#   (b) NEW in r9 (14): the persisted-store admission lifecycles
-#       (operators/dedup_store.py — text AND vector, sequential
-#       read-append-read on a parquet store, oracle = one-shot
-#       union), the persisted IVF index loop + the IVF-PQ combo
-#       (operators/ann_store.py), the bigram fluency filter
-#       (operators/lm.py), duplicated-substring span stats + removal
-#       (operators/spans.py), the BPE merge-loop trainer + tokenizer
-#       (operators/bpe.py), and five incremental-merge sink
-#       roundtrips (rollup/upsert/HLL/histogram/bucketed — §2.8 now
-#       fully driver-checked);
-#   (c) r9-changed sinkcheck.py siblings (scratch-dir reuse + pmod
-#       split touched both existing roundtrips);
-#   (d) r9-changed training.py: sequence_packing is now the
-#       THREE-level hierarchical prefix scan, int8_quantize gained
-#       the uniform-dim guard; skyline is a file-changed sibling;
-#   (e) r9-changed streaming/queries.py: streaming_incremental_dedup
-#       was split into the reusable stream_vs_store plan + harness
-#       and now reads a PERSISTED signature store; every other
-#       streaming function is byte-identical, so their r07 rows
-#       stand;
-#   (f) r9-changed multimodal.py: multimodal_decode routes
-#       doc_id % 5 across FIVE real containers (new pure-stdlib GIF
-#       LZW codec, operators/gif.py — its oracle changed!); 6
-#       siblings file-changed.
-# Remaining 4 slots: the stalest r6 greens (tpch q1-q4; tpch.py
-# unchanged since r6 — pure re-cover rotation).
-# r10 RE-COVER PRIORITY (for the next rotation, stalest first,
-# assuming their files stay unchanged): (1) tpch q5-q22 + the 6
-# tpch extras (r6 greens), (2) the r7 cohort — similarity.py's 15,
-# curation.py's 5, textops.py's 14, streaming/queries.py's 9
-# unchanged functions, sources/trace_json.py — whose newest rows
-# will then be three rounds old, (3) dedup.py's 15 r8 greens.
-# That is ~60 ops for ~36 free slots once r10's new/changed code
-# takes its share — expect a two-round rotation like r8→r9's.
-# NOT in the window by design: dedup.py/textops/similarity/curation/
-# sketches files are untouched since their last green rows.
+# Round-11 window (policy above; VERDICT r10 item #2 ordered the
+# skipped rotation executed FIRST — the r6 cohort's newest driver
+# rows are four rounds old). Triage:
+#   (a) r11-changed operators/dedup_store.py — the representative
+#       (exact-dedup pre-pass) store + banded pruning index: NEW
+#       dedup_store_rep_admission plus the two lifecycle siblings in
+#       the same file (the admission kernel was refactored into
+#       candidates_from_rows; the streaming admission ops call it
+#       too, but their own file is byte-identical and the refactor
+#       is pinned by the DataFrame-equality tests, so they queue for
+#       r12 rather than taking r6-cohort slots);
+#   (b) r11-changed operators/bpe.py: the merge loop's lineage is
+#       now truncated per iteration (localCheckpoint — the cached
+#       chain OOM'd the driver at ~60 merges, tools/bpe_scale.py),
+#       so both BPE ops re-verify;
+#   (c) r11-changed operators/spans.py: NEW dup_span_apply (the
+#       corpus rewrite) + the two span siblings;
+#   (d) r11-changed operators/ann_store.py (IVF list compaction +
+#       plan-seam docstring) — both its ops;
+#   (e) r11-changed operators/sinkcheck.py (scratch_path split) —
+#       all seven sink roundtrips;
+#   (f) the 32 four-round-stale r6 greens: tpch q5-q22, the 6 OLAP
+#       extras, the 8 r6-green textops ops (tpch.py/textops.py
+#       byte-unchanged since r6 — pure re-cover rotation);
+#   (g) 1 remaining slot: ann_topk_bruteforce (r7 green, the ANN
+#       recall oracle every approximate path is judged against).
+# r12 RE-COVER PRIORITY (stalest first, files unchanged): the rest
+# of the r7 cohort — similarity.py's 14 remaining, curation.py's 5,
+# textops.py's corpus_select/doc_top_terms/bpe_pair_stats/
+# lang_confusion_metrics/source_dup_inflation/doc_rarity_score,
+# streaming/queries.py (incl. the two kernel dependents above),
+# trace_json — then dedup.py's 15 r8 greens and the r8
+# trace/sequence cohort.
+# NOT in the window by design: dedup.py/trace_ops/sequence/sketches/
+# similarity/curation/training/multimodal/lm files are untouched
+# since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) r5 cohort re-cover (16)
-    "trace_partition_stats", "severity_rollup", "events_per_minute",
-    "top_event_types", "error_rate_by_user", "events_dedup_latest",
-    "events_range_join", "topk_events_by_value", "events_decay_score",
-    "user_recent_events", "events_unpivot_measures",
-    "events_dow_hour_heatmap", "user_first_last_event",
-    "user_path_transitions", "events_pivot_usertype", "events_moving_avg",
-    # (b) new r9 ops (14)
-    "dedup_store_admission", "embedding_store_admission",
-    "ann_ivf_store_search", "ann_ivfpq_topk", "doc_bigram_fluency",
-    "dup_span_stats", "dup_span_dedup",
+    # (a) r11-changed dedup_store.py (3, incl. the NEW rep lifecycle)
+    "dedup_store_rep_admission", "dedup_store_admission",
+    "embedding_store_admission",
+    # (b) r11-changed bpe.py (2 — lineage-truncation rewrite)
     "bpe_train_merges", "bpe_tokenize",
+    # (c) r11-changed spans.py (3, incl. the NEW corpus rewrite)
+    "dup_span_apply", "dup_span_stats", "dup_span_dedup",
+    # (d) r11-changed ann_store.py (2)
+    "ann_ivf_store_search", "ann_ivfpq_topk",
+    # (e) r11-changed sinkcheck.py (7)
+    "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
     "rollup_sink_roundtrip", "upsert_sink_roundtrip",
     "hll_sink_roundtrip", "hist_sink_roundtrip",
     "bucketed_sink_roundtrip",
-    # (c) r9-changed sinkcheck.py (2)
-    "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
-    # (d) r9-changed training.py (4, incl. the NEW pack_manifest)
-    "sequence_packing", "embedding_int8_quantize", "doc_skyline_select",
-    "pack_manifest",
-    # (e) r9-changed/new streaming functions (2)
-    "streaming_incremental_dedup", "streaming_store_admission",
-    # (f) r9-changed multimodal.py (8, incl. the NEW gif-frames op)
-    "multimodal_decode", "multimodal_decode_jpeg",
-    "multimodal_audio_decode", "multimodal_metadata", "multimodal_chunk",
-    "multimodal_feature_extract", "multimodal_frame_sample",
-    "multimodal_gif_frames",
-    # stalest r6 greens (4)
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
+    # (f) the r6 cohort re-cover (32)
+    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22",
+    "customer_rfm", "market_basket_pairs", "nation_activity_fullouter",
+    "orders_percent_rank", "nation_yoy_growth", "brand_revenue_share",
+    "token_count", "text_quality_score", "lang_id_ngram",
+    "doc_fingerprint", "doc_stats_by_lang", "token_histogram",
+    "quality_repetition", "pii_detect",
+    # (g) the ANN recall oracle (1)
+    "ann_topk_bruteforce",
 ]
 
 

@@ -88,15 +88,21 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
             F.lit(" "), F.regexp_replace(F.col("w"), "(.)", " $1 "), F.lit(" ")
         ).alias("s"),
         "freq",
-    ).cache()
+    ).localCheckpoint(eager=False)
 
     # ONE job per merge: the argmax action both finds the best pair
-    # and materializes the current state's cache (which is one in-row
-    # replace away from the parent's cache). The parent is only
-    # unpersisted after that materialization, so nothing recomputes
-    # from scratch and no extra count() job is spent per iteration.
+    # and materializes the current state's checkpoint (one in-row
+    # replace away from the parent's). localCheckpoint, not cache:
+    # a cached chain keeps the full LOGICAL plan, so Catalyst
+    # re-analyzes a tree one `replace` deeper every iteration —
+    # measured to OOM the driver JVM around merge 60 (round 11,
+    # tools/bpe_scale.py). The checkpoint truncates lineage to a
+    # LogicalRDD leaf, making per-merge analysis cost CONSTANT; the
+    # superseded states' blocks are released by the ContextCleaner
+    # as Python drops the references. Local (unreplicated)
+    # checkpoints trade executor-loss recovery for speed — the same
+    # knob dedup_cluster_labels exposes for long iterative jobs.
     merges: list[tuple] = []
-    parent = None
     for rank in range(1, _N_MERGES + 1):
         # the argmax row — limit(1) bounds the driver transfer to ONE
         # row by construction (allowlisted in tests/test_plans.py)
@@ -104,14 +110,12 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
             F.col("n").desc(), F.col("pair").asc()
         ).limit(1)
         best = argmax_one_row.collect()
-        if parent is not None:
-            parent.unpersist()
         if not best:
             break
         pair, n = best[0]["pair"], best[0]["n"]
         lhs, rhs = pair.split(" ")
         merges.append((rank, lhs, rhs, lhs + rhs, n))
-        nxt = state.select(
+        state = state.select(
             "w",
             F.replace(
                 F.col("s"),
@@ -119,15 +123,7 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
                 F.lit(f" {lhs}{rhs} "),
             ).alias("s"),
             "freq",
-        ).cache()
-        parent = state
-        state = nxt
-    # release the loop caches: every merge decision is already in
-    # `merges`, and consumers of the returned state evaluate it
-    # lazily (the full replace chain is narrow — one vocab pass).
-    state.unpersist()
-    if parent is not None:
-        parent.unpersist()
+        ).localCheckpoint(eager=False)
     return merges, state
 
 
