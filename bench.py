@@ -88,7 +88,45 @@ HEADLINE = [
     "dup_span_stats",
     "dup_span_dedup",
     "multimodal_gif_frames",
+    # round 11: the representative-store admission lifecycle (the
+    # production mega-bucket fix — exact-dedup pre-pass + banded
+    # pruned store reads) and the substring-dedup corpus rewrite;
+    # tracked from birth
+    "dedup_store_rep_admission",
+    "dup_span_apply",
 ]
+
+# Family subtotals (VERDICT r10 item #7): 38 tracked queries make the
+# headline total composition-sensitive; per-family sums localize a
+# drift to the subsystem that moved. Keys must cover HEADLINE exactly
+# (asserted in main()).
+FAMILY = {
+    **{q: "tpch" for q in HEADLINE if q.startswith("tpch_")},
+    **{
+        q: "trace"
+        for q in ("events_per_minute",)
+    },
+    **{
+        q: "dedup"
+        for q in HEADLINE
+        if q.startswith(("dedup_", "dup_span", "embedding_neardup",
+                         "embedding_incremental"))
+    },
+    **{
+        q: "ann"
+        for q in HEADLINE
+        if q.startswith("ann_")
+    },
+    **{q: "text" for q in ("token_count", "benchmark_decontam",
+                           "doc_bigram_fluency", "bpe_train_merges")},
+    **{q: "training" for q in ("sequence_packing", "embedding_int8_quantize",
+                               "doc_skyline_select", "pack_manifest")},
+    **{
+        q: "streaming"
+        for q in ("streaming_view_purchase_join", "streaming_store_admission")
+    },
+    **{q: "multimodal" for q in ("multimodal_gif_frames",)},
+}
 
 
 def bench_sink_compaction(spark, sf_dir: str) -> float:
@@ -160,6 +198,11 @@ def main() -> None:
     # the query total.
     aux = {"sink_compaction": bench_sink_compaction(spark, sf_dir)}
     total = round(sum(timings.values()), 3)
+    missing = set(timings) - set(FAMILY)
+    assert not missing, f"HEADLINE queries without a FAMILY tag: {missing}"
+    families: dict[str, float] = {}
+    for name, t in timings.items():
+        families[FAMILY[name]] = round(families.get(FAMILY[name], 0.0) + t, 3)
     print(
         json.dumps(
             {
@@ -167,6 +210,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "families": families,
                 "aux": aux,
                 "timed_runs": 3,  # per-query min-of-3 (noise floor)
                 # headline composition grew in round 2 (ngram/neardup

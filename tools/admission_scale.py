@@ -1,29 +1,37 @@
 """Scale evidence for the admission path: hold the batch FIXED, grow
-the persisted signature store K×, measure the scoring step.
+the persisted signature store K×, measure the scoring step — FULL
+store scan vs the band-partitioned index's PRUNED read.
 
-The 100 TB claim of `dedup_store_admission` (operators/dedup_store.py)
-is that a batch's admission cost is O(batch + matched candidates) —
-the store is touched only through its banded index — so growing the
-store should grow the scoring time far slower than linearly (the
-store-side costs are the parquet scan of the signature table and its
-share of the band-bucket join).
+The 100 TB claim of the admission family (operators/dedup_store.py)
+is that a batch's admission cost is O(batch + matched candidates).
+Round 11 added the banded store index (VERDICT r9 #3 / r10 #4):
+`pruned_store_rows` opens only the (band, kb) partitions the batch's
+own band keys can match, so the store-side READ cost is bounded by
+the batch's bucket footprint instead of the store size. This tool
+measures both spellings at 1×/4×/16×/64× stores with a small
+(rotation-sized) batch — the regime pruning exists for.
 
 Method: the sf0.1 base slice's signatures are replicated K times
 with doc_id offsets of 10M·k (≡ 0 mod 10, so slice semantics are
-preserved and replicas never collide); the SAME sf0.1 batch is
+preserved and replicas never collide); a FIXED 24-doc batch is
 scored against each store size. Replicated docs are exact text
 duplicates of their originals, so bucket occupancy grows K× in every
-band — this is the PESSIMISTIC growth mode for an uncapped admission
-join (real stores are pre-deduped); candidates grow ~K per batch
-doc, not K².
+band — the PESSIMISTIC growth mode (real rep stores are pre-deduped
+by construction); candidates grow ~K per matched batch doc.
+_BANDED_BUCKETS is raised to 256 (the scale setting — the default 16
+is sized for CI corpora; pruning needs buckets ≫ batch keys).
 
-Interleaved ABBA-style ordering across K values, median-of-3.
+Interleaved ABBA-style ordering across K values and variants,
+median-of-3.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -33,28 +41,36 @@ from pyspark.sql import functions as F  # noqa: E402
 from fdblog2clickhouse_spark.session import get_spark  # noqa: E402
 from fdblog2clickhouse_spark.operators import dedup_store as ds  # noqa: E402
 from fdblog2clickhouse_spark.operators import dedup as dd  # noqa: E402
+from fdblog2clickhouse_spark.sources.tables import table  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-KS = [1, 2, 4]
+KS = [1, 4, 16, 64]
 OFFSET = 10_000_000  # ≡ 0 mod 10: replicas stay in base slices
+BATCH_DOCS = 24  # a rotation, not a backfill — the pruning regime
+
+ds._BANDED_BUCKETS = 256  # scale setting; see module docstring
 
 spark = get_spark()
+spark.sparkContext.setLogLevel("ERROR")
 
 sh = ds.shingle_frame(
-    __import__(
-        "fdblog2clickhouse_spark.sources.tables", fromlist=["table"]
-    ).table(spark, SF, "documents").select("doc_id", "text")
+    table(spark, SF, "documents").select("doc_id", "text")
 ).cache()
 feats = sh.select("doc_id", F.col("sh").alias("fs"))
 base_sigs = ds.signature_frame(sh.where(ds._base_pred(F.col("doc_id")))).cache()
+batch_ids = [
+    r["doc_id"]
+    for r in sh.where(ds._slice(F.col("doc_id"), ds._BATCH1_REM))
+    .select("doc_id")
+    .orderBy("doc_id")
+    .limit(BATCH_DOCS)
+    .collect()
+]
 batch_sigs = ds.signature_frame(
-    sh.where(ds._slice(F.col("doc_id"), ds._BATCH1_REM))
+    sh.where(F.col("doc_id").isin(batch_ids))
 ).cache()
-base_sigs.count(), batch_sigs.count()
-
-import os
-import shutil
-import tempfile
+print(f"batch: {batch_sigs.count()} docs", flush=True)
+base_sigs.count()
 
 root = os.path.join(tempfile.gettempdir(), f"admission_scale_{os.getpid()}")
 shutil.rmtree(root, ignore_errors=True)
@@ -68,36 +84,75 @@ for k in KS:
             base_sigs.withColumn("doc_id", F.col("doc_id") + OFFSET * i)
         )
     rep.write.mode("overwrite").parquet(path)
+    # the banded index rides along, exactly as build-store writes it
+    ds.write_banded_index(
+        spark.read.parquet(path).withColumnRenamed("doc_id", "group_id"),
+        path + "_bands",
+        "overwrite",
+    )
     stores[k] = path
     n = spark.read.parquet(path).count()
     print(f"store x{k}: {n} signature rows", flush=True)
 
 
-def score(k: int) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    cand = ds.admission_candidates(spark.read.parquet(stores[k]), batch_sigs)
-    # replicas share text with originals, so verify features resolve
-    # via doc_id % OFFSET (replica docs are byte-identical copies)
+def _verify(cand) -> int:
     cand_base = cand.select(
         (F.col("da") % OFFSET).alias("da"), (F.col("db") % OFFSET).alias("db")
     )
-    n = dd.jaccard_on_candidates(cand_base, feats, dd._JACCARD_THRESHOLD).count()
+    return dd.jaccard_on_candidates(
+        cand_base, feats, dd._JACCARD_THRESHOLD
+    ).count()
+
+
+def score_full(k: int) -> tuple[float, int]:
+    """The r10 spelling: explode the ENTIRE flat store into band rows."""
+    t0 = time.perf_counter()
+    cand = ds.admission_candidates(spark.read.parquet(stores[k]), batch_sigs)
+    n = _verify(cand)
     return time.perf_counter() - t0, n
 
 
-for k in KS:  # warm all three paths
-    score(k)
+def score_pruned(k: int) -> tuple[float, int]:
+    """The r11 spelling: the banded index's partition-pruned read."""
+    t0 = time.perf_counter()
+    g_batch = batch_sigs.withColumnRenamed("doc_id", "group_id")
+    store_rows = ds.pruned_store_rows(
+        spark, stores[k] + "_bands", g_batch
+    ).join(
+        g_batch.select(F.col("group_id").alias("id")), "id", "left_anti"
+    )
+    cand = ds.candidates_from_rows(
+        store_rows,
+        ds.store_band_rows(g_batch, id_col="group_id"),
+        ds._N_BANDS,
+    )
+    n = _verify(cand)
+    return time.perf_counter() - t0, n
 
-times: dict[int, list[float]] = {k: [] for k in KS}
-order = list(KS)
-for rep in range(3):
-    for k in order:
-        dt, n = score(k)
-        times[k].append(dt)
-        print(f"rep {rep} x{k}: {dt:.2f}s pairs={n}", flush=True)
+
+VARIANTS = {"full": score_full, "pruned": score_pruned}
+
+for k in KS:  # warm every path
+    for name, fn in VARIANTS.items():
+        _, n = fn(k)
+        print(f"warm x{k} {name}: pairs={n}", flush=True)
+
+times: dict[tuple[str, int], list[float]] = {
+    (v, k): [] for v in VARIANTS for k in KS
+}
+order = [(v, k) for k in KS for v in VARIANTS]
+for rep_i in range(3):
+    for v, k in order:
+        dt, n = VARIANTS[v](k)
+        times[(v, k)].append(dt)
+        print(f"rep {rep_i} x{k} {v}: {dt:.2f}s pairs={n}", flush=True)
     order.reverse()
 
 print()
-for k in KS:
-    print(f"x{k}: median={statistics.median(times[k]):.2f}s", flush=True)
+for v in VARIANTS:
+    for k in KS:
+        print(
+            f"{v} x{k}: median={statistics.median(times[(v, k)]):.2f}s",
+            flush=True,
+        )
 shutil.rmtree(root, ignore_errors=True)
