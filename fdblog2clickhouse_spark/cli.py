@@ -423,14 +423,28 @@ def cmd_compact_store(args) -> int:
     one-file-group-per-batch appends into sort-keyed files. Default
     sort key is the signature store's band key (bk0); pass
     `--sort-col list_id` to compact an IVF inverted-lists table
-    (`compact_ivf_lists` semantics — same crash-safe swap)."""
-    from .operators.dedup_store import compact_signature_store
+    (`compact_ivf_lists` semantics — same crash-safe swap). When the
+    store has a banded index sibling (`<store>_bands`, the rep-store
+    layout), its per-partition append files are compacted in the
+    same pass."""
+    import os
+
+    from .operators.dedup_store import (
+        banded_path,
+        compact_banded_index,
+        compact_signature_store,
+    )
 
     spark = _spark()
     before = compact_signature_store(
         spark, args.store, sort_col=args.sort_col, n_files=args.target_files
     )
-    print(f"compacted: files_before={before} files_after={args.target_files}")
+    msg = f"compacted: files_before={before} files_after={args.target_files}"
+    bands = banded_path(args.store)
+    if os.path.isdir(bands):
+        b_before = compact_banded_index(spark, bands)
+        msg += f" bands_files_before={b_before}"
+    print(msg)
     return 0
 
 

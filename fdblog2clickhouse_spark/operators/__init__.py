@@ -51,8 +51,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   (f) the 32 four-round-stale r6 greens: tpch q5-q22, the 6 OLAP
 #       extras, the 8 r6-green textops ops (tpch.py/textops.py
 #       byte-unchanged since r6 — pure re-cover rotation);
-#   (g) 1 remaining slot: ann_topk_bruteforce (r7 green, the ANN
-#       recall oracle every approximate path is judged against).
+#   (g) 1 remaining slot: the NEW streaming_rep_admission (its own
+#       file streaming/rep_admission.py, so streaming/queries.py's
+#       r7 greens stay byte-valid) — new code always outranks a
+#       re-cover slot; ann_topk_bruteforce moves to the r12 queue.
 # r12 RE-COVER PRIORITY (stalest first, files unchanged): the rest
 # of the r7 cohort — similarity.py's 14 remaining, curation.py's 5,
 # textops.py's corpus_select/doc_top_terms/bpe_pair_stats/
@@ -89,8 +91,8 @@ _FRONT_WINDOW = [
     "token_count", "text_quality_score", "lang_id_ngram",
     "doc_fingerprint", "doc_stats_by_lang", "token_histogram",
     "quality_repetition", "pii_detect",
-    # (g) the ANN recall oracle (1)
-    "ann_topk_bruteforce",
+    # (g) NEW streaming rep-store admission (1)
+    "streaming_rep_admission",
 ]
 
 
@@ -98,6 +100,7 @@ def _collect() -> tuple[dict, dict]:
     from . import ann_store, bpe, curation, dedup, dedup_store, lm, multimodal, spans, sequence, similarity, sinkcheck, sketches, textops, tpch, trace_ops, training
     from ..sources import trace_json
     from ..streaming import queries as streaming_queries
+    from ..streaming import rep_admission as streaming_rep
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
@@ -114,6 +117,7 @@ def _collect() -> tuple[dict, dict]:
         lm,
         multimodal,
         streaming_queries,
+        streaming_rep,
         trace_json,
         sketches,
         sequence,

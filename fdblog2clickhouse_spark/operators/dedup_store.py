@@ -560,6 +560,56 @@ def pruned_store_rows(
     )
 
 
+def compact_banded_index(
+    spark: SparkSession, path: str, *, n_files: int = 1
+) -> int:
+    """OPTIMIZE FINAL for the banded index: every admit appends up to
+    one file per touched (band, kb) partition, so a long admission
+    loop accumulates files inside each partition dir — the same
+    unmerged-parts failure mode the flat store and the IVF lists
+    have, at partition granularity. Rewrites each partition to ONE
+    file (`n_files` is the trigger threshold: compact only when
+    some partition exceeds it), DEDUPLICATING rows while at it
+    (crash-leaked duplicate index rows are tolerated by the
+    reader's dropDuplicates; compaction retires them permanently).
+    Same
+    crash-safe rename-aside swap as `compact_signature_store`:
+    at every instant either `path` or `path + '.old'` holds a
+    complete index. Returns the file count before compaction;
+    no-ops (and returns it) when every partition is already within
+    budget. Search invariance (pruned reads identical before/after)
+    is CI-pinned."""
+    import glob
+    import os
+    import shutil
+
+    old = path + ".old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+    part_dirs = glob.glob(os.path.join(path, "band=*", "kb=*"))
+    counts = [
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in part_dirs
+    ]
+    n_before = sum(counts)
+    if not counts or max(counts) <= n_files:
+        return n_before
+    staging = path + ".compact"
+    (
+        spark.read.parquet(path)
+        .dropDuplicates()
+        .repartition("band", "kb")
+        .write.partitionBy("band", "kb")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_before
+
+
 def rep_admission_frames(
     store_sigs: DataFrame, g_batch: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -687,8 +737,25 @@ def dedup_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in (group_map, new_sigs, cand):
             c.unpersist()
 
-    # EXPANSION: group evidence + membership → member-level pairs.
-    # O(output) by contract — the kernel never did quadratic work.
+    expand_group_evidence(spark, evidence, mem_path).write.mode(
+        "overwrite"
+    ).parquet(root + "/result")
+    g_all.unpersist()
+    return spark.read.parquet(root + "/result").select("da", "db", "jaccard")
+
+
+def expand_group_evidence(
+    spark: SparkSession, evidence: str, mem_path: str
+) -> DataFrame:
+    """Group evidence + membership → member-level pairs (da, db,
+    jaccard), O(output) by contract — the kernel never did quadratic
+    work. DISTINCT on the group evidence first: a group touched by
+    several batches deterministically re-emits its pairs. Cross-group
+    member pairs inherit the rep pair's jaccard; within-group pairs
+    are exact dups (jaccard 1.0); pairs with both sides in the base
+    slice are excluded (the admission contract). Shared by the batch
+    proof op and the streaming sibling
+    (streaming/rep_admission.py)."""
     ev = spark.read.parquet(evidence).distinct()
     m = spark.read.parquet(mem_path)
     cross = (
@@ -721,9 +788,7 @@ def dedup_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).cast("double").alias("jaccard"),
         )
     )
-    cross.unionByName(within).write.mode("overwrite").parquet(root + "/result")
-    g_all.unpersist()
-    return spark.read.parquet(root + "/result").select("da", "db", "jaccard")
+    return cross.unionByName(within)
 
 
 # --------------------------------- embedding_store_admission

@@ -434,6 +434,9 @@ def test_admit_cli_lifecycle(spark, tmp_path, capsys):
     assert cli.main(["compact-store", store]) == 0
     out = capsys.readouterr().out
     assert "compacted:" in out
+    # the rep store's banded index sibling is compacted in the same
+    # pass (per-partition file merge + duplicate retirement)
+    assert "bands_files_before=" in out
     assert sorted(
         r["group_id"] for r in spark.read.parquet(store).collect()
     ) == group_ids

@@ -360,6 +360,123 @@ def test_rep_admission_mega_bucket_store_linear(spark, tmp_path):
     assert spark.read.parquet(os.path.join(root, "members")).count() == n
 
 
+def test_streaming_rep_admission_matches_oracle_and_batch(spark, sf_oracle):
+    """The streaming rep lifecycle (4 micro-batches, store + banded
+    index + members growing under the stream) must hash-match the
+    one-shot oracle AND byte-equal both batch spellings — slicing
+    invariance, the rep collapse, and the pruned reads pinned at
+    once."""
+    from fdblog2clickhouse_spark.streaming.rep_admission import (
+        streaming_rep_admission,
+    )
+
+    df = streaming_rep_admission(spark, sf_oracle)
+    compare(df, dedup_store.ORACLE["dedup_store_rep_admission"], sf_oracle)
+    streamed = sorted(map(tuple, df.collect()))
+    batch_rep = sorted(
+        map(tuple, dedup_store.dedup_store_rep_admission(spark, sf_oracle).collect())
+    )
+    assert streamed == batch_rep
+
+
+def test_streaming_rep_admission_tiny_and_store_state(spark, tiny_sf):
+    """Crafted-corpus mechanics + the persisted end state: the rep
+    store holds one row per distinct token stream, membership maps
+    every doc, and the banded index covers every group."""
+    import os
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+    from fdblog2clickhouse_spark.streaming.rep_admission import (
+        streaming_rep_admission,
+    )
+
+    pairs = {
+        (r["da"], r["db"])
+        for r in streaming_rep_admission(spark, tiny_sf).collect()
+    }
+    assert pairs == {(1, 40), (2, 40), (45, 50)}
+    root = scratch_path("rep_admission_stream")
+    store = spark.read.parquet(os.path.join(root, "signatures"))
+    got = sorted(r["group_id"] for r in store.collect())
+    # whichever of 45/50 ARRIVES first founds their shared group —
+    # rotation file order is not doc_id order; the output pairs above
+    # are invariant to that choice (the point of the oracle), the
+    # group id deliberately is not.
+    assert got in ([1, 3, 25, 45], [1, 3, 25, 50])
+    g4550 = got[-1]
+    members = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(os.path.join(root, "members")).collect()
+    }
+    assert members == {
+        1: 1, 2: 1, 3: 3, 40: 1, 50: g4550, 45: g4550, 25: 25,
+    }
+    bands = spark.read.parquet(os.path.join(root, "bands"))
+    assert {r["group_id"] for r in bands.select("group_id").collect()} == set(
+        got
+    )
+
+
+def test_banded_index_compaction_preserves_pruned_reads(spark, tmp_path):
+    """OPTIMIZE FINAL for the banded index: after appends leave
+    multiple files per partition (including crash-leaked DUPLICATE
+    rows), compaction must collapse each partition to one file,
+    retire the duplicates, and leave every pruned read's result
+    byte-identical. Also pins the crash window: a simulated crash
+    between the rename-aside and the swap is restored on the next
+    call."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [
+            (i, f"doc {i} words alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(1, 20)
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup_store.rep_signature_frame(
+        dedup_store.rep_reps(dedup_store.rep_group_frame(d))
+    )
+    bands = str(tmp_path / "bands")
+    dedup_store.write_banded_index(sigs, bands, "overwrite")
+    dedup_store.write_banded_index(sigs.limit(5), bands, "append")
+    dedup_store.write_banded_index(sigs.limit(5), bands, "append")  # dup rows
+
+    batch = sigs.limit(3)
+    before = sorted(
+        map(tuple, dedup_store.pruned_store_rows(spark, bands, batch).collect())
+    )
+    n_files = len(glob.glob(os.path.join(bands, "band=*", "kb=*", "*.parquet")))
+
+    got = dedup_store.compact_banded_index(spark, bands)
+    assert got == n_files
+    per_dir = [
+        len(glob.glob(os.path.join(p, "*.parquet")))
+        for p in glob.glob(os.path.join(bands, "band=*", "kb=*"))
+    ]
+    assert per_dir and max(per_dir) == 1
+    # duplicates retired permanently: raw row count equals distinct
+    raw = spark.read.parquet(bands)
+    assert raw.count() == raw.dropDuplicates().count()
+    after = sorted(
+        map(tuple, dedup_store.pruned_store_rows(spark, bands, batch).collect())
+    )
+    assert after == before
+    # idempotent when already compact
+    assert dedup_store.compact_banded_index(spark, bands) == len(per_dir)
+
+    # crash window: index renamed aside, new copy not yet in place
+    os.rename(bands, bands + ".old")
+    assert not os.path.exists(bands)
+    dedup_store.compact_banded_index(spark, bands)
+    assert sorted(
+        map(tuple, dedup_store.pruned_store_rows(spark, bands, batch).collect())
+    ) == before
+
+
 def test_pruned_store_read_has_partition_filters(spark, tmp_path):
     """The banded index's store-side read must PRUNE: the scan plan
     carries non-empty PartitionFilters on (band, kb), so partitions
