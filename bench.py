@@ -127,6 +127,12 @@ FAMILY = {
     },
     **{q: "multimodal" for q in ("multimodal_gif_frames",)},
 }
+# fail at import, BEFORE any timing is spent, and in both directions
+# (a stale FAMILY key is as much a drift as an untagged query)
+assert set(FAMILY) == set(HEADLINE), (
+    f"FAMILY/HEADLINE drift: untagged={set(HEADLINE) - set(FAMILY)} "
+    f"stale={set(FAMILY) - set(HEADLINE)}"
+)
 
 
 def bench_sink_compaction(spark, sf_dir: str) -> float:
@@ -198,8 +204,6 @@ def main() -> None:
     # the query total.
     aux = {"sink_compaction": bench_sink_compaction(spark, sf_dir)}
     total = round(sum(timings.values()), 3)
-    missing = set(timings) - set(FAMILY)
-    assert not missing, f"HEADLINE queries without a FAMILY tag: {missing}"
     families: dict[str, float] = {}
     for name, t in timings.items():
         families[FAMILY[name]] = round(families.get(FAMILY[name], 0.0) + t, 3)

@@ -256,8 +256,12 @@ def cmd_build_store(args) -> int:
     )
 
     spark = _spark()
-    g = rep_group_frame(spark.read.schema(_DOC_SCHEMA).json(args.docs))
-    reps = rep_reps(g)
+    # cache the corpus group frame and the rep aggregate: the store
+    # write, the banded index, and the members join all draw on them
+    # — without the cache the most expensive pass (JSON read +
+    # tokenize + md5 of every doc) runs twice on a backfill corpus.
+    g = rep_group_frame(spark.read.schema(_DOC_SCHEMA).json(args.docs)).cache()
+    reps = rep_reps(g).cache()
     rep_signature_frame(reps).write.mode("overwrite").parquet(args.store)
     # the band-partitioned index at <store>_bands: admit's store-side
     # read prunes to the batch's (band, kb) partitions instead of
@@ -270,6 +274,7 @@ def cmd_build_store(args) -> int:
     ).write.mode("overwrite").parquet(members_path(args.store))
     n_groups = spark.read.parquet(args.store).count()
     n_docs = spark.read.parquet(members_path(args.store)).count()
+    g.unpersist(), reps.unpersist()
     print(f"store groups: {n_groups} members: {n_docs}")
     return 0
 
@@ -338,9 +343,15 @@ def cmd_admit(args) -> int:
     n_new = member_new.count()
 
     def evidence_total() -> int:
+        # DISTINCT pairs: evidence is a set, and a group touched by
+        # several rotations deterministically re-emits its pairs into
+        # each toucher's partition — a raw row count would drift
+        # above the true pair total (review finding, round 11).
         return (
             spark.read.option("basePath", args.evidence)
             .parquet(args.evidence + "/batch_key=*")
+            .select("da", "db")
+            .distinct()
             .count()
             if args.evidence and os.path.exists(args.evidence)
             else 0
@@ -348,7 +359,7 @@ def cmd_admit(args) -> int:
 
     if n_new == 0:
         print(
-            f"admit: batch_docs={n_batch} new_docs=0 verified_pairs=0 "
+            f"admit: batch_docs={n_batch} new_docs=0 groups=0 new_groups=0 "
             f"evidence_total={evidence_total()} appended=False"
         )
         return 0

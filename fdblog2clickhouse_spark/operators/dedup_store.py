@@ -478,16 +478,36 @@ def members_path(store: str) -> str:
 # first-shared-band gate needs no join back.
 
 _BANDED_BUCKETS = 16  # 4 bands × 16 = 64 partition dirs; raise at scale
+_BANDED_META = "_index_meta.json"  # leading '_': parquet listing skips it
 
 
 def banded_path(store: str) -> str:
     return store.rstrip("/") + "_bands"
 
 
-def banded_rows_frame(sigs: DataFrame) -> DataFrame:
+def banded_buckets(path: str) -> int | None:
+    """The bucket count a persisted index was BUILT with. The kb
+    partition values are a function of this count, so the reader
+    must bucket batch keys with the index's own layout — using the
+    in-process constant against an index built at a different
+    setting would silently select partitions where the matching
+    rows don't live (review finding, round 11). None = no marker
+    (index not yet written)."""
+    import json
+    import os
+
+    meta = os.path.join(path, _BANDED_META)
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return int(json.load(f)["buckets"])
+    return None
+
+
+def banded_rows_frame(sigs: DataFrame, buckets: int | None = None) -> DataFrame:
     """Flat rep-store signature rows → the index rows (group_id, ks,
     band, band_key, kb). One posexplode, no shuffle; the partitioned
     write's hive layout does the bucketing."""
+    b = buckets or _BANDED_BUCKETS
     return store_band_rows(sigs, id_col="group_id").select(
         F.col("id").alias("group_id"),
         "ks",
@@ -497,7 +517,7 @@ def banded_rows_frame(sigs: DataFrame) -> DataFrame:
         # chars (uniform), kept deterministic across engines
         F.expr(
             "CAST(pmod(CAST(conv(substring(band_key, 1, 8), 16, 10) "
-            f"AS BIGINT), {_BANDED_BUCKETS}) AS INT)"
+            f"AS BIGINT), {b}) AS INT)"
         ).alias("kb"),
     )
 
@@ -508,10 +528,24 @@ def write_banded_index(sigs: DataFrame, path: str, mode: str) -> None:
     every hive partition (up to 32 files × 4 × _BANDED_BUCKETS dirs
     per append) and the reader's listing/open cost swamps the
     pruning it came for — measured 4-5 s of fixed overhead at sf0.1
-    before this clustering."""
-    banded_rows_frame(sigs).repartition("band", "kb").write.partitionBy(
+    before this clustering. The bucket count is PERSISTED in a
+    marker file at build time and every append honors the persisted
+    layout, so raising _BANDED_BUCKETS for new stores never
+    corrupts an existing index. The index dir always exists after
+    this call (a hive write of an empty frame creates nothing on
+    its own) — readers rely on that to tell 'legitimately empty'
+    from 'index lost'."""
+    import json
+    import os
+
+    buckets = banded_buckets(path) if mode == "append" else None
+    buckets = buckets or _BANDED_BUCKETS
+    banded_rows_frame(sigs, buckets).repartition("band", "kb").write.partitionBy(
         "band", "kb"
     ).mode(mode).parquet(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _BANDED_META), "w") as f:
+        json.dump({"buckets": buckets}, f)
 
 
 def pruned_store_rows(
@@ -524,6 +558,7 @@ def pruned_store_rows(
     append harmless (duplicate index rows would duplicate candidate
     pairs; full-row dedup over the PRUNED subset is bounded by the
     batch's bucket footprint, never the store)."""
+    import os
     from functools import reduce
     from operator import or_
 
@@ -534,17 +569,38 @@ def pruned_store_rows(
             [], "id long, ks array<string>, band int, band_key string"
         )
 
-    # bounded by the LAYOUT (≤ 4 bands × _BANDED_BUCKETS buckets =
-    # 64 rows), never by the data — the one collect this path needs
-    pair_rows = banded_rows_frame(batch_sigs).select("band", "kb").distinct()
+    # complete a crashed compaction swap first (same recovery rule as
+    # the flat-store compactor: the .old dir is the complete index)
+    old = path + ".old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    if not os.path.exists(path):
+        # a write_banded_index'd index dir ALWAYS exists, even empty
+        # (marker file). Missing dir = the index was lost — scoring
+        # against an implicitly-empty store side would silently drop
+        # every store×batch pair (review finding, round 11).
+        raise FileNotFoundError(
+            f"banded index missing at {path}: rebuild it from the flat "
+            f"store with write_banded_index (or restore {old}) before "
+            "admitting"
+        )
+
+    # bucket batch keys with the INDEX's persisted layout, never the
+    # in-process constant (see banded_buckets)
+    buckets = banded_buckets(path)
+    # bounded by the LAYOUT (≤ 4 bands × buckets rows), never by the
+    # data — the one collect this path needs
+    pair_rows = (
+        banded_rows_frame(batch_sigs, buckets).select("band", "kb").distinct()
+    )
     pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]
     if not pairs:
         return _empty()
     try:
         src = spark.read.parquet(path)
     except AnalysisException:
-        # a hive-partitioned write of an EMPTY frame leaves no files
-        # to infer a schema from — an empty store matches nothing
+        # dir exists but holds no parquet (hive write of an EMPTY
+        # frame leaves only the marker) — a legitimately empty store
         return _empty()
     filt = reduce(
         or_,
@@ -604,6 +660,11 @@ def compact_banded_index(
         .mode("overwrite")
         .parquet(staging)
     )
+    # the layout marker rides inside the dir — carry it through the
+    # swap or readers would fall back to the in-process bucket count
+    meta = os.path.join(path, _BANDED_META)
+    if os.path.exists(meta):
+        shutil.copy2(meta, os.path.join(staging, _BANDED_META))
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

@@ -37,18 +37,25 @@ from ..sources.tables import table
 _SPAN_K = 8  # minimum duplicated span length, in tokens
 
 
-def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per doc (with ≥ K tokens): token count, number of maximal
-    duplicated spans, duplicated-token total, and the duplicated
-    fraction in milli (floored — integer, hash-exact)."""
-    k = _SPAN_K
+def _eligible_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs with >= K normalized tokens — the decision scope shared
+    by all three span ops."""
     d = table(spark, sf_dir, "documents")
-    t = d.select(
+    return d.select(
         "doc_id",
         F.filter(tokens(norm_text(F.col("text"))), lambda x: x != "").alias("tk"),
-    ).where(F.size("tk") >= k)
+    ).where(F.size("tk") >= _SPAN_K)
+
+
+def _pos_hashes(t: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, i, key, h): every K-token shingle with its
+    position and the global-order BIGINT key the keep-first policy
+    argmins. ONE derivation for stats/decision/apply — the
+    decision-and-apply conservation invariant is structural, not
+    just test-enforced (review finding, round 11)."""
+    k = _SPAN_K
     parts = ", ".join(f"tk[i+{j}]" for j in range(k))
-    sh = t.select(
+    return t.select(
         "doc_id",
         F.size("tk").alias("n_tok"),
         F.posexplode(
@@ -57,12 +64,37 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"i -> concat_ws(' ', {parts}))"
             )
         ).alias("i", "s"),
-    ).select("doc_id", "n_tok", "i", F.expr(h32_spark_sql("s")).alias("h"))
-    dup_h = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
-    dup_pos = sh.join(dup_h.select("h"), "h", "left_semi")
+    ).select(
+        "doc_id",
+        "n_tok",
+        "i",
+        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("i")).alias("key"),
+        F.expr(h32_spark_sql("s")).alias("h"),
+    )
 
+
+def _cut_positions(pos: DataFrame) -> DataFrame:
+    """Non-canonical occurrences of duplicated shingles — the
+    positions the ExactSubstr policy excises (the globally-first
+    occurrence, min key per hash, is kept)."""
+    per_h = pos.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("key").alias("min_key")
+    )
+    return (
+        pos.join(per_h.where(F.col("c") > 1), "h")
+        .where(F.col("key") != F.col("min_key"))
+        .select("doc_id", "n_tok", "i")
+    )
+
+
+def _maximal_spans(positions: DataFrame) -> DataFrame:
+    """Marked shingle-start positions → maximal spans (doc_id, n_tok,
+    island, s0, s1) via the gaps-and-islands window (partition = one
+    doc's positions, bounded by doc length; spans are disjoint
+    because islands merge anything within K)."""
+    k = _SPAN_K
     w = Window.partitionBy("doc_id").orderBy("i")
-    islands = dup_pos.withColumn(
+    islands = positions.withColumn(
         "brk",
         F.when(
             F.col("i") - F.lag("i").over(w) > F.lit(k), F.lit(1)
@@ -71,17 +103,36 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "island",
         F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = islands.groupBy("doc_id", "n_tok", "island").agg(
-        (F.max("i") - F.min("i") + F.lit(k)).alias("span_len")
+    return islands.groupBy("doc_id", "n_tok", "island").agg(
+        F.min("i").alias("s0"), (F.max("i") + F.lit(k) - 1).alias("s1")
     )
+
+
+def _span_len():
+    return F.col("s1") - F.col("s0") + F.lit(1)
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc (with >= K tokens): token count, number of maximal
+    duplicated spans, duplicated-token total, and the duplicated
+    fraction in milli (floored — integer, hash-exact)."""
+    t = _eligible_tokens(spark, sf_dir)
+    pos = _pos_hashes(t)
+    dup_h = (
+        pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+    )
+    dup_pos = pos.join(dup_h.select("h"), "h", "left_semi").select(
+        "doc_id", "n_tok", "i"
+    )
+    spans = _maximal_spans(dup_pos)
     return spans.groupBy("doc_id", "n_tok").agg(
         F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
-        F.sum("span_len").alias("dup_tokens"),
+        F.sum(_span_len()).alias("dup_tokens"),
         F.floor(
-            F.sum("span_len") * F.lit(1000) / F.col("n_tok").cast("double")
+            F.sum(_span_len()) * F.lit(1000) / F.col("n_tok").cast("double")
         ).alias("dup_frac_milli"),
     ).unionByName(
-        # docs with ≥ K tokens but no duplicated shingle: explicit
+        # docs with >= K tokens but no duplicated shingle: explicit
         # zero rows, so the output covers every eligible doc
         t.select("doc_id", F.size("tk").alias("n_tok"))
         .join(dup_pos.select("doc_id").distinct(), "doc_id", "left_anti")
@@ -155,62 +206,23 @@ def dup_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin is a plain MIN aggregate in both engines — is kept;
     every other occurrence marks its K-token span for excision.
     Non-canonical positions merge into maximal cut spans with the
-    same gaps-and-islands window; per doc the op reports tokens
-    kept/removed and the cut-span count — the numbers a corpus
-    rewrite job applies.
+    shared gaps-and-islands helper; per doc the op reports tokens
+    kept/removed and the cut-span count — the numbers
+    `dup_span_apply` applies (both draw their spans from the SAME
+    `_cut_positions`/`_maximal_spans` derivation, so the
+    conservation invariant is structural).
 
     Scale notes: the canonical choice is per-shingle-hash (one MIN
     per hash key, map-side combined); everything else is the stats
     op's shape. Keeping the first occurrence is the public
     ExactSubstr policy (deterministic, no coordination: the min key
     is a pure function of the corpus)."""
-    k = _SPAN_K
-    d = table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.filter(tokens(norm_text(F.col("text"))), lambda x: x != "").alias("tk"),
-    ).where(F.size("tk") >= k)
-    parts = ", ".join(f"tk[i+{j}]" for j in range(k))
-    sh = t.select(
-        "doc_id",
-        F.size("tk").alias("n_tok"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(tk)-{k}), "
-                f"i -> concat_ws(' ', {parts}))"
-            )
-        ).alias("i", "s"),
-    ).select(
-        "doc_id",
-        "n_tok",
-        "i",
-        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("i")).alias("key"),
-        F.expr(h32_spark_sql("s")).alias("h"),
-    )
-    per_h = sh.groupBy("h").agg(
-        F.count(F.lit(1)).alias("c"), F.min("key").alias("min_key")
-    )
-    cut_pos = (
-        sh.join(per_h.where(F.col("c") > 1), "h")
-        .where(F.col("key") != F.col("min_key"))
-        .select("doc_id", "n_tok", "i")
-    )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    islands = cut_pos.withColumn(
-        "brk",
-        F.when(
-            F.col("i") - F.lag("i").over(w) > F.lit(k), F.lit(1)
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "island",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans_df = islands.groupBy("doc_id", "n_tok", "island").agg(
-        (F.max("i") - F.min("i") + F.lit(k)).alias("span_len")
-    )
+    t = _eligible_tokens(spark, sf_dir)
+    cut_pos = _cut_positions(_pos_hashes(t))
+    spans_df = _maximal_spans(cut_pos)
     cut = spans_df.groupBy("doc_id", "n_tok").agg(
         F.count(F.lit(1)).cast("int").alias("n_cut_spans"),
-        F.sum("span_len").alias("removed_tokens"),
+        F.sum(_span_len()).alias("removed_tokens"),
     )
     return cut.select(
         "doc_id",
@@ -299,60 +311,16 @@ def dup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decision's scope and are excluded here too, same as the
     decision op).
 
-    Distributed shape: identical to the decision op through the cut
-    spans (vocab-bounded count + semi-join + per-doc
-    gaps-and-islands window), then the spans collapse to ONE
-    in-row array per doc (collect_list over the doc's few cut
-    spans, never corpus-sized) and the excision itself is a pure
-    in-row `filter/transform` over token positions — whole-stage
-    codegen, zero extra shuffles beyond the decision op's.
-    Conservation (kept_tokens ≡ the decision op's, per doc) is
-    CI-pinned."""
-    k = _SPAN_K
-    d = table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.filter(tokens(norm_text(F.col("text"))), lambda x: x != "").alias("tk"),
-    ).where(F.size("tk") >= k)
-    parts = ", ".join(f"tk[i+{j}]" for j in range(k))
-    sh = t.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(tk)-{k}), "
-                f"i -> concat_ws(' ', {parts}))"
-            )
-        ).alias("i", "s"),
-    ).select(
-        "doc_id",
-        "i",
-        (F.col("doc_id") * F.lit(1_000_000_000) + F.col("i")).alias("key"),
-        F.expr(h32_spark_sql("s")).alias("h"),
-    )
-    per_h = sh.groupBy("h").agg(
-        F.count(F.lit(1)).alias("c"), F.min("key").alias("min_key")
-    )
-    cut_pos = (
-        sh.join(per_h.where(F.col("c") > 1), "h")
-        .where(F.col("key") != F.col("min_key"))
-        .select("doc_id", "i")
-    )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    islands = cut_pos.withColumn(
-        "brk",
-        F.when(
-            F.col("i") - F.lag("i").over(w) > F.lit(k), F.lit(1)
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "island",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    Distributed shape: the SAME `_cut_positions`/`_maximal_spans`
+    derivation as the decision op (conservation is structural), then
+    the spans collapse to ONE in-row array per doc (collect_list
+    over the doc's few cut spans, never corpus-sized) and the
+    excision itself is a pure in-row `filter/transform` over token
+    positions — whole-stage codegen, zero extra shuffles beyond the
+    decision op's."""
+    t = _eligible_tokens(spark, sf_dir)
     cuts = (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("i").alias("s0"),
-            (F.max("i") + F.lit(k) - 1).alias("s1"),
-        )
+        _maximal_spans(_cut_positions(_pos_hashes(t)))
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s0", "s1")).alias("cuts"))
     )

@@ -360,6 +360,131 @@ def test_rep_admission_mega_bucket_store_linear(spark, tmp_path):
     assert spark.read.parquet(os.path.join(root, "members")).count() == n
 
 
+def test_rep_signature_frame_equals_exploded_form(spark, sf_oracle):
+    """rep_signature_frame inlines the in-row MinHash expressions
+    (dedup._minhash_sig_inrow's shape) with gh carried through —
+    this pins the two spellings byte-identical per group, so a
+    drift in either copy of the permutation constants/expression
+    breaks here, not silently in store contents. (The helper itself
+    is not reused because generalizing it would touch dedup.py,
+    whose greens are byte-pinned; the sync guard lives here
+    instead.)"""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    g = dedup_store.rep_group_frame(
+        table(spark, sf_oracle, "documents").select("doc_id", "text")
+    )
+    reps = dedup_store.rep_reps(g)
+    inrow = dedup_store.rep_signature_frame(reps).drop("gh")
+    exploded = dedup_store.signature_frame(
+        reps.select(
+            F.col("group_id").alias("doc_id"),
+            F.array_distinct(
+                F.expr(
+                    __import__(
+                        "fdblog2clickhouse_spark.functions.text",
+                        fromlist=["shingles_expr"],
+                    ).shingles_expr("t", 3)
+                )
+            ).alias("sh"),
+        )
+    ).withColumnRenamed("doc_id", "group_id")
+    assert sorted(map(tuple, inrow.collect())) == sorted(
+        map(tuple, exploded.collect())
+    )
+
+
+def test_banded_bucket_layout_is_persisted(spark, tmp_path):
+    """The kb partition values are a function of the bucket count the
+    index was BUILT with; readers and appenders must honor the
+    persisted layout, not the in-process constant — otherwise a
+    raised _BANDED_BUCKETS against an old index silently prunes to
+    the wrong partitions (review finding, round 11)."""
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [
+            (i, f"doc {i} words alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(1, 15)
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup_store.rep_signature_frame(
+        dedup_store.rep_reps(dedup_store.rep_group_frame(d))
+    )
+    bands = str(tmp_path / "bands")
+    dedup_store.write_banded_index(sigs, bands, "overwrite")
+    assert dedup_store.banded_buckets(bands) == dedup_store._BANDED_BUCKETS
+
+    gb = dedup_store.rep_group_frame(
+        spark.createDataFrame(
+            [(100, "doc 7 words alpha7 beta7 gamma7 delta7")],
+            "doc_id long, text string",
+        )
+    )
+    batch = dedup_store.rep_signature_frame(dedup_store.rep_reps(gb))
+
+    orig = dedup_store._BANDED_BUCKETS
+    try:
+        # operator raises the constant for NEW stores — existing
+        # index reads and appends must keep working
+        dedup_store._BANDED_BUCKETS = 256
+        got = {
+            r["id"]
+            for r in dedup_store.pruned_store_rows(spark, bands, batch).collect()
+        }
+        assert 7 in got, "pruned read bucketed with the wrong layout"
+        dedup_store.write_banded_index(batch, bands, "append")
+        assert dedup_store.banded_buckets(bands) == orig  # layout kept
+        got2 = {
+            r["id"]
+            for r in dedup_store.pruned_store_rows(spark, bands, batch).collect()
+        }
+        assert 7 in got2 and 100 in got2
+    finally:
+        dedup_store._BANDED_BUCKETS = orig
+
+    # compaction carries the layout marker through the swap
+    dedup_store.compact_banded_index(spark, bands)
+    assert dedup_store.banded_buckets(bands) == orig
+
+
+def test_pruned_store_rows_missing_index_raises_and_restores(spark, tmp_path):
+    """A LOST banded index must fail loudly (scoring against an
+    implicitly-empty store side would silently drop every
+    store×batch pair); a crash-interrupted compaction swap (.old
+    present, path missing) is restored transparently."""
+    import os
+
+    import pytest
+
+    d = spark.createDataFrame(
+        [(i, f"doc {i} words alpha{i} beta{i} gamma{i}") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    sigs = dedup_store.rep_signature_frame(
+        dedup_store.rep_reps(dedup_store.rep_group_frame(d))
+    )
+    bands = str(tmp_path / "bands")
+    dedup_store.write_banded_index(sigs, bands, "overwrite")
+    batch = sigs.limit(2)
+
+    # crash window: renamed aside, swap unfinished → restored
+    os.rename(bands, bands + ".old")
+    rows = dedup_store.pruned_store_rows(spark, bands, batch)
+    assert rows.count() > 0
+    assert os.path.exists(bands) and not os.path.exists(bands + ".old")
+
+    # genuinely lost → loud failure, not silent empty
+    import shutil
+
+    shutil.rmtree(bands)
+    with pytest.raises(FileNotFoundError):
+        dedup_store.pruned_store_rows(spark, bands, batch)
+
+
 def test_streaming_rep_admission_matches_oracle_and_batch(spark, sf_oracle):
     """The streaming rep lifecycle (4 micro-batches, store + banded
     index + members growing under the stream) must hash-match the
