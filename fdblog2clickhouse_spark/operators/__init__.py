@@ -55,7 +55,13 @@ from pyspark.sql import DataFrame, SparkSession
 #       file streaming/rep_admission.py, so streaming/queries.py's
 #       r7 greens stay byte-valid) — new code always outranks a
 #       re-cover slot; ann_topk_bruteforce moves to the r12 queue.
-# r12 RE-COVER PRIORITY (stalest first, files unchanged): the rest
+# r12 BUILD PRIORITY: the VECTOR rep pre-pass
+# (embedding_store_rep_admission — group by quantized-vector hash;
+# within-group expansion uses the oracle's self-cosine arithmetic,
+# see SCALE.md "Vector-side exposure") — new code takes its window
+# slot first.
+# r12 RE-COVER PRIORITY (stalest first, files unchanged):
+# ann_topk_bruteforce (displaced this round), then the rest
 # of the r7 cohort — similarity.py's 14 remaining, curation.py's 5,
 # textops.py's corpus_select/doc_top_terms/bpe_pair_stats/
 # lang_confusion_metrics/source_dup_inflation/doc_rarity_score,

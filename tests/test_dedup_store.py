@@ -360,6 +360,57 @@ def test_rep_admission_mega_bucket_store_linear(spark, tmp_path):
     assert spark.read.parquet(os.path.join(root, "members")).count() == n
 
 
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small vocab → generated corpora are dense with exact dups AND
+# partial-overlap near-dups, the regimes the rep collapse and the
+# touched-group rescore must keep equivalent under
+_VOCAB = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+          "golf", "hotel"]
+_doc_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # doc_id: forces slice mix
+        st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=9),
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_strategy)
+def test_rep_equals_uncapped_property(spark, tmp_path_factory, docs):
+    """Randomized equivalence: for ARBITRARY small corpora (dense
+    with exact dups and near-dups across all three arrival slices),
+    the representative lifecycle must produce byte-identical
+    evidence to the uncapped doc-level lifecycle. Catches collapse /
+    rescore / expansion edge cases no crafted corpus pins."""
+    import os
+
+    p = tmp_path_factory.mktemp("rep_prop")
+    rows = [(i, " ".join(ws)) for i, ws in docs]
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(p), "documents.parquet")
+    )
+    rep = sorted(
+        map(tuple, dedup_store.dedup_store_rep_admission(spark, str(p)).collect())
+    )
+    unc = sorted(
+        map(tuple, dedup_store.dedup_store_admission(spark, str(p)).collect())
+    )
+    assert rep == unc
+
+
 def test_rep_signature_frame_equals_exploded_form(spark, sf_oracle):
     """rep_signature_frame inlines the in-row MinHash expressions
     (dedup._minhash_sig_inrow's shape) with gh carried through —
