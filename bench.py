@@ -99,7 +99,7 @@ HEADLINE = [
 # Family subtotals (VERDICT r10 item #7): 38 tracked queries make the
 # headline total composition-sensitive; per-family sums localize a
 # drift to the subsystem that moved. Keys must cover HEADLINE exactly
-# (asserted in main()).
+# (asserted at import, below).
 FAMILY = {
     **{q: "tpch" for q in HEADLINE if q.startswith("tpch_")},
     **{

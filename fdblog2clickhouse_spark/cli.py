@@ -315,116 +315,65 @@ def cmd_admit(args) -> int:
 
     from pyspark.sql import functions as F
 
-    from .operators import dedup as dd
     from .operators.dedup_store import (
-        _N_BANDS,
         banded_path,
-        candidates_from_rows,
         members_path,
-        pruned_store_rows,
-        rep_admission_frames,
+        rep_admission_step,
         rep_group_frame,
         shingle_frame,
-        store_band_rows,
-        write_banded_index,
     )
 
     spark = _spark()
     batch = spark.read.schema(_DOC_SCHEMA).json(args.batch)
-    store_sigs = spark.read.parquet(args.store)
-    members = spark.read.parquet(members_path(args.store))
     g_batch = rep_group_frame(batch).cache()
     n_batch = g_batch.count()
-    member_new = (
-        g_batch.select("doc_id", "gh")
-        .join(members.select("doc_id"), "doc_id", "left_anti")
-        .cache()
-    )
-    n_new = member_new.count()
 
-    def evidence_total() -> int:
-        # DISTINCT pairs: evidence is a set, and a group touched by
-        # several rotations deterministically re-emits its pairs into
-        # each toucher's partition — a raw row count would drift
-        # above the true pair total (review finding, round 11).
-        return (
-            spark.read.option("basePath", args.evidence)
-            .parquet(args.evidence + "/batch_key=*")
-            .select("da", "db")
-            .distinct()
-            .count()
-            if args.evidence and os.path.exists(args.evidence)
-            else 0
-        )
-
-    if n_new == 0:
-        print(
-            f"admit: batch_docs={n_batch} new_docs=0 groups=0 new_groups=0 "
-            f"evidence_total={evidence_total()} appended=False"
-        )
-        return 0
-
-    group_map, new_sigs, batch_side = rep_admission_frames(
-        store_sigs, g_batch
-    )
-    # materialize everything that reads the store BEFORE the appends
-    # below mutate it — the joins re-scan the store path otherwise.
-    group_map, new_sigs = group_map.cache(), new_sigs.cache()
-    n_groups, n_new_groups = group_map.count(), new_sigs.count()
-    # store side: the band-partitioned index's PRUNED read — only the
-    # partitions the batch's own (band, kb) keys can match are ever
-    # opened — minus every batch-side group id (VERDICT r10 item #4)
-    store_rows = pruned_store_rows(
-        spark, banded_path(args.store), batch_side
-    ).join(
-        batch_side.select(F.col("group_id").alias("id")), "id", "left_anti"
-    )
-    # candidates are small after LSH — materialize them once so (a)
-    # the verify-side corpus can be PRUNED to candidate group reps
-    # BEFORE the shingle computation (at 100 TB the corpus read is
-    # the cost) and (b) the evidence write never recomputes the band
-    # join against a store the appends are growing.
-    cand = candidates_from_rows(
-        store_rows, store_band_rows(batch_side, id_col="group_id"), _N_BANDS
-    ).cache()
-    cand_ids = (
-        cand.select(F.col("da").alias("doc_id"))
-        .unionByName(cand.select(F.col("db").alias("doc_id")))
-        .distinct()
-    )
     # a group id IS its rep's doc_id, so --corpus (which must cover
-    # candidate docs' text) serves the verify side, pruned to reps
-    corpus = spark.read.schema(_DOC_SCHEMA).json(args.corpus).join(
-        cand_ids, "doc_id", "left_semi"
-    )
-    feats = shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
-    verified = dd.jaccard_on_candidates(cand, feats, args.threshold)
-    if args.evidence:
-        batch_key = hashlib.md5(
-            os.path.abspath(args.batch).encode()
-        ).hexdigest()[:12]
-        verified.write.mode("overwrite").parquet(
-            os.path.join(args.evidence, f"batch_key={batch_key}")
+    # candidate docs' text) serves the verify side, pruned to the
+    # candidate reps BEFORE the shingle computation (at 100 TB the
+    # corpus read is the cost).
+    def feats_for(cand_ids):
+        corpus = spark.read.schema(_DOC_SCHEMA).json(args.corpus).join(
+            cand_ids, "doc_id", "left_semi"
         )
-        n_pairs = evidence_total()
-    else:
-        n_pairs = verified.count()
-    if not args.no_append:
-        # banded index BEFORE flat store: a crash between the two
-        # re-admits the group as new next retry and the index read's
-        # dropDuplicates absorbs the re-appended rows; the reverse
-        # order would strand a store group with no index rows
-        write_banded_index(new_sigs, banded_path(args.store), "append")
-        new_sigs.write.mode("append").parquet(args.store)
-        member_new.join(group_map, "gh").select(
-            "doc_id", "gh", "group_id"
-        ).write.mode("append").parquet(members_path(args.store))
-    for c in (g_batch, member_new, group_map, new_sigs, cand):
-        c.unpersist()
+        return shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
+
+    n_pairs = 0
+
+    def write_evidence(verified) -> None:
+        # rotation-scoped stats only: a global evidence total would
+        # read + distinct the WHOLE history on every admit (review
+        # finding, round 11); within one rotation pairs are unique,
+        # so the partition count is the distinct pair count.
+        nonlocal n_pairs
+        if args.evidence:
+            batch_key = hashlib.md5(
+                os.path.abspath(args.batch).encode()
+            ).hexdigest()[:12]
+            part = os.path.join(args.evidence, f"batch_key={batch_key}")
+            verified.write.mode("overwrite").parquet(part)
+            n_pairs = spark.read.parquet(part).count()
+        else:
+            n_pairs = verified.count()
+
+    stats = rep_admission_step(
+        spark,
+        g_batch,
+        args.store,
+        banded_path(args.store),
+        members_path(args.store),
+        feats_for,
+        write_evidence,
+        threshold=args.threshold,
+        skip_when_no_new_docs=True,
+        apply_appends=not args.no_append,
+    )
+    g_batch.unpersist()
+    appended = bool(not args.no_append and stats.get("scored"))
     print(
-        f"admit: batch_docs={n_batch} new_docs={n_new} "
-        f"groups={n_groups} new_groups={n_new_groups} "
-        f"evidence_total={n_pairs} appended={not args.no_append}"
+        f"admit: batch_docs={n_batch} new_docs={stats['new_docs']} "
+        f"groups={stats['groups']} new_groups={stats['new_groups']} "
+        f"rotation_pairs={n_pairs} appended={appended}"
     )
     return 0
 

@@ -538,8 +538,18 @@ def write_banded_index(sigs: DataFrame, path: str, mode: str) -> None:
     import json
     import os
 
-    buckets = banded_buckets(path) if mode == "append" else None
-    buckets = buckets or _BANDED_BUCKETS
+    if mode == "append" and os.path.exists(path):
+        buckets = banded_buckets(path)
+        if buckets is None:
+            # an index dir without a marker is a crashed overwrite
+            # build — appending with a GUESSED layout would mix kb
+            # conventions; force the rebuild instead
+            raise RuntimeError(
+                f"banded index at {path} has no layout marker "
+                "(interrupted build?): rebuild it with mode='overwrite'"
+            )
+    else:
+        buckets = _BANDED_BUCKETS
     banded_rows_frame(sigs, buckets).repartition("band", "kb").write.partitionBy(
         "band", "kb"
     ).mode(mode).parquet(path)
@@ -586,8 +596,17 @@ def pruned_store_rows(
         )
 
     # bucket batch keys with the INDEX's persisted layout, never the
-    # in-process constant (see banded_buckets)
+    # in-process constant (see banded_buckets). A present dir with
+    # no marker is a crashed build — defaulting would silently prune
+    # with the wrong layout, so fail loudly like the missing-dir
+    # case (review finding, round 11).
     buckets = banded_buckets(path)
+    if buckets is None:
+        raise RuntimeError(
+            f"banded index at {path} has no layout marker (interrupted "
+            "build?): rebuild it from the flat store with "
+            "write_banded_index(mode='overwrite') before admitting"
+        )
     # bounded by the LAYOUT (≤ 4 bands × buckets rows), never by the
     # data — the one collect this path needs
     pair_rows = (
@@ -661,10 +680,16 @@ def compact_banded_index(
         .parquet(staging)
     )
     # the layout marker rides inside the dir — carry it through the
-    # swap or readers would fall back to the in-process bucket count
+    # swap (readers refuse to run without it, so a marker-less index
+    # here means a crashed build: surface it rather than launder it
+    # through a compaction)
     meta = os.path.join(path, _BANDED_META)
-    if os.path.exists(meta):
-        shutil.copy2(meta, os.path.join(staging, _BANDED_META))
+    if not os.path.exists(meta):
+        raise RuntimeError(
+            f"banded index at {path} has no layout marker (interrupted "
+            "build?): rebuild it before compacting"
+        )
+    shutil.copy2(meta, os.path.join(staging, _BANDED_META))
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
@@ -706,6 +731,94 @@ def rep_admission_frames(
     )
 
 
+def rep_admission_step(
+    spark: SparkSession,
+    g_batch: DataFrame,
+    sig_path: str,
+    band_path: str,
+    mem_path: str,
+    feats_for,
+    write_evidence,
+    *,
+    threshold: float = _JACCARD_THRESHOLD,
+    skip_when_no_new_docs: bool = False,
+    apply_appends: bool = True,
+) -> dict:
+    """ONE admission step against a persisted rep store — the single
+    source of truth for the ordering-critical sequence the CLI
+    (`admit`), the batch proof op, and the streaming sibling all
+    run (review finding, round 11: three hand-maintained copies had
+    already drifted — the streaming copy lost the members
+    anti-join):
+
+    1. docs already in members are identified (exactly-once under
+       redelivery; `skip_when_no_new_docs` makes a fully-delivered
+       batch a no-op);
+    2. batch groups classify against the flat store (new vs
+       touched), the banded index serves the PRUNED store side,
+       and everything reading the store is cache-materialized
+       BEFORE any append mutates it;
+    3. verified group evidence goes to `write_evidence` FIRST, then
+       banded → flat → members appends (each idempotent: the banded
+       read dropDuplicates, the gh classification, the doc_id
+       anti-join).
+
+    `feats_for(cand_ids)` supplies (doc_id, fs) shingle features for
+    candidate group reps (corpus JSON in the CLI, a cached group
+    frame in the operators). Returns the step's counts."""
+    members = spark.read.parquet(mem_path)
+    mem_new = (
+        g_batch.select("doc_id", "gh")
+        .join(members.select("doc_id"), "doc_id", "left_anti")
+        .cache()
+    )
+    n_mem_new = mem_new.count()
+    if skip_when_no_new_docs and n_mem_new == 0:
+        mem_new.unpersist()
+        return {"new_docs": 0, "groups": 0, "new_groups": 0, "scored": False}
+
+    store_sigs = spark.read.parquet(sig_path)
+    group_map, new_sigs, batch_side = rep_admission_frames(store_sigs, g_batch)
+    group_map, new_sigs = group_map.cache(), new_sigs.cache()
+    store_rows = pruned_store_rows(spark, band_path, batch_side).join(
+        batch_side.select(F.col("group_id").alias("id")), "id", "left_anti"
+    )
+    cand = candidates_from_rows(
+        store_rows, store_band_rows(batch_side, id_col="group_id"), _N_BANDS
+    ).cache()
+    # ONE extra materializing action: the evidence write below fills
+    # the new_sigs and cand caches through batch_side's lineage (it
+    # runs before any append); group_map — whose first consumer is
+    # the post-append members write — needs the explicit count, and
+    # counting it also yields the stats.
+    n_groups, n_new_groups = group_map.count(), new_sigs.count()
+    cand_ids = (
+        cand.select(F.col("da").alias("doc_id"))
+        .unionByName(cand.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    verified = jaccard_on_candidates(cand, feats_for(cand_ids), threshold)
+    write_evidence(verified)
+    if apply_appends:
+        # banded BEFORE flat: a crash between the two re-admits the
+        # group as new next retry and the index read's dropDuplicates
+        # absorbs the re-appended rows — the reverse order would
+        # strand a group with no index rows at all
+        write_banded_index(new_sigs, band_path, "append")
+        new_sigs.write.mode("append").parquet(sig_path)
+        mem_new.join(group_map, "gh").select(
+            "doc_id", "gh", "group_id"
+        ).write.mode("append").parquet(mem_path)
+    for c in (mem_new, group_map, new_sigs, cand):
+        c.unpersist()
+    return {
+        "new_docs": n_mem_new,
+        "groups": n_groups,
+        "new_groups": n_new_groups,
+        "scored": True,
+    }
+
+
 def dedup_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`dedup_store_admission` with the production exact-dedup
     representative pre-pass composed in (block comment above): the
@@ -744,59 +857,24 @@ def dedup_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         mem_path
     )
 
-    for rem in (_BATCH1_REM, _BATCH2_REM):
-        g_batch = g_all.where(_slice(F.col("doc_id"), rem))
-        store_sigs = spark.read.parquet(sig_path)
-        group_map, new_sigs, batch_side = rep_admission_frames(
-            store_sigs, g_batch
-        )
-        # materialize everything that reads the store BEFORE the
-        # appends below mutate it (same discipline as cmd_admit)
-        group_map, new_sigs = group_map.cache(), new_sigs.cache()
-        # store side: the banded index's PRUNED read, minus every
-        # batch-side group — the production scan-pruning design,
-        # covered by this op's oracle
-        store_rows = pruned_store_rows(spark, band_path, batch_side).join(
-            batch_side.select(F.col("group_id").alias("id")),
-            "id",
-            "left_anti",
-        )
-        cand = candidates_from_rows(
-            store_rows,
-            store_band_rows(batch_side, id_col="group_id"),
-            _N_BANDS,
-        ).cache()
-        # ONE materializing action: the evidence write below fills
-        # the new_sigs and cand caches through batch_side's lineage
-        # (it runs before any append), so only group_map — whose
-        # first consumer is the post-append members write — needs an
-        # explicit pre-append materialization.
-        group_map.count()
-        cand_ids = (
-            cand.select(F.col("da").alias("doc_id"))
-            .unionByName(cand.select(F.col("db").alias("doc_id")))
-            .distinct()
-        )
-        # a group id IS its rep's doc_id, so rep features come
-        # straight from the cached group frame, pruned to candidates
-        feats = g_all.join(cand_ids, "doc_id", "left_semi").select(
+    # a group id IS its rep's doc_id, so rep features come straight
+    # from the cached group frame, pruned to candidates
+    def feats_for(cand_ids: DataFrame) -> DataFrame:
+        return g_all.join(cand_ids, "doc_id", "left_semi").select(
             "doc_id",
             F.array_distinct(F.expr(shingles_expr("t", 3))).alias("fs"),
         )
-        jaccard_on_candidates(cand, feats, _JACCARD_THRESHOLD).write.mode(
-            "append"
-        ).parquet(evidence)
-        # banded BEFORE flat: a crash between the two re-admits the
-        # group as new (gh absent from flat) and the index read's
-        # dropDuplicates absorbs the re-appended rows — the reverse
-        # order would strand a group with no index rows at all
-        write_banded_index(new_sigs, band_path, "append")
-        new_sigs.write.mode("append").parquet(sig_path)
-        g_batch.select("doc_id", "gh").join(group_map, "gh").select(
-            "doc_id", "gh", "group_id"
-        ).write.mode("append").parquet(mem_path)
-        for c in (group_map, new_sigs, cand):
-            c.unpersist()
+
+    for rem in (_BATCH1_REM, _BATCH2_REM):
+        rep_admission_step(
+            spark,
+            g_all.where(_slice(F.col("doc_id"), rem)),
+            sig_path,
+            band_path,
+            mem_path,
+            feats_for,
+            lambda verified: verified.write.mode("append").parquet(evidence),
+        )
 
     expand_group_evidence(spark, evidence, mem_path).write.mode(
         "overwrite"

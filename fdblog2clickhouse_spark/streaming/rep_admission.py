@@ -39,21 +39,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup_store import (
-    _JACCARD_THRESHOLD,
-    _N_BANDS,
     _STORE_ADMISSION_SQL,
     _base_pred,
-    candidates_from_rows,
     expand_group_evidence,
-    pruned_store_rows,
-    rep_admission_frames,
+    rep_admission_step,
     rep_group_frame,
     rep_reps,
     rep_signature_frame,
-    store_band_rows,
     write_banded_index,
 )
-from ..operators.dedup import jaccard_on_candidates
 from ..sources.tables import table
 
 
@@ -96,44 +90,28 @@ def streaming_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import shingles_expr
 
-    def admit(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        g_batch = rep_group_frame(batch_df)
-        store_sigs = s.read.parquet(sig_path)
-        group_map, new_sigs, batch_side = rep_admission_frames(
-            store_sigs, g_batch
-        )
-        group_map, new_sigs = group_map.cache(), new_sigs.cache()
-        store_rows = pruned_store_rows(s, band_path, batch_side).join(
-            batch_side.select(F.col("group_id").alias("id")),
-            "id",
-            "left_anti",
-        )
-        cand = candidates_from_rows(
-            store_rows,
-            store_band_rows(batch_side, id_col="group_id"),
-            _N_BANDS,
-        ).cache()
-        group_map.count()  # pre-append materialization (see batch op)
-        cand_ids = (
-            cand.select(F.col("da").alias("doc_id"))
-            .unionByName(cand.select(F.col("db").alias("doc_id")))
-            .distinct()
-        )
-        feats = g_all.join(cand_ids, "doc_id", "left_semi").select(
+    def feats_for(cand_ids: DataFrame) -> DataFrame:
+        return g_all.join(cand_ids, "doc_id", "left_semi").select(
             "doc_id",
             F.array_distinct(F.expr(shingles_expr("t", 3))).alias("fs"),
         )
-        jaccard_on_candidates(cand, feats, _JACCARD_THRESHOLD).write.mode(
-            "append"
-        ).parquet(evidence)
-        write_banded_index(new_sigs, band_path, "append")
-        new_sigs.write.mode("append").parquet(sig_path)
-        g_batch.select("doc_id", "gh").join(group_map, "gh").select(
-            "doc_id", "gh", "group_id"
-        ).write.mode("append").parquet(mem_path)
-        for c in (group_map, new_sigs, cand):
-            c.unpersist()
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        # the SHARED step (operators/dedup_store.py) — including the
+        # members anti-join that makes a RETRIED micro-batch
+        # idempotent under foreachBatch's at-least-once contract
+        # (skip_when_no_new_docs: a fully-committed batch replayed
+        # after a checkpoint-less restart is a no-op).
+        rep_admission_step(
+            batch_df.sparkSession,
+            rep_group_frame(batch_df),
+            sig_path,
+            band_path,
+            mem_path,
+            feats_for,
+            lambda verified: verified.write.mode("append").parquet(evidence),
+            skip_when_no_new_docs=True,
+        )
 
     stream = spark.readStream.schema("doc_id long, text string").option(
         "maxFilesPerTrigger", 1

@@ -411,6 +411,73 @@ def test_rep_equals_uncapped_property(spark, tmp_path_factory, docs):
     assert rep == unc
 
 
+def test_rep_admission_step_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a COMMITTED batch
+    through the shared step must be a no-op (skip path — the members
+    anti-join finds nothing new), and replaying a PARTIALLY-committed
+    one must converge without duplicate store/member rows (review
+    finding, round 11: the streaming copy had lost the anti-join)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    base = spark.createDataFrame([(1, t_a)], "doc_id long, text string")
+    g_base = dedup_store.rep_group_frame(base)
+    reps = dedup_store.rep_reps(g_base)
+    sig = str(tmp_path / "sig")
+    bands = str(tmp_path / "bands")
+    mem = str(tmp_path / "mem")
+    ev = str(tmp_path / "ev")
+    dedup_store.rep_signature_frame(reps).write.parquet(sig)
+    dedup_store.write_banded_index(spark.read.parquet(sig), bands, "overwrite")
+    g_base.select("doc_id", "gh").join(
+        reps.select("gh", "group_id"), "gh"
+    ).select("doc_id", "gh", "group_id").write.parquet(mem)
+
+    batch = dedup_store.rep_group_frame(
+        spark.createDataFrame(
+            [(10, t_a + " mike november")], "doc_id long, text string"
+        )
+    )
+
+    def feats_for(cand_ids):
+        allg = dedup_store.rep_group_frame(
+            spark.createDataFrame(
+                [(1, t_a), (10, t_a + " mike november")],
+                "doc_id long, text string",
+            )
+        )
+        from fdblog2clickhouse_spark.functions.text import shingles_expr
+
+        return allg.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.array_distinct(F.expr(shingles_expr("t", 3))).alias("fs"),
+        )
+
+    writer = lambda v: v.write.mode("append").parquet(ev)  # noqa: E731
+    s1 = dedup_store.rep_admission_step(
+        spark, batch, sig, bands, mem, feats_for, writer,
+        skip_when_no_new_docs=True,
+    )
+    assert s1 == {"new_docs": 1, "groups": 1, "new_groups": 1, "scored": True}
+    # replay of the committed batch: pure no-op
+    s2 = dedup_store.rep_admission_step(
+        spark, batch, sig, bands, mem, feats_for, writer,
+        skip_when_no_new_docs=True,
+    )
+    assert s2["scored"] is False
+    assert sorted(
+        r["group_id"] for r in spark.read.parquet(sig).collect()
+    ) == [1, 10]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(mem).collect()
+    ) == [1, 10]
+    assert sorted(
+        (r["da"], r["db"]) for r in spark.read.parquet(ev).collect()
+    ) == [(1, 10)]
+
+
 def test_rep_signature_frame_equals_exploded_form(spark, sf_oracle):
     """rep_signature_frame inlines the in-row MinHash expressions
     (dedup._minhash_sig_inrow's shape) with gh carried through —
