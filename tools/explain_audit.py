@@ -71,6 +71,12 @@ NAMES = [
     "ann_ivfpq_topk",
     "pack_manifest",
     "bpe_tokenize",
+    # round-11 additions: the substring-dedup rewrite (in-row
+    # excision — the interesting plan is the returned one) — the rep
+    # admission kernels materialize to parquet like the r9 store
+    # ops; their pruned-read/band-join seams are plan-pinned in
+    # tests/test_plans.py and tests/test_dedup_store.py instead
+    "dup_span_apply",
 ]
 
 
