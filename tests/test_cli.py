@@ -625,6 +625,91 @@ def test_admit_cli_empty_base_store(spark, tmp_path, capsys):
     ) == [10]
 
 
+def test_admit_cli_long_lifecycle_with_compaction(spark, tmp_path, capsys):
+    """Soak the production loop: build + six rotations mixing exact
+    dups (membership only), near-dups (scored), fresh content, and a
+    full redelivery, with compact-store (flat + banded) in the
+    MIDDLE — the rotation admitted AFTER compaction must still find
+    its near-dup through the compacted, pruned store. Ends by
+    checking the store is exactly one row per distinct token stream,
+    membership maps every doc, and the distinct evidence equals the
+    expected pair set."""
+    import json
+
+    from fdblog2clickhouse_spark.operators.dedup_store import members_path
+
+    t_c = "new content charlie group words xray yankee zulu november oscar"
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    all_docs = [
+        (1, _T_A), (2, _T_A), (3, _T_B),           # base
+        (10, _T_A),                                  # rot1: exact dup
+        (20, _T_A + " mike november"),               # rot2: near-dup of A
+        (30, _T_A + " mike november"),               # rot3: exact dup of 20
+        (40, _T_B), (41, t_c),                       # rot4: dup + fresh
+        (50, t_c + " extra"),                        # rot6: near-dup of 41
+    ]
+    corpus = write_json("corpus.json", all_docs)
+    base = write_json("base.json", all_docs[:3])
+    rots = [
+        write_json(f"rot{i}.json", [d])
+        for i, d in enumerate(all_docs[3:8], start=1)
+    ]
+    # rot4 carries two docs
+    rot4 = write_json("rot4.json", [(40, _T_B), (41, t_c)])
+    rot6 = write_json("rot6.json", [(50, t_c + " extra")])
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    def admit(path):
+        assert cli.main(["admit", path, store, "--corpus", corpus,
+                         "--evidence", evidence]) == 0
+        return capsys.readouterr().out
+
+    assert cli.main(["build-store", base, store]) == 0
+    capsys.readouterr()
+    assert "new_docs=1 groups=1 new_groups=0" in admit(rots[0])   # 10: dup
+    assert "new_docs=1 groups=1 new_groups=1" in admit(rots[1])   # 20: near
+    assert "new_docs=1 groups=1 new_groups=0" in admit(rots[2])   # 30: dup of 20
+    assert "new_docs=2 groups=2 new_groups=1" in admit(rot4)      # 40 dup + 41 new
+    assert "new_docs=0" in admit(rots[1])                         # redelivery no-op
+
+    assert cli.main(["compact-store", store]) == 0
+    out = capsys.readouterr().out
+    assert "bands_files_before=" in out
+
+    # post-compaction admission: near-dup of 41 must still be found
+    # through the compacted flat store AND the compacted banded index
+    out6 = admit(rot6)
+    assert "new_docs=1 groups=1 new_groups=1" in out6
+    assert "rotation_pairs=1" in out6
+
+    pairs = sorted(
+        set(
+            (r["da"], r["db"])
+            for r in spark.read.parquet(evidence).collect()
+        )
+    )
+    assert pairs == [(1, 20), (41, 50)]
+    group_ids = sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    )
+    assert group_ids == [1, 3, 20, 41, 50]
+    members = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(members_path(store)).collect()
+    }
+    assert members == {
+        1: 1, 2: 1, 3: 3, 10: 1, 20: 20, 30: 20, 40: 3, 41: 41, 50: 50,
+    }
+
+
 def test_admit_cli_mega_bucket_is_linear(spark, tmp_path, capsys):
     """The production fix for the uncapped admission kernel (VERDICT
     r9/r10 item #1): a rotation of 90 byte-identical boilerplate
