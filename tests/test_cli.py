@@ -761,3 +761,83 @@ def test_admit_cli_mega_bucket_is_linear(spark, tmp_path, capsys):
     # no near-dup CONTENT pairs anywhere — evidence is empty even
     # though 200+ docs are mutual exact dups
     assert spark.read.parquet(evidence).count() == 0
+
+
+def test_compact_store_rebucket_members_and_kept_count(spark, tmp_path, capsys):
+    """Round-12 operational hardening, all three in one lifecycle:
+    (1) `compact-store --buckets N` re-buckets the banded index
+    mid-stream and the NEXT rotation still finds its near-dup through
+    the migrated pruned read; (2) the members table is compacted in
+    the same pass (one file-group per admit otherwise — the layout's
+    largest table, ADVICE r11); (3) a full redelivery with --evidence
+    reports the STANDING partition's pair count as '(kept)', never a
+    misleading 0 (ADVICE r11)."""
+    import glob
+    import json
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        banded_layout,
+        banded_path,
+        members_path,
+    )
+
+    t_c = "new content charlie group words xray yankee zulu november oscar"
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    all_docs = [
+        (1, _T_A), (2, _T_A), (3, _T_B),              # base
+        (20, _T_A + " mike november"),                 # rot1: near-dup of A
+        (41, t_c),                                     # rot2: fresh
+        (50, t_c + " extra"),                          # rot3: near-dup of 41
+    ]
+    corpus = write_json("corpus.json", all_docs)
+    base = write_json("base.json", all_docs[:3])
+    rot1 = write_json("rot1.json", [all_docs[3]])
+    rot2 = write_json("rot2.json", [all_docs[4]])
+    rot3 = write_json("rot3.json", [all_docs[5]])
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    def admit(path):
+        assert cli.main(["admit", path, store, "--corpus", corpus,
+                         "--evidence", evidence]) == 0
+        return capsys.readouterr().out
+
+    assert cli.main(["build-store", base, store]) == 0
+    capsys.readouterr()
+    assert "rotation_pairs=1" in admit(rot1)           # (1, 20)
+    assert "rotation_pairs=0" in admit(rot2)           # fresh: no pairs
+
+    # two admits appended two file-groups to members; the compaction
+    # pass must merge them AND re-bucket the banded index
+    n_member_files = len(glob.glob(os.path.join(members_path(store), "*.parquet")))
+    assert n_member_files > 1
+    assert cli.main(["compact-store", store, "--buckets", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "members_files_before=" in out
+    assert "bands_rebucketed=16->64" in out
+    assert len(glob.glob(os.path.join(members_path(store), "*.parquet"))) == 1
+    assert banded_layout(banded_path(store))["buckets"] == 64
+
+    # post-migration admission still finds its near-dup through the
+    # re-bucketed pruned read
+    out3 = admit(rot3)
+    assert "new_docs=1" in out3 and "rotation_pairs=1" in out3   # (41, 50)
+
+    # full redelivery of rot1: nothing rescored, but the standing
+    # evidence partition's real count is reported, not 0
+    out_re = admit(rot1)
+    assert "new_docs=0" in out_re
+    assert "rotation_pairs=1 (kept)" in out_re
+
+    pairs = sorted(
+        set((r["da"], r["db"]) for r in spark.read.parquet(evidence).collect())
+    )
+    assert pairs == [(1, 20), (41, 50)]

@@ -764,3 +764,270 @@ def test_pruned_store_read_has_partition_filters(spark, tmp_path):
     # ... while actually skipping rows outside the batch's footprint
     full = spark.read.parquet(bands).count()
     assert pruned.count() < full, "pruned read did not skip any partitions"
+
+
+# ----------------- embedding_store_rep_admission (vector rep store)
+
+
+def _write_embeddings(spark, sf_dir, rows):
+    """rows: [(vec_id, [float components])] → the embeddings table
+    shape `_quantized` reads (vec_id, embedding array<float>,
+    label)."""
+    import os
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in emb], 0) for i, emb in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+
+def test_embedding_rep_admission_matches_oracle_and_uncapped(spark, sf_oracle):
+    """The vector rep lifecycle vs the uncapped op's one-shot union
+    SQL, unchanged — the hash match proves the quantized-vector-hash
+    pre-pass semantics-preserving — AND byte-equal to the uncapped
+    Spark spelling."""
+    df = dedup_store.embedding_store_rep_admission(spark, sf_oracle)
+    compare(df, dedup_store.ORACLE["embedding_store_rep_admission"], sf_oracle)
+    rep = sorted(map(tuple, df.collect()))
+    unc = sorted(
+        map(tuple, dedup_store.embedding_store_admission(spark, sf_oracle).collect())
+    )
+    assert rep == unc
+
+
+def test_embedding_rep_mega_bucket_store_linear(spark, tmp_path):
+    """The vector sibling of the text mega-bucket pin (VERDICT r11
+    #1): 90 byte-identical vectors — the degenerate sign-band bucket
+    that made the uncapped kernel quadratic — still produce the full
+    all-qualifying-pairs OUTPUT, but the persisted store holds ONE
+    signature row, the kernel sees zero group-level pairs, and every
+    emitted pair carries the oracle's self-cosine arithmetic (NOT a
+    1.0 literal: sqrt-of-rounded-square need not be exact)."""
+    import math
+    import os
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+
+    n = 90
+    ids = list(range(1, n + 1))
+    # q = [1, 2, -3, 1] → nq = 15; sqrt(15)² = 15.000000000000002, so
+    # the self-cosine is provably ≠ 1.0 — the arithmetic the
+    # expansion must reproduce.
+    emb = [0.0001, 0.0002, -0.0003, 0.0001]
+    _write_embeddings(spark, str(tmp_path), [(i, emb) for i in ids])
+
+    out = dedup_store.embedding_store_rep_admission(spark, str(tmp_path))
+    pairs = {(r["va"], r["vb"]): r["cosine"] for r in out.collect()}
+    base = [i for i in ids if i % 10 not in (0, 5)]
+    expect = {
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and not (a in base and b in base)
+    }
+    assert set(pairs) == expect
+    nq = 15.0
+    self_cos = nq / (math.sqrt(nq) * math.sqrt(nq))
+    assert self_cos != 1.0
+    assert all(v == self_cos for v in pairs.values())
+
+    root = scratch_path("hyperplane_rep_store")
+    assert spark.read.parquet(os.path.join(root, "signatures")).count() == 1
+    assert spark.read.parquet(os.path.join(root, "evidence")).count() == 0
+    assert spark.read.parquet(os.path.join(root, "members")).count() == n
+
+
+def test_embedding_rep_tiny_mechanics(spark, tmp_path):
+    """Crafted corpus: an exact-dup group spanning base and both
+    batches, a batch-only near-dup pair, a zero vector (null
+    self-cosine — excluded on both engines), and a solo vector."""
+    docs = [
+        (1, [0.01, 0.02, 0.03, 0.04]),     # base; group A
+        (30, [0.01, 0.02, 0.03, 0.04]),    # batch1; group A copy
+        (45, [0.01, 0.02, 0.03, 0.04]),    # batch2; group A copy
+        (2, [0.01, 0.02, 0.03, 0.041]),    # base; near-dup of A
+        (25, [0.0, 0.0, 0.0, 0.0]),        # batch2; zero vector
+        (35, [0.0, 0.0, 0.0, 0.0]),        # batch2; zero twin: null cos
+        (3, [-0.04, 0.03, -0.02, 0.01]),   # base; solo
+    ]
+    _write_embeddings(spark, str(tmp_path), docs)
+    out = dedup_store.embedding_store_rep_admission(spark, str(tmp_path))
+    got = {(r["va"], r["vb"]) for r in out.collect()}
+    # group A within-pairs with ≥1 non-base side + near-dup pairs
+    # inherited through membership; never the base×base (1, 2) pair;
+    # never the zero-vector pair (null cosine fails the threshold).
+    assert (1, 30) in got and (1, 45) in got and (30, 45) in got
+    assert (2, 30) in got and (2, 45) in got
+    assert (1, 2) not in got
+    assert not any(25 in p or 35 in p or 3 in p for p in got)
+    unc = {
+        (r["va"], r["vb"])
+        for r in dedup_store.embedding_store_admission(spark, str(tmp_path)).collect()
+    }
+    assert got == unc
+
+
+_vec_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # vec_id: slice mix
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=4, max_size=4),
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_vec_strategy)
+def test_emb_rep_equals_uncapped_property(spark, tmp_path_factory, vecs):
+    """Randomized equivalence for the VECTOR store: arbitrary small
+    corpora dense with exact-dup vectors (tiny component alphabet),
+    near-dups, and zero vectors must produce byte-identical evidence
+    from the rep lifecycle and the uncapped one."""
+    p = tmp_path_factory.mktemp("emb_rep_prop")
+    _write_embeddings(
+        spark, str(p), [(i, [k / 10000.0 for k in q]) for i, q in vecs]
+    )
+    rep = sorted(
+        map(
+            tuple,
+            dedup_store.embedding_store_rep_admission(spark, str(p)).collect(),
+        )
+    )
+    unc = sorted(
+        map(
+            tuple,
+            dedup_store.embedding_store_admission(spark, str(p)).collect(),
+        )
+    )
+    assert rep == unc
+
+
+# ------------------------------ banded-index re-bucket migration
+
+
+def test_rebucket_banded_index_preserves_pruned_reads(spark, tmp_path):
+    """The bucket-count migration (VERDICT r11 #3): a store built at
+    the small default must be able to GAIN pruning granularity
+    without invalidating the index — pruned reads byte-identical
+    across a 16 → 256 re-bucket, the marker updated atomically with
+    the data (it rides in the staging dir through the same
+    rename-aside swap as the compactors), key_cols carried through,
+    and the pruned-read plan still carrying PartitionFilters with the
+    single-column isin spelling at the larger count. Raw pruned-read
+    equality is deliberately NOT the invariant — a finer layout
+    prunes MORE (fewer bucket-collision rows), which is the
+    migration's point — the admission contract is: the candidate set
+    (exact band-key matches) is byte-identical, and the new read is
+    a subset of the old superset."""
+    import glob
+    import os
+
+    from fdblog2clickhouse_spark.plans.audit import formatted_plan
+
+    def cands(bands, batch):
+        rows = dedup_store.store_band_rows(batch, id_col="group_id")
+        return sorted(
+            map(
+                tuple,
+                dedup_store.candidates_from_rows(
+                    dedup_store.pruned_store_rows(spark, bands, batch),
+                    rows,
+                    4,
+                ).collect(),
+            )
+        )
+
+    d = spark.createDataFrame(
+        [
+            (i, f"doc {i} unique words alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(1, 40)
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup_store.rep_signature_frame(
+        dedup_store.rep_reps(dedup_store.rep_group_frame(d))
+    )
+    store = str(tmp_path / "store")
+    sigs.write.parquet(store)
+    bands = str(tmp_path / "bands")
+    dedup_store.write_banded_index(spark.read.parquet(store), bands, "overwrite")
+    # crash-leaked duplicate rows: the rebuild-from-store retires them
+    dedup_store.write_banded_index(sigs.limit(4), bands, "append")
+    assert dedup_store.banded_buckets(bands) == 16
+
+    # batch: NEW ids carrying exact-dup texts of three store docs —
+    # guaranteed band-key matches so the candidate pin is non-vacuous
+    batch = dedup_store.rep_signature_frame(
+        dedup_store.rep_reps(
+            dedup_store.rep_group_frame(
+                spark.createDataFrame(
+                    [
+                        (
+                            100 + i,
+                            f"doc {i} unique words alpha{i} beta{i} "
+                            f"gamma{i} delta{i}",
+                        )
+                        for i in (1, 7, 13)
+                    ],
+                    "doc_id long, text string",
+                )
+            )
+        )
+    )
+    def pruned_rows(bands, batch):
+        return {
+            (r["id"], tuple(r["ks"]), r["band"], r["band_key"])
+            for r in dedup_store.pruned_store_rows(spark, bands, batch).collect()
+        }
+
+    rows_before = pruned_rows(bands, batch)
+    cands_before = cands(bands, batch)
+    assert cands_before, "batch produced no candidates — test is vacuous"
+
+    got = dedup_store.rebucket_banded_index(spark, store, bands, 256)
+    assert got == {"buckets_before": 16, "buckets_after": 256}
+    lay = dedup_store.banded_layout(bands)
+    assert lay == {"buckets": 256, "key_cols": ["bk0", "bk1", "bk2", "bk3"]}
+    pruned = dedup_store.pruned_store_rows(spark, bands, batch)
+    # finer layout prunes MORE, never less — and candidates survive
+    assert pruned_rows(bands, batch) <= rows_before
+    assert cands(bands, batch) == cands_before
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters: []" not in plan, plan
+    assert "PartitionFilters:" in plan and "kb" in plan, plan
+    # higher granularity actually materialized in the hive layout
+    kbs = {
+        int(p.rsplit("kb=", 1)[1])
+        for p in glob.glob(os.path.join(bands, "band=*", "kb=*"))
+    }
+    assert max(kbs) >= 16, "no kb value beyond the old bucket range"
+    # duplicates retired by the rebuild-from-store
+    raw = spark.read.parquet(bands)
+    assert raw.count() == raw.dropDuplicates().count()
+
+    # no-op at the same count
+    assert dedup_store.rebucket_banded_index(spark, store, bands, 256) == {
+        "buckets_before": 256,
+        "buckets_after": 256,
+    }
+
+    # crash window: index renamed aside, new copy not yet in place —
+    # the next call restores the complete .old index first
+    os.rename(bands, bands + ".old")
+    assert not os.path.exists(bands)
+    dedup_store.rebucket_banded_index(spark, store, bands, 64)
+    assert dedup_store.banded_buckets(bands) == 64
+    assert cands(bands, batch) == cands_before
+
+    # a marker-less (crashed-build) index refuses the migration
+    os.remove(os.path.join(bands, dedup_store._BANDED_META))
+    with pytest.raises(RuntimeError, match="layout marker"):
+        dedup_store.rebucket_banded_index(spark, store, bands, 256)

@@ -310,10 +310,10 @@ def test_no_unbounded_driver_collect():
         "operators/bpe.py": {
             "best = argmax_one_row.collect()",
         },
-        # the banded index's partition-filter literal: ≤ 4 bands ×
-        # _BANDED_BUCKETS buckets rows by layout construction
+        # the banded index's partition-filter literal: ≤ n_bands ×
+        # buckets rows by layout construction
         "operators/dedup_store.py": {
-            'pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]',
+            'for r in batch_rows.select("band", "kb").distinct().collect()',
         },
     }
     allowed = [
