@@ -27,78 +27,69 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-11 window (policy above; VERDICT r10 item #2 ordered the
-# skipped rotation executed FIRST — the r6 cohort's newest driver
-# rows are four rounds old). Triage:
-#   (a) r11-changed operators/dedup_store.py — the representative
-#       (exact-dedup pre-pass) store + banded pruning index: NEW
-#       dedup_store_rep_admission plus the two lifecycle siblings in
-#       the same file (the admission kernel was refactored into
-#       candidates_from_rows; the streaming admission ops call it
-#       too, but their own file is byte-identical and the refactor
-#       is pinned by the DataFrame-equality tests, so they queue for
-#       r12 rather than taking r6-cohort slots);
-#   (b) r11-changed operators/bpe.py: the merge loop's lineage is
-#       now truncated per iteration (localCheckpoint — the cached
-#       chain OOM'd the driver at ~60 merges, tools/bpe_scale.py),
-#       so both BPE ops re-verify;
-#   (c) r11-changed operators/spans.py: NEW dup_span_apply (the
-#       corpus rewrite) + the two span siblings;
-#   (d) r11-changed operators/ann_store.py (IVF list compaction +
-#       plan-seam docstring) — both its ops;
-#   (e) r11-changed operators/sinkcheck.py (scratch_path split) —
-#       all seven sink roundtrips;
-#   (f) the 32 four-round-stale r6 greens: tpch q5-q22, the 6 OLAP
-#       extras, the 8 r6-green textops ops (tpch.py/textops.py
-#       byte-unchanged since r6 — pure re-cover rotation);
-#   (g) 1 remaining slot: the NEW streaming_rep_admission (its own
-#       file streaming/rep_admission.py, so streaming/queries.py's
-#       r7 greens stay byte-valid) — new code always outranks a
-#       re-cover slot; ann_topk_bruteforce moves to the r12 queue.
-# r12 BUILD PRIORITY: the VECTOR rep pre-pass
-# (embedding_store_rep_admission — group by quantized-vector hash;
-# within-group expansion uses the oracle's self-cosine arithmetic,
-# see SCALE.md "Vector-side exposure") — new code takes its window
-# slot first.
-# r12 RE-COVER PRIORITY (stalest first, files unchanged):
-# ann_topk_bruteforce (displaced this round), then the rest
-# of the r7 cohort — similarity.py's 14 remaining, curation.py's 5,
-# textops.py's corpus_select/doc_top_terms/bpe_pair_stats/
-# lang_confusion_metrics/source_dup_inflation/doc_rarity_score,
-# streaming/queries.py (incl. the two kernel dependents above),
-# trace_json — then dedup.py's 15 r8 greens and the r8
-# trace/sequence cohort.
-# NOT in the window by design: dedup.py/trace_ops/sequence/sketches/
-# similarity/curation/training/multimodal/lm files are untouched
-# since their last green rows.
+# Round-12 window (policy above; VERDICT r11 items #1/#2 ordered:
+# new code first, then the FOUR-round-stale r7 cohort — all 36).
+# Triage:
+#   (a) r12-changed operators/dedup_store.py — the VECTOR rep
+#       pre-pass (NEW embedding_store_rep_admission, closing the
+#       last uncapped admission kernel) + the shared kernel's
+#       key_cols/rep_builder/verify generalization + the isin
+#       partition pushdown + rebucket_banded_index: all four ops in
+#       the file re-verify;
+#   (b) r12-changed operators/ann_store.py — NEW
+#       ann_ivf_refresh_recall (centroid refresh + recall probe,
+#       VERDICT r11 #4) + both existing ops in the file;
+#   (c) r12-changed operators/spans.py — NEW
+#       span_rewrite_sink_roundtrip (the corpus-rewrite sink,
+#       VERDICT r11 #5) + keep AS MATERIALIZED in the apply oracle
+#       (ADVICE r11): all four ops re-verify;
+#   (d) streaming_rep_admission: its own file is byte-unchanged but
+#       it CALLS the generalized rep_admission_step — kernel
+#       dependents take a slot when the kernel changes (the rule
+#       r11 deferred it under);
+#   (e) the r7 cohort re-cover, all 36 (VERDICT r11 #2):
+#       similarity.py's 15, curation.py's 5, streaming/queries.py's
+#       9 r7 greens, textops' 6 r7 greens, trace_json — files
+#       byte-unchanged since r7, pure re-cover;
+#   (f) 2 remaining slots → the oldest r8 greens (dedup.py, queued
+#       first two of its 15).
+# r13 RE-COVER PRIORITY (stalest first, files unchanged): the rest
+# of dedup.py's r8 cohort (13), then the r8 trace/sequence/sketches
+# cohort (24), then streaming_incremental_dedup /
+# streaming_store_admission and the r10-green remainder.
+# NOT in the window by design: tpch/trace_ops/sequence/sketches/
+# curation-adjacent training/multimodal/lm/bpe/sinkcheck/textops'
+# r11 greens — files untouched since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) r11-changed dedup_store.py (3, incl. the NEW rep lifecycle)
+    # (a) r12-changed dedup_store.py (4, incl. the NEW vector rep op)
+    "embedding_store_rep_admission", "embedding_store_admission",
     "dedup_store_rep_admission", "dedup_store_admission",
-    "embedding_store_admission",
-    # (b) r11-changed bpe.py (2 — lineage-truncation rewrite)
-    "bpe_train_merges", "bpe_tokenize",
-    # (c) r11-changed spans.py (3, incl. the NEW corpus rewrite)
-    "dup_span_apply", "dup_span_stats", "dup_span_dedup",
-    # (d) r11-changed ann_store.py (2)
-    "ann_ivf_store_search", "ann_ivfpq_topk",
-    # (e) r11-changed sinkcheck.py (7)
-    "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
-    "rollup_sink_roundtrip", "upsert_sink_roundtrip",
-    "hll_sink_roundtrip", "hist_sink_roundtrip",
-    "bucketed_sink_roundtrip",
-    # (f) the r6 cohort re-cover (32)
-    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q21", "tpch_q22",
-    "customer_rfm", "market_basket_pairs", "nation_activity_fullouter",
-    "orders_percent_rank", "nation_yoy_growth", "brand_revenue_share",
-    "token_count", "text_quality_score", "lang_id_ngram",
-    "doc_fingerprint", "doc_stats_by_lang", "token_histogram",
-    "quality_repetition", "pii_detect",
-    # (g) NEW streaming rep-store admission (1)
+    # (b) r12-changed ann_store.py (3, incl. the NEW refresh probe)
+    "ann_ivf_refresh_recall", "ann_ivf_store_search", "ann_ivfpq_topk",
+    # (c) r12-changed spans.py (4, incl. the NEW rewrite sink)
+    "span_rewrite_sink_roundtrip", "dup_span_apply",
+    "dup_span_stats", "dup_span_dedup",
+    # (d) kernel dependent (1)
     "streaming_rep_admission",
+    # (e) the r7 cohort re-cover (36)
+    "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_norm_stats", "embedding_centroids", "stratified_sample",
+    "knn_classify", "ann_pq_topk", "embedding_kmeans",
+    "cluster_balanced_sample", "doc_lang_kmeans", "ann_recall_eval",
+    "ann_radius_count", "embedding_covariance", "ann_filtered_topk",
+    "benchmark_decontam", "domain_mixture_sample", "token_collocations",
+    "quality_filter_funnel", "doc_length_histogram",
+    "streaming_trace_ingest", "streaming_windowed_counts",
+    "streaming_sessionize", "streaming_stateful_error_count",
+    "streaming_dedup_events", "streaming_rollup_ingest",
+    "streaming_upsert_ingest", "streaming_view_purchase_join",
+    "streaming_hll_rollup",
+    "corpus_select", "doc_top_terms", "bpe_pair_stats",
+    "lang_confusion_metrics", "source_dup_inflation", "doc_rarity_score",
+    "trace_json_batch_ingest",
+    # (f) oldest r8 greens (2)
+    "dedup_exact", "dedup_minhash_lsh",
 ]
 
 

@@ -41,6 +41,7 @@ from .sinkcheck import scratch_dir
 from .similarity import (
     _ANN_IVF_SQL,
     _CENTROID_IDS,
+    _COS_SQL,
     _IVF_TOPK,
     _N_PROBE,
     _N_QUERIES,
@@ -165,7 +166,8 @@ def compact_ivf_lists(
     count. Centroid refresh is intentionally NOT done here: the
     insert ≡ rebuild equivalence (module docstring) holds only for a
     frozen codebook, and refreshing centroids is a reindex, not a
-    maintenance pass."""
+    maintenance pass — that is `refresh_ivf_centroids` below, with
+    its own recall-pinned probe (`ann_ivf_refresh_recall`)."""
     from .dedup_store import compact_signature_store
 
     return compact_signature_store(
@@ -270,6 +272,396 @@ def _ivfpq_plan(spark: SparkSession, qn: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------- IVF centroid refresh
+#
+# VERDICT r11 #4: lists compact (`compact_ivf_lists`) but centroids
+# never retrain, so recall degrades SILENTLY as an insert loop
+# drifts the corpus away from the build-time codebook — the index
+# keeps answering, just increasingly badly. The maintenance pass is
+# one exact Lloyd iteration against the CURRENT corpus: M-step
+# (element-wise FLOOR-mean per list — the `embedding_kmeans` shuffle
+# shape: ONE shuffle keyed on (list, dim) with map-side combine),
+# then E-step (reassign every indexed vector against the refreshed
+# codebook — broadcast nested-loop, no shuffle). Refresh is a
+# REINDEX, not a compaction: it INTENTIONALLY changes search results
+# (that is the point), so the pinned metric is RECALL against the
+# exact top-k, never result hashes — `ann_ivf_refresh_recall` below
+# measures it on a drifted-insert corpus, and THAT op is
+# deterministic end to end, hence oracle-hashable.
+
+_REFRESH_DRIFT = 4_000  # quant units ≈ 4× the avg |component|
+_DRIFT_ID_OFFSET = 1_000_000
+
+
+def refresh_ivf_centroids(
+    spark: SparkSession, qn: DataFrame, codebook_path: str, lists_path: str
+) -> dict:
+    """Retrain the persisted codebook against the current corpus and
+    reassign the lists — crash-safe double swap. `qn` must cover
+    every indexed vector (vec_id, q, nq); lists whose members all
+    vanished keep their old centroid (a production corpus can shrink;
+    an empty M-step group must not drop the list id). Swap order is
+    codebook THEN lists, each through the compactors' rename-aside
+    discipline; a crash between the two swaps leaves the NEW codebook
+    over the OLD lists — searches stay self-consistent (probes and
+    lists join on list_id either way), only recall is stale, and
+    re-running the refresh repairs it deterministically: the M-step
+    reads lists (old) + vectors, so the rerun recomputes the same
+    codebook and completes the lists swap. Returns
+    {n_lists, moved, max_list_before, max_list_after}."""
+    import os
+    import shutil
+
+    def _heal(path: str) -> None:
+        old = path + ".old"
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    _heal(codebook_path)
+    _heal(lists_path)
+
+    lists = spark.read.parquet(lists_path)
+    member_vecs = qn.join(
+        lists.select(F.col("n_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    # M-step: FLOOR(sum/count) per (list, dim) — exact cross-engine
+    # (one IEEE double division + floor; proven in embedding_kmeans)
+    elems = lists.join(
+        qn.select(F.col("vec_id").alias("n_id"), "q"), "n_id"
+    ).select("list_id", F.posexplode("q").alias("pos", "val"))
+    cs = elems.groupBy("list_id", "pos").agg(
+        F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cv")
+    )
+    newc = (
+        cs.groupBy("list_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("q")
+        )
+        .withColumn(
+            "nq",
+            F.aggregate(
+                F.transform(F.col("q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select(F.col("list_id").alias("c_id"), "q", "nq")
+    )
+    old_cb = spark.read.parquet(codebook_path)
+    cb1 = newc.unionByName(
+        old_cb.join(newc.select("c_id"), "c_id", "left_anti")
+    )
+
+    cb_staging = codebook_path + ".refresh"
+    shutil.rmtree(cb_staging, ignore_errors=True)
+    cb1.coalesce(1).write.mode("overwrite").parquet(cb_staging)
+
+    # E-step against the STAGED codebook (the swap hasn't happened —
+    # a crash here leaves the live index untouched)
+    lists1 = _assign(member_vecs, spark.read.parquet(cb_staging), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    )
+    li_staging = lists_path + ".refresh"
+    shutil.rmtree(li_staging, ignore_errors=True)
+    lists1.write.mode("overwrite").parquet(li_staging)
+
+    # stats BEFORE the swap (reads old + staged tables)
+    new_lists = spark.read.parquet(li_staging)
+    sizes_before = lists.groupBy("list_id").count()
+    sizes_after = new_lists.groupBy("list_id").count()
+    moved = (
+        lists.join(
+            new_lists.withColumnRenamed("list_id", "new_list"), "n_id"
+        )
+        .where(F.col("list_id") != F.col("new_list"))
+        .count()
+    )
+    stats = {
+        "n_lists": cb1.count(),
+        "moved": moved,
+        "max_list_before": sizes_before.agg(F.max("count")).first()[0],
+        "max_list_after": sizes_after.agg(F.max("count")).first()[0],
+    }
+
+    for live, staging in (
+        (codebook_path, cb_staging),
+        (lists_path, li_staging),
+    ):
+        old = live + ".old"
+        os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old)
+    return stats
+
+
+def _drifted_corpus(qn0: DataFrame) -> DataFrame:
+    """The original vectors plus a DRIFTED copy of each (every
+    component shifted by _REFRESH_DRIFT quant units, ids offset) —
+    a deterministic stand-in for an insert stream whose distribution
+    has moved away from the build-time codebook."""
+    drift = qn0.select(
+        (F.col("vec_id") + F.lit(_DRIFT_ID_OFFSET)).alias("vec_id"),
+        F.transform("q", lambda x: x + F.lit(_REFRESH_DRIFT)).alias("q"),
+    ).withColumn(
+        "nq",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return qn0.select("vec_id", "q", "nq").unionByName(drift)
+
+
+def _refresh_query_pred():
+    c = F.col("vec_id")
+    return (c < _N_QUERIES) | (
+        (c >= _DRIFT_ID_OFFSET) & (c < _DRIFT_ID_OFFSET + _N_QUERIES)
+    )
+
+
+def _ivf_search_hits(
+    spark: SparkSession,
+    corpus: DataFrame,
+    brute: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+) -> DataFrame:
+    """IVF top-k through the on-disk index for the refresh-probe
+    query set, intersected with the exact top-k: one (hits, total)
+    row. hits/total are exact BIGINT counts — recall without float
+    division, so the frame is oracle-hashable."""
+    probes = _assign(
+        corpus.where(_refresh_query_pred()),
+        spark.read.parquet(codebook_path),
+        _N_PROBE,
+    ).select(F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list"))
+    lists = spark.read.parquet(lists_path)
+    qv = corpus.select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    nv = corpus.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    cands = (
+        nv.join(lists, "n_id")
+        .join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "qb", "nb")
+        .join(broadcast(qv), "q_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    ivf = (
+        cands.select("q_id", "n_id", _cosine_cols())
+        .withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("q_id", "n_id")
+    )
+    hit = ivf.withColumn("hit", F.lit(1))
+    return brute.join(hit, ["q_id", "n_id"], "left").agg(
+        F.count("hit").alias("hits"), F.count(F.lit(1)).alias("total")
+    )
+
+
+def ann_ivf_refresh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-drift probe for the refresh pass (VERDICT r11 #4),
+    end to end on disk: build the IVF index on the original vectors,
+    INSERT a drifted copy of the corpus through the stale codebook
+    (the silent-degradation scenario), measure IVF recall against the
+    exact top-k, run `refresh_ivf_centroids`, measure again. Output:
+    (phase, hits, total) — exact integer recall numerators before and
+    after, deterministic on both engines, so the oracle (the same
+    pipeline as one-shot SQL) pins the whole maintenance story:
+    codebook roundtrip, drifted insert ≡ stale assignment, the
+    M-step's floored means, the reassignment, and both searches.
+    Refresh intentionally changes search results; recall — not result
+    hashes — is the invariant worth pinning (module comment)."""
+    root = scratch_dir("ivf_refresh")
+    codebook_path = root + "/codebook"
+    lists_path = root + "/lists"
+
+    qn0 = _quantized(spark, sf_dir)
+    corpus = _drifted_corpus(qn0).cache()
+
+    # build on the ORIGINAL distribution only
+    qn0.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
+    cb_disk = spark.read.parquet(codebook_path)
+    _assign(qn0.select("vec_id", "q", "nq"), cb_disk, 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.mode("overwrite").parquet(lists_path)
+    # drifted INSERT through the stale codebook
+    _assign(
+        corpus.where(F.col("vec_id") >= _DRIFT_ID_OFFSET),
+        spark.read.parquet(codebook_path),
+        1,
+    ).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.mode("append").parquet(lists_path)
+
+    # exact ground truth over the grown corpus
+    queries = corpus.where(_refresh_query_pred()).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    nv = corpus.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    wb = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    brute = (
+        nv.join(broadcast(queries), F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", _cosine_cols())
+        .withColumn("rank", F.row_number().over(wb))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("q_id", "n_id")
+        .cache()
+    )
+
+    before = _ivf_search_hits(spark, corpus, brute, codebook_path, lists_path)
+    before.withColumn("phase", F.lit("before")).select(
+        "phase", "hits", "total"
+    ).write.mode("overwrite").parquet(root + "/before")
+
+    refresh_ivf_centroids(spark, corpus, codebook_path, lists_path)
+
+    after = _ivf_search_hits(spark, corpus, brute, codebook_path, lists_path)
+    after.withColumn("phase", F.lit("after")).select(
+        "phase", "hits", "total"
+    ).write.mode("overwrite").parquet(root + "/after")
+    corpus.unpersist()
+    brute.unpersist()
+    return spark.read.parquet(root + "/before").unionByName(
+        spark.read.parquet(root + "/after")
+    )
+
+
+def _refresh_recall_sql() -> str:
+    """The one-shot spelling of the whole refresh lifecycle. Every
+    multiply-referenced CTE is AS MATERIALIZED (DuckDB inlines CTEs
+    by default; the chained self-references here blow up 2^N
+    otherwise — established convention, see spans.py)."""
+    from .dedup import _QUANT_CTE
+
+    cent_ids = ", ".join(map(str, _CENTROID_IDS))
+    qpred = (
+        f"(v_id < {_N_QUERIES} OR (v_id >= {_DRIFT_ID_OFFSET} "
+        f"AND v_id < {_DRIFT_ID_OFFSET + _N_QUERIES}))"
+    )
+    cos_vc = _COS_SQL.format(a="v", b="c")
+    dim = 64
+    return f"""
+WITH {_QUANT_CTE},
+drifted AS (
+  SELECT vec_id + {_DRIFT_ID_OFFSET} AS vec_id,
+         list_transform(q, x -> x + {_REFRESH_DRIFT}) AS q
+  FROM qn
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, q, nq FROM qn
+  UNION ALL
+  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nq
+  FROM drifted
+),
+cent0 AS MATERIALIZED (
+  SELECT vec_id AS c_id, q, nq FROM qn WHERE vec_id IN ({cent_ids})
+),
+a0 AS MATERIALIZED (
+  SELECT v.vec_id AS v_id, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.c_id ASC
+         ) AS crank
+  FROM corpus v JOIN cent0 c ON TRUE
+),
+lists0 AS MATERIALIZED (SELECT v_id AS n_id, c_id AS list_id FROM a0 WHERE crank = 1),
+probes0 AS (
+  SELECT v_id AS q_id, c_id AS probe_list FROM a0
+  WHERE {qpred} AND crank <= {_N_PROBE}
+),
+ivf0 AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT p.q_id, l.n_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.q_id
+             ORDER BY {_COS_SQL.format(a='n', b='q')} DESC, l.n_id ASC
+           ) AS rank
+    FROM lists0 l
+    JOIN probes0 p ON l.list_id = p.probe_list AND l.n_id <> p.q_id
+    JOIN corpus n ON n.vec_id = l.n_id
+    JOIN corpus q ON q.vec_id = p.q_id
+  ) r WHERE rank <= {_IVF_TOPK}
+),
+ex AS (
+  SELECT l.list_id, unnest(generate_series(1, {dim})) AS pos, v.q
+  FROM lists0 l JOIN corpus v ON v.vec_id = l.n_id
+),
+cs AS (
+  SELECT list_id, pos,
+         CAST(FLOOR(CAST(SUM(q[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM ex GROUP BY 1, 2
+),
+cent1m AS (SELECT list_id AS c_id, list(cv ORDER BY pos ASC) AS q FROM cs GROUP BY 1),
+cent1 AS MATERIALIZED (
+  SELECT c_id, q, list_sum(list_transform(q, x -> x * x)) AS nq FROM cent1m
+  UNION ALL
+  SELECT c_id, q, nq FROM cent0
+  WHERE c_id NOT IN (SELECT c_id FROM cent1m)
+),
+a1 AS MATERIALIZED (
+  SELECT v.vec_id AS v_id, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.c_id ASC
+         ) AS crank
+  FROM corpus v JOIN cent1 c ON TRUE
+),
+lists1 AS (SELECT v_id AS n_id, c_id AS list_id FROM a1 WHERE crank = 1),
+probes1 AS (
+  SELECT v_id AS q_id, c_id AS probe_list FROM a1
+  WHERE {qpred} AND crank <= {_N_PROBE}
+),
+ivf1 AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT p.q_id, l.n_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.q_id
+             ORDER BY {_COS_SQL.format(a='n', b='q')} DESC, l.n_id ASC
+           ) AS rank
+    FROM lists1 l
+    JOIN probes1 p ON l.list_id = p.probe_list AND l.n_id <> p.q_id
+    JOIN corpus n ON n.vec_id = l.n_id
+    JOIN corpus q ON q.vec_id = p.q_id
+  ) r WHERE rank <= {_IVF_TOPK}
+),
+brute AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a='n', b='q')} DESC, n.vec_id ASC
+           ) AS rank
+    FROM corpus q JOIN corpus n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+       OR (q.vec_id >= {_DRIFT_ID_OFFSET}
+           AND q.vec_id < {_DRIFT_ID_OFFSET + _N_QUERIES})
+  ) r WHERE rank <= {_IVF_TOPK}
+)
+SELECT 'before' AS phase,
+       CAST(COUNT(i.n_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM brute b LEFT JOIN ivf0 i ON i.q_id = b.q_id AND i.n_id = b.n_id
+UNION ALL
+SELECT 'after' AS phase,
+       CAST(COUNT(i.n_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM brute b LEFT JOIN ivf1 i ON i.q_id = b.q_id AND i.n_id = b.n_id
+"""
+
+
 def _ivfpq_sql() -> str:
     from .dedup import _QUANT_CTE
     from .similarity import (
@@ -333,6 +725,7 @@ FROM (
 QUERIES = {
     "ann_ivf_store_search": ann_ivf_store_search,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivf_refresh_recall": ann_ivf_refresh_recall,
 }
 
 ORACLE = {
@@ -341,4 +734,8 @@ ORACLE = {
     # one oracle pins both the equivalence and the index roundtrip.
     "ann_ivf_store_search": _ANN_IVF_SQL,
     "ann_ivfpq_topk": _ivfpq_sql(),
+    # the refresh lifecycle is deterministic end to end (floored
+    # integer M-step), so even though refresh CHANGES search results,
+    # the (phase, hits, total) recall frame is hash-exact.
+    "ann_ivf_refresh_recall": _refresh_recall_sql(),
 }

@@ -387,7 +387,7 @@ WITH t AS (
   FROM isl GROUP BY doc_id, island
 ), pos AS (
   SELECT doc_id, n_tok, tk, unnest(range(0, n_tok)) AS p FROM el
-), keep AS (
+), keep AS MATERIALIZED (
   SELECT doc_id, n_tok, tk[p + 1] AS tok, p FROM pos
   WHERE NOT EXISTS (
     SELECT 1 FROM spans s
@@ -406,14 +406,59 @@ WHERE doc_id NOT IN (SELECT doc_id FROM keep)
 """
 
 
+# ------------------------------------- span_rewrite_sink_roundtrip
+
+def span_rewrite_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite WRITTEN BACK as a partitioned documents table
+    (VERDICT r11 #5): `dup_span_apply`'s output joins its lang
+    column, goes through the corpus sink (hive-partitioned by lang,
+    doc_id-sorted — sinks/corpus.py), and the STORED table is read
+    back into a per-lang integer aggregate the oracle computes
+    straight from `documents`. A row lost, duplicated, or mutated by
+    the partitioned write breaks the hash (rewritten_h is an md5
+    hash-sum over the stored rewritten streams); kept-token
+    conservation against `dup_span_dedup` is re-checked ON THE
+    STORED OUTPUT by the pytest sibling."""
+    from ..functions.hashing import h32
+    from ..sinks.corpus import write_corpus
+    from .sinkcheck import scratch_dir
+
+    rew = dup_span_apply(spark, sf_dir).join(
+        table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    out = scratch_dir("span_rewrite") + "/t"
+    write_corpus(rew, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tok_sum"),
+        F.sum("kept_tokens").alias("kept_sum"),
+        F.sum(h32(F.col("rewritten"))).alias("rewritten_h"),
+    )
+
+
+_SPAN_REWRITE_SINK_SQL = f"""
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(a.n_tok) AS BIGINT) AS n_tok_sum,
+       CAST(SUM(a.kept_tokens) AS BIGINT) AS kept_sum,
+       CAST(SUM({h32_sql('a.rewritten')}) AS BIGINT) AS rewritten_h
+FROM ({_DUP_SPAN_APPLY_SQL}) a
+JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dup_span_stats": dup_span_stats,
     "dup_span_dedup": dup_span_dedup,
     "dup_span_apply": dup_span_apply,
+    "span_rewrite_sink_roundtrip": span_rewrite_sink_roundtrip,
 }
 
 ORACLE = {
     "dup_span_stats": _DUP_SPAN_SQL,
     "dup_span_dedup": _DUP_SPAN_DEDUP_SQL,
     "dup_span_apply": _DUP_SPAN_APPLY_SQL,
+    "span_rewrite_sink_roundtrip": _SPAN_REWRITE_SINK_SQL,
 }

@@ -123,3 +123,161 @@ def test_ivfpq_plan_broadcasts_and_no_cartesian(spark, sf_smoke):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+# ------------------------------------------- IVF centroid refresh
+
+
+def test_refresh_recall_matches_oracle(spark, sf_oracle):
+    df = ann_store.ann_ivf_refresh_recall(spark, sf_oracle)
+    compare(df, ann_store.ORACLE["ann_ivf_refresh_recall"], sf_oracle)
+
+
+def _refresh_fixture_qn(spark):
+    """Three clusters in 4-dim quant space, crafted so a drifted
+    cluster C STRADDLES the stale A/B decision boundary (half assigns
+    to each list) — the silent-recall-loss mode `refresh_ivf_centroids`
+    exists for. One Lloyd step provably unifies C into a single list
+    (the A-list centroid is dragged to the C direction by C's 6-vs-2
+    majority, while B's 14 members keep its centroid home)."""
+    rows = []
+    for i in range(2):  # A ≈ e1 (ids 200-201) — deliberately small
+        rows.append((200 + i, [1000, 3 + i, 0, 0]))
+    for i in range(14):  # B ≈ e2 (ids 300-313) — the heavy cluster
+        rows.append((300 + i, [3 + i, 1000, 0, 0]))
+    for i in range(12):  # C on the A/B bisector (ids 400-411)
+        # side asymmetry (±10) ≫ the per-vector uniqueness nudge (i,
+        # ≤11 in dim 2): same-side dot advantage (20² = 400) dominates
+        # the worst norm penalty (11² = 121 on ~1e6), so brute top-8
+        # is cleanly 5 same-side + 3 cross-side for every C query
+        side = [715, 695] if i % 2 == 0 else [695, 715]
+        rows.append((400 + i, side + [i, 0]))
+    return spark.createDataFrame(
+        [(v, q, sum(x * x for x in q)) for v, q in rows],
+        "vec_id long, q array<long>, nq long",
+    )
+
+
+def _ivf_hit_sets(spark, qn, cb_path, lists_path, query_ids, topk):
+    """nprobe=1 IVF top-k through the on-disk index + exact top-k,
+    as (q_id, n_id) sets — the crafted test controls its own probe
+    and k so the straddle scenario stays provable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    queries = qn.where(F.col("vec_id").isin(query_ids))
+    probes = ann_store._assign(
+        queries, spark.read.parquet(cb_path), 1
+    ).select(F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list"))
+    lists = spark.read.parquet(lists_path)
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    nv = qn.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    ivf = (
+        nv.join(lists, "n_id")
+        .join(probes, F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .join(qv, "q_id")
+        .select("q_id", "n_id", similarity._cosine_cols())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )
+    brute = (
+        nv.join(qv, F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", similarity._cosine_cols())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )
+    to_set = lambda df: {(r["q_id"], r["n_id"]) for r in df.collect()}  # noqa: E731
+    return to_set(ivf), to_set(brute)
+
+
+def test_refresh_recovers_straddled_cluster_recall(spark, tmp_path):
+    """End-to-end recall recovery: before refresh the straddled C
+    cluster is split across the A and B lists, so an nprobe=1 C query
+    sees only its own half (recall 10/16); after one refresh C is
+    unified in a single list and recall is exact (16/16). Also pins
+    the stats dict: exactly the 6 B-side C members move, and no list
+    ends empty."""
+    import os
+
+    qn = _refresh_fixture_qn(spark)
+    cb = str(tmp_path / "codebook")
+    li = str(tmp_path / "lists")
+    qn.where(qn.vec_id.isin([200, 300])).selectExpr(
+        "vec_id AS c_id", "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).selectExpr(
+        "v_id AS n_id", "c_id AS list_id"
+    ).write.parquet(li)
+
+    ivf0, brute = _ivf_hit_sets(spark, qn, cb, li, [400, 401], 8)
+    assert len(brute) == 16
+    assert len(ivf0 & brute) == 10  # each query finds only its half
+
+    stats = ann_store.refresh_ivf_centroids(spark, qn, cb, li)
+    assert stats["n_lists"] == 2
+    assert stats["moved"] == 6  # the B-side C half crosses to A's list
+    assert stats["max_list_after"] == 14  # A-list: 2 A + 12 C
+
+    ivf1, brute1 = _ivf_hit_sets(spark, qn, cb, li, [400, 401], 8)
+    assert brute1 == brute  # ground truth is refresh-invariant
+    assert ivf1 & brute == brute  # full recall recovered
+
+
+def test_refresh_crash_repair_is_deterministic(spark, tmp_path):
+    """The double-swap crash story: a crash between the codebook and
+    lists swaps (new codebook over old lists) or inside a swap (.old
+    present, live dir missing) must be repaired by simply re-running
+    the refresh, converging to the same end state as a clean run."""
+    import os
+    import shutil
+
+    qn = _refresh_fixture_qn(spark)
+
+    def build(root):
+        cb, li = os.path.join(root, "codebook"), os.path.join(root, "lists")
+        qn.where(qn.vec_id.isin([200, 300])).selectExpr(
+            "vec_id AS c_id", "q", "nq"
+        ).coalesce(1).write.parquet(cb)
+        ann_store._assign(qn, spark.read.parquet(cb), 1).selectExpr(
+            "v_id AS n_id", "c_id AS list_id"
+        ).write.parquet(li)
+        return cb, li
+
+    def state(cb, li):
+        cents = sorted(
+            (r["c_id"], tuple(r["q"])) for r in spark.read.parquet(cb).collect()
+        )
+        lists = sorted(
+            (r["n_id"], r["list_id"]) for r in spark.read.parquet(li).collect()
+        )
+        return cents, lists
+
+    cb_a, li_a = build(str(tmp_path / "clean"))
+    ann_store.refresh_ivf_centroids(spark, qn, cb_a, li_a)
+    want = state(cb_a, li_a)
+
+    # crash BETWEEN the swaps: codebook already new, lists still old
+    cb_b, li_b = build(str(tmp_path / "midswap"))
+    old_lists = sorted(
+        (r["n_id"], r["list_id"]) for r in spark.read.parquet(li_b).collect()
+    )
+    ann_store.refresh_ivf_centroids(spark, qn, cb_b, li_b)
+    # rewind the lists side only (new codebook over old lists)
+    shutil.rmtree(li_b)
+    spark.createDataFrame(
+        [(n, l) for n, l in old_lists], "n_id long, list_id long"
+    ).write.parquet(li_b)
+    ann_store.refresh_ivf_centroids(spark, qn, cb_b, li_b)
+    assert state(cb_b, li_b) == want
+
+    # crash INSIDE a swap: live dir renamed aside, staging gone
+    cb_c, li_c = build(str(tmp_path / "inswap"))
+    os.rename(cb_c, cb_c + ".old")
+    ann_store.refresh_ivf_centroids(spark, qn, cb_c, li_c)
+    assert state(cb_c, li_c) == want

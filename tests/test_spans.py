@@ -194,3 +194,32 @@ def test_dedup_planted_first_occurrence_kept(spark, tmp_path):
     assert got[5] == (0, 0)       # first occurrence (smallest doc_id) kept
     assert got[7] == (1, 10)
     assert got[9] == (1, 10)
+
+
+def test_span_rewrite_sink_roundtrip(spark, sf_oracle):
+    """The rewrite written back as a partitioned table: oracle hash
+    on the STORED aggregate, hive layout one file per lang partition
+    (the corpus sink's repartition-on-partition-col discipline), and
+    kept-token conservation re-checked on the stored output against
+    the decision op."""
+    import glob
+    import os
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+    from pyspark.sql import functions as F
+
+    df = spans.span_rewrite_sink_roundtrip(spark, sf_oracle)
+    compare(df, spans._SPAN_REWRITE_SINK_SQL, sf_oracle)
+
+    stored = os.path.join(scratch_path("span_rewrite"), "t")
+    part_dirs = glob.glob(os.path.join(stored, "lang=*"))
+    assert part_dirs, "no hive partitions written"
+    for d in part_dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+    back = spark.read.parquet(stored)
+    kept_stored = back.agg(F.sum("kept_tokens")).first()[0]
+    kept_decided = (
+        spans.dup_span_dedup(spark, sf_oracle).agg(F.sum("kept_tokens")).first()[0]
+    )
+    assert kept_stored == kept_decided
