@@ -94,7 +94,30 @@ HEADLINE = [
     # tracked from birth
     "dedup_store_rep_admission",
     "dup_span_apply",
+    # round 12: the vector rep lifecycle, the IVF refresh probe, and
+    # the corpus-rewrite sink — tracked from birth (all lifecycle)
+    "embedding_store_rep_admission",
+    "ann_ivf_refresh_recall",
+    "span_rewrite_sink_roundtrip",
 ]
+
+# VERDICT r11 bench finding: the headline total had become dominated
+# by lifecycle-proof fixed costs (store write→read round-trips,
+# job-count-bound, ~18 jobs × ~1 s at sf0.1 for the rep op alone) —
+# not query engine speed. These ops' oracle value is the LIFECYCLE
+# (sequential disk admission ≡ one-shot SQL), so their cost is
+# honest but belongs in its own total: `value` sums the data-bound
+# query set only; `lifecycle_total` sums these. Families still cover
+# every tracked op, so family subtotals remain comparable to r11.
+LIFECYCLE = {
+    "dedup_store_admission",
+    "dedup_store_rep_admission",
+    "embedding_store_rep_admission",
+    "streaming_store_admission",
+    "ann_ivf_store_search",
+    "ann_ivf_refresh_recall",
+    "span_rewrite_sink_roundtrip",
+}
 
 # Family subtotals (VERDICT r10 item #7): 38 tracked queries make the
 # headline total composition-sensitive; per-family sums localize a
@@ -110,7 +133,8 @@ FAMILY = {
         q: "dedup"
         for q in HEADLINE
         if q.startswith(("dedup_", "dup_span", "embedding_neardup",
-                         "embedding_incremental"))
+                         "embedding_incremental", "embedding_store",
+                         "span_rewrite"))
     },
     **{
         q: "ann"
@@ -132,6 +156,9 @@ FAMILY = {
 assert set(FAMILY) == set(HEADLINE), (
     f"FAMILY/HEADLINE drift: untagged={set(HEADLINE) - set(FAMILY)} "
     f"stale={set(FAMILY) - set(HEADLINE)}"
+)
+assert LIFECYCLE <= set(HEADLINE), (
+    f"LIFECYCLE op not tracked: {LIFECYCLE - set(HEADLINE)}"
 )
 
 
@@ -203,7 +230,16 @@ def main() -> None:
     # headline number and breaks round-over-round comparability of
     # the query total.
     aux = {"sink_compaction": bench_sink_compaction(spark, sf_dir)}
-    total = round(sum(timings.values()), 3)
+    # headline total = the data-bound query set; lifecycle-proof ops
+    # (job-count-bound store round-trips) are summed separately so
+    # the engine-speed number stays comparable round over round
+    # (VERDICT r11 bench finding).
+    total = round(
+        sum(t for n, t in timings.items() if n not in LIFECYCLE), 3
+    )
+    lifecycle_total = round(
+        sum(t for n, t in timings.items() if n in LIFECYCLE), 3
+    )
     families: dict[str, float] = {}
     for name, t in timings.items():
         families[FAMILY[name]] = round(families.get(FAMILY[name], 0.0) + t, 3)
@@ -213,14 +249,17 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "lifecycle_total": lifecycle_total,
+                "lifecycle_n": len(LIFECYCLE & set(timings)),
                 "queries": timings,
                 "families": families,
                 "aux": aux,
                 "timed_runs": 3,  # per-query min-of-3 (noise floor)
                 # headline composition grew in round 2 (ngram/neardup
                 # added after their BLAS rewrites) — n disambiguates
-                # cross-round totals.
-                "queries_n": len(timings),
+                # cross-round totals; value excludes the lifecycle
+                # set from round 12 on.
+                "queries_n": len(timings) - len(LIFECYCLE & set(timings)),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

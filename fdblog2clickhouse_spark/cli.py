@@ -448,6 +448,46 @@ def cmd_list_queries(args) -> int:
     return 0
 
 
+def cmd_refresh_ivf(args) -> int:
+    """Retrain a persisted IVF index's codebook against the current
+    corpus (`refresh_ivf_centroids`): one exact Lloyd iteration +
+    full reassignment, crash-safe double swap. The reindex sibling
+    of compact-store: compaction keeps the lists READABLE fast,
+    refresh keeps them RIGHT as the insert stream drifts away from
+    the build-time codebook (recall decays silently otherwise —
+    measured in SCALE.md; probe cadence via ann_recall_eval-style
+    recall checks)."""
+    from pyspark.sql import functions as F
+
+    from .operators.ann_store import refresh_ivf_centroids
+    from .operators.dedup import _QUANT
+
+    spark = _spark()
+    # same quantization as dedup._quantized, over an arbitrary
+    # vectors parquet (vec_id, embedding) — dedup.py itself is
+    # byte-pinned until its r13 window rotation, so the two-line
+    # spelling is inlined rather than refactored out this round
+    emb = spark.read.parquet(args.vectors)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _QUANT, 0).cast("long"),
+    )
+    qn = emb.select("vec_id", q.alias("q")).withColumn(
+        "nq",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    stats = refresh_ivf_centroids(spark, qn, args.codebook, args.lists)
+    print(
+        f"refreshed: lists={stats['n_lists']} moved={stats['moved']} "
+        f"max_list={stats['max_list_before']}->{stats['max_list_after']}"
+    )
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run one registered operator against a testdata dir and print
     the result — the 'traditional OLAP SQL queries' consumer surface
@@ -540,6 +580,14 @@ def main(argv: list[str] | None = None) -> int:
                          "count (migration: a store built at 16 buckets "
                          "gains pruning granularity without a rebuild)")
     sk.set_defaults(fn=cmd_compact_store)
+
+    sv = sub.add_parser("refresh-ivf")
+    sv.add_argument("codebook", help="persisted codebook parquet path")
+    sv.add_argument("lists", help="persisted inverted-lists parquet path")
+    sv.add_argument("--vectors", required=True,
+                    help="embeddings parquet (vec_id, embedding) covering "
+                         "every indexed vector")
+    sv.set_defaults(fn=cmd_refresh_ivf)
 
     sl = sub.add_parser("list-queries")
     sl.set_defaults(fn=cmd_list_queries)

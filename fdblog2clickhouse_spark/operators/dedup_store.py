@@ -1357,10 +1357,19 @@ def embedding_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame
             verify=verify,
         )
 
-    groups = (
-        spark.read.parquet(mem_path).select("group_id").distinct()
-    ).withColumnRenamed("group_id", "doc_id")
-    reps_q = g_all.join(groups, "doc_id", "left_semi")
+    # self-cosines are only consumed by WITHIN-group pairs, which
+    # exist only for groups with ≥ 2 members — restrict the frame to
+    # those (on a mostly-distinct corpus this is near-empty, and the
+    # expansion's self-value join stays O(groups-with-dups), never
+    # O(groups); bench audit, round 12)
+    multi = (
+        spark.read.parquet(mem_path)
+        .groupBy("group_id")
+        .count()
+        .where(F.col("count") > 1)
+        .select(F.col("group_id").alias("doc_id"))
+    )
+    reps_q = g_all.join(multi, "doc_id", "left_semi")
     self_vals = emb_self_cosines(
         reps_q.select(F.col("doc_id").alias("group_id")),
         reps_q.select(F.col("doc_id").alias("vec_id"), "q", "nq"),

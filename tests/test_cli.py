@@ -841,3 +841,42 @@ def test_compact_store_rebucket_members_and_kept_count(spark, tmp_path, capsys):
         set((r["da"], r["db"]) for r in spark.read.parquet(evidence).collect())
     )
     assert pairs == [(1, 20), (41, 50)]
+
+
+def test_refresh_ivf_cli(spark, tmp_path, capsys):
+    """The reindex CLI: refresh-ivf retrains a persisted codebook
+    against the current vectors parquet and reassigns the lists —
+    the straddled-cluster fixture's 6 B-side members cross to the
+    A list (same scenario the unit test pins at the operator
+    level)."""
+    import os
+
+    from fdblog2clickhouse_spark.operators import ann_store
+    from tests.test_ann_store import _refresh_fixture_qn
+
+    qn = _refresh_fixture_qn(spark)
+    # the CLI quantizes (round(x * 10000)) — emit floats that
+    # quantize back to exactly the crafted q arrays
+    emb = qn.selectExpr(
+        "vec_id", "transform(q, x -> CAST(x AS FLOAT) / 10000.0) AS embedding"
+    )
+    vectors = str(tmp_path / "vectors")
+    emb.write.parquet(vectors)
+
+    cb = str(tmp_path / "codebook")
+    li = str(tmp_path / "lists")
+    qn.where(qn.vec_id.isin([200, 300])).selectExpr(
+        "vec_id AS c_id", "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).selectExpr(
+        "v_id AS n_id", "c_id AS list_id"
+    ).write.parquet(li)
+
+    assert cli.main(["refresh-ivf", cb, li, "--vectors", vectors]) == 0
+    out = capsys.readouterr().out
+    assert "refreshed: lists=2 moved=6" in out
+    sizes = {
+        r["list_id"]: r["count"]
+        for r in spark.read.parquet(li).groupBy("list_id").count().collect()
+    }
+    assert sorted(sizes.values()) == [14, 14]  # 2A+12C unified / 14B

@@ -112,13 +112,12 @@ def score_full(k: int) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
-def score_pruned(k: int) -> tuple[float, int]:
-    """The r11 spelling: the banded index's partition-pruned read."""
+def score_pruned_at(bands_path: str) -> tuple[float, int]:
+    """The r11 spelling against an arbitrary banded index path (the
+    bucket sweep points it at indexes built at different counts)."""
     t0 = time.perf_counter()
     g_batch = batch_sigs.withColumnRenamed("doc_id", "group_id")
-    store_rows = ds.pruned_store_rows(
-        spark, stores[k] + "_bands", g_batch
-    ).join(
+    store_rows = ds.pruned_store_rows(spark, bands_path, g_batch).join(
         g_batch.select(F.col("group_id").alias("id")), "id", "left_anti"
     )
     cand = ds.candidates_from_rows(
@@ -128,6 +127,10 @@ def score_pruned(k: int) -> tuple[float, int]:
     )
     n = _verify(cand)
     return time.perf_counter() - t0, n
+
+
+def score_pruned(k: int) -> tuple[float, int]:
+    return score_pruned_at(stores[k] + "_bands")
 
 
 VARIANTS = {"full": score_full, "pruned": score_pruned}
@@ -155,4 +158,62 @@ for v in VARIANTS:
             f"{v} x{k}: median={statistics.median(times[(v, k)]):.2f}s",
             flush=True,
         )
+
+# ------------------------- bucket-count sweep (VERDICT r11 #3 Done)
+#
+# Same store (the largest, x64), banded indexes built at 16/64/256/
+# 1024 buckets; one is produced through the MIGRATION path
+# (rebucket_banded_index from a 16-bucket build) to pin that the
+# migrated index is cost- and candidate-identical to a native build
+# at the same count. Interleaved ABBA, median-of-3, like the main
+# loop. The data term (store/buckets per partition) drops as buckets
+# rise while the dir term (listing + tiny-file opens, ~buckets)
+# grows; which dominates depends on store size — the r12 measurement
+# at this toy scale put the optimum near 64 (SCALE.md has the curve
+# and the 100 TB reading: rebucket UP as the store grows).
+KBIG = KS[-1]
+BUCKET_SWEEP = [16, 64, 256, 1024]
+sig_big = spark.read.parquet(stores[KBIG]).withColumnRenamed(
+    "doc_id", "group_id"
+)
+idx: dict[int, str] = {}
+# rebucket rebuilds from the FLAT store, whose rows it expects in
+# rep-store form (group_id) — park a renamed copy for the migration
+# point (the tool's stores keep raw doc_id for the full-scan variant)
+store_g = f"{root}/store_x{KBIG}_g"
+sig_big.write.mode("overwrite").parquet(store_g)
+for b in BUCKET_SWEEP:
+    p = f"{root}/bands_x{KBIG}_b{b}"
+    if b == 256:
+        # exercise the migration path for one of the points
+        ds.write_banded_index(sig_big, p, "overwrite", buckets=16)
+        ds.rebucket_banded_index(spark, store_g, p, 256)
+    else:
+        ds.write_banded_index(sig_big, p, "overwrite", buckets=b)
+    idx[b] = p
+
+pairs_at: dict[int, int] = {}
+for b in BUCKET_SWEEP:  # warm
+    _, pairs_at[b] = score_pruned_at(idx[b])
+assert len(set(pairs_at.values())) == 1, (
+    f"bucket count changed the candidate/verify output: {pairs_at}"
+)
+
+btimes: dict[int, list[float]] = {b: [] for b in BUCKET_SWEEP}
+border = list(BUCKET_SWEEP)
+for rep_i in range(3):
+    for b in border:
+        dt, _ = score_pruned_at(idx[b])
+        btimes[b].append(dt)
+        print(f"rep {rep_i} buckets={b}: {dt:.2f}s", flush=True)
+    border.reverse()
+
+print()
+for b in BUCKET_SWEEP:
+    tag = " (via rebucket migration)" if b == 256 else ""
+    print(
+        f"pruned x{KBIG} buckets={b}: "
+        f"median={statistics.median(btimes[b]):.2f}s{tag}",
+        flush=True,
+    )
 shutil.rmtree(root, ignore_errors=True)
