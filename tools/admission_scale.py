@@ -166,11 +166,11 @@ for v in VARIANTS:
 # (rebucket_banded_index from a 16-bucket build) to pin that the
 # migrated index is cost- and candidate-identical to a native build
 # at the same count. Interleaved ABBA, median-of-3, like the main
-# loop. The data term (store/buckets per partition) drops as buckets
-# rise while the dir term (listing + tiny-file opens, ~buckets)
-# grows; which dominates depends on store size — the r12 measurement
-# at this toy scale put the optimum near 64 (SCALE.md has the curve
-# and the 100 TB reading: rebucket UP as the store grows).
+# loop. Under whole-table partition discovery the dir term
+# (~buckets listing calls) dominated at high counts; after
+# pruned_store_rows switched to explicit-dir reads (r12) the sweep
+# is monotone — higher bucket counts strictly cheaper (SCALE.md has
+# both curves). Rebucket UP as the store grows.
 KBIG = KS[-1]
 BUCKET_SWEEP = [16, 64, 256, 1024]
 sig_big = spark.read.parquet(stores[KBIG]).withColumnRenamed(
