@@ -94,9 +94,11 @@ HEADLINE = [
     # tracked from birth
     "dedup_store_rep_admission",
     "dup_span_apply",
-    # round 12: the vector rep lifecycle, the IVF refresh probe, and
-    # the corpus-rewrite sink — tracked from birth (all lifecycle)
+    # round 12: the vector rep lifecycle (batch + streaming), the
+    # IVF refresh probe, and the corpus-rewrite sink — tracked from
+    # birth (all lifecycle)
     "embedding_store_rep_admission",
+    "streaming_embedding_rep_admission",
     "ann_ivf_refresh_recall",
     "span_rewrite_sink_roundtrip",
 ]
@@ -114,6 +116,7 @@ LIFECYCLE = {
     "dedup_store_rep_admission",
     "embedding_store_rep_admission",
     "streaming_store_admission",
+    "streaming_embedding_rep_admission",
     "ann_ivf_store_search",
     "ann_ivf_refresh_recall",
     "span_rewrite_sink_roundtrip",
@@ -147,7 +150,8 @@ FAMILY = {
                                "doc_skyline_select", "pack_manifest")},
     **{
         q: "streaming"
-        for q in ("streaming_view_purchase_join", "streaming_store_admission")
+        for q in ("streaming_view_purchase_join", "streaming_store_admission",
+                  "streaming_embedding_rep_admission")
     },
     **{q: "multimodal" for q in ("multimodal_gif_frames",)},
 }

@@ -43,16 +43,18 @@ from pyspark.sql import DataFrame, SparkSession
 #       span_rewrite_sink_roundtrip (the corpus-rewrite sink,
 #       VERDICT r11 #5) + keep AS MATERIALIZED in the apply oracle
 #       (ADVICE r11): all four ops re-verify;
-#   (d) streaming_rep_admission: its own file is byte-unchanged but
-#       it CALLS the generalized rep_admission_step — kernel
-#       dependents take a slot when the kernel changes (the rule
-#       r11 deferred it under);
+#   (d) r12-changed streaming/rep_admission.py: the NEW
+#       streaming_embedding_rep_admission (vector sibling,
+#       completing the batch/rep/streaming × text/vector matrix)
+#       plus streaming_rep_admission (same file, and it CALLS the
+#       generalized rep_admission_step);
 #   (e) the r7 cohort re-cover, all 36 (VERDICT r11 #2):
 #       similarity.py's 15, curation.py's 5, streaming/queries.py's
 #       9 r7 greens, textops' 6 r7 greens, trace_json — files
 #       byte-unchanged since r7, pure re-cover;
-#   (f) 2 remaining slots → the oldest r8 greens (dedup.py, queued
-#       first two of its 15).
+#   (f) 1 remaining slot → the oldest r8 green (dedup.py's
+#       dedup_exact; new code displaced the second spare —
+#       the r11 precedent's priority order).
 # r13 RE-COVER PRIORITY (stalest first, files unchanged): the rest
 # of dedup.py's r8 cohort (13), then the r8 trace/sequence/sketches
 # cohort (24), then streaming_incremental_dedup /
@@ -70,8 +72,9 @@ _FRONT_WINDOW = [
     # (c) r12-changed spans.py (4, incl. the NEW rewrite sink)
     "span_rewrite_sink_roundtrip", "dup_span_apply",
     "dup_span_stats", "dup_span_dedup",
-    # (d) kernel dependent (1)
-    "streaming_rep_admission",
+    # (d) r12-changed streaming/rep_admission.py (2, incl. the NEW
+    # vector streaming sibling)
+    "streaming_embedding_rep_admission", "streaming_rep_admission",
     # (e) the r7 cohort re-cover (36)
     "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_norm_stats", "embedding_centroids", "stratified_sample",
@@ -88,8 +91,8 @@ _FRONT_WINDOW = [
     "corpus_select", "doc_top_terms", "bpe_pair_stats",
     "lang_confusion_metrics", "source_dup_inflation", "doc_rarity_score",
     "trace_json_batch_ingest",
-    # (f) oldest r8 greens (2)
-    "dedup_exact", "dedup_minhash_lsh",
+    # (f) oldest r8 green (1)
+    "dedup_exact",
 ]
 
 

@@ -1031,3 +1031,69 @@ def test_rebucket_banded_index_preserves_pruned_reads(spark, tmp_path):
     os.remove(os.path.join(bands, dedup_store._BANDED_META))
     with pytest.raises(RuntimeError, match="layout marker"):
         dedup_store.rebucket_banded_index(spark, store, bands, 256)
+
+
+# --------------------- streaming_embedding_rep_admission (vector)
+
+
+def test_streaming_emb_rep_matches_oracle_and_batch(spark, sf_oracle):
+    """The VECTOR streaming rep lifecycle (4 micro-batches of
+    quantized vectors, hyperplane store + int-keyed banded index +
+    members growing under the stream) must hash-match the uncapped
+    one-shot oracle AND byte-equal both batch spellings — slicing
+    invariance, the vector rep collapse, the pruned reads, and the
+    self-cosine expansion pinned at once."""
+    from fdblog2clickhouse_spark.streaming.rep_admission import (
+        streaming_embedding_rep_admission,
+    )
+
+    df = streaming_embedding_rep_admission(spark, sf_oracle)
+    compare(df, dedup_store.ORACLE["embedding_store_admission"], sf_oracle)
+    streamed = sorted(map(tuple, df.collect()))
+    batch_rep = sorted(
+        map(
+            tuple,
+            dedup_store.embedding_store_rep_admission(spark, sf_oracle).collect(),
+        )
+    )
+    assert streamed == batch_rep
+
+
+def test_streaming_emb_rep_mega_bucket_store_linear(spark, tmp_path):
+    """90 byte-identical vectors arriving ACROSS micro-batches: the
+    persisted hyperplane store still ends at ONE signature row, the
+    membership table maps every arrival, evidence stays empty, and
+    the expansion emits every qualifying pair with the oracle's
+    self-cosine arithmetic — the online mode of the vector
+    mega-bucket pin."""
+    import math
+    import os
+
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+    from fdblog2clickhouse_spark.streaming.rep_admission import (
+        streaming_embedding_rep_admission,
+    )
+
+    n = 90
+    ids = list(range(1, n + 1))
+    emb = [0.0001, 0.0002, -0.0003, 0.0001]
+    _write_embeddings(spark, str(tmp_path), [(i, emb) for i in ids])
+
+    out = streaming_embedding_rep_admission(spark, str(tmp_path))
+    pairs = {(r["va"], r["vb"]): r["cosine"] for r in out.collect()}
+    base = [i for i in ids if i % 10 not in (0, 5)]
+    expect = {
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and not (a in base and b in base)
+    }
+    assert set(pairs) == expect
+    nq = 15.0
+    self_cos = nq / (math.sqrt(nq) * math.sqrt(nq))
+    assert all(v == self_cos for v in pairs.values())
+
+    root = scratch_path("emb_rep_admission_stream")
+    assert spark.read.parquet(os.path.join(root, "signatures")).count() == 1
+    assert spark.read.parquet(os.path.join(root, "evidence")).count() == 0
+    assert spark.read.parquet(os.path.join(root, "members")).count() == n
