@@ -56,9 +56,12 @@ from pyspark.sql import DataFrame, SparkSession
 #       dedup_exact; new code displaced the second spare —
 #       the r11 precedent's priority order).
 # r13 RE-COVER PRIORITY (stalest first, files unchanged): the rest
-# of dedup.py's r8 cohort (13), then the r8 trace/sequence/sketches
-# cohort (24), then streaming_incremental_dedup /
-# streaming_store_admission and the r10-green remainder.
+# of dedup.py's r8 cohort (14 — dedup_exact took r12's spare slot;
+# adopt cosine_on_candidates_nullsafe's try_divide spelling in
+# dedup.py's cosine ops when the file unpins, see dedup_store.py),
+# then the r8 trace/sequence/sketches cohort, then
+# streaming_incremental_dedup / streaming_store_admission and the
+# r10-green remainder.
 # NOT in the window by design: tpch/trace_ops/sequence/sketches/
 # curation-adjacent training/multimodal/lm/bpe/sinkcheck/textops'
 # r11 greens — files untouched since their last green rows.

@@ -512,3 +512,21 @@ def test_ivf_store_search_plan(spark, sf_smoke):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_emb_rep_signature_build_has_no_shuffle(spark):
+    """The in-row hyperplane signature claim (round 12): one zip_with
+    aggregate per plane, band bits folded in-row — the physical plan
+    must contain ZERO Exchange nodes (the exploded spelling it
+    replaced shuffled twice per build, and this frame is built three
+    times per admission lifecycle)."""
+    from fdblog2clickhouse_spark.operators import dedup_store
+    from fdblog2clickhouse_spark.plans.audit import formatted_plan
+
+    reps = spark.createDataFrame(
+        [(1, "g1", [1000] * 64), (2, "g2", [-7] * 64)],
+        "group_id long, gh string, q array<long>",
+    )
+    plan = formatted_plan(dedup_store.emb_rep_signature_frame(spark, reps))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
