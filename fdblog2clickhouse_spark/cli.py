@@ -279,6 +279,167 @@ def cmd_build_store(args) -> int:
     return 0
 
 
+def _vector_qn(spark, path: str):
+    """Vectors parquet (vec_id, embedding) → quantized (vec_id, q,
+    nq) — dedup._quantized's spelling over an arbitrary path
+    (dedup.py itself is byte-pinned until its r13 window rotation,
+    so the two-expression quantization is spelled here)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import _QUANT
+
+    emb = spark.read.parquet(path)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _QUANT, 0).cast("long"),
+    )
+    return emb.select("vec_id", q.alias("q")).withColumn(
+        "nq",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def cmd_build_vstore(args) -> int:
+    """Bootstrap the VECTOR representative store from an embeddings
+    parquet — the hyperplane sibling of build-store: byte-identical
+    vectors collapse to one group (gh = md5 of the quantized
+    component stream) BEFORE any signature is computed, one
+    (group_id, gh, bv0..bv5) sign-band row per distinct vector, a
+    `<store>_members` table mapping every vec_id, and the int-keyed
+    `<store>_bands` pruning index."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup_store import (
+        _EMB_KEY_COLS,
+        banded_path,
+        emb_rep_group_frame,
+        emb_rep_reps,
+        emb_rep_signature_frame,
+        members_path,
+        write_banded_index,
+    )
+
+    spark = _spark()
+    g = emb_rep_group_frame(_vector_qn(spark, args.vectors)).cache()
+    reps = emb_rep_reps(g).cache()
+    emb_rep_signature_frame(spark, reps).write.mode("overwrite").parquet(
+        args.store
+    )
+    write_banded_index(
+        spark.read.parquet(args.store),
+        banded_path(args.store),
+        "overwrite",
+        key_cols=_EMB_KEY_COLS,
+    )
+    g.select("doc_id", "gh").join(reps.select("gh", "group_id"), "gh").select(
+        "doc_id", "gh", "group_id"
+    ).write.mode("overwrite").parquet(members_path(args.store))
+    n_groups = spark.read.parquet(args.store).count()
+    n_docs = spark.read.parquet(members_path(args.store)).count()
+    g.unpersist(), reps.unpersist()
+    print(f"vstore groups: {n_groups} members: {n_docs}")
+    return 0
+
+
+def cmd_admit_vectors(args) -> int:
+    """One VECTOR admission batch against the rep store — the
+    hyperplane sibling of `admit`, running the SAME shared step
+    (rep_admission_step: deterministic full-rotation rescore,
+    idempotent three-table appends, '(kept)' redelivery reporting)
+    with the vector family's band keys, signature builder, and
+    exact-cosine verify. Evidence is GROUP-level (da, db, cosine) —
+    member pairs reconstruct through `<store>_members`, exactly like
+    the text path. `--vectors` must cover candidate vectors (the
+    verify side re-reads raw embeddings; the store persists
+    signatures only — the index/payload split)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators.dedup_store import (
+        _COSINE_THRESHOLD,
+        _EMB_KEY_COLS,
+        banded_path,
+        cosine_on_candidates_nullsafe,
+        emb_rep_group_frame,
+        emb_rep_reps,
+        emb_rep_signature_frame,
+        members_path,
+        rep_admission_step,
+    )
+
+    spark = _spark()
+    thr = args.threshold if args.threshold is not None else _COSINE_THRESHOLD
+    g_batch = emb_rep_group_frame(_vector_qn(spark, args.batch)).cache()
+    n_batch = g_batch.count()
+
+    def feats_for(cand_ids):
+        return (
+            _vector_qn(spark, args.vectors)
+            .withColumnRenamed("vec_id", "doc_id")
+            .join(cand_ids, "doc_id", "left_semi")
+            .select(F.col("doc_id").alias("vec_id"), "q", "nq")
+        )
+
+    def verify(cand, feats):
+        v = cosine_on_candidates_nullsafe(
+            cand.select(F.col("da").alias("va"), F.col("db").alias("vb")),
+            feats,
+            thr,
+        )
+        return v.select(
+            F.col("va").alias("da"), F.col("vb").alias("db"), "cosine"
+        )
+
+    n_pairs = 0
+    ev_part = None
+    if args.evidence:
+        batch_key = hashlib.md5(
+            os.path.abspath(args.batch).encode()
+        ).hexdigest()[:12]
+        ev_part = os.path.join(args.evidence, f"batch_key={batch_key}")
+
+    def write_evidence(verified) -> None:
+        nonlocal n_pairs
+        if ev_part:
+            verified.write.mode("overwrite").parquet(ev_part)
+            n_pairs = spark.read.parquet(ev_part).count()
+        else:
+            n_pairs = verified.count()
+
+    stats = rep_admission_step(
+        spark,
+        g_batch,
+        args.store,
+        banded_path(args.store),
+        members_path(args.store),
+        feats_for,
+        write_evidence,
+        skip_when_no_new_docs=True,
+        apply_appends=not args.no_append,
+        key_cols=_EMB_KEY_COLS,
+        rep_builder=lambda g: emb_rep_signature_frame(spark, emb_rep_reps(g)),
+        verify=verify,
+    )
+    g_batch.unpersist()
+    appended = bool(not args.no_append and stats.get("scored"))
+    pairs_note = str(n_pairs)
+    if not stats.get("scored") and ev_part is not None:
+        if os.path.isdir(ev_part):
+            pairs_note = f"{spark.read.parquet(ev_part).count()} (kept)"
+    print(
+        f"admit-vectors: batch_vecs={n_batch} new_docs={stats['new_docs']} "
+        f"groups={stats['groups']} new_groups={stats['new_groups']} "
+        f"rotation_pairs={pairs_note} appended={appended}"
+    )
+    return 0
+
+
 def cmd_admit(args) -> int:
     """One admission batch against the REPRESENTATIVE store: collapse
     the rotation to distinct token streams, score only NEW content
@@ -569,6 +730,25 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--no-append", action="store_true",
                     help="score only; do not grow the store")
     sm.set_defaults(fn=cmd_admit)
+
+    sbv = sub.add_parser("build-vstore")
+    sbv.add_argument("vectors", help="embeddings parquet (vec_id, embedding)")
+    sbv.add_argument("store", help="hyperplane-store parquet path")
+    sbv.set_defaults(fn=cmd_build_vstore)
+
+    smv = sub.add_parser("admit-vectors")
+    smv.add_argument("batch", help="vectors parquet batch (vec_id, embedding)")
+    smv.add_argument("store", help="hyperplane-store parquet path")
+    smv.add_argument("--vectors", required=True,
+                     help="embeddings parquet covering candidate vectors "
+                          "(verify side)")
+    smv.add_argument("--evidence", default=None,
+                     help="write verified group pairs under this parquet path")
+    smv.add_argument("--threshold", type=float, default=None,
+                     help="cosine threshold (default: the family constant)")
+    smv.add_argument("--no-append", action="store_true",
+                     help="score only; do not grow the store")
+    smv.set_defaults(fn=cmd_admit_vectors)
 
     sk = sub.add_parser("compact-store")
     sk.add_argument("store")

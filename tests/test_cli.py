@@ -880,3 +880,118 @@ def test_refresh_ivf_cli(spark, tmp_path, capsys):
         for r in spark.read.parquet(li).groupBy("list_id").count().collect()
     }
     assert sorted(sizes.values()) == [14, 14]  # 2A+12C unified / 14B
+
+
+def test_vector_store_cli_lifecycle(spark, tmp_path, capsys):
+    """build-vstore + admit-vectors end to end: exact-dup vectors
+    collapse to membership (store grows O(distinct)), a near-dup
+    rotation scores through the int-keyed pruned banded read,
+    redelivery reports the standing partition '(kept)', and
+    compact-store (with --sort-col bv0) compacts all three tables of
+    the vector layout."""
+    import glob
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup_store import members_path
+
+    def write_vecs(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, [float(x) for x in e]) for i, e in rows],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1).write.parquet(p)
+        return p
+
+    base_v = [0.01, 0.02, 0.03, 0.04]
+    near_v = [0.01, 0.02, 0.03, 0.041]     # cosine ~0.9996 >= 0.45
+    far_v = [-0.04, 0.03, -0.02, 0.01]     # negative-ish cosine
+    corpus_rows = [
+        (1, base_v), (2, base_v), (3, far_v),   # base
+        (30, base_v),                            # rot1: exact dup of 1/2
+        (40, near_v),                            # rot2: near-dup of group 1
+    ]
+    corpus = write_vecs("corpus", corpus_rows)
+    base = write_vecs("base", corpus_rows[:3])
+    rot1 = write_vecs("rot1", [corpus_rows[3]])
+    rot2 = write_vecs("rot2", [corpus_rows[4]])
+    store = str(tmp_path / "vstore")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-vstore", base, store]) == 0
+    out = capsys.readouterr().out
+    assert "vstore groups: 2 members: 3" in out   # {1,2} collapse; 3 solo
+
+    def admit(path):
+        assert cli.main(["admit-vectors", path, store, "--vectors", corpus,
+                         "--evidence", evidence]) == 0
+        return capsys.readouterr().out
+
+    out1 = admit(rot1)   # exact dup: membership only, no scored pairs
+    assert "new_docs=1" in out1 and "new_groups=0" in out1
+    assert "rotation_pairs=0" in out1
+    assert spark.read.parquet(store).count() == 2
+
+    out2 = admit(rot2)   # near-dup: one group pair (group1, 40)
+    assert "new_docs=1" in out2 and "new_groups=1" in out2
+    assert "rotation_pairs=1" in out2
+    assert spark.read.parquet(store).count() == 3
+
+    # redelivery of a completed rotation: skip path, standing count
+    out_re = admit(rot2)
+    assert "new_docs=0" in out_re
+    assert "rotation_pairs=1 (kept)" in out_re
+
+    # membership maps every vector; group evidence is group-level
+    members = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(members_path(store)).collect()
+    }
+    assert members == {1: 1, 2: 1, 3: 3, 30: 1, 40: 40}
+    pairs = {
+        (r["da"], r["db"])
+        for r in spark.read.parquet(evidence).collect()
+    }
+    assert pairs == {(1, 40)}
+
+    assert cli.main(["compact-store", store, "--sort-col", "bv0"]) == 0
+    out = capsys.readouterr().out
+    assert "members_files_before=" in out and "bands_files_before=" in out
+    assert len(glob.glob(os.path.join(store, "*.parquet"))) == 1
+
+
+def test_admit_vectors_mega_bucket_is_linear(spark, tmp_path, capsys):
+    """The vector CLI under the degenerate mode the rep design
+    exists for: a rotation of 90 byte-identical embeddings reaches
+    the kernel as ONE group — the store gains no row (content
+    already known), membership grows by exactly the rotation size,
+    and the evidence stays empty."""
+    from fdblog2clickhouse_spark.operators.dedup_store import members_path
+
+    def write_vecs(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, [float(x) for x in e]) for i, e in rows],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1).write.parquet(p)
+        return p
+
+    v = [0.03, -0.01, 0.02, 0.04]
+    base = write_vecs("base", [(i, v) for i in range(1, 31)])
+    rot = write_vecs("rot", [(i, v) for i in range(100, 190)])
+    corpus = write_vecs(
+        "corpus", [(i, v) for i in list(range(1, 31)) + list(range(100, 190))]
+    )
+    store = str(tmp_path / "vstore")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-vstore", base, store]) == 0
+    out = capsys.readouterr().out
+    assert "vstore groups: 1 members: 30" in out
+
+    assert cli.main(["admit-vectors", rot, store, "--vectors", corpus,
+                     "--evidence", evidence]) == 0
+    out = capsys.readouterr().out
+    assert "new_docs=90" in out and "new_groups=0" in out
+    assert spark.read.parquet(store).count() == 1
+    assert spark.read.parquet(members_path(store)).count() == 120
+    assert spark.read.parquet(evidence).count() == 0
