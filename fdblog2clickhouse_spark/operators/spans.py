@@ -125,24 +125,28 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tok", "i"
     )
     spans = _maximal_spans(dup_pos)
-    return spans.groupBy("doc_id", "n_tok").agg(
+    agg = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
         F.sum(_span_len()).alias("dup_tokens"),
+    )
+    # zero rows for eligible docs with no duplicated shingle come
+    # from a LEFT JOIN + coalesce, NOT a unionByName + anti-join: the
+    # union spelling evaluates the whole corpus-wide shingle-hash
+    # derivation TWICE (Spark shares no subtrees across union
+    # branches) — measured 8× slower than the apply op's join shape
+    # on the same derivation (round-12 bench audit).
+    return t.select("doc_id", F.size("tk").alias("n_tok")).join(
+        agg, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
         F.floor(
-            F.sum(_span_len()) * F.lit(1000) / F.col("n_tok").cast("double")
+            F.coalesce("dup_tokens", F.lit(0))
+            * F.lit(1000)
+            / F.col("n_tok").cast("double")
         ).alias("dup_frac_milli"),
-    ).unionByName(
-        # docs with >= K tokens but no duplicated shingle: explicit
-        # zero rows, so the output covers every eligible doc
-        t.select("doc_id", F.size("tk").alias("n_tok"))
-        .join(dup_pos.select("doc_id").distinct(), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            "n_tok",
-            F.lit(0).cast("int").alias("n_dup_spans"),
-            F.lit(0).cast("long").alias("dup_tokens"),
-            F.lit(0).cast("long").alias("dup_frac_milli"),
-        )
     )
 
 
@@ -220,26 +224,25 @@ def dup_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _eligible_tokens(spark, sf_dir)
     cut_pos = _cut_positions(_pos_hashes(t))
     spans_df = _maximal_spans(cut_pos)
-    cut = spans_df.groupBy("doc_id", "n_tok").agg(
+    cut = spans_df.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_cut_spans"),
         F.sum(_span_len()).alias("removed_tokens"),
     )
-    return cut.select(
+    # LEFT JOIN + coalesce for the uncut docs — the unionByName +
+    # anti-join spelling ran the shingle-hash derivation twice (see
+    # dup_span_stats)
+    return t.select("doc_id", F.size("tk").alias("n_tok")).join(
+        cut, "doc_id", "left"
+    ).select(
         "doc_id",
         "n_tok",
-        "n_cut_spans",
-        "removed_tokens",
-        (F.col("n_tok") - F.col("removed_tokens")).alias("kept_tokens"),
-    ).unionByName(
-        t.select("doc_id", F.size("tk").alias("n_tok"))
-        .join(cut_pos.select("doc_id").distinct(), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            "n_tok",
-            F.lit(0).cast("int").alias("n_cut_spans"),
-            F.lit(0).cast("long").alias("removed_tokens"),
-            F.col("n_tok").cast("long").alias("kept_tokens"),
-        )
+        F.coalesce("n_cut_spans", F.lit(0)).cast("int").alias("n_cut_spans"),
+        F.coalesce("removed_tokens", F.lit(0))
+        .cast("long")
+        .alias("removed_tokens"),
+        (
+            F.col("n_tok") - F.coalesce("removed_tokens", F.lit(0))
+        ).cast("long").alias("kept_tokens"),
     )
 
 
