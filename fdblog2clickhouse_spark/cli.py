@@ -618,29 +618,10 @@ def cmd_refresh_ivf(args) -> int:
     the build-time codebook (recall decays silently otherwise —
     measured in SCALE.md; probe cadence via ann_recall_eval-style
     recall checks)."""
-    from pyspark.sql import functions as F
-
     from .operators.ann_store import refresh_ivf_centroids
-    from .operators.dedup import _QUANT
 
     spark = _spark()
-    # same quantization as dedup._quantized, over an arbitrary
-    # vectors parquet (vec_id, embedding) — dedup.py itself is
-    # byte-pinned until its r13 window rotation, so the two-line
-    # spelling is inlined rather than refactored out this round
-    emb = spark.read.parquet(args.vectors)
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * _QUANT, 0).cast("long"),
-    )
-    qn = emb.select("vec_id", q.alias("q")).withColumn(
-        "nq",
-        F.aggregate(
-            F.transform(F.col("q"), lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
+    qn = _vector_qn(spark, args.vectors)
     stats = refresh_ivf_centroids(spark, qn, args.codebook, args.lists)
     print(
         f"refreshed: lists={stats['n_lists']} moved={stats['moved']} "
