@@ -918,18 +918,30 @@ def rep_admission_step(
         store_band_rows(batch_side, key_cols, id_col="group_id"),
         len(key_cols),
     ).cache()
-    # ONE extra materializing action: the evidence write below fills
-    # the new_sigs and cand caches through batch_side's lineage (it
-    # runs before any append); group_map — whose first consumer is
-    # the post-append members write — needs the explicit count, and
-    # counting it also yields the stats.
+    # group_map — whose first consumer is the post-append members
+    # write — needs the explicit count, and counting it also yields
+    # the stats.
     n_groups, n_new_groups = group_map.count(), new_sigs.count()
     cand_ids = (
         cand.select(F.col("da").alias("doc_id"))
         .unionByName(cand.select(F.col("db").alias("doc_id")))
         .distinct()
     )
-    verified = verify(cand, feats_for(cand_ids))
+    # Materialize the candidate-pruned verify features ONCE: every
+    # verify joins feats on BOTH pair sides (da and db), so an
+    # uncached feats recomputes its whole lineage twice — and in the
+    # production shape (the admit CLIs, where feats_for reads the
+    # corpus JSON) that means scanning the ENTIRE corpus twice, since
+    # a JSON scan gets no semi-join pushdown. The count action also
+    # fills the new_sigs and cand caches through batch_side's lineage
+    # before any append runs. Round-12 interleaved audits
+    # (median-of-5, sf0.1): CLI-shaped step (JSON corpus) 7.3 →
+    # 6.7 s — the win grows with corpus size; proof-op level a wash
+    # (31.0 vs 31.4 s) because those feats read an already-cached
+    # group frame. feats stays bounded by the candidate set.
+    feats = feats_for(cand_ids).cache()
+    feats.count()
+    verified = verify(cand, feats)
     write_evidence(verified)
     if apply_appends:
         # banded BEFORE flat: a crash between the two re-admits the
@@ -941,7 +953,7 @@ def rep_admission_step(
         mem_new.join(group_map, "gh").select(
             "doc_id", "gh", "group_id"
         ).write.mode("append").parquet(mem_path)
-    for c in (mem_new, group_map, new_sigs, cand):
+    for c in (mem_new, group_map, new_sigs, cand, feats):
         c.unpersist()
     return {
         "new_docs": n_mem_new,
