@@ -995,3 +995,102 @@ def test_admit_vectors_mega_bucket_is_linear(spark, tmp_path, capsys):
     assert spark.read.parquet(store).count() == 1
     assert spark.read.parquet(members_path(store)).count() == 120
     assert spark.read.parquet(evidence).count() == 0
+
+
+def test_admit_vectors_long_lifecycle_with_rebucket(spark, tmp_path, capsys):
+    """Soak the VECTOR production loop (the hyperplane sibling of
+    test_admit_cli_long_lifecycle_with_compaction): build + six
+    rotations mixing exact-dup vectors (membership only), near-dups
+    (scored), a touched-group rescore, fresh content, and a full
+    redelivery, with `compact-store --buckets 64` in the MIDDLE —
+    the rotation admitted AFTER the migration must find its near-dup
+    through the re-bucketed int-keyed pruned index. Ends by pinning
+    the store at one row per distinct quantized vector, the full
+    membership map, and the distinct evidence set."""
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        banded_layout,
+        banded_path,
+        members_path,
+    )
+
+    def write_vecs(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, [float(x) for x in e]) for i, e in rows],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1).write.parquet(p)
+        return p
+
+    base_v = [0.01, 0.02, 0.03, 0.04]        # group 1
+    near_v = [0.01, 0.02, 0.03, 0.041]       # cos(base_v) ≈ 0.9999
+    far_v = [-0.04, 0.03, -0.02, 0.01]       # cos(base_v) = 0.0
+    fresh_v = [0.03, -0.04, 0.01, 0.02]      # cos ≤ 0.21 vs all above
+    near_fresh = [0.03, -0.04, 0.01, 0.021]  # cos(fresh_v) ≈ 0.9999
+    all_rows = [
+        (1, base_v), (2, base_v), (3, far_v),   # base
+        (30, base_v),                            # rot1: exact dup
+        (40, near_v),                            # rot2: near-dup of group 1
+        (45, near_v),                            # rot3: exact dup of 40
+        (50, far_v), (55, fresh_v),              # rot4: dup + fresh
+        (200, near_fresh),                       # rot6: near-dup of 55
+    ]
+    corpus = write_vecs("corpus", all_rows)
+    base = write_vecs("base", all_rows[:3])
+    rot1 = write_vecs("rot1", [all_rows[3]])
+    rot2 = write_vecs("rot2", [all_rows[4]])
+    rot3 = write_vecs("rot3", [all_rows[5]])
+    rot4 = write_vecs("rot4", all_rows[6:8])
+    rot6 = write_vecs("rot6", [all_rows[8]])
+    store = str(tmp_path / "vstore")
+    evidence = str(tmp_path / "evidence")
+
+    def admit(path):
+        assert cli.main(["admit-vectors", path, store, "--vectors", corpus,
+                         "--evidence", evidence]) == 0
+        return capsys.readouterr().out
+
+    assert cli.main(["build-vstore", base, store]) == 0
+    capsys.readouterr()
+    assert "new_docs=1 groups=1 new_groups=0" in admit(rot1)   # 30: dup
+    assert "new_docs=1 groups=1 new_groups=1" in admit(rot2)   # 40: near
+    # 45: exact dup of 40 — the touched group rescores and re-emits
+    # its (1, 40) pair deterministically under rot3's batch key
+    out3 = admit(rot3)
+    assert "new_docs=1 groups=1 new_groups=0" in out3
+    assert "rotation_pairs=1" in out3
+    assert "new_docs=2 groups=2 new_groups=1" in admit(rot4)   # 50 dup + 55 new
+    assert "new_docs=0" in admit(rot2)                         # redelivery no-op
+
+    # mid-stream maintenance: compact all three tables AND migrate
+    # the int-keyed banded index to a finer bucket layout
+    assert cli.main(["compact-store", store, "--buckets", "64",
+                     "--sort-col", "bv0"]) == 0
+    out = capsys.readouterr().out
+    assert "members_files_before=" in out
+    assert "bands_rebucketed=16->64" in out
+    assert banded_layout(banded_path(store))["buckets"] == 64
+
+    # post-migration admission: the near-dup of 55 must be found
+    # through the re-bucketed pruned read
+    out6 = admit(rot6)
+    assert "new_docs=1 groups=1 new_groups=1" in out6
+    assert "rotation_pairs=1" in out6
+
+    pairs = sorted(
+        set(
+            (r["da"], r["db"])
+            for r in spark.read.parquet(evidence).collect()
+        )
+    )
+    assert pairs == [(1, 40), (55, 200)]
+    group_ids = sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    )
+    assert group_ids == [1, 3, 40, 55, 200]
+    members = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(members_path(store)).collect()
+    }
+    assert members == {
+        1: 1, 2: 1, 3: 3, 30: 1, 40: 40, 45: 40, 50: 3, 55: 55, 200: 200,
+    }
