@@ -578,7 +578,12 @@ def cmd_compact_store(args) -> int:
     before = compact_signature_store(
         spark, args.store, sort_col=args.sort_col, n_files=args.target_files
     )
-    msg = f"compacted: files_before={before} files_after={args.target_files}"
+    # an already-compact store (before <= target) is left untouched —
+    # report the real file count, not the target
+    msg = (
+        f"compacted: files_before={before} "
+        f"files_after={min(before, args.target_files)}"
+    )
     members = members_path(args.store)
     if os.path.isdir(members):
         m_before = compact_signature_store(
@@ -627,6 +632,30 @@ def cmd_refresh_ivf(args) -> int:
         f"refreshed: lists={stats['n_lists']} moved={stats['moved']} "
         f"max_list={stats['max_list_before']}->{stats['max_list_after']}"
     )
+    return 0
+
+
+def cmd_probe_recall(args) -> int:
+    """Measure a persisted IVF index's top-k recall against exact
+    brute force on a deterministic query sample — the drift probe
+    that decides WHEN to run refresh-ivf (`ivf_recall_probe`). Run
+    it on the refresh cadence: recall near 1.0 means the codebook
+    still fits the corpus; a drop means inserts have drifted and a
+    refresh is due. The probe is read-only."""
+    from .operators.ann_store import ivf_recall_probe
+
+    spark = _spark()
+    r = ivf_recall_probe(
+        spark,
+        _vector_qn(spark, args.vectors),
+        args.codebook,
+        args.lists,
+        n_queries=args.queries,
+        topk=args.topk,
+        nprobe=args.nprobe,
+    )
+    frac = f" ({r['hits'] / r['total']:.3f})" if r["total"] else ""
+    print(f"recall: hits={r['hits']} total={r['total']}{frac}")
     return 0
 
 
@@ -749,6 +778,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="embeddings parquet (vec_id, embedding) covering "
                          "every indexed vector")
     sv.set_defaults(fn=cmd_refresh_ivf)
+
+    sp = sub.add_parser("probe-recall")
+    sp.add_argument("codebook", help="persisted codebook parquet path")
+    sp.add_argument("lists", help="persisted inverted-lists parquet path")
+    sp.add_argument("--vectors", required=True,
+                    help="embeddings parquet (vec_id, embedding) covering "
+                         "every indexed vector")
+    sp.add_argument("--queries", type=int, default=50,
+                    help="query sample size (lowest vec_ids; default 50)")
+    sp.add_argument("--topk", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=4)
+    sp.set_defaults(fn=cmd_probe_recall)
 
     sl = sub.add_parser("list-queries")
     sl.set_defaults(fn=cmd_list_queries)

@@ -383,7 +383,10 @@ def refresh_ivf_centroids(
         .count()
     )
     stats = {
-        "n_lists": cb1.count(),
+        # count the STAGED parquet, not cb1 — counting the frame
+        # would re-run the whole M-step aggregation (a full pass
+        # over the lists at scale) just to learn a centroid count
+        "n_lists": spark.read.parquet(cb_staging).count(),
         "moved": moved,
         "max_list_before": sizes_before.agg(F.max("count")).first()[0],
         "max_list_after": sizes_after.agg(F.max("count")).first()[0],
@@ -467,6 +470,67 @@ def _ivf_search_hits(
     return brute.join(hit, ["q_id", "n_id"], "left").agg(
         F.count("hit").alias("hits"), F.count(F.lit(1)).alias("total")
     )
+
+
+def ivf_recall_probe(
+    spark: SparkSession,
+    qn: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+    n_queries: int = _N_QUERIES,
+    topk: int = _IVF_TOPK,
+    nprobe: int = _N_PROBE,
+) -> dict:
+    """OPERATIONAL recall probe for a persisted IVF index — the
+    runnable half of the maintenance loop `refresh_ivf_centroids`'s
+    docstring promises ("probe cadence via recall checks"): measure
+    the on-disk index's top-k recall against exact brute force on a
+    deterministic query sample (the n_queries lowest vec_ids), so an
+    operator can watch recall decay under insert drift and trigger
+    `refresh-ivf` when it crosses their bar. `qn` must cover every
+    indexed vector (vec_id, q, nq) — the same contract as refresh.
+    Returns {"hits", "total"} as exact integer counts (recall =
+    hits/total); total = answered queries × topk, brute-force-sized,
+    so the probe's own cost is O(n_queries × corpus) — size the
+    sample, not the corpus, to the cadence. Same search spelling as
+    `_ivf_search_hits` (the oracle-pinned refresh probe),
+    generalized over (queries, topk, nprobe)."""
+    queries = qn.orderBy("vec_id").limit(n_queries)
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    nv = qn.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    brute = (
+        nv.join(broadcast(qv), F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", _cosine_cols())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("q_id", "n_id")
+    )
+    probes = _assign(queries, spark.read.parquet(codebook_path), nprobe).select(
+        F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list")
+    )
+    lists = spark.read.parquet(lists_path)
+    ivf = (
+        nv.join(lists, "n_id")
+        .join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "qb", "nb")
+        .join(broadcast(qv), "q_id")
+        .select("q_id", "n_id", _cosine_cols())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("q_id", "n_id")
+    )
+    row = (
+        brute.join(ivf.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
+        .agg(F.count("hit").alias("hits"), F.count(F.lit(1)).alias("total"))
+        .first()
+    )
+    return {"hits": row["hits"], "total": row["total"]}
 
 
 def ann_ivf_refresh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

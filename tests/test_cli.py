@@ -1094,3 +1094,58 @@ def test_admit_vectors_long_lifecycle_with_rebucket(spark, tmp_path, capsys):
     assert members == {
         1: 1, 2: 1, 3: 3, 30: 1, 40: 40, 45: 40, 50: 3, 55: 55, 200: 200,
     }
+
+
+def test_probe_recall_cli(spark, tmp_path, capsys):
+    """The drift probe that schedules refresh-ivf: on the straddled-
+    cluster fixture the probe's recall improves across a refresh
+    (the A-cluster queries' nprobe=1 candidate list gains the odd-
+    side C members the stale layout hid), and the probe itself is
+    read-only — index state is unchanged by probing."""
+    import os
+
+    from fdblog2clickhouse_spark.operators import ann_store
+    from tests.test_ann_store import _refresh_fixture_qn
+
+    qn = _refresh_fixture_qn(spark)
+    emb = qn.selectExpr(
+        "vec_id", "transform(q, x -> CAST(x AS FLOAT) / 10000.0) AS embedding"
+    )
+    vectors = str(tmp_path / "vectors")
+    emb.write.parquet(vectors)
+
+    cb = str(tmp_path / "codebook")
+    li = str(tmp_path / "lists")
+    qn.where(qn.vec_id.isin([200, 300])).selectExpr(
+        "vec_id AS c_id", "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).selectExpr(
+        "v_id AS n_id", "c_id AS list_id"
+    ).write.parquet(li)
+
+    def probe():
+        assert cli.main([
+            "probe-recall", cb, li, "--vectors", vectors,
+            "--queries", "2", "--topk", "8", "--nprobe", "1",
+        ]) == 0
+        out = capsys.readouterr().out
+        line = next(l for l in out.splitlines() if l.startswith("recall:"))
+        parts = dict(p.split("=") for p in line.split()[1:3])
+        return int(parts["hits"]), int(parts["total"])
+
+    lists_before = sorted(
+        (r["n_id"], r["list_id"]) for r in spark.read.parquet(li).collect()
+    )
+    h0, t0 = probe()
+    assert t0 == 16  # 2 queries × topk 8
+    # probing is read-only
+    assert sorted(
+        (r["n_id"], r["list_id"]) for r in spark.read.parquet(li).collect()
+    ) == lists_before
+
+    assert cli.main(["refresh-ivf", cb, li, "--vectors", vectors]) == 0
+    capsys.readouterr()
+    h1, t1 = probe()
+    assert t1 == 16
+    assert h1 > h0          # the refresh recovered recall
+    assert h1 == 16         # unified C list: exact top-8 fully covered
