@@ -345,6 +345,34 @@ def cmd_build_vstore(args) -> int:
     return 0
 
 
+def _evidence_partition(evidence: str | None, batch: str) -> str | None:
+    """The rotation-scoped evidence partition under --evidence:
+    batch_key = md5 of the batch path, so a redelivery overwrites
+    exactly its own partition (the exactly-once spelling in
+    cmd_admit's docstring). None when --evidence is unset."""
+    import hashlib
+    import os
+
+    if not evidence:
+        return None
+    key = hashlib.md5(os.path.abspath(batch).encode()).hexdigest()[:12]
+    return os.path.join(evidence, f"batch_key={key}")
+
+
+def _pairs_note(spark, stats: dict, ev_part: str | None, n_pairs: int) -> str:
+    """rotation_pairs display: on the full-redelivery skip path
+    write_evidence never ran, but the rotation's evidence partition
+    STANDS (that is the skip path's whole point) — report its real
+    count as '(kept)' instead of a misleading 0 (ADVICE r11). A
+    missing partition (evidence flag newly added) honestly reports
+    0."""
+    import os
+
+    if not stats.get("scored") and ev_part is not None and os.path.isdir(ev_part):
+        return f"{spark.read.parquet(ev_part).count()} (kept)"
+    return str(n_pairs)
+
+
 def cmd_admit_vectors(args) -> int:
     """One VECTOR admission batch against the rep store — the
     hyperplane sibling of `admit`, running the SAME shared step
@@ -356,9 +384,6 @@ def cmd_admit_vectors(args) -> int:
     the text path. `--vectors` must cover candidate vectors (the
     verify side re-reads raw embeddings; the store persists
     signatures only — the index/payload split)."""
-    import hashlib
-    import os
-
     from pyspark.sql import functions as F
 
     from .operators.dedup_store import (
@@ -397,12 +422,7 @@ def cmd_admit_vectors(args) -> int:
         )
 
     n_pairs = 0
-    ev_part = None
-    if args.evidence:
-        batch_key = hashlib.md5(
-            os.path.abspath(args.batch).encode()
-        ).hexdigest()[:12]
-        ev_part = os.path.join(args.evidence, f"batch_key={batch_key}")
+    ev_part = _evidence_partition(args.evidence, args.batch)
 
     def write_evidence(verified) -> None:
         nonlocal n_pairs
@@ -428,14 +448,11 @@ def cmd_admit_vectors(args) -> int:
     )
     g_batch.unpersist()
     appended = bool(not args.no_append and stats.get("scored"))
-    pairs_note = str(n_pairs)
-    if not stats.get("scored") and ev_part is not None:
-        if os.path.isdir(ev_part):
-            pairs_note = f"{spark.read.parquet(ev_part).count()} (kept)"
     print(
         f"admit-vectors: batch_vecs={n_batch} new_docs={stats['new_docs']} "
         f"groups={stats['groups']} new_groups={stats['new_groups']} "
-        f"rotation_pairs={pairs_note} appended={appended}"
+        f"rotation_pairs={_pairs_note(spark, stats, ev_part, n_pairs)} "
+        f"appended={appended}"
     )
     return 0
 
@@ -471,9 +488,6 @@ def cmd_admit(args) -> int:
     Full redelivery of a completed rotation (no member-new docs)
     skips everything — the previous partition stands, and would be
     byte-identical if regenerated anyway."""
-    import hashlib
-    import os
-
     from pyspark.sql import functions as F
 
     from .operators.dedup_store import (
@@ -500,12 +514,7 @@ def cmd_admit(args) -> int:
         return shingle_frame(corpus).select("doc_id", F.col("sh").alias("fs"))
 
     n_pairs = 0
-    ev_part = None
-    if args.evidence:
-        batch_key = hashlib.md5(
-            os.path.abspath(args.batch).encode()
-        ).hexdigest()[:12]
-        ev_part = os.path.join(args.evidence, f"batch_key={batch_key}")
+    ev_part = _evidence_partition(args.evidence, args.batch)
 
     def write_evidence(verified) -> None:
         # rotation-scoped stats only: a global evidence total would
@@ -533,19 +542,11 @@ def cmd_admit(args) -> int:
     )
     g_batch.unpersist()
     appended = bool(not args.no_append and stats.get("scored"))
-    pairs_note = str(n_pairs)
-    if not stats.get("scored") and ev_part is not None:
-        # full redelivery of a completed rotation: write_evidence was
-        # never called, but the rotation's evidence partition STANDS
-        # (that is the skip path's whole point) — report its real
-        # count instead of a misleading 0 (ADVICE r11). A missing
-        # partition (evidence flag newly added) honestly reports 0.
-        if os.path.isdir(ev_part):
-            pairs_note = f"{spark.read.parquet(ev_part).count()} (kept)"
     print(
         f"admit: batch_docs={n_batch} new_docs={stats['new_docs']} "
         f"groups={stats['groups']} new_groups={stats['new_groups']} "
-        f"rotation_pairs={pairs_note} appended={appended}"
+        f"rotation_pairs={_pairs_note(spark, stats, ev_part, n_pairs)} "
+        f"appended={appended}"
     )
     return 0
 
@@ -600,6 +601,11 @@ def cmd_compact_store(args) -> int:
             )
         b_before = compact_banded_index(spark, bands)
         msg += f" bands_files_before={b_before}"
+    elif args.buckets is not None:
+        # --buckets on a store with no banded index (an IVF lists
+        # table, or a flat store whose index was never built) would
+        # otherwise be ignored silently — say so
+        msg += " buckets_ignored=no_banded_index"
     print(msg)
     return 0
 

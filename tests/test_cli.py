@@ -1149,3 +1149,21 @@ def test_probe_recall_cli(spark, tmp_path, capsys):
     assert t1 == 16
     assert h1 > h0          # the refresh recovered recall
     assert h1 == 16         # unified C list: exact top-8 fully covered
+
+
+def test_compact_store_buckets_without_banded_index_says_so(
+    spark, tmp_path, capsys
+):
+    """--buckets on a store with no banded index sibling (an IVF
+    lists table, say) cannot re-bucket anything — the CLI must say
+    the flag was ignored rather than stay silent."""
+    store = str(tmp_path / "lists")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(20)], "n_id long, list_id long"
+    ).repartition(4).write.parquet(store)
+
+    assert cli.main(["compact-store", store, "--sort-col", "list_id",
+                     "--buckets", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "buckets_ignored=no_banded_index" in out
+    assert "bands_rebucketed" not in out
