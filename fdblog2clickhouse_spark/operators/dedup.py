@@ -304,11 +304,14 @@ def containment_on_candidates(
     row (containment is not symmetric), then thresholded."""
     pairs = _join_features(cand, feats)
     inter = F.size(F.array_intersect("fa", "fb"))
+    # try_divide: an empty feature set (zero-shingle doc) yields NULL
+    # containment — threshold-excluded, matching DuckDB x/0 → NULL —
+    # where Spark 4's ANSI default would raise. ≡ / for |A| > 0.
     both = pairs.select(
         "da",
         "db",
-        (inter / F.size("fa")).alias("ca"),
-        (inter / F.size("fb")).alias("cb"),
+        F.try_divide(inter, F.size("fa")).alias("ca"),
+        F.try_divide(inter, F.size("fb")).alias("cb"),
     )
     return both.selectExpr(
         "stack(2, da, db, ca, db, da, cb) AS (da, db, containment)"
@@ -333,8 +336,16 @@ def cosine_on_candidates(
         ),
         "vb",
     )
-    cos = _dot("qa", "qb").cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    # try_divide carries the ORACLE's divide-by-zero semantics: DuckDB
+    # yields NULL for x/0 (a zero vector's pairs are excluded by the
+    # threshold) while Spark 4's ANSI default RAISES — so a corpus
+    # containing a zero embedding scores instead of crashing. Output
+    # is bit-identical wherever no zero vector appears (try_divide ≡ /
+    # for nonzero divisors). Same spelling as the store family's
+    # cosine_on_candidates_nullsafe (dedup_store.py).
+    cos = F.try_divide(
+        _dot("qa", "qb").cast("double"),
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")),
     )
     return pairs.select("va", "vb", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
@@ -1101,9 +1112,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk = max(1, (8 << 20) // max(len(b_ids), 1))
         for lo in range(0, len(a_ids), chunk):
             dots = a_mat[lo : lo + chunk] @ b_mat.T  # exact int64
-            cos = dots.astype(np.float64) / (
-                a_norms[lo : lo + chunk, None] * b_norms[None, :]
-            )
+            # A zero vector gives 0/0 = nan here; nan >= threshold is
+            # False, so its pairs drop — the same NULL-excluded
+            # semantics the DuckDB oracle has for x/0. errstate only
+            # silences the warning, it does not change the values.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots.astype(np.float64) / (
+                    a_norms[lo : lo + chunk, None] * b_norms[None, :]
+                )
             ids_lo = a_ids[lo : lo + chunk]
             keep = (cos >= _COSINE_THRESHOLD) & (ids_lo[:, None] != b_ids[None, :])
             ai, bi = np.nonzero(keep)

@@ -50,9 +50,13 @@ def _planes() -> list[tuple[int, int, int]]:
 
 
 def _cosine_cols():
-    return (
-        _dot("qa", "qb").cast("double")
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    # try_divide: a zero vector's cosine is NULL (threshold- and
+    # order-excluded downstream), matching the DuckDB oracle's x/0 →
+    # NULL, where Spark 4's ANSI default would raise at runtime.
+    # Bit-identical to / wherever no zero vector appears.
+    return F.try_divide(
+        _dot("qa", "qb").cast("double"),
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")),
     ).alias("cosine")
 
 

@@ -190,3 +190,71 @@ def test_minhash_sig_inrow_equals_exploded(spark, sf_oracle):
     a = dedup._minhash_sig(hv)
     b = dedup._minhash_sig_inrow(grams)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def _zero_vec_sf_dir(spark, tmp_path) -> str:
+    """A crafted sf_dir whose embeddings table contains a ZERO vector
+    (vec_id 0 — also in the incremental 'new batch' slice and the ANN
+    query slice) plus planted near-dup pairs, exercising the x/0
+    cosine path (VERDICT r12 'What's wrong' #1: Spark ANSI raised
+    where the DuckDB oracle yields NULL)."""
+    rows = []
+    dim = 64
+    rows.append((0, [0.0] * dim, 0))  # the zero vector
+    for i in range(1, 30):
+        base = [float((i * 7 + j) % 13) / 13.0 for j in range(dim)]
+        rows.append((i, base, i % 3))
+    # planted near-dups of vec 1 (ids 30/31: one in the incremental
+    # batch slice via id 30 % 10 == 0, one in base)
+    v1 = rows[1][1]
+    rows.append((30, [x * 1.001 for x in v1], 1))
+    rows.append((31, [x * 0.999 for x in v1], 1))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sf = str(tmp_path / "sfzero")
+    spark.createDataFrame(pdf).selectExpr(
+        "CAST(vec_id AS BIGINT) vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) embedding",
+        "CAST(label AS INT) label",
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def test_zero_vector_cosine_does_not_crash(spark, tmp_path):
+    """Regression: a zero embedding (empty doc / padding row) must be
+    threshold-excluded like the oracle's NULL, not raise
+    DIVIDE_BY_ZERO under Spark 4 ANSI (VERDICT r12 item #1)."""
+    sf = _zero_vec_sf_dir(spark, tmp_path)
+
+    out = dedup.embedding_neardup(spark, sf).collect()
+    ids = {r["va"] for r in out} | {r["vb"] for r in out}
+    assert 0 not in ids  # zero vector pairs excluded, not crashed
+    assert any({r["va"], r["vb"]} == {1, 31} for r in out)  # planted pair found
+
+    out = dedup.embedding_neardup_lsh_verified(spark, sf).collect()
+    ids = {r["va"] for r in out} | {r["vb"] for r in out}
+    assert 0 not in ids
+
+    out = dedup.embedding_incremental_neardup(spark, sf).collect()
+    ids = {r["new_vec_id"] for r in out} | {r["base_vec_id"] for r in out}
+    assert 0 not in ids  # vec 0 IS in the new-batch slice (0 % 10 == 0)
+
+
+def test_zero_vector_similarity_topk_matches_null_order(spark, tmp_path):
+    """similarity._cosine_cols consumers: a zero QUERY vector emits
+    NULL cosines that sort last (Spark desc ≡ DuckDB DESC NULLS
+    LAST), so top-k stays deterministic instead of crashing."""
+    from fdblog2clickhouse_spark.operators import similarity
+
+    sf = _zero_vec_sf_dir(spark, tmp_path)
+    out = similarity.ann_topk_bruteforce(spark, sf).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    # query 0 is the zero vector: all its cosines NULL, ranked by n_id
+    z = sorted(by_q[0], key=lambda r: r["rank"])
+    assert all(r["cosine"] is None for r in z)
+    assert [r["n_id"] for r in z] == sorted(r["n_id"] for r in z)
+    # a nonzero query still gets real cosines
+    assert all(r["cosine"] is not None for r in by_q[1])
