@@ -369,7 +369,15 @@ def _pairs_note(spark, stats: dict, ev_part: str | None, n_pairs: int) -> str:
     import os
 
     if not stats.get("scored") and ev_part is not None and os.path.isdir(ev_part):
-        return f"{spark.read.parquet(ev_part).count()} (kept)"
+        # a partition dir left by a crashed write can exist with no
+        # parquet files; the skip path must stay a no-op, so report 0
+        # instead of letting the count read crash it (ADVICE r12)
+        from pyspark.errors import AnalysisException
+
+        try:
+            return f"{spark.read.parquet(ev_part).count()} (kept)"
+        except AnalysisException:
+            return "0 (kept)"
     return str(n_pairs)
 
 
@@ -554,7 +562,8 @@ def cmd_admit(args) -> int:
 def cmd_compact_store(args) -> int:
     """OPTIMIZE FINAL for an append-accumulating store: merge the
     one-file-group-per-batch appends into sort-keyed files. Default
-    sort key is the signature store's band key (bk0); pass
+    sort key is derived from the store schema (text stores sort by
+    bk0, vector stores by bv0 — ADVICE r12); pass
     `--sort-col list_id` to compact an IVF inverted-lists table
     (`compact_ivf_lists` semantics — same crash-safe swap). When the
     store has a banded index sibling (`<store>_bands`, the rep-store
@@ -576,8 +585,16 @@ def cmd_compact_store(args) -> int:
     )
 
     spark = _spark()
+    sort_col = args.sort_col
+    if sort_col is None:
+        # derive the flat-store sort key from the schema: a text
+        # signature store carries bk0, a build-vstore store carries
+        # bv0 (ADVICE r12 — the bk0 literal default raised
+        # AnalysisException on vector stores)
+        cols = set(spark.read.parquet(args.store).columns)
+        sort_col = "bk0" if "bk0" in cols else ("bv0" if "bv0" in cols else "list_id")
     before = compact_signature_store(
-        spark, args.store, sort_col=args.sort_col, n_files=args.target_files
+        spark, args.store, sort_col=sort_col, n_files=args.target_files
     )
     # an already-compact store (before <= target) is left untouched —
     # report the real file count, not the target
@@ -769,8 +786,11 @@ def main(argv: list[str] | None = None) -> int:
     sk = sub.add_parser("compact-store")
     sk.add_argument("store")
     sk.add_argument("--target-files", type=int, default=1)
-    sk.add_argument("--sort-col", default="bk0",
-                    help="bk0 for the signature store; list_id for IVF lists")
+    sk.add_argument("--sort-col", default=None,
+                    help="sort key for the flat-store pass (default: "
+                         "derived from the store schema — bk0 for a text "
+                         "signature store, bv0 for a vector store; pass "
+                         "list_id for IVF lists)")
     sk.add_argument("--buckets", type=int, default=None,
                     help="re-bucket the banded index to this partition "
                          "count (migration: a store built at 16 buckets "

@@ -1247,15 +1247,24 @@ _EMB_KEY_COLS = [f"bv{b}" for b in range(_NEARDUP_LSH_BANDS)]
 def emb_rep_group_frame(qn: DataFrame) -> DataFrame:
     """Quantized vectors → the vector group frame (doc_id, gh, q,
     nq): gh = md5 of the exact quantized component stream (decimal
-    longs joined by a separator no long contains, so the encoding is
-    injective). doc_id carries the vec_id under the name the shared
-    step machinery uses. Every vector is eligible (the hyperplane
-    signature exists for any q), unlike the text side's ≥3-token
-    rule — matching the uncapped op, which signs every vector."""
+    longs joined by a separator no long contains; NULL elements are
+    encoded to a sentinel OUTSIDE the decimal-long alphabet first,
+    because concat_ws silently skips NULLs and would otherwise hash
+    [1,NULL,2] and [1,2] to the same group — so the encoding is
+    injective over malformed embeddings too, ADVICE r12). doc_id
+    carries the vec_id under the name the shared step machinery
+    uses. Every vector is eligible (the hyperplane signature exists
+    for any q), unlike the text side's ≥3-token rule — matching the
+    uncapped op, which signs every vector."""
     return qn.select(
         F.col("vec_id").alias("doc_id"),
         F.md5(
-            F.concat_ws(" ", F.transform(F.col("q"), lambda x: x.cast("string")))
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.col("q"), lambda x: F.coalesce(x.cast("string"), F.lit("∅"))
+                ),
+            )
         ).alias("gh"),
         "q",
         "nq",
@@ -1312,7 +1321,14 @@ def emb_rep_signature_frame(spark: SparkSession, reps: DataFrame) -> DataFrame:
             )
             terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
         cols.append(F.expr(" + ".join(terms)).cast("int").alias(f"bv{b}"))
-    return reps.select("group_id", "gh", *cols)
+    # An EMPTY q would fold to dot = 0 on every plane (CASE >= 0 true
+    # → all-bits-set bands) while the exploded builder and the oracle
+    # emit NO band rows for it — filter it out here so the two
+    # signature builders stay structurally equivalent (ADVICE r12).
+    # Convergence was never at risk (empty-q cosines are NULL,
+    # threshold-excluded), but the spurious candidates and store row
+    # are gone now.
+    return reps.where(F.size("q") > 0).select("group_id", "gh", *cols)
 
 
 def emb_self_cosines(groups: DataFrame, qn_groups: DataFrame) -> DataFrame:

@@ -1148,3 +1148,35 @@ def test_rebucket_banded_index_vector_family(spark, tmp_path):
         "buckets": 64, "key_cols": dedup_store._EMB_KEY_COLS,
     }
     assert cands() == before
+
+
+def test_emb_group_hash_injective_over_nulls(spark):
+    """ADVICE r12: the group hash must distinguish [1,NULL,2] from
+    [1,2] — concat_ws silently drops NULL elements, so each element
+    is sentinel-coalesced first. Also distinguishes [NULL] vs []."""
+    qn = spark.createDataFrame(
+        [
+            (1, [1, None, 2], 0),
+            (2, [1, 2], 0),
+            (3, [None], 0),
+            (4, [], 0),
+        ],
+        "vec_id long, q array<long>, nq long",
+    )
+    g = dedup_store.emb_rep_group_frame(qn)
+    hashes = {r["doc_id"]: r["gh"] for r in g.collect()}
+    assert len(set(hashes.values())) == 4
+
+
+def test_emb_rep_signature_skips_empty_vectors(spark):
+    """ADVICE r12: an empty q must emit NO signature row (the
+    exploded builder and the oracle emit no band rows for it), not
+    an all-bits-set signature that generates spurious candidates."""
+    qn = spark.createDataFrame(
+        [(1, [], 0), (2, [1000, -2000, 3000, 500], 14_250_000)],
+        "vec_id long, q array<long>, nq long",
+    )
+    g = dedup_store.emb_rep_group_frame(qn)
+    sigs = dedup_store.emb_rep_signature_frame(spark, dedup_store.emb_rep_reps(g))
+    rows = sigs.collect()
+    assert [r["group_id"] for r in rows] == [2]
