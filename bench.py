@@ -101,6 +101,10 @@ HEADLINE = [
     "streaming_embedding_rep_admission",
     "ann_ivf_refresh_recall",
     "span_rewrite_sink_roundtrip",
+    # round 13: the retraction lifecycle (build → admit → retract →
+    # admit, both families) — tracked from birth (all lifecycle)
+    "dedup_store_retraction",
+    "embedding_store_retraction",
 ]
 
 # VERDICT r11 bench finding: the headline total had become dominated
@@ -120,6 +124,8 @@ LIFECYCLE = {
     "ann_ivf_store_search",
     "ann_ivf_refresh_recall",
     "span_rewrite_sink_roundtrip",
+    "dedup_store_retraction",
+    "embedding_store_retraction",
 }
 
 # Family subtotals (VERDICT r10 item #7): 38 tracked queries make the

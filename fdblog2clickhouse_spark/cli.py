@@ -580,11 +580,19 @@ def cmd_compact_store(args) -> int:
         banded_path,
         compact_banded_index,
         compact_signature_store,
+        fold_retractions,
         members_path,
         rebucket_banded_index,
     )
 
     spark = _spark()
+    # fold retraction sidecars FIRST, so the compaction below rewrites
+    # the folded tables and the tombstones/deltas are retired in the
+    # same maintenance pass (the retraction contract: a retracted id
+    # becomes re-admittable only here)
+    fold = fold_retractions(
+        spark, args.store, banded_path(args.store), members_path(args.store)
+    )
     sort_col = args.sort_col
     if sort_col is None:
         # derive the flat-store sort key from the schema: a text
@@ -602,6 +610,8 @@ def cmd_compact_store(args) -> int:
         f"compacted: files_before={before} "
         f"files_after={min(before, args.target_files)}"
     )
+    if fold["folded"]:
+        msg += " retractions_folded=true"
     members = members_path(args.store)
     if os.path.isdir(members):
         m_before = compact_signature_store(
@@ -624,6 +634,70 @@ def cmd_compact_store(args) -> int:
         # otherwise be ignored silently — say so
         msg += " buckets_ignored=no_banded_index"
     print(msg)
+    return 0
+
+
+def _retract_ids_frame(spark, args):
+    """--ids parquet path (any single id column) and/or repeated
+    --id literals → one (doc_id) frame."""
+    from pyspark.sql import functions as F
+
+    frames = []
+    if args.ids:
+        f = spark.read.parquet(args.ids)
+        col = "doc_id" if "doc_id" in f.columns else f.columns[0]
+        frames.append(f.select(F.col(col).cast("long").alias("doc_id")))
+    if args.id:
+        frames.append(
+            spark.createDataFrame([(int(i),) for i in args.id], "doc_id long")
+        )
+    if not frames:
+        raise SystemExit("retract: pass --ids PARQUET and/or --id N")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def cmd_retract(args) -> int:
+    """Take docs (or vectors — the rep store layout is
+    family-agnostic) OUT of a rep store: tombstone their membership,
+    drop groups they empty, re-elect groups whose founding rep they
+    remove (deterministic: min surviving member id). Costs
+    O(retracted), never O(store) — the physical tables are untouched;
+    readers compose the sidecars and `compact-store` folds + retires
+    them. A retracted id cannot be re-admitted until that fold (the
+    takedown-wins rule)."""
+    from .operators.dedup_store import banded_path, members_path, retract_docs
+
+    spark = _spark()
+    stats = retract_docs(
+        spark,
+        args.store,
+        banded_path(args.store),
+        members_path(args.store),
+        _retract_ids_frame(spark, args),
+    )
+    print(
+        f"retracted: docs={stats['retracted']} "
+        f"dropped_groups={stats['dropped_groups']} "
+        f"reelected={stats['reelected']}"
+    )
+    return 0
+
+
+def cmd_retract_vectors(args) -> int:
+    """The IVF sibling of `retract`: delete vectors from a persisted
+    inverted-lists table (crash-safe swap). The codebook keeps its
+    centroids; run probe-recall / refresh-ivf afterwards if the
+    deletion is large enough to drift recall."""
+    from .operators.dedup_store import retract_ivf_vectors
+
+    spark = _spark()
+    stats = retract_ivf_vectors(spark, args.lists, _retract_ids_frame(spark, args))
+    print(
+        f"retracted: vectors={stats['removed']} remaining={stats['remaining']}"
+    )
     return 0
 
 
@@ -796,6 +870,24 @@ def main(argv: list[str] | None = None) -> int:
                          "count (migration: a store built at 16 buckets "
                          "gains pruning granularity without a rebuild)")
     sk.set_defaults(fn=cmd_compact_store)
+
+    sr = sub.add_parser("retract")
+    sr.add_argument("store", help="rep-store signatures parquet path "
+                                  "(text or vector family)")
+    sr.add_argument("--ids", default=None,
+                    help="parquet of ids to retract (doc_id column, or "
+                         "the first column)")
+    sr.add_argument("--id", action="append", default=None,
+                    help="literal id to retract (repeatable)")
+    sr.set_defaults(fn=cmd_retract)
+
+    srv = sub.add_parser("retract-vectors")
+    srv.add_argument("lists", help="persisted IVF inverted-lists parquet path")
+    srv.add_argument("--ids", default=None,
+                     help="parquet of vec ids to retract")
+    srv.add_argument("--id", action="append", default=None,
+                     help="literal vec id to retract (repeatable)")
+    srv.set_defaults(fn=cmd_retract_vectors)
 
     sv = sub.add_parser("refresh-ivf")
     sv.add_argument("codebook", help="persisted codebook parquet path")

@@ -894,6 +894,10 @@ def rep_admission_step(
         verify = lambda cand, feats: jaccard_on_candidates(  # noqa: E731
             cand, feats, threshold
         )
+    # RAW members on purpose: a tombstoned (retracted) doc_id still
+    # anti-joins here, so a redelivered batch can never resurrect a
+    # takedown — the id stays out until fold_retractions retires the
+    # tombstone and the physical row together (retraction contract).
     members = spark.read.parquet(mem_path)
     mem_new = (
         g_batch.select("doc_id", "gh")
@@ -905,12 +909,18 @@ def rep_admission_step(
         mem_new.unpersist()
         return {"new_docs": 0, "groups": 0, "new_groups": 0, "scored": False}
 
-    store_sigs = spark.read.parquet(sig_path)
+    # LIVE store views: classification must not recognize a dropped
+    # group's gh (its content re-admits fresh), and both the flat and
+    # pruned-index sides must carry post-re-election group ids so
+    # evidence expansion and verify features resolve to live docs.
+    store_sigs = live_store_sigs(spark, sig_path)
     group_map, new_sigs, batch_side = rep_admission_frames(
         store_sigs, g_batch, rep_builder
     )
     group_map, new_sigs = group_map.cache(), new_sigs.cache()
-    store_rows = pruned_store_rows(spark, band_path, batch_side).join(
+    store_rows = _apply_gdelta(
+        spark, pruned_store_rows(spark, band_path, batch_side), sig_path, "id"
+    ).join(
         batch_side.select(F.col("group_id").alias("id")), "id", "left_anti"
     )
     cand = candidates_from_rows(
@@ -1033,6 +1043,8 @@ def expand_group_evidence(
     mem_path: str,
     value_col: str = "jaccard",
     self_values: DataFrame | None = None,
+    sig_path: str | None = None,
+    store_pred=None,
 ) -> DataFrame:
     """Group evidence + membership → member-level pairs (da, db,
     value), O(output) by contract — the kernel never did quadratic
@@ -1049,9 +1061,19 @@ def expand_group_evidence(
     oracle's own self-cosine arithmetic instead of a literal. Pairs
     with both sides in the base slice are excluded (the admission
     contract). Shared by the batch proof ops and the streaming
-    sibling (streaming/rep_admission.py)."""
+    sibling (streaming/rep_admission.py).
+
+    `sig_path` switches membership to the LIVE (retraction-composed)
+    view; `store_pred(col)` generalizes the both-sides-already-in-
+    store exclusion (default: the two-batch ops' base slice — the
+    retraction ops pass 'not in batch 2')."""
+    store_pred = store_pred or _base_pred
     ev = spark.read.parquet(evidence).distinct()
-    m = spark.read.parquet(mem_path)
+    m = (
+        live_members(spark, mem_path, sig_path)
+        if sig_path is not None
+        else spark.read.parquet(mem_path)
+    )
     cross = (
         ev.join(
             m.select(F.col("group_id").alias("da"), F.col("doc_id").alias("xa")),
@@ -1061,7 +1083,7 @@ def expand_group_evidence(
             m.select(F.col("group_id").alias("db"), F.col("doc_id").alias("xb")),
             "db",
         )
-        .where(~(_base_pred(F.col("xa")) & _base_pred(F.col("xb"))))
+        .where(~(store_pred(F.col("xa")) & store_pred(F.col("xb"))))
         .select(
             F.least("xa", "xb").alias("da"),
             F.greatest("xa", "xb").alias("db"),
@@ -1082,7 +1104,7 @@ def expand_group_evidence(
             "g",
         )
         .where(F.col("xa") < F.col("xb"))
-        .where(~(_base_pred(F.col("xa")) & _base_pred(F.col("xb"))))
+        .where(~(store_pred(F.col("xa")) & store_pred(F.col("xb"))))
         .select(
             F.col("xa").alias("da"),
             F.col("xb").alias("db"),
@@ -1444,11 +1466,533 @@ def embedding_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ------------------------------------------------------ retraction
+#
+# VERDICT r12 #3: the store lifecycle had build/admit/compact/
+# re-bucket/refresh but NO retire path — a production corpus shrinks
+# (takedowns, re-crawls, licensing) and a rebuild-per-takedown is not
+# a 100 TB answer. Design: retraction writes two SIDECARS and never
+# rewrites the big tables —
+#   <members>_tombstones  (doc_id)            docs removed
+#   <signatures>_gdelta   (group_id, new_group_id)  group relabels;
+#                                             new_group_id NULL ⟹
+#                                             the group is DROPPED
+# Readers compose them (live_members / live_store_sigs / the gdelta
+# pass over the pruned index read), so a retraction costs
+# O(retracted docs + affected groups), never O(store). Compaction
+# (`fold_retractions`) folds both sidecars into the physical tables
+# and retires them. The rep subtlety the verdict called out —
+# retracting a group's FOUNDING doc — is handled by deterministic
+# re-election: the new group_id is the min surviving member's doc id,
+# and since gh ⟹ byte-identical content, every downstream consumer
+# (verify features by rep doc id, self-cosines, band keys) is
+# invariant under the relabel.
+#
+# Contract: a retracted doc_id stays retracted until the next fold —
+# the admission step's raw-members anti-join treats the tombstoned
+# row as "already seen", so a takedown can never silently resurrect
+# through a redelivered batch. After a fold the id may be admitted
+# fresh.
+
+
+def tombstones_path(mem_path: str) -> str:
+    return mem_path.rstrip("/") + "_tombstones"
+
+
+def gdelta_path(sig_path: str) -> str:
+    return sig_path.rstrip("/") + "_gdelta"
+
+
+def _read_sidecar(spark: SparkSession, path: str) -> DataFrame | None:
+    """Sidecar read: None when absent or holding no parquet yet (a
+    crashed first write) — callers treat both as 'no retractions'."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    if not os.path.isdir(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def _swap_write(df: DataFrame, path: str) -> None:
+    """Full rewrite of a SMALL table (sidecars only — both are
+    O(retracted), never O(store)) with the same rename-aside swap as
+    the compactors: at every instant path or path+'.old' is
+    complete."""
+    import os
+    import shutil
+
+    old = path + ".old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    shutil.rmtree(old, ignore_errors=True)
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.parquet(staging)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def live_members(
+    spark: SparkSession, mem_path: str, sig_path: str
+) -> DataFrame:
+    """The membership table with retractions applied: tombstoned docs
+    removed, re-elected groups relabeled, dropped groups' rows gone
+    (belt — a dropped group's members are all tombstoned by
+    construction)."""
+    m = spark.read.parquet(mem_path)
+    tomb = _read_sidecar(spark, tombstones_path(mem_path))
+    if tomb is not None:
+        m = m.join(tomb.select("doc_id"), "doc_id", "left_anti")
+    return _apply_gdelta(spark, m, sig_path, "group_id")
+
+
+def live_store_sigs(spark: SparkSession, sig_path: str) -> DataFrame:
+    """The flat signature store with retractions applied."""
+    return _apply_gdelta(
+        spark, spark.read.parquet(sig_path), sig_path, "group_id"
+    )
+
+
+def _apply_gdelta(
+    spark: SparkSession, df: DataFrame, sig_path: str, id_col: str
+) -> DataFrame:
+    """Compose the group-delta sidecar over any frame carrying a
+    group-id column (flat sigs, members, the pruned index read):
+    dropped groups' rows removed, re-elected groups relabeled. The
+    sidecar is O(retracted groups) → broadcast."""
+    gd = _read_sidecar(spark, gdelta_path(sig_path))
+    if gd is None:
+        return df
+    gd = F.broadcast(
+        gd.select(
+            F.col("group_id").alias("__gd_old"),
+            F.col("new_group_id").alias("__gd_new"),
+            F.lit(True).alias("__gd_hit"),
+        )
+    )
+    out = df.join(gd, df[id_col] == F.col("__gd_old"), "left")
+    out = out.where(~(F.col("__gd_hit").isNotNull() & F.col("__gd_new").isNull()))
+    return out.withColumn(
+        id_col, F.coalesce(F.col("__gd_new"), F.col(id_col))
+    ).drop("__gd_old", "__gd_new", "__gd_hit")
+
+
+def retract_docs(
+    spark: SparkSession,
+    sig_path: str,
+    band_path: str,
+    mem_path: str,
+    ids: DataFrame,
+) -> dict:
+    """Remove docs from a rep store (both families — nothing here
+    touches the signature columns): tombstone their membership, drop
+    groups they empty, re-elect (min surviving doc id) groups whose
+    rep they take away. Writes the gdelta FIRST, tombstones second,
+    so a crash between the two leaves a state a plain re-run repairs
+    (the docs are still live members, the recompute converges to the
+    same delta — re-election is deterministic). Retracting an id the
+    store never admitted is a no-op. Returns counts."""
+    ids = ids.select("doc_id").distinct().cache()
+    live = live_members(spark, mem_path, sig_path)
+    r = live.join(ids, "doc_id", "left_semi").cache()
+    n_r = r.count()
+    if n_r == 0:
+        ids.unpersist()
+        r.unpersist()
+        return {"retracted": 0, "dropped_groups": 0, "reelected": 0}
+
+    affected = r.select("group_id").distinct()
+    aff_members = live.join(affected, "group_id", "left_semi")
+    surv = aff_members.join(ids, "doc_id", "left_anti")
+    surv_min = surv.groupBy("group_id").agg(F.min("doc_id").alias("min_surv"))
+    rep_alive = (
+        surv.where(F.col("doc_id") == F.col("group_id"))
+        .select("group_id")
+        .distinct()
+        .withColumn("__alive", F.lit(True))
+    )
+    # new effective id per affected group: unchanged when the rep
+    # survives; min survivor when it doesn't; NULL (drop) when nobody
+    # does. Only CHANGED groups become delta entries.
+    eff_changes = (
+        affected.join(surv_min, "group_id", "left")
+        .join(rep_alive, "group_id", "left")
+        .withColumn(
+            "new_eff",
+            F.when(F.col("__alive").isNotNull(), F.col("group_id")).otherwise(
+                F.col("min_surv")
+            ),
+        )
+        .where(
+            F.col("new_eff").isNull() | (F.col("new_eff") != F.col("group_id"))
+        )
+        .select(F.col("group_id").alias("eff"), "new_eff")
+        .cache()
+    )
+    n_changes = eff_changes.count()
+    n_dropped = eff_changes.where(F.col("new_eff").isNull()).count()
+
+    # Compose onto the STORED ids (what the physical flat store and
+    # banded index still carry): existing entries pointing at a
+    # changed effective id are replaced; changed groups no old entry
+    # points at are stored under their own id.
+    gd_schema = "group_id long, new_group_id long"
+    old_gd = _read_sidecar(spark, gdelta_path(sig_path))
+    if old_gd is None:
+        old_gd = spark.createDataFrame([], gd_schema)
+    mapped = old_gd.join(
+        eff_changes, old_gd["new_group_id"] == eff_changes["eff"]
+    ).select("group_id", F.col("new_eff").alias("new_group_id"))
+    unmapped = eff_changes.join(
+        old_gd.select(F.col("new_group_id").alias("eff")).dropna(), "eff",
+        "left_anti",
+    ).select(F.col("eff").alias("group_id"), F.col("new_eff").alias("new_group_id"))
+    old_keep = old_gd.join(
+        eff_changes.select(F.col("eff").alias("new_group_id")),
+        "new_group_id",
+        "left_anti",
+    ).select("group_id", "new_group_id")
+    new_gd = old_keep.unionByName(mapped).unionByName(unmapped)
+    _swap_write(new_gd, gdelta_path(sig_path))
+
+    tomb_path = tombstones_path(mem_path)
+    old_tomb = _read_sidecar(spark, tomb_path)
+    new_tomb = r.select("doc_id")
+    if old_tomb is not None:
+        new_tomb = new_tomb.unionByName(old_tomb.select("doc_id")).distinct()
+    _swap_write(new_tomb, tomb_path)
+
+    for c in (ids, r, eff_changes):
+        c.unpersist()
+    return {
+        "retracted": n_r,
+        "dropped_groups": n_dropped,
+        "reelected": n_changes - n_dropped,
+    }
+
+
+def fold_retractions(
+    spark: SparkSession, sig_path: str, band_path: str, mem_path: str
+) -> dict:
+    """Fold the retraction sidecars into the physical tables and
+    retire them — the compaction-time companion to `retract_docs`
+    (VERDICT r12 #3 'compaction retires tombstones'). Every step is
+    idempotent (a gdelta keyed by ids an earlier crash already
+    relabeled simply matches nothing; a tombstone for an already
+    removed doc anti-joins nothing), so the recovery story is
+    re-run; the sidecars are deleted LAST, only after all three
+    tables are folded. No-op when no sidecars exist."""
+    import os
+    import shutil
+
+    gd_p, tomb_p = gdelta_path(sig_path), tombstones_path(mem_path)
+    has_gd = _read_sidecar(spark, gd_p) is not None
+    has_tomb = _read_sidecar(spark, tomb_p) is not None
+    if not has_gd and not has_tomb:
+        return {"folded": False}
+    lay = banded_layout(band_path)
+    _swap_write(live_store_sigs(spark, sig_path), sig_path)
+    if lay is not None:
+        write_banded_index(
+            spark.read.parquet(sig_path),
+            band_path,
+            "overwrite",
+            key_cols=lay["key_cols"],
+            buckets=lay["buckets"],
+        )
+    _swap_write(live_members(spark, mem_path, sig_path), mem_path)
+    for p in (gd_p, tomb_p):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    return {"folded": True}
+
+
+def retract_ivf_vectors(
+    spark: SparkSession, lists_path: str, ids: DataFrame
+) -> dict:
+    """The IVF sibling: delete vectors from the persisted inverted
+    lists (same crash-safe swap; the codebook keeps its centroids —
+    vanished-list ids never drop, matching refresh_ivf_centroids'
+    rule — and recall drift from the now-stale centroids is what
+    `probe-recall` exists to catch)."""
+    ids = ids.select(F.col("doc_id").alias("vec_id")).distinct()
+    lists = spark.read.parquet(lists_path)
+    kept = lists.join(ids, "vec_id", "left_anti")
+    n_before = lists.count()
+    _swap_write(kept, lists_path)
+    n_after = spark.read.parquet(lists_path).count()
+    return {"removed": n_before - n_after, "remaining": n_after}
+
+
+# ------------------------------ retraction invariance proof ops
+#
+# The oracle shape VERDICT r12 #3 prescribed: retract-then-admit must
+# hash-match never-admitted — the same one-shot union SQL the
+# admission ops use, over the SURVIVING corpus, restricted to pairs
+# the post-retraction batch can emit. Lifecycle: build base store →
+# admit the %10==5 slice → retract the doc_id % 7 == 4 slice of the
+# admitted corpus (it hits base and first-batch docs, group reps and
+# whole groups alike — and at sf0.01 it removes evidence on BOTH
+# families, so a ghost row would hash-mismatch, not hide in an empty
+# result) → admit the %10==0 slice → expand only that final batch's
+# evidence through LIVE membership.
+
+_RETRACT_MOD = 7
+_RETRACT_REM = 4
+
+
+def _retract_pred(col):
+    return (F.pmod(col, F.lit(_RETRACT_MOD)) == _RETRACT_REM) & (
+        ~_slice(col, _BATCH1_REM)
+    )
+
+
+def _retract_sql_pred(expr: str) -> str:
+    pm7 = f"((({expr} % {_RETRACT_MOD}) + {_RETRACT_MOD}) % {_RETRACT_MOD})"
+    return f"({pm7} = {_RETRACT_REM} AND {_pmod_sql(expr)} <> {_BATCH1_REM})"
+
+
+def dedup_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction invariance, text family: after base + batch-1
+    admission and a mid-lifecycle `retract_docs`, batch 2's admission
+    evidence (expanded through live membership) must be EXACTLY what
+    a never-admitted one-shot scoring of batch 2 against the
+    surviving corpus yields — takedowns leave no ghost evidence, and
+    re-elected groups keep verifying (the verify features come from
+    the new rep's doc id, alive by construction)."""
+    from ..functions.text import shingles_expr
+    from ..sources.tables import table
+    from .sinkcheck import scratch_dir
+
+    root = scratch_dir("rep_store_retract")
+    sig_path = root + "/signatures"
+    band_path = root + "/bands"
+    mem_path = root + "/members"
+    evidence = root + "/evidence"
+
+    g_all = rep_group_frame(table(spark, sf_dir, "documents")).cache()
+
+    g_base = g_all.where(_base_pred(F.col("doc_id")))
+    reps_base = rep_reps(g_base)
+    rep_signature_frame(reps_base).write.mode("overwrite").parquet(sig_path)
+    write_banded_index(spark.read.parquet(sig_path), band_path, "overwrite")
+    g_base.select("doc_id", "gh").join(
+        reps_base.select("gh", "group_id"), "gh"
+    ).select("doc_id", "gh", "group_id").write.mode("overwrite").parquet(
+        mem_path
+    )
+
+    def feats_for(cand_ids: DataFrame) -> DataFrame:
+        return g_all.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.array_distinct(F.expr(shingles_expr("t", 3))).alias("fs"),
+        )
+
+    def step(rem: int) -> None:
+        rep_admission_step(
+            spark,
+            g_all.where(_slice(F.col("doc_id"), rem)),
+            sig_path,
+            band_path,
+            mem_path,
+            feats_for,
+            lambda verified: verified.write.mode("append").parquet(evidence),
+        )
+
+    step(_BATCH2_REM)
+    retract_docs(
+        spark,
+        sig_path,
+        band_path,
+        mem_path,
+        g_all.where(_retract_pred(F.col("doc_id"))).select("doc_id"),
+    )
+    import shutil
+
+    shutil.rmtree(evidence)  # pre-retraction evidence is history, not output
+    step(_BATCH1_REM)
+
+    expand_group_evidence(
+        spark,
+        evidence,
+        mem_path,
+        sig_path=sig_path,
+        store_pred=lambda c: ~_slice(c, _BATCH1_REM),
+    ).write.mode("overwrite").parquet(root + "/result")
+    g_all.unpersist()
+    return spark.read.parquet(root + "/result").select("da", "db", "jaccard")
+
+
+_STORE_RETRACTION_SQL = f"""
+WITH corpus AS (
+  SELECT * FROM documents WHERE NOT {_retract_sql_pred('doc_id')}
+),
+{shingles_cte_sql('corpus', 'text', 3)},
+hv AS (
+  SELECT doc_id, {h32_sql('s')} AS h FROM sh
+),
+{_minhash_bands_cte()},
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE {_FIRST_BAND_GATE_SQL}
+    AND NOT ({_pmod_sql('a.doc_id')} <> {_BATCH1_REM}
+         AND {_pmod_sql('b.doc_id')} <> {_BATCH1_REM})
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT da, db, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = da
+  JOIN sh sb ON sb.doc_id = db AND sa.s = sb.s
+  GROUP BY 1, 2
+)
+SELECT da, db, i / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE i / (ca.n + cb.n - i) >= {_JACCARD_THRESHOLD}
+"""
+
+
+def embedding_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction invariance, vector family: the same lifecycle over
+    the hyperplane rep store (retraction itself is family-agnostic —
+    it never reads a signature column), with the vector op's
+    self-cosine expansion over LIVE membership."""
+    from .sinkcheck import scratch_dir
+
+    root = scratch_dir("hyperplane_store_retract")
+    sig_path = root + "/signatures"
+    band_path = root + "/bands"
+    mem_path = root + "/members"
+    evidence = root + "/evidence"
+
+    g_all = emb_rep_group_frame(_quantized(spark, sf_dir)).cache()
+
+    g_base = g_all.where(_base_pred(F.col("doc_id")))
+    reps_base = emb_rep_reps(g_base)
+    emb_rep_signature_frame(spark, reps_base).write.mode("overwrite").parquet(
+        sig_path
+    )
+    write_banded_index(
+        spark.read.parquet(sig_path), band_path, "overwrite",
+        key_cols=_EMB_KEY_COLS,
+    )
+    g_base.select("doc_id", "gh").join(
+        reps_base.select("gh", "group_id"), "gh"
+    ).select("doc_id", "gh", "group_id").write.mode("overwrite").parquet(
+        mem_path
+    )
+
+    def feats_for(cand_ids: DataFrame) -> DataFrame:
+        return g_all.join(cand_ids, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("vec_id"), "q", "nq"
+        )
+
+    def verify(cand: DataFrame, feats: DataFrame) -> DataFrame:
+        v = cosine_on_candidates_nullsafe(
+            cand.select(F.col("da").alias("va"), F.col("db").alias("vb")),
+            feats,
+            _COSINE_THRESHOLD,
+        )
+        return v.select(
+            F.col("va").alias("da"), F.col("vb").alias("db"), "cosine"
+        )
+
+    def step(rem: int) -> None:
+        rep_admission_step(
+            spark,
+            g_all.where(_slice(F.col("doc_id"), rem)),
+            sig_path,
+            band_path,
+            mem_path,
+            feats_for,
+            lambda verified: verified.write.mode("append").parquet(evidence),
+            key_cols=_EMB_KEY_COLS,
+            rep_builder=lambda g: emb_rep_signature_frame(spark, emb_rep_reps(g)),
+            verify=verify,
+        )
+
+    step(_BATCH2_REM)
+    retract_docs(
+        spark,
+        sig_path,
+        band_path,
+        mem_path,
+        g_all.where(_retract_pred(F.col("doc_id"))).select("doc_id"),
+    )
+    import shutil
+
+    shutil.rmtree(evidence)  # pre-retraction evidence is history, not output
+    step(_BATCH1_REM)
+
+    live_m = live_members(spark, mem_path, sig_path)
+    multi = (
+        live_m.groupBy("group_id")
+        .count()
+        .where(F.col("count") > 1)
+        .select(F.col("group_id").alias("doc_id"))
+    )
+    reps_q = g_all.join(multi, "doc_id", "left_semi")
+    self_vals = emb_self_cosines(
+        reps_q.select(F.col("doc_id").alias("group_id")),
+        reps_q.select(F.col("doc_id").alias("vec_id"), "q", "nq"),
+    )
+    expand_group_evidence(
+        spark,
+        evidence,
+        mem_path,
+        value_col="cosine",
+        self_values=self_vals,
+        sig_path=sig_path,
+        store_pred=lambda c: ~_slice(c, _BATCH1_REM),
+    ).write.mode("overwrite").parquet(root + "/result")
+    g_all.unpersist()
+    return spark.read.parquet(root + "/result").select(
+        F.col("da").alias("va"), F.col("db").alias("vb"), "cosine"
+    )
+
+
+_EMB_STORE_RETRACTION_SQL = f"""
+WITH corpus AS (
+  SELECT * FROM embeddings WHERE NOT {_retract_sql_pred('vec_id')}
+),
+{_QUANT_CTE.replace("FROM embeddings", "FROM corpus")},
+planes(p, i, w) AS (VALUES {_neardup_planes_values_sql()}),
+{_hyperplane_bands_cte()},
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+  WHERE {_HYPERPLANE_GATE_SQL}
+    AND NOT ({_pmod_sql('a.vec_id')} <> {_BATCH1_REM}
+         AND {_pmod_sql('b.vec_id')} <> {_BATCH1_REM})
+)
+SELECT va, vb,
+       {_NEARDUP_COS_SQL_BODY} AS cosine
+FROM cand
+JOIN qn a ON a.vec_id = va
+JOIN qn b ON b.vec_id = vb
+WHERE {_NEARDUP_COS_SQL_BODY} >= {_COSINE_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_store_admission": dedup_store_admission,
     "dedup_store_rep_admission": dedup_store_rep_admission,
     "embedding_store_admission": embedding_store_admission,
     "embedding_store_rep_admission": embedding_store_rep_admission,
+    "dedup_store_retraction": dedup_store_retraction,
+    "embedding_store_retraction": embedding_store_retraction,
 }
 
 ORACLE = {
@@ -1461,4 +2005,8 @@ ORACLE = {
     # same trick on the vector side: the rep lifecycle vs the
     # uncapped op's own one-shot SQL, unchanged.
     "embedding_store_rep_admission": _EMB_STORE_ADMISSION_SQL,
+    # retract-then-admit ≡ never-admitted: the one-shot spelling over
+    # the SURVIVING corpus, restricted to batch-2-involving pairs.
+    "dedup_store_retraction": _STORE_RETRACTION_SQL,
+    "embedding_store_retraction": _EMB_STORE_RETRACTION_SQL,
 }

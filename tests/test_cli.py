@@ -1167,3 +1167,75 @@ def test_compact_store_buckets_without_banded_index_says_so(
     out = capsys.readouterr().out
     assert "buckets_ignored=no_banded_index" in out
     assert "bands_rebucketed" not in out
+
+
+def test_retract_cli_lifecycle(spark, tmp_path, capsys):
+    """build-store → admit → retract (rep re-election + a full-group
+    drop) → admit again (no ghost evidence, no re-admission of the
+    tombstoned id) → compact-store folds and retires the sidecars."""
+    import json
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        gdelta_path,
+        members_path,
+        tombstones_path,
+    )
+
+    docs = [
+        (1, _T_A),
+        (2, _T_A),  # exact dup of 1 — group 1 = {1, 2}
+        (3, _T_B),  # singleton group
+        (50, _T_C),
+        (45, _T_C + " extra"),  # NEAR-dup of 50
+    ]
+
+    def write_json(name, ids):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in docs:
+                if i in ids:
+                    f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    corpus = write_json("corpus.json", {i for i, _ in docs})
+    base = write_json("base.json", {1, 2, 3, 50})
+    b1 = write_json("b1.json", {45})
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-store", base, store]) == 0
+    # retract group 1's FOUNDING rep (re-election to 2) and ALL of
+    # group 3 (drop)
+    assert cli.main(["retract", store, "--id", "1", "--id", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "retracted: docs=2 dropped_groups=1 reelected=1" in out
+
+    assert cli.main(["admit", b1, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    pairs = {
+        (r["da"], r["db"]) for r in spark.read.parquet(evidence).collect()
+    }
+    assert pairs == {(45, 50)}  # no ghost pair involving 1 or 3
+
+    # tombstoned id cannot re-admit before the fold
+    b_re = write_json("b_re.json", {3})
+    assert cli.main(["admit", b_re, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    mem = spark.read.parquet(members_path(store))
+    assert mem.where("doc_id = 3").count() == 1  # still just the dead row
+
+    assert cli.main(["compact-store", store]) == 0
+    out = capsys.readouterr().out
+    assert "retractions_folded=true" in out
+    assert not os.path.isdir(tombstones_path(members_path(store)))
+    assert not os.path.isdir(gdelta_path(store))
+    members = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(members_path(store)).collect()
+    }
+    # 1 and 3 gone; group {1,2} re-elected to 2
+    assert members == {2: 2, 50: 50, 45: 45}
+    assert sorted(
+        r["group_id"] for r in spark.read.parquet(store).collect()
+    ) == [2, 45, 50]

@@ -1180,3 +1180,162 @@ def test_emb_rep_signature_skips_empty_vectors(spark):
     sigs = dedup_store.emb_rep_signature_frame(spark, dedup_store.emb_rep_reps(g))
     rows = sigs.collect()
     assert [r["group_id"] for r in rows] == [2]
+
+
+# ------------------------------------------------------ retraction
+
+_RETRACT_DOCS = [
+    # group A: identical trio, rep = 1 (min)
+    (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    (11, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    # group B: singleton
+    (3, "kilo lima mike november oscar papa quebec romeo sierra tango"),
+    # group C: pair, rep = 4
+    (4, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"),
+    (14, "uniform victor whiskey xray yankee zulu gamma beta epsilon theta"),
+]
+
+
+def _build_rep_store(spark, tmp_path):
+    """Base store over _RETRACT_DOCS via the same helpers the proof
+    ops use. Returns (sig, bands, mem) paths."""
+    import os
+
+    d = spark.createDataFrame(_RETRACT_DOCS, "doc_id long, text string")
+    g = dedup_store.rep_group_frame(d)
+    reps = dedup_store.rep_reps(g)
+    sig = str(tmp_path / "signatures")
+    bands = str(tmp_path / "bands")
+    mem = str(tmp_path / "members")
+    dedup_store.rep_signature_frame(reps).write.parquet(sig)
+    dedup_store.write_banded_index(spark.read.parquet(sig), bands, "overwrite")
+    g.select("doc_id", "gh").join(
+        reps.select("gh", "group_id"), "gh"
+    ).select("doc_id", "gh", "group_id").write.parquet(mem)
+    return sig, bands, mem
+
+
+def _ids(spark, *vals):
+    return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+
+def test_retract_reelects_and_drops(spark, tmp_path):
+    """Retracting group A's founding rep re-elects min survivor;
+    retracting a whole group drops it from the live store."""
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    stats = dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 1, 3))
+    assert stats == {"retracted": 2, "dropped_groups": 1, "reelected": 1}
+
+    live_m = dedup_store.live_members(spark, mem, sig)
+    rows = {(r["doc_id"], r["group_id"]) for r in live_m.collect()}
+    assert rows == {(2, 2), (11, 2), (4, 4), (14, 4)}  # A relabeled to 2, B gone
+
+    live_s = dedup_store.live_store_sigs(spark, sig)
+    assert {r["group_id"] for r in live_s.collect()} == {2, 4}
+
+    # physical tables untouched (sidecar design): raw reads unchanged
+    assert spark.read.parquet(mem).count() == 6
+    assert {r["group_id"] for r in spark.read.parquet(sig).collect()} == {1, 3, 4}
+
+
+def test_retract_is_idempotent_and_composes(spark, tmp_path):
+    """Re-retracting already-gone ids is a no-op; a second retraction
+    that takes the RE-ELECTED rep composes onto the stored id (the
+    gdelta chain collapses to stored -> latest)."""
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 1))
+    again = dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 1))
+    assert again == {"retracted": 0, "dropped_groups": 0, "reelected": 0}
+
+    # now retract the re-elected rep (2): group A must re-elect 11
+    stats = dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 2))
+    assert stats["reelected"] == 1
+    live_m = dedup_store.live_members(spark, mem, sig)
+    assert {(r["doc_id"], r["group_id"]) for r in live_m.collect()} == {
+        (11, 11), (3, 3), (4, 4), (14, 4),
+    }
+    gd = spark.read.parquet(dedup_store.gdelta_path(sig)).collect()
+    assert {(r["group_id"], r["new_group_id"]) for r in gd} == {(1, 11)}
+
+    # retract the LAST survivor: the chained entry becomes a drop
+    stats = dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 11))
+    assert stats["dropped_groups"] == 1
+    assert dedup_store.live_store_sigs(spark, sig).count() == 2  # B, C
+
+
+def test_retracted_id_cannot_readmit_until_fold(spark, tmp_path):
+    """The takedown-wins rule: a tombstoned doc_id anti-joins as
+    'already seen' in the admission step until fold_retractions
+    retires the tombstone with the physical row."""
+    from pyspark.sql import functions as F
+
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 3))
+
+    batch = spark.createDataFrame(
+        [(3, "kilo lima mike november oscar papa quebec romeo sierra tango")],
+        "doc_id long, text string",
+    )
+    g_batch = dedup_store.rep_group_frame(batch)
+    feats = lambda ids: dedup_store.shingle_frame(batch).select(  # noqa: E731
+        "doc_id", F.col("sh").alias("fs")
+    )
+    sink = []
+    stats = dedup_store.rep_admission_step(
+        spark, g_batch, sig, bands, mem, feats,
+        lambda v: sink.append(v.count()),
+        skip_when_no_new_docs=True,
+    )
+    assert stats["new_docs"] == 0  # tombstone blocks re-admission
+
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold == {"folded": True}
+    import os
+
+    assert not os.path.isdir(dedup_store.tombstones_path(mem))
+    assert not os.path.isdir(dedup_store.gdelta_path(sig))
+    # physical tables now ARE the live views
+    assert spark.read.parquet(mem).count() == 5
+    assert spark.read.parquet(sig).count() == 2
+
+    stats = dedup_store.rep_admission_step(
+        spark, g_batch, sig, bands, mem, feats,
+        lambda v: sink.append(v.count()),
+    )
+    assert stats["new_docs"] == 1  # admits fresh after the fold
+    assert dedup_store.live_members(spark, mem, sig).where(
+        F.col("doc_id") == 3
+    ).count() == 1
+
+
+def test_retraction_fold_preserves_pruned_reads(spark, tmp_path):
+    """After a re-election + fold, the banded index (rebuilt at its
+    persisted layout) serves exactly the live groups with the new
+    ids, and the layout marker survives."""
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    lay_before = dedup_store.banded_layout(bands)
+    dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 1, 3))
+    dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert dedup_store.banded_layout(bands) == lay_before
+
+    batch_sigs = spark.read.parquet(sig)  # probe with the store itself
+    got = dedup_store.pruned_store_rows(spark, bands, batch_sigs)
+    assert {r["id"] for r in got.collect()} == {2, 4}
+
+
+def test_retract_ivf_vectors(spark, tmp_path):
+    lists = str(tmp_path / "lists")
+    spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4)], "list_id int, vec_id long"
+    ).write.parquet(lists)
+    stats = dedup_store.retract_ivf_vectors(spark, lists, _ids(spark, 2, 3, 99))
+    assert stats == {"removed": 2, "remaining": 2}
+    left = {(r["list_id"], r["vec_id"]) for r in spark.read.parquet(lists).collect()}
+    assert left == {(0, 1), (1, 4)}
+
+
+def test_retraction_oracle_parity(spark, sf_oracle):
+    for name in ("dedup_store_retraction", "embedding_store_retraction"):
+        compare(dedup_store.QUERIES[name](spark, sf_oracle),
+                dedup_store.ORACLE[name], sf_oracle)
