@@ -203,10 +203,22 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_plan(spark: SparkSession, qn: DataFrame) -> DataFrame:
     """The lazy IVF-PQ plan over a (cached) quantized-vector frame —
     split from the operator so plan tests can assert on the join
-    tree before the result materialization hides it behind a scan."""
+    tree before the result materialization hides it behind a scan.
+
+    RESIDUAL encoding with a TRAINED codebook (VERDICT r12 #5,
+    production IVF-PQ as in the public FAISS design): each vector is
+    PQ-coded on q − centroid(its list) — residuals concentrate near
+    the origin, so a fixed code budget spends its resolution where
+    the data actually is — and the codebook is one exact Lloyd
+    iteration over those residuals (`_pq_train_cb`). The query side
+    builds one asymmetric LUT PER PROBED LIST (the query's residual
+    against that list's centroid): |queries|·nprobe·subs·codes rows
+    — still a broadcast. All arithmetic stays exact BIGINT, so the
+    composed plan remains hash-exact against the oracle, which runs
+    the identical trainer in SQL."""
     from .similarity import (
         _PQ_SUBDIM,
-        _pq_codebook,
+        _pq_train_cb,
     )
 
     # --- IVF side: inverted lists + query probes (broadcast codebook)
@@ -220,10 +232,21 @@ def _ivfpq_plan(spark: SparkSession, qn: DataFrame) -> DataFrame:
         F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list")
     )
 
-    # --- PQ side: per-vector codes + per-query asymmetric LUT
-    cb = spark.createDataFrame(
-        _pq_codebook(), "sub int, code int, carr array<bigint>"
+    # --- residuals: q − centroid(list), exact BIGINT
+    centv = cent.select("c_id", F.col("q").alias("cq"))
+    resid = (
+        qn.join(lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
+        .join(broadcast(centv), F.col("list_id") == F.col("c_id"))
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
+        )
     )
+
+    # --- PQ side: residual-trained codebook, residual codes,
+    #     per-(query, probed list) residual LUT
+    cb = _pq_train_cb(resid.select("vec_id", "q"))
 
     def sub_d2(vec_col: str):
         return F.aggregate(
@@ -236,7 +259,7 @@ def _ivfpq_plan(spark: SparkSession, qn: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    scored = qn.crossJoin(F.broadcast(cb)).select(
+    scored = resid.crossJoin(F.broadcast(cb)).select(
         "vec_id", "sub", "code", sub_d2("q").alias("d2")
     )
     w_arg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
@@ -245,14 +268,27 @@ def _ivfpq_plan(spark: SparkSession, qn: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "sub", "code")
     )
-    lut = (
+    qres = (
         qn.where(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), "q")
-        .crossJoin(F.broadcast(cb))
-        .select("q_id", "sub", "code", sub_d2("q").alias("d2"))
+        .join(broadcast(probes), "q_id")
+        .join(broadcast(centv), F.col("probe_list") == F.col("c_id"))
+        .select(
+            "q_id",
+            "probe_list",
+            F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
+        )
+    )
+    lut = qres.crossJoin(F.broadcast(cb)).select(
+        F.col("q_id").alias("lq_id"),
+        F.col("probe_list").alias("l_list"),
+        F.col("sub").alias("lsub"),
+        F.col("code").alias("lcode"),
+        sub_d2("q").alias("d2"),
     )
 
-    # --- compose: ADC-score ONLY vectors in probed lists
+    # --- compose: ADC-score ONLY vectors in probed lists, each
+    #     against the LUT of the list it lives in
     cand = (
         lists.join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
         .where(F.col("n_id") != F.col("q_id"))
@@ -260,7 +296,13 @@ def _ivfpq_plan(spark: SparkSession, qn: DataFrame) -> DataFrame:
     )
     adc = (
         cand.join(codes, F.col("n_id") == F.col("vec_id"))
-        .join(broadcast(lut), ["q_id", "sub", "code"])
+        .join(
+            broadcast(lut),
+            (F.col("list_id") == F.col("l_list"))
+            & (F.col("q_id") == F.col("lq_id"))
+            & (F.col("sub") == F.col("lsub"))
+            & (F.col("code") == F.col("lcode")),
+        )
         .groupBy("q_id", "n_id", "list_id")
         .agg(F.sum("d2").alias("approx_dist"))
     )
@@ -731,7 +773,7 @@ def _ivfpq_sql() -> str:
     from .similarity import (
         _COS_SQL,
         _PQ_D2_SQL,
-        _pq_codebook_values_sql,
+        _pq_train_ctes_sql,
     )
 
     return f"""
@@ -753,9 +795,16 @@ probes AS (
   SELECT v_id AS q_id, c_id AS probe_list FROM assign
   WHERE v_id < {_N_QUERIES} AND crank <= {_N_PROBE}
 ),
-cb(sub, code, carr) AS (VALUES {_pq_codebook_values_sql()}),
+resid AS MATERIALIZED (
+  SELECT l.n_id AS vec_id, l.list_id,
+         list_transform(list_zip(v.q, c.q), z -> z[1] - z[2]) AS q
+  FROM lists l
+  JOIN qn v ON v.vec_id = l.n_id
+  JOIN cent c ON c.c_id = l.list_id
+),
+{_pq_train_ctes_sql('resid', 'r')},
 scored AS (
-  SELECT vec_id, sub, code, {_PQ_D2_SQL} AS d2 FROM qn, cb
+  SELECT vec_id, sub, code, {_PQ_D2_SQL} AS d2 FROM resid, rcb AS cb(sub, code, carr)
 ),
 codes AS (
   SELECT vec_id, sub, code FROM (
@@ -763,9 +812,16 @@ codes AS (
     FROM scored
   ) t WHERE rn = 1
 ),
+qres AS (
+  SELECT p.q_id, p.probe_list,
+         list_transform(list_zip(v.q, c.q), z -> z[1] - z[2]) AS q
+  FROM probes p
+  JOIN qn v ON v.vec_id = p.q_id
+  JOIN cent c ON c.c_id = p.probe_list
+),
 lut AS (
-  SELECT qn.vec_id AS q_id, sub, code, {_PQ_D2_SQL} AS d2
-  FROM qn, cb WHERE qn.vec_id < {_N_QUERIES}
+  SELECT q_id, probe_list, sub, code, {_PQ_D2_SQL} AS d2
+  FROM qres, rcb AS cb(sub, code, carr)
 ),
 cand AS (
   SELECT p.q_id, l.n_id, l.list_id
@@ -775,7 +831,8 @@ adc AS (
   SELECT c.q_id, c.n_id, c.list_id, CAST(SUM(t.d2) AS BIGINT) AS approx_dist
   FROM cand c
   JOIN codes k ON k.vec_id = c.n_id
-  JOIN lut t ON t.q_id = c.q_id AND t.sub = k.sub AND t.code = k.code
+  JOIN lut t ON t.q_id = c.q_id AND t.probe_list = c.list_id
+            AND t.sub = k.sub AND t.code = k.code
   GROUP BY 1, 2, 3
 )
 SELECT q_id, n_id, list_id, approx_dist, CAST(rank AS INT) AS rank

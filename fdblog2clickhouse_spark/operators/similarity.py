@@ -492,9 +492,11 @@ _PQ_N_QUERIES = 10
 
 def _pq_codebook() -> list[tuple[int, int, list[int]]]:
     """(sub, code, centroid[8]) — md5-derived integer centroids in the
-    quantized embedding domain [-10000, 10000]; identical literal
-    constants in both engines (the k-means training that would
-    produce a real codebook is offline either way)."""
+    quantized embedding domain [-10000, 10000]. Retained ONLY as the
+    recall baseline for the trained codebook (tools/pq_recall.py,
+    SCALE.md): production PQ trains per-subspace centroids
+    (`_pq_train_cb` below) — a data-blind random codebook wastes most
+    of its codes on empty regions."""
     return [
         (
             s,
@@ -507,6 +509,110 @@ def _pq_codebook() -> list[tuple[int, int, list[int]]]:
         for s in range(_PQ_SUBS)
         for c in range(_PQ_CODES)
     ]
+
+
+def _pq_train_cb(src: DataFrame) -> DataFrame:
+    """Train the PQ codebook: per subspace, ONE exact Lloyd iteration
+    of k-means over the subvectors, seeded deterministically with the
+    subvectors of vec_id 0.._PQ_CODES-1 (VERDICT r12 #5 — the literal
+    md5 codebook left recall on the table). Same determinism recipe
+    as `embedding_kmeans`: exact BIGINT distances, code-ascending
+    tiebreak, element-wise FLOOR(sum/count) recompute (one IEEE
+    divide + floor, identical cross-engine), so the trained codebook
+    — and everything scored against it — stays hash-exact. A code
+    that attracts no subvectors keeps its seed (the vanished-list
+    rule). `src` is any (vec_id, q array<bigint>) frame: the raw
+    quantized corpus for flat PQ, the coarse-quantizer RESIDUALS for
+    IVF-PQ. Scale shape: E-step is a broadcast join against
+    _PQ_SUBS×_PQ_CODES = 128 seed rows; M-step is one shuffle keyed
+    on (sub, code, pos) with map-side combine; output is 128 rows —
+    broadcast wherever it is consumed."""
+    sv = src.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("sub"),
+        "q",
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(q, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sv"),
+    )
+    seeds = sv.where(F.col("vec_id") < _PQ_CODES).select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("seed")
+    )
+    d = sv.join(broadcast(seeds), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        "sv",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("seed"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    asg = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    ms = (
+        asg.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("sub", "code", "pos")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cv")
+        )
+    )
+    tr = ms.groupBy("sub", "code").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("tc")
+    )
+    return seeds.join(tr, ["sub", "code"], "left").select(
+        "sub", "code", F.coalesce("tc", "seed").alias("carr")
+    )
+
+
+def _pq_train_ctes_sql(src: str, p: str = "") -> str:
+    """The DuckDB mirror of `_pq_train_cb` as a CTE chain ending in
+    `{p}cb(sub, code, carr)`. `src` names a CTE/table with (vec_id,
+    q); `p` prefixes the CTE names so two trainers (flat + residual)
+    can coexist. cb is MATERIALIZED — it is referenced by both the
+    codes and LUT sides, and DuckDB would otherwise inline the whole
+    trainer twice (the chained-CTE blowup the span oracle hit)."""
+    return f"""{p}svt AS (
+  SELECT vec_id, sub,
+         list_slice(q, sub * {_PQ_SUBDIM} + 1, (sub + 1) * {_PQ_SUBDIM}) AS sv
+  FROM {src}, (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS sub)
+),
+{p}seeds AS (
+  SELECT sub, CAST(vec_id AS INT) AS code, sv AS seed
+  FROM {p}svt WHERE vec_id < {_PQ_CODES}
+),
+{p}asg AS (
+  SELECT vec_id, sub, code, sv FROM (
+    SELECT v.vec_id, v.sub, s.code, v.sv,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.sub
+             ORDER BY list_sum(list_transform(list_zip(v.sv, s.seed),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                      s.code ASC
+           ) AS rn
+    FROM {p}svt v JOIN {p}seeds s ON v.sub = s.sub
+  ) t WHERE rn = 1
+),
+{p}ms AS (
+  SELECT sub, code, pos,
+         CAST(FLOOR(CAST(SUM(sv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM (SELECT sub, code, unnest(generate_series(1, {_PQ_SUBDIM})) AS pos, sv
+        FROM {p}asg)
+  GROUP BY 1, 2, 3
+),
+{p}tr AS (
+  SELECT sub, code, list(cv ORDER BY pos ASC) AS carr FROM {p}ms GROUP BY 1, 2
+),
+{p}cb AS MATERIALIZED (
+  SELECT s.sub, s.code, COALESCE(t.carr, s.seed) AS carr
+  FROM {p}seeds s LEFT JOIN {p}tr t ON t.sub = s.sub AND t.code = s.code
+)"""
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,11 +628,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast LUT (|queries|·8·16 rows) against the code table and
     never touches raw vectors. Every distance is an exact BIGINT —
     the whole operator is hash-checkable, no float summation
-    anywhere until nothing."""
+    anywhere until nothing.
+
+    The codebook is TRAINED (`_pq_train_cb`: one exact Lloyd
+    iteration per subspace from deterministic seeds — VERDICT r12
+    #5), not the md5 literal it used to be: measured recall@3
+    against exact-L2 top-3 at sf0.1 jumped with the switch
+    (tools/pq_recall.py, SCALE.md). The trained frame is 128 rows —
+    still broadcast."""
     qn = _quantized(spark, sf_dir)
-    cb = spark.createDataFrame(
-        _pq_codebook(), "sub int, code int, carr array<bigint>"
-    )
+    cb = _pq_train_cb(qn)
 
     def sub_d2(vec_col: str):
         # exact ∑(x-y)² over one subspace slice
@@ -585,7 +696,7 @@ _PQ_D2_SQL = (
 
 _ANN_PQ_SQL = f"""
 WITH {_QUANT_CTE},
-cb(sub, code, carr) AS (VALUES {_pq_codebook_values_sql()}),
+{_pq_train_ctes_sql('qn')},
 scored AS (
   SELECT vec_id, sub, code, {_PQ_D2_SQL} AS d2
   FROM qn, cb
