@@ -719,16 +719,27 @@ def cmd_refresh_ivf(args) -> int:
     refresh keeps them RIGHT as the insert stream drifts away from
     the build-time codebook (recall decays silently otherwise —
     measured in SCALE.md; probe cadence via ann_recall_eval-style
-    recall checks)."""
-    from .operators.ann_store import refresh_ivf_centroids
+    recall checks). `--max-list N` adds the balance pass after the
+    refresh: over-budget lists are 2-means split (recycling empty
+    list ids first — the reseed), so a skew-drifted corpus cannot
+    grow one corpus-sized list that nprobe=1 searches then scan
+    whole (`split_ivf_lists`)."""
+    from .operators.ann_store import refresh_ivf_centroids, split_ivf_lists
 
     spark = _spark()
     qn = _vector_qn(spark, args.vectors)
     stats = refresh_ivf_centroids(spark, qn, args.codebook, args.lists)
-    print(
+    msg = (
         f"refreshed: lists={stats['n_lists']} moved={stats['moved']} "
         f"max_list={stats['max_list_before']}->{stats['max_list_after']}"
     )
+    if args.max_list is not None:
+        sp = split_ivf_lists(spark, qn, args.codebook, args.lists, args.max_list)
+        msg += (
+            f" split={sp['split']} reseeded={sp['reseeded']}"
+            f" max_list_after_split={sp['max_list_after']}"
+        )
+    print(msg)
     return 0
 
 
@@ -895,6 +906,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--vectors", required=True,
                     help="embeddings parquet (vec_id, embedding) covering "
                          "every indexed vector")
+    sv.add_argument("--max-list", type=int, default=None,
+                    help="after the refresh, split lists larger than this "
+                         "(2-means, empty ids recycled first)")
     sv.set_defaults(fn=cmd_refresh_ivf)
 
     sp = sub.add_parser("probe-recall")

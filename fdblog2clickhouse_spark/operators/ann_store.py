@@ -514,6 +514,217 @@ def _ivf_search_hits(
     )
 
 
+def split_ivf_lists(
+    spark: SparkSession,
+    qn: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+    max_list: int,
+) -> dict:
+    """Count-gated split of over-budget inverted lists + reseed of
+    empty ones (VERDICT r12 #6 — the IVF analog of the mega-bucket:
+    under skewed drift one list can grow unbounded, making nprobe=1
+    searches scan a corpus-sized list; refresh reports max_list but
+    nothing relieved it).
+
+    One deterministic pass: every list with count > max_list is
+    2-means-split in place — seed 1 is the min-vec_id member, seed 2
+    the member farthest from it (exact BIGINT L2, vec_id tiebreak),
+    one assignment pass (ties to child 1), floor-mean centroids for
+    both children. Child 1 keeps the parent's list id; child 2 takes
+    an EMPTY list's id when one exists (that is the reseed — a dead
+    centroid is recycled to where the data actually is) and a fresh
+    max_id+k id otherwise. Lists the gate does not name are not
+    touched: their rows and centroids are byte-identical after the
+    swap, so searches that never probe a split list are invariant
+    (CI-pinned). A degenerate list of identical vectors cannot be
+    split (child 2 would be empty) and is left whole — the rep
+    admission pre-pass is the tool for that corpus, not a split.
+    A split child can still exceed the budget; the pass is designed
+    to be re-run (each invocation strictly reduces an over-budget
+    list or proves it degenerate). Driver-side state is METADATA
+    only (per-list counts and id allocation — bounded by the
+    codebook size, never the data). Same crash-safe double swap as
+    refresh: codebook staged+swapped first, then lists; a crash
+    between the swaps leaves new centroids over old lists, which is
+    self-consistent (probes and lists join on list_id) and repaired
+    by re-running. `qn` must cover every indexed vector."""
+    import os
+    import shutil
+
+    def _heal(path: str) -> None:
+        old = path + ".old"
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    _heal(codebook_path)
+    _heal(lists_path)
+
+    lists = spark.read.parquet(lists_path)
+    cb = spark.read.parquet(codebook_path)
+    sizes = lists.groupBy("list_id").count()
+    # metadata-tier collects: bounded by the CODEBOOK size (one row
+    # per list / per empty id), never the data — allow-listed in
+    # tests/test_plans.py alongside the banded-index filter literal
+    over_rows = sizes.where(F.col("count") > max_list).orderBy(
+        F.desc("count"), F.asc("list_id")
+    )
+    over = [(r["list_id"], r["count"]) for r in over_rows.collect()]
+    if not over:
+        return {"split": 0, "reseeded": 0, "max_list_after": None}
+    empty_rows = cb.select("c_id").join(
+        sizes.select(F.col("list_id").alias("c_id")), "c_id", "left_anti"
+    )
+    empties = sorted(r["c_id"] for r in empty_rows.collect())
+    max_cid = cb.agg(F.max("c_id")).first()[0]
+    alloc = []  # (parent, child2_id, recycled)
+    fresh = max_cid
+    for k, (lid, _) in enumerate(over):
+        if k < len(empties):
+            alloc.append((lid, empties[k], True))
+        else:
+            fresh += 1
+            alloc.append((lid, fresh, False))
+    amap = spark.createDataFrame(
+        [(p, c) for p, c, _ in alloc], "list_id bigint, child2 bigint"
+    )
+
+    mem = (
+        lists.join(amap.select("list_id"), "list_id", "left_semi")
+        .join(qn.select(F.col("vec_id").alias("n_id"), "q", "nq"), "n_id")
+        .select("list_id", "n_id", "q", "nq")
+    )
+
+    def _d(qa, na, qb, nb):
+        return (
+            F.col(na)
+            - 2
+            * F.aggregate(
+                F.zip_with(F.col(qa), F.col(qb), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            + F.col(nb)
+        )
+
+    w_min = Window.partitionBy("list_id").orderBy("n_id")
+    s1 = (
+        mem.withColumn("rn", F.row_number().over(w_min))
+        .where(F.col("rn") == 1)
+        .select("list_id", F.col("q").alias("q1"), F.col("nq").alias("n1"))
+    )
+    with_d1 = mem.join(F.broadcast(s1), "list_id").withColumn(
+        "d1", _d("q", "nq", "q1", "n1")
+    )
+    w_far = Window.partitionBy("list_id").orderBy(F.desc("d1"), F.asc("n_id"))
+    s2 = (
+        with_d1.withColumn("rn", F.row_number().over(w_far))
+        .where(F.col("rn") == 1)
+        .select("list_id", F.col("q").alias("q2"), F.col("nq").alias("n2"))
+    )
+    assigned = (
+        with_d1.join(F.broadcast(s2), "list_id")
+        .withColumn("d2", _d("q", "nq", "q2", "n2"))
+        .withColumn("child", F.when(F.col("d1") <= F.col("d2"), 1).otherwise(2))
+        .select("list_id", "n_id", "child")
+        .cache()
+    )
+    # effective splits: lists whose child 2 is nonempty (degenerate
+    # identical-vector lists collapse to child 1 and are left whole);
+    # one row per SPLIT list — codebook-bounded again
+    child2_lists = assigned.where(F.col("child") == 2).select("list_id").distinct()
+    eff = {r["list_id"] for r in child2_lists.collect()}
+    if not eff:
+        assigned.unpersist()
+        return {"split": 0, "reseeded": 0, "max_list_after": max(c for _, c in over)}
+    eff_alloc = [(p, c, r) for p, c, r in alloc if p in eff]
+    eff_map = spark.createDataFrame(
+        [(p, c) for p, c, _ in eff_alloc], "list_id bigint, child2 bigint"
+    )
+
+    # new centroids for both children of every effective split
+    elems = (
+        assigned.join(eff_map.select("list_id"), "list_id", "left_semi")
+        .join(qn.select(F.col("vec_id").alias("n_id"), "q"), "n_id")
+        .select("list_id", "child", F.posexplode("q").alias("pos", "val"))
+    )
+    cs = elems.groupBy("list_id", "child", "pos").agg(
+        F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cv")
+    )
+    newc = (
+        cs.groupBy("list_id", "child")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("q")
+        )
+        .withColumn(
+            "nq",
+            F.aggregate(
+                F.transform(F.col("q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .join(F.broadcast(eff_map), "list_id")
+        .select(
+            F.when(F.col("child") == 1, F.col("list_id"))
+            .otherwise(F.col("child2"))
+            .alias("c_id"),
+            "q",
+            "nq",
+        )
+    )
+    cb1 = newc.unionByName(
+        cb.join(newc.select("c_id"), "c_id", "left_anti").select("c_id", "q", "nq")
+    )
+
+    relabel = (
+        assigned.join(F.broadcast(eff_map), "list_id")
+        .select(
+            "n_id",
+            F.when(F.col("child") == 1, F.col("list_id"))
+            .otherwise(F.col("child2"))
+            .alias("list_id"),
+        )
+    )
+    lists1 = lists.join(
+        eff_map.select("list_id"), "list_id", "left_anti"
+    ).unionByName(relabel.select("n_id", "list_id"))
+
+    cb_staging = codebook_path + ".split"
+    shutil.rmtree(cb_staging, ignore_errors=True)
+    cb1.coalesce(1).write.mode("overwrite").parquet(cb_staging)
+    li_staging = lists_path + ".split"
+    shutil.rmtree(li_staging, ignore_errors=True)
+    lists1.write.mode("overwrite").parquet(li_staging)
+    max_after = (
+        spark.read.parquet(li_staging)
+        .groupBy("list_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assigned.unpersist()
+    for live, staging in (
+        (codebook_path, cb_staging),
+        (lists_path, li_staging),
+    ):
+        old = live + ".old"
+        os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old)
+    return {
+        "split": len(eff_alloc),
+        "reseeded": sum(1 for _, _, r in eff_alloc if r),
+        "max_list_after": max_after,
+    }
+
+
 def ivf_recall_probe(
     spark: SparkSession,
     qn: DataFrame,

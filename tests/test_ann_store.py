@@ -281,3 +281,107 @@ def test_refresh_crash_repair_is_deterministic(spark, tmp_path):
     os.rename(cb_c, cb_c + ".old")
     ann_store.refresh_ivf_centroids(spark, qn, cb_c, li_c)
     assert state(cb_c, li_c) == want
+
+
+def _skew_fixture_qn(spark):
+    """One hot cluster (30 members, two sub-lobes along dims 3/4) on
+    list H plus a tiny cold cluster on list B plus an EMPTY list E —
+    the skewed-drift shape `split_ivf_lists` exists for."""
+    rows = []
+    for i in range(15):  # hot lobe 1 (ids 100-114)
+        rows.append((100 + i, [1000, 0, 50 + i, 0]))
+    for i in range(15):  # hot lobe 2 (ids 200-214)
+        rows.append((200 + i, [1000, 0, 0, 50 + i]))
+    for i in range(3):  # cold cluster (ids 300-302)
+        rows.append((300 + i, [0, 1000, i, 0]))
+    return spark.createDataFrame(
+        [(v, q, sum(x * x for x in q)) for v, q in rows],
+        "vec_id long, q array<long>, nq long",
+    )
+
+
+def _skew_index(spark, tmp_path, qn):
+    import os
+
+    cb = str(tmp_path / "codebook")
+    li = str(tmp_path / "lists")
+    cents = [
+        (7000, [1000, 0, 25, 25]),  # H: catches both hot lobes
+        (8000, [0, 1000, 0, 0]),    # B: the cold cluster
+        (9000, [-1000, -1000, 0, 0]),  # E: empty, catches nothing
+    ]
+    spark.createDataFrame(
+        [(c, q, sum(x * x for x in q)) for c, q in cents],
+        "c_id long, q array<long>, nq long",
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).selectExpr(
+        "v_id AS n_id", "c_id AS list_id"
+    ).write.parquet(li)
+    return cb, li
+
+
+def test_split_ivf_lists_bounds_hot_list_and_reseeds(spark, tmp_path):
+    """The hot 30-member list splits into its two lobes; child 2
+    recycles the EMPTY list's id (the reseed); the cold list's rows
+    and centroid are byte-identical (search invariance where the
+    list set is untouched)."""
+    qn = _skew_fixture_qn(spark)
+    cb, li = _skew_index(spark, tmp_path, qn)
+    sizes0 = {
+        r["list_id"]: r["count"]
+        for r in spark.read.parquet(li).groupBy("list_id").count().collect()
+    }
+    assert sizes0 == {7000: 30, 8000: 3}
+    cold_rows0 = {
+        (r["n_id"], r["list_id"])
+        for r in spark.read.parquet(li).where("list_id = 8000").collect()
+    }
+    cold_cent0 = spark.read.parquet(cb).where("c_id = 8000").collect()
+
+    stats = ann_store.split_ivf_lists(spark, qn, cb, li, max_list=20)
+    assert stats["split"] == 1
+    assert stats["reseeded"] == 1  # child 2 took the empty id 9000
+    assert stats["max_list_after"] <= 20
+
+    sizes1 = {
+        r["list_id"]: r["count"]
+        for r in spark.read.parquet(li).groupBy("list_id").count().collect()
+    }
+    assert sizes1[8000] == 3
+    assert sizes1[7000] + sizes1[9000] == 30
+    assert max(sizes1[7000], sizes1[9000]) <= 20
+    # the two lobes separate exactly
+    lobe = {
+        r["n_id"]: r["list_id"]
+        for r in spark.read.parquet(li).where("list_id <> 8000").collect()
+    }
+    assert len({lobe[100 + i] for i in range(15)}) == 1
+    assert len({lobe[200 + i] for i in range(15)}) == 1
+    assert lobe[100] != lobe[200]
+    # untouched list: rows AND centroid identical
+    assert {
+        (r["n_id"], r["list_id"])
+        for r in spark.read.parquet(li).where("list_id = 8000").collect()
+    } == cold_rows0
+    assert spark.read.parquet(cb).where("c_id = 8000").collect() == cold_cent0
+    # every list id still has a centroid; no id vanished
+    assert {r["c_id"] for r in spark.read.parquet(cb).collect()} == {
+        7000, 8000, 9000,
+    }
+
+
+def test_split_ivf_lists_skips_degenerate_and_under_budget(spark, tmp_path):
+    """A list of identical vectors cannot be split (child 2 empty) —
+    left whole; an index with nothing over budget is a no-op."""
+    qn = spark.createDataFrame(
+        [(i, [500, 500, 0, 0], 500000) for i in range(10)],
+        "vec_id long, q array<long>, nq long",
+    )
+    cb, li = _skew_index(spark, tmp_path, qn)
+    before = sorted(map(tuple, spark.read.parquet(li).collect()))
+    stats = ann_store.split_ivf_lists(spark, qn, cb, li, max_list=4)
+    assert stats["split"] == 0
+    assert sorted(map(tuple, spark.read.parquet(li).collect())) == before
+
+    stats = ann_store.split_ivf_lists(spark, qn, cb, li, max_list=100)
+    assert stats == {"split": 0, "reseeded": 0, "max_list_after": None}

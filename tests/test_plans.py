@@ -315,6 +315,14 @@ def test_no_unbounded_driver_collect():
         "operators/dedup_store.py": {
             'for r in batch_rows.select("band", "kb").distinct().collect()',
         },
+        # split_ivf_lists' maintenance metadata: per-list counts,
+        # empty list ids, and split-list ids — all bounded by the
+        # CODEBOOK size (number of lists), never the data
+        "operators/ann_store.py": {
+            'over = [(r["list_id"], r["count"]) for r in over_rows.collect()]',
+            'empties = sorted(r["c_id"] for r in empty_rows.collect())',
+            'eff = {r["list_id"] for r in child2_lists.collect()}',
+        },
     }
     allowed = [
         o
