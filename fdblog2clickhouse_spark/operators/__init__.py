@@ -27,75 +27,70 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-12 window (policy above; VERDICT r11 items #1/#2 ordered:
-# new code first, then the FOUR-round-stale r7 cohort — all 36).
-# Triage:
-#   (a) r12-changed operators/dedup_store.py — the VECTOR rep
-#       pre-pass (NEW embedding_store_rep_admission, closing the
-#       last uncapped admission kernel) + the shared kernel's
-#       key_cols/rep_builder/verify generalization + the isin
-#       partition pushdown + rebucket_banded_index: all four ops in
-#       the file re-verify;
-#   (b) r12-changed operators/ann_store.py — NEW
-#       ann_ivf_refresh_recall (centroid refresh + recall probe,
-#       VERDICT r11 #4) + both existing ops in the file;
-#   (c) r12-changed operators/spans.py — NEW
-#       span_rewrite_sink_roundtrip (the corpus-rewrite sink,
-#       VERDICT r11 #5) + keep AS MATERIALIZED in the apply oracle
-#       (ADVICE r11): all four ops re-verify;
-#   (d) r12-changed streaming/rep_admission.py: the NEW
-#       streaming_embedding_rep_admission (vector sibling,
-#       completing the batch/rep/streaming × text/vector matrix)
-#       plus streaming_rep_admission (same file, and it CALLS the
-#       generalized rep_admission_step);
-#   (e) the r7 cohort re-cover, all 36 (VERDICT r11 #2):
-#       similarity.py's 15, curation.py's 5, streaming/queries.py's
-#       9 r7 greens, textops' 6 r7 greens, trace_json — files
-#       byte-unchanged since r7, pure re-cover;
-#   (f) 1 remaining slot → the oldest r8 green (dedup.py's
-#       dedup_exact; new code displaced the second spare —
-#       the r11 precedent's priority order).
-# r13 RE-COVER PRIORITY (stalest first, files unchanged): the rest
-# of dedup.py's r8 cohort (14 — dedup_exact took r12's spare slot;
-# adopt cosine_on_candidates_nullsafe's try_divide spelling in
-# dedup.py's cosine ops when the file unpins, see dedup_store.py),
-# then the r8 trace/sequence/sketches cohort, then
-# streaming_incremental_dedup / streaming_store_admission and the
-# r10-green remainder.
-# NOT in the window by design: tpch/trace_ops/sequence/sketches/
-# curation-adjacent training/multimodal/lm/bpe/sinkcheck/textops'
-# r11 greens — files untouched since their last green rows.
+# Round-13 window (policy above; VERDICT r12 items #1/#2 ordered:
+# changed code first, then the stalest greens). Triage:
+#   (a) r13-changed operators/dedup_store.py — NEW store RETRACTION
+#       (tombstone + gdelta sidecars, re-election, fold at
+#       compaction — VERDICT r12 #3) with its two invariance proof
+#       ops, plus the live-view composition threaded through
+#       rep_admission_step/expand_group_evidence and the two ADVICE
+#       r12 fixes (injective gh over NULLs, empty-q signature rows):
+#       all six ops in the file verify;
+#   (b) streaming/rep_admission.py's two ops CALL the changed
+#       rep_admission_step + expand_group_evidence — re-verify
+#       (the r12 precedent for cross-file kernel changes);
+#   (c) r13-changed operators/similarity.py — the try_divide
+#       zero-vector cosine fix in _cosine_cols (VERDICT r12 #1) +
+#       ann_pq_topk's codebook is now TRAINED (one exact Lloyd
+#       iteration per subspace, VERDICT r12 #5): all 15 re-verify;
+#   (d) r13-changed operators/ann_store.py — ann_ivfpq_topk moved
+#       to RESIDUAL encoding with the trained codebook (r12 #5) and
+#       split_ivf_lists landed (r12 #6): all 3 re-verify;
+#   (e) r13-changed operators/dedup.py — UNPINNED at last: the
+#       try_divide spelling adopted in cosine_on_candidates +
+#       containment, the numpy path errstate'd (VERDICT r12 #1),
+#       zero-vector regression tests added: the whole 15-op r8
+#       cohort re-verifies post-edit, exactly as the verdict
+#       ordered (risky edit paired with driver evidence);
+#   (f) 9 spare slots → the stalest untouched r8 greens
+#       (trace_ops.py's r8 cohort, file byte-unchanged since r8).
+# r14 RE-COVER PRIORITY (stalest first, files unchanged): the rest
+# of the r8 cohort — trace_ops' user_retention_cohorts /
+# churned_users / error_run_lengths, sketches' 5, sequence's 5 —
+# then streaming_incremental_dedup / streaming_store_admission and
+# the r10-green remainder (tpch_q1-q4, multimodal's 8, training's
+# 4, lm, events_* r10 greens).
+# NOT in the window by design: tpch/spans/curation/textops/
+# multimodal/sinkcheck/streaming-queries' r11/r12 greens — files
+# untouched since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) r12-changed dedup_store.py (4, incl. the NEW vector rep op)
+    # (a) r13-changed dedup_store.py (6, incl. the NEW retraction ops)
+    "dedup_store_retraction", "embedding_store_retraction",
     "embedding_store_rep_admission", "embedding_store_admission",
     "dedup_store_rep_admission", "dedup_store_admission",
-    # (b) r12-changed ann_store.py (3, incl. the NEW refresh probe)
-    "ann_ivf_refresh_recall", "ann_ivf_store_search", "ann_ivfpq_topk",
-    # (c) r12-changed spans.py (4, incl. the NEW rewrite sink)
-    "span_rewrite_sink_roundtrip", "dup_span_apply",
-    "dup_span_stats", "dup_span_dedup",
-    # (d) r12-changed streaming/rep_admission.py (2, incl. the NEW
-    # vector streaming sibling)
-    "streaming_embedding_rep_admission", "streaming_rep_admission",
-    # (e) the r7 cohort re-cover (36)
+    # (b) callers of the changed shared kernel (2)
+    "streaming_rep_admission", "streaming_embedding_rep_admission",
+    # (c) r13-changed similarity.py (15, incl. trained-PQ ann_pq_topk)
     "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_norm_stats", "embedding_centroids", "stratified_sample",
     "knn_classify", "ann_pq_topk", "embedding_kmeans",
     "cluster_balanced_sample", "doc_lang_kmeans", "ann_recall_eval",
     "ann_radius_count", "embedding_covariance", "ann_filtered_topk",
-    "benchmark_decontam", "domain_mixture_sample", "token_collocations",
-    "quality_filter_funnel", "doc_length_histogram",
-    "streaming_trace_ingest", "streaming_windowed_counts",
-    "streaming_sessionize", "streaming_stateful_error_count",
-    "streaming_dedup_events", "streaming_rollup_ingest",
-    "streaming_upsert_ingest", "streaming_view_purchase_join",
-    "streaming_hll_rollup",
-    "corpus_select", "doc_top_terms", "bpe_pair_stats",
-    "lang_confusion_metrics", "source_dup_inflation", "doc_rarity_score",
-    "trace_json_batch_ingest",
-    # (f) oldest r8 green (1)
-    "dedup_exact",
+    # (d) r13-changed ann_store.py (3, incl. residual IVF-PQ)
+    "ann_ivfpq_topk", "ann_ivf_store_search", "ann_ivf_refresh_recall",
+    # (e) r13-changed dedup.py (15 — the unpinned r8 cohort)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "embedding_neardup", "dedup_cluster_labels",
+    "chunk_dedup", "neardup_keep_best", "dedup_containment",
+    "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
+    "embedding_neardup_lsh_verified", "doc_minhash_signatures",
+    "dedup_incremental_minhash", "embedding_incremental_neardup",
+    # (f) stalest untouched r8 greens (9, trace_ops.py)
+    "trace_normalize", "event_sessionization", "json_extract_props",
+    "user_activity_gap", "events_rollup_cube", "events_cube",
+    "events_asof_join", "value_percentiles_by_type",
+    "events_running_windows",
 ]
 
 
