@@ -44,7 +44,14 @@ from fdblog2clickhouse_spark.operators import dedup as dd  # noqa: E402
 from fdblog2clickhouse_spark.sources.tables import table  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-KS = [1, 4, 16, 64]
+# optional argv[2]: comma-separated store multipliers (the r13 soak
+# runs 1,16,64,256 — past the measured full-scan crossover). 64 must
+# stay in the list: the bucket sweep below keys off the x64 store.
+KS = (
+    [int(x) for x in sys.argv[2].split(",")]
+    if len(sys.argv) > 2
+    else [1, 4, 16, 64]
+)
 OFFSET = 10_000_000  # ≡ 0 mod 10: replicas stay in base slices
 BATCH_DOCS = 24  # a rotation, not a backfill — the pruning regime
 
