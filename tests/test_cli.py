@@ -1239,3 +1239,116 @@ def test_retract_cli_lifecycle(spark, tmp_path, capsys):
     assert sorted(
         r["group_id"] for r in spark.read.parquet(store).collect()
     ) == [2, 45, 50]
+
+
+def test_admit_cli_long_lifecycle_with_retraction(spark, tmp_path, capsys):
+    """Soak the retraction path inside the production admit loop:
+    build + rotations, retract MID-STREAM (a founding rep AND a whole
+    group), keep admitting — the next rotation must score against the
+    live (gdelta-composed) store and produce NO ghost evidence — then
+    redeliver a rotation whose doc was retracted (must not
+    resurrect), fold via compact-store, and admit the retracted id
+    fresh AFTER the fold."""
+    import json
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        gdelta_path,
+        members_path,
+        tombstones_path,
+    )
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    t_c = "new content charlie group words xray yankee zulu november oscar"
+    all_docs = [
+        (1, _T_A), (2, _T_A), (3, _T_B),   # base: group 1 = {1,2}, 3 solo
+        (10, _T_A),                          # rot1: exact dup joins group 1
+        (20, _T_B + " extra words"),         # rot2: near-dup of 3
+        (30, t_c),                           # rot3: fresh
+        (40, _T_B + " extra words"),         # rot4 (post-retract): dup of 20
+        (50, _T_A + " minor change"),        # rot5 (post-retract): near of A
+        (3, _T_B),                           # rot6 (post-fold): 3 re-admitted
+    ]
+    corpus = write_json("corpus.json", all_docs)
+    base = write_json("base.json", all_docs[:3])
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    def admit(path):
+        assert cli.main(["admit", path, store, "--corpus", corpus,
+                         "--evidence", evidence]) == 0
+        return capsys.readouterr().out
+
+    assert cli.main(["build-store", base, store]) == 0
+    capsys.readouterr()
+    admit(write_json("rot1.json", [(10, _T_A)]))
+    admit(write_json("rot2.json", [(20, _T_B + " extra words")]))
+    admit(write_json("rot3.json", [(30, t_c)]))
+
+    # mid-stream retraction: group 1's founding rep (re-election to 2)
+    # AND all of group 3 ({3} — 20 is its own near-dup group)
+    assert cli.main(["retract", store, "--id", "1", "--id", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "retracted: docs=2 dropped_groups=1 reelected=1" in out
+
+    # post-retraction rotations: 40 is an exact dup of 20 (membership
+    # only — and 20's group evidence re-expansion must NOT emit the
+    # retracted 3); 50 near-dups group 1 via the RE-ELECTED rep 2
+    out4 = admit(write_json("rot4.json", [(40, _T_B + " extra words")]))
+    assert "new_docs=1 groups=1 new_groups=0" in out4
+    out5 = admit(write_json("rot5.json", [(50, _T_A + " minor change")]))
+    assert "new_docs=1 groups=1 new_groups=1" in out5
+
+    pairs = sorted(set(
+        (r["da"], r["db"]) for r in spark.read.parquet(evidence).collect()
+    ))
+    # (3, 20) stands from rot2 (history, pre-retraction); the
+    # POST-retraction expansions never re-emit 3 or 1: rot4's rescore
+    # of group 20 yields pairs only among live members, rot5 scores
+    # vs re-elected rep 2
+    assert (2, 50) in pairs or (10, 50) in pairs or (50, 2) in pairs
+    post = [p for p in pairs if 40 in p or 50 in p]
+    assert all(1 not in p and 3 not in p for p in post)
+
+    # redelivery of rot… a batch containing the retracted id 3: the
+    # tombstone blocks resurrection
+    out6 = admit(write_json("rot6.json", [(3, _T_B)]))
+    assert "new_docs=0" in out6
+
+    # fold retires the sidecars; then 3 admits fresh
+    assert cli.main(["compact-store", store]) == 0
+    out = capsys.readouterr().out
+    assert "retractions_folded=true" in out
+    assert not os.path.isdir(tombstones_path(members_path(store)))
+    assert not os.path.isdir(gdelta_path(store))
+    out7 = admit(write_json("rot7.json", [(3, _T_B)]))
+    assert "new_docs=1" in out7
+    members = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(members_path(store)).collect()
+    }
+    # 1 gone; group A re-elected to 2; 3 back as a fresh group of its
+    # own (its old group died with the retraction)
+    assert members == {
+        2: 2, 10: 2, 20: 20, 30: 30, 40: 20, 50: 50, 3: 3,
+    }
+
+
+def test_pairs_note_survives_crashed_evidence_partition(spark, tmp_path):
+    """ADVICE r12: the redelivery-skip '(kept)' report must not crash
+    on an evidence partition dir a crashed write left EMPTY — it
+    reports 0 and the skip path stays a no-op."""
+    import os
+
+    from fdblog2clickhouse_spark.cli import _pairs_note
+
+    ev_part = str(tmp_path / "evidence" / "batch_key=deadbeef")
+    os.makedirs(ev_part)
+    note = _pairs_note(spark, {"scored": False}, ev_part, 0)
+    assert note == "0 (kept)"
