@@ -1339,3 +1339,84 @@ def test_retraction_oracle_parity(spark, sf_oracle):
     for name in ("dedup_store_retraction", "embedding_store_retraction"):
         compare(dedup_store.QUERIES[name](spark, sf_oracle),
                 dedup_store.ORACLE[name], sf_oracle)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_strategy)
+def test_retraction_equals_never_admitted_property(spark, tmp_path_factory, docs):
+    """Randomized retract-then-admit ≡ never-admitted, pure Spark (no
+    oracle): the retraction lifecycle on the FULL corpus must produce
+    byte-identical final-batch evidence to the same lifecycle on the
+    pre-filtered SURVIVING corpus — where the retraction slice is
+    empty by construction, so that run IS the never-admitted
+    lifecycle. Arbitrary id mixes exercise rep re-elections, whole-
+    group drops, retractions of docs in every arrival slice, and the
+    no-op retraction, none of which a crafted corpus pins all at
+    once."""
+    import os
+
+    def write_sf(p, rows):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(p), "documents.parquet")
+        )
+
+    def retracted(i):
+        return i % 7 == dedup_store._RETRACT_REM and i % 10 != dedup_store._BATCH1_REM
+
+    rows = [(i, " ".join(ws)) for i, ws in docs]
+    p_full = tmp_path_factory.mktemp("retr_prop_full")
+    p_surv = tmp_path_factory.mktemp("retr_prop_surv")
+    write_sf(p_full, rows)
+    write_sf(p_surv, [(i, t) for i, t in rows if not retracted(i)])
+
+    full = sorted(
+        map(tuple, dedup_store.dedup_store_retraction(spark, str(p_full)).collect())
+    )
+    surv = sorted(
+        map(tuple, dedup_store.dedup_store_retraction(spark, str(p_surv)).collect())
+    )
+    assert full == surv
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_vec_strategy)
+def test_emb_retraction_equals_never_admitted_property(
+    spark, tmp_path_factory, vecs
+):
+    """The vector sibling of the retraction property — adds the
+    self-cosine expansion over live membership (within-group pairs
+    whose groups shrank under retraction) and zero vectors to the
+    randomized surface."""
+    def retracted(i):
+        return i % 7 == dedup_store._RETRACT_REM and i % 10 != dedup_store._BATCH1_REM
+
+    rows = [(i, [k / 10000.0 for k in q]) for i, q in vecs]
+    p_full = tmp_path_factory.mktemp("emb_retr_full")
+    p_surv = tmp_path_factory.mktemp("emb_retr_surv")
+    _write_embeddings(spark, str(p_full), rows)
+    _write_embeddings(spark, str(p_surv), [(i, q) for i, q in rows if not retracted(i)])
+
+    full = sorted(
+        map(
+            tuple,
+            dedup_store.embedding_store_retraction(spark, str(p_full)).collect(),
+        )
+    )
+    surv = sorted(
+        map(
+            tuple,
+            dedup_store.embedding_store_retraction(spark, str(p_surv)).collect(),
+        )
+    )
+    assert full == surv
