@@ -581,6 +581,7 @@ def cmd_compact_store(args) -> int:
         compact_banded_index,
         compact_signature_store,
         fold_retractions,
+        heal_swap,
         members_path,
         rebucket_banded_index,
     )
@@ -598,7 +599,12 @@ def cmd_compact_store(args) -> int:
         # derive the flat-store sort key from the schema: a text
         # signature store carries bk0, a build-vstore store carries
         # bv0 (ADVICE r12 — the bk0 literal default raised
-        # AnalysisException on vector stores)
+        # AnalysisException on vector stores). Heal a crash-
+        # interrupted compaction swap BEFORE the schema read, or the
+        # re-run that is supposed to repair it raises PATH_NOT_FOUND
+        # here instead of reaching the compactor's own healer
+        # (self-review r13 finding #3).
+        heal_swap(args.store)
         cols = set(spark.read.parquet(args.store).columns)
         sort_col = "bk0" if "bk0" in cols else ("bv0" if "bv0" in cols else "list_id")
     before = compact_signature_store(
@@ -668,13 +674,12 @@ def cmd_retract(args) -> int:
     readers compose the sidecars and `compact-store` folds + retires
     them. A retracted id cannot be re-admitted until that fold (the
     takedown-wins rule)."""
-    from .operators.dedup_store import banded_path, members_path, retract_docs
+    from .operators.dedup_store import members_path, retract_docs
 
     spark = _spark()
     stats = retract_docs(
         spark,
         args.store,
-        banded_path(args.store),
         members_path(args.store),
         _retract_ids_frame(spark, args),
     )

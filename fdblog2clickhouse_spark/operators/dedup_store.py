@@ -1275,10 +1275,14 @@ def emb_rep_group_frame(qn: DataFrame) -> DataFrame:
     [1,NULL,2] and [1,2] to the same group — so the encoding is
     injective over malformed embeddings too, ADVICE r12). doc_id
     carries the vec_id under the name the shared step machinery
-    uses. Every vector is eligible (the hyperplane signature exists
-    for any q), unlike the text side's ≥3-token rule — matching the
-    uncapped op, which signs every vector."""
-    return qn.select(
+    uses. Eligibility mirrors the text side's ≥3-token rule: an EMPTY
+    quantized vector is excluded here, at the group-frame level — it
+    can produce no band rows (the uncapped op and the oracle emit
+    none for it) and no non-NULL cosine, and admitting it into
+    membership would make every later batch's identical empty vector
+    classify as NEW content forever, since its group never gets a
+    signature row (self-review r13 finding #4)."""
+    return qn.where(F.size("q") > 0).select(
         F.col("vec_id").alias("doc_id"),
         F.md5(
             F.concat_ws(
@@ -1518,6 +1522,20 @@ def _read_sidecar(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def heal_swap(path: str) -> None:
+    """Complete a crash-interrupted rename-aside swap: if only
+    path+'.old' exists it is the complete table — restore it. Must
+    run BEFORE any read of `path` on a recovery path (self-review
+    r13: building a read plan over the missing path raises
+    PATH_NOT_FOUND before the healer inside the writer is ever
+    reached)."""
+    import os
+
+    old = path + ".old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+
+
 def _swap_write(df: DataFrame, path: str) -> None:
     """Full rewrite of a SMALL table (sidecars only — both are
     O(retracted), never O(store)) with the same rename-aside swap as
@@ -1526,10 +1544,9 @@ def _swap_write(df: DataFrame, path: str) -> None:
     import os
     import shutil
 
+    heal_swap(path)
+    shutil.rmtree(path + ".old", ignore_errors=True)
     old = path + ".old"
-    if os.path.exists(old) and not os.path.exists(path):
-        os.rename(old, path)
-    shutil.rmtree(old, ignore_errors=True)
     staging = path + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.parquet(staging)
@@ -1587,14 +1604,16 @@ def _apply_gdelta(
 def retract_docs(
     spark: SparkSession,
     sig_path: str,
-    band_path: str,
     mem_path: str,
     ids: DataFrame,
 ) -> dict:
     """Remove docs from a rep store (both families — nothing here
     touches the signature columns): tombstone their membership, drop
     groups they empty, re-elect (min surviving doc id) groups whose
-    rep they take away. Writes the gdelta FIRST, tombstones second,
+    rep they take away. The banded index is never touched — readers
+    compose the gdelta over the pruned read (rep_admission_step), so
+    retraction needs no index path. Writes the gdelta FIRST,
+    tombstones second,
     so a crash between the two leaves a state a plain re-run repairs
     (the docs are still live members, the recompute converges to the
     same delta — re-election is deterministic). Retracting an id the
@@ -1639,10 +1658,17 @@ def retract_docs(
     n_changes = eff_changes.count()
     n_dropped = eff_changes.where(F.col("new_eff").isNull()).count()
 
-    # Compose onto the STORED ids (what the physical flat store and
-    # banded index still carry): existing entries pointing at a
-    # changed effective id are replaced; changed groups no old entry
-    # points at are stored under their own id.
+    # Compose onto PHYSICAL row keys: old sidecar entries pointing at
+    # a changed effective id are rewritten to chain stored → latest,
+    # AND every changed group also gets an entry keyed by its
+    # effective id itself — members rows appended AFTER an earlier
+    # re-election carry the then-live (effective) id physically, so
+    # dropping that entry would strand them in a phantom group when
+    # the re-elected rep is later retracted (round-13 self-review
+    # finding #1; the entry is harmless when no physical row carries
+    # the effective key — it just matches nothing). Key sets cannot
+    # collide: old entry keys are previously retired ids, effective
+    # ids were live until this very retraction.
     gd_schema = "group_id long, new_group_id long"
     old_gd = _read_sidecar(spark, gdelta_path(sig_path))
     if old_gd is None:
@@ -1650,16 +1676,15 @@ def retract_docs(
     mapped = old_gd.join(
         eff_changes, old_gd["new_group_id"] == eff_changes["eff"]
     ).select("group_id", F.col("new_eff").alias("new_group_id"))
-    unmapped = eff_changes.join(
-        old_gd.select(F.col("new_group_id").alias("eff")).dropna(), "eff",
-        "left_anti",
-    ).select(F.col("eff").alias("group_id"), F.col("new_eff").alias("new_group_id"))
+    eff_entries = eff_changes.select(
+        F.col("eff").alias("group_id"), F.col("new_eff").alias("new_group_id")
+    )
     old_keep = old_gd.join(
         eff_changes.select(F.col("eff").alias("new_group_id")),
         "new_group_id",
         "left_anti",
     ).select("group_id", "new_group_id")
-    new_gd = old_keep.unionByName(mapped).unionByName(unmapped)
+    new_gd = old_keep.unionByName(mapped).unionByName(eff_entries)
     _swap_write(new_gd, gdelta_path(sig_path))
 
     tomb_path = tombstones_path(mem_path)
@@ -1692,7 +1717,15 @@ def fold_retractions(
     import os
     import shutil
 
+    # heal crash-interrupted swaps FIRST: a prior fold (or sidecar
+    # write) that died mid-rename leaves only path+'.old', and the
+    # live-view read plans below would raise PATH_NOT_FOUND before
+    # _swap_write's own healer ran (self-review r13 finding #2)
+    for p in (sig_path, mem_path):
+        heal_swap(p)
     gd_p, tomb_p = gdelta_path(sig_path), tombstones_path(mem_path)
+    for p in (gd_p, tomb_p):
+        heal_swap(p)
     has_gd = _read_sidecar(spark, gd_p) is not None
     has_tomb = _read_sidecar(spark, tomb_p) is not None
     if not has_gd and not has_tomb:
@@ -1810,7 +1843,6 @@ def dedup_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     retract_docs(
         spark,
         sig_path,
-        band_path,
         mem_path,
         g_all.where(_retract_pred(F.col("doc_id"))).select("doc_id"),
     )
@@ -1925,7 +1957,6 @@ def embedding_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     retract_docs(
         spark,
         sig_path,
-        band_path,
         mem_path,
         g_all.where(_retract_pred(F.col("doc_id"))).select("doc_id"),
     )

@@ -1153,7 +1153,10 @@ def test_rebucket_banded_index_vector_family(spark, tmp_path):
 def test_emb_group_hash_injective_over_nulls(spark):
     """ADVICE r12: the group hash must distinguish [1,NULL,2] from
     [1,2] — concat_ws silently drops NULL elements, so each element
-    is sentinel-coalesced first. Also distinguishes [NULL] vs []."""
+    is sentinel-coalesced first. An EMPTY vector is not eligible at
+    all (the group-frame-level rule, self-review r13 #4: it can
+    produce no band rows and membership would re-classify it as new
+    content forever)."""
     qn = spark.createDataFrame(
         [
             (1, [1, None, 2], 0),
@@ -1165,7 +1168,8 @@ def test_emb_group_hash_injective_over_nulls(spark):
     )
     g = dedup_store.emb_rep_group_frame(qn)
     hashes = {r["doc_id"]: r["gh"] for r in g.collect()}
-    assert len(set(hashes.values())) == 4
+    assert set(hashes) == {1, 2, 3}  # the empty vector is excluded
+    assert len(set(hashes.values())) == 3
 
 
 def test_emb_rep_signature_skips_empty_vectors(spark):
@@ -1224,7 +1228,7 @@ def test_retract_reelects_and_drops(spark, tmp_path):
     """Retracting group A's founding rep re-elects min survivor;
     retracting a whole group drops it from the live store."""
     sig, bands, mem = _build_rep_store(spark, tmp_path)
-    stats = dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 1, 3))
+    stats = dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1, 3))
     assert stats == {"retracted": 2, "dropped_groups": 1, "reelected": 1}
 
     live_m = dedup_store.live_members(spark, mem, sig)
@@ -1244,22 +1248,26 @@ def test_retract_is_idempotent_and_composes(spark, tmp_path):
     that takes the RE-ELECTED rep composes onto the stored id (the
     gdelta chain collapses to stored -> latest)."""
     sig, bands, mem = _build_rep_store(spark, tmp_path)
-    dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 1))
-    again = dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 1))
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1))
+    again = dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1))
     assert again == {"retracted": 0, "dropped_groups": 0, "reelected": 0}
 
     # now retract the re-elected rep (2): group A must re-elect 11
-    stats = dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 2))
+    stats = dedup_store.retract_docs(spark, sig, mem, _ids(spark, 2))
     assert stats["reelected"] == 1
     live_m = dedup_store.live_members(spark, mem, sig)
     assert {(r["doc_id"], r["group_id"]) for r in live_m.collect()} == {
         (11, 11), (3, 3), (4, 4), (14, 4),
     }
     gd = spark.read.parquet(dedup_store.gdelta_path(sig)).collect()
-    assert {(r["group_id"], r["new_group_id"]) for r in gd} == {(1, 11)}
+    # the chained entry rewrites stored → latest AND keeps an entry
+    # for the retired effective id 2 itself — members rows appended
+    # under the live id between the two retractions carry 2
+    # physically (self-review r13 finding #1)
+    assert {(r["group_id"], r["new_group_id"]) for r in gd} == {(1, 11), (2, 11)}
 
     # retract the LAST survivor: the chained entry becomes a drop
-    stats = dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 11))
+    stats = dedup_store.retract_docs(spark, sig, mem, _ids(spark, 11))
     assert stats["dropped_groups"] == 1
     assert dedup_store.live_store_sigs(spark, sig).count() == 2  # B, C
 
@@ -1271,7 +1279,7 @@ def test_retracted_id_cannot_readmit_until_fold(spark, tmp_path):
     from pyspark.sql import functions as F
 
     sig, bands, mem = _build_rep_store(spark, tmp_path)
-    dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 3))
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 3))
 
     batch = spark.createDataFrame(
         [(3, "kilo lima mike november oscar papa quebec romeo sierra tango")],
@@ -1315,7 +1323,7 @@ def test_retraction_fold_preserves_pruned_reads(spark, tmp_path):
     ids, and the layout marker survives."""
     sig, bands, mem = _build_rep_store(spark, tmp_path)
     lay_before = dedup_store.banded_layout(bands)
-    dedup_store.retract_docs(spark, sig, bands, mem, _ids(spark, 1, 3))
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1, 3))
     dedup_store.fold_retractions(spark, sig, bands, mem)
     assert dedup_store.banded_layout(bands) == lay_before
 
@@ -1420,3 +1428,93 @@ def test_emb_retraction_equals_never_admitted_property(
         )
     )
     assert full == surv
+
+
+def test_retract_admit_retract_follows_late_members(spark, tmp_path):
+    """Self-review r13 finding #1: a member admitted AFTER a
+    re-election carries the then-live group id physically; when that
+    re-elected rep is itself retracted, the late member must follow
+    the group to the next rep instead of stranding in a phantom
+    group with no signature row."""
+    from pyspark.sql import functions as F
+
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    # retract founding rep 1 → group A = {2, 11} re-elected to 2
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1))
+
+    # admit doc 21 with group A's exact content: membership row is
+    # written under the LIVE id 2
+    batch = spark.createDataFrame(
+        [(21, _RETRACT_DOCS[0][1])], "doc_id long, text string"
+    )
+    g_batch = dedup_store.rep_group_frame(batch)
+    dedup_store.rep_admission_step(
+        spark, g_batch, sig, bands, mem,
+        lambda ids: dedup_store.shingle_frame(batch).select(
+            "doc_id", F.col("sh").alias("fs")
+        ),
+        lambda v: v.count(),
+    )
+    assert dedup_store.live_members(spark, mem, sig).where(
+        "doc_id = 21 AND group_id = 2"
+    ).count() == 1
+
+    # retract the re-elected rep 2: the group {11, 21} re-elects 11,
+    # and doc 21 (physical key 2) must follow
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 2))
+    live = {
+        (r["doc_id"], r["group_id"])
+        for r in dedup_store.live_members(spark, mem, sig).collect()
+    }
+    assert (21, 11) in live and (11, 11) in live
+    # the live store has a signature row for 11's group — no phantom
+    assert dedup_store.live_store_sigs(spark, sig).where(
+        "group_id = 11"
+    ).count() == 1
+    # and the fold persists the same state
+    dedup_store.fold_retractions(spark, sig, bands, mem)
+    folded = {
+        (r["doc_id"], r["group_id"])
+        for r in spark.read.parquet(mem).collect()
+    }
+    assert (21, 11) in folded and (11, 11) in folded
+
+
+def test_fold_heals_crashed_swap_before_reading(spark, tmp_path):
+    """Self-review r13 finding #2: a fold (or sidecar write) that
+    crashed mid-rename leaves only path+'.old'; re-running
+    fold_retractions must heal it instead of raising PATH_NOT_FOUND
+    while building the live-view read plan."""
+    import os
+
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1))
+    # simulate the crash window: members renamed aside, not replaced
+    os.rename(mem, mem + ".old")
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold == {"folded": True}
+    live = {
+        (r["doc_id"], r["group_id"]) for r in spark.read.parquet(mem).collect()
+    }
+    assert live == {(2, 2), (11, 2), (3, 3), (4, 4), (14, 4)}
+
+
+def test_compact_cli_heals_crashed_swap_before_sort_derivation(
+    spark, tmp_path, capsys
+):
+    """Self-review r13 finding #3: compact-store's schema-derived
+    sort key must heal a crash-interrupted swap BEFORE reading the
+    store schema, or the re-run that is supposed to repair the crash
+    dies on PATH_NOT_FOUND."""
+    import os
+
+    from fdblog2clickhouse_spark import cli
+
+    p = str(tmp_path / "store")
+    spark.range(10).selectExpr("id AS doc_id", "id AS bk0").repartition(
+        4
+    ).write.parquet(p)
+    os.rename(p, p + ".old")
+    assert cli.main(["compact-store", p]) == 0
+    assert "compacted:" in capsys.readouterr().out
+    assert spark.read.parquet(p).count() == 10

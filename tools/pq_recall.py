@@ -147,8 +147,6 @@ cand = (
     .where(F.col("n_id") != F.col("q_id"))
     .select("q_id", "n_id")
 )
-old = flat_pq(lit_cb).join(cand.select("q_id", "n_id").distinct(), ["q_id", "n_id"], "inner")
-# rerank within candidates: flat_pq already top-K globally; redo properly
 def ivfpq_literal():
     def sub_d2(vec_col):
         return F.aggregate(
