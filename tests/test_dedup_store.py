@@ -1518,3 +1518,103 @@ def test_compact_cli_heals_crashed_swap_before_sort_derivation(
     assert cli.main(["compact-store", p]) == 0
     assert "compacted:" in capsys.readouterr().out
     assert spark.read.parquet(p).count() == 10
+
+
+def test_streaming_admission_composes_mid_stream_retraction(spark, tmp_path):
+    """The streaming cell of the retraction matrix: a takedown lands
+    between two drain cycles of the foreachBatch admit loop (the
+    operational shape — retractions run while the stream is idle or
+    restarting). The second cycle's micro-batches must classify and
+    score through the gdelta-composed store exactly like the batch
+    paths: evidence lands on the re-elected rep, the dropped group
+    is invisible, and the tombstoned id cannot re-admit."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    corpus_rows = list(_RETRACT_DOCS) + [
+        (40, _RETRACT_DOCS[0][1]),              # exact dup of group A
+        (50, _RETRACT_DOCS[4][1] + " extra"),   # near-dup of C's content
+        (60, _RETRACT_DOCS[3][1] + " extra"),   # near-dup of DROPPED B
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    g_all = dedup_store.rep_group_frame(corpus).cache()
+
+    from fdblog2clickhouse_spark.functions.text import shingles_expr
+
+    evidence = str(tmp_path / "evidence")
+
+    def feats_for(cand_ids):
+        return g_all.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.array_distinct(F.expr(shingles_expr("t", 3))).alias("fs"),
+        )
+
+    def drain(rot_dir, ckpt):
+        def admit(batch_df, batch_id):
+            dedup_store.rep_admission_step(
+                batch_df.sparkSession,
+                dedup_store.rep_group_frame(batch_df),
+                sig, bands, mem,
+                feats_for,
+                lambda v: v.write.mode("append").parquet(evidence),
+                skip_when_no_new_docs=True,
+            )
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(rot_dir)
+            .writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_rot(name, rows):
+        d = tmp_path / name
+        os.makedirs(d)
+        with open(d / "r.json", "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(d)
+
+    # cycle 1: nothing controversial
+    drain(write_rot("rot_a", [(40, _RETRACT_DOCS[0][1])]),
+          str(tmp_path / "ckpt_a"))
+
+    # takedown between cycles: group A's founding rep + ALL of group
+    # B's original member (4 remains, 14 retracted → re-election);
+    # also retract 3 entirely (group drop)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1, 3, 4))
+
+    # cycle 2: 50 near-dups group C (rep re-elected to 14), 60
+    # near-dups the DROPPED group B (must find nothing — the dropped
+    # group's bands and sigs are invisible), and a redelivered 3
+    # must not resurrect
+    drain(
+        write_rot("rot_b", [(50, _RETRACT_DOCS[4][1] + " extra"),
+                            (60, _RETRACT_DOCS[3][1] + " extra"),
+                            (3, _RETRACT_DOCS[3][1])]),
+        str(tmp_path / "ckpt_b"),
+    )
+    live = dedup_store.live_members(spark, mem, sig)
+    assert live.where("doc_id = 3").count() == 0
+    assert live.where("doc_id = 1").count() == 0
+
+    pairs = {
+        (r["da"], r["db"])
+        for r in dedup_store.expand_group_evidence(
+            spark, evidence, mem, sig_path=sig
+        ).collect()
+    }
+    # 50 scored vs group C through the RE-ELECTED rep 14 (4 is gone);
+    # 60's content-match with retracted B yields NO ghost; expansion
+    # emits only live members
+    assert (14, 50) in pairs
+    assert not any(60 in p for p in pairs)
+    assert not any(1 in p or 3 in p or 4 in p for p in pairs)
+    g_all.unpersist()
