@@ -566,7 +566,9 @@ def _pq_train_cb(src: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
         ).alias("tc")
     )
-    return seeds.join(tr, ["sub", "code"], "left").select(
+    # both sides are ≤ _PQ_SUBS×_PQ_CODES = 128 rows — broadcast the
+    # trained side so the seed fallback join never shuffles
+    return seeds.join(broadcast(tr), ["sub", "code"], "left").select(
         "sub", "code", F.coalesce("tc", "seed").alias("carr")
     )
 
