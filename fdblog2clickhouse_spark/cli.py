@@ -607,6 +607,16 @@ def cmd_compact_store(args) -> int:
         heal_swap(args.store)
         cols = set(spark.read.parquet(args.store).columns)
         sort_col = "bk0" if "bk0" in cols else ("bv0" if "bv0" in cols else "list_id")
+    if sort_col == "list_id":
+        # an IVF inverted-lists table: its retraction sidecar is the
+        # vec_id tombstone file, folded here for the same reason the
+        # rep-store sidecars are (the compaction rewrite is the
+        # amortization point)
+        from .operators.dedup_store import fold_ivf_retractions
+
+        ivf_fold = fold_ivf_retractions(spark, args.store)
+        if ivf_fold["folded"]:
+            fold = {"folded": True}
     before = compact_signature_store(
         spark, args.store, sort_col=sort_col, n_files=args.target_files
     )
@@ -692,17 +702,18 @@ def cmd_retract(args) -> int:
 
 
 def cmd_retract_vectors(args) -> int:
-    """The IVF sibling of `retract`: delete vectors from a persisted
-    inverted-lists table (crash-safe swap). The codebook keeps its
-    centroids; run probe-recall / refresh-ivf afterwards if the
-    deletion is large enough to drift recall."""
+    """The IVF sibling of `retract`: take vectors out of a persisted
+    inverted-lists table. O(retracted), never O(index) — a tombstone
+    sidecar beside the lists; every reader composes it
+    (live_ivf_lists) and the next compact-store / refresh-ivf folds
+    and retires it. The codebook keeps its centroids; run
+    probe-recall / refresh-ivf afterwards if the deletion is large
+    enough to drift recall."""
     from .operators.dedup_store import retract_ivf_vectors
 
     spark = _spark()
     stats = retract_ivf_vectors(spark, args.lists, _retract_ids_frame(spark, args))
-    print(
-        f"retracted: vectors={stats['removed']} remaining={stats['remaining']}"
-    )
+    print(f"retracted: tombstones_total={stats['tombstoned']}")
     return 0
 
 
@@ -728,8 +739,15 @@ def cmd_refresh_ivf(args) -> int:
     refresh: over-budget lists are 2-means split (recycling empty
     list ids first — the reseed), so a skew-drifted corpus cannot
     grow one corpus-sized list that nprobe=1 searches then scan
-    whole (`split_ivf_lists`)."""
-    from .operators.ann_store import refresh_ivf_centroids, split_ivf_lists
+    whole (`split_ivf_lists`). `--train-pq` retrains and persists the
+    residual PQ codebook beside the coarse one after the refresh
+    (`train_pq_codebook`) — the build-time artifact IVF-PQ queries
+    read instead of training in-query."""
+    from .operators.ann_store import (
+        refresh_ivf_centroids,
+        split_ivf_lists,
+        train_pq_codebook,
+    )
 
     spark = _spark()
     qn = _vector_qn(spark, args.vectors)
@@ -744,6 +762,9 @@ def cmd_refresh_ivf(args) -> int:
             f" split={sp['split']} reseeded={sp['reseeded']}"
             f" max_list_after_split={sp['max_list_after']}"
         )
+    if args.train_pq:
+        pq = train_pq_codebook(spark, qn, args.codebook, args.lists)
+        msg += f" pq_codebook={pq}"
     print(msg)
     return 0
 
@@ -914,6 +935,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--max-list", type=int, default=None,
                     help="after the refresh, split lists larger than this "
                          "(2-means, empty ids recycled first)")
+    sv.add_argument("--train-pq", action="store_true",
+                    help="retrain + persist the residual PQ codebook "
+                         "beside the coarse codebook (<codebook>_pq)")
     sv.set_defaults(fn=cmd_refresh_ivf)
 
     sp = sub.add_parser("probe-recall")

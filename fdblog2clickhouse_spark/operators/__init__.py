@@ -27,70 +27,74 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-13 window (policy above; VERDICT r12 items #1/#2 ordered:
-# changed code first, then the stalest greens). Triage:
-#   (a) r13-changed operators/dedup_store.py — NEW store RETRACTION
-#       (tombstone + gdelta sidecars, re-election, fold at
-#       compaction — VERDICT r12 #3) with its two invariance proof
-#       ops, plus the live-view composition threaded through
-#       rep_admission_step/expand_group_evidence and the two ADVICE
-#       r12 fixes (injective gh over NULLs, empty-q signature rows):
-#       all six ops in the file verify;
+# Round-14 window (policy above; VERDICT r13 #1 ordered the whole
+# stale tail covered — 48 ops — but r14's own changed code takes its
+# 11 slots first, so 9 of the lowest-risk r10 greens defer to r15).
+# Triage:
+#   (a) r14-changed operators/dedup_store.py — the ADVICE r13 HIGH
+#       fix (rep_admission_step anti-joins the batch against the
+#       tombstone sidecar, so a redelivered retracted doc can
+#       neither found nor join groups), retract_docs' checkpointed
+#       tombstone frame, fold's markerless-index guard, the NEW
+#       O(retracted) IVF tombstone sidecar
+#       (retract_ivf_vectors/live_ivf_lists/fold_ivf_retractions),
+#       and the vector retraction proof's widened pinned surface
+#       (verify bar 0.32 → 10 final rows, VERDICT r13 #6): all six
+#       ops in the file re-verify;
 #   (b) streaming/rep_admission.py's two ops CALL the changed
-#       rep_admission_step + expand_group_evidence — re-verify
-#       (the r12 precedent for cross-file kernel changes);
-#   (c) r13-changed operators/similarity.py — the try_divide
-#       zero-vector cosine fix in _cosine_cols (VERDICT r12 #1) +
-#       ann_pq_topk's codebook is now TRAINED (one exact Lloyd
-#       iteration per subspace, VERDICT r12 #5): all 15 re-verify;
-#   (d) r13-changed operators/ann_store.py — ann_ivfpq_topk moved
-#       to RESIDUAL encoding with the trained codebook (r12 #5) and
-#       split_ivf_lists landed (r12 #6): all 3 re-verify;
-#   (e) r13-changed operators/dedup.py — UNPINNED at last: the
-#       try_divide spelling adopted in cosine_on_candidates +
-#       containment, the numpy path errstate'd (VERDICT r12 #1),
-#       zero-vector regression tests added: the whole 15-op r8
-#       cohort re-verifies post-edit, exactly as the verdict
-#       ordered (risky edit paired with driver evidence);
-#   (f) 9 spare slots → the stalest untouched r8 greens
-#       (trace_ops.py's r8 cohort, file byte-unchanged since r8).
-# r14 RE-COVER PRIORITY (stalest first, files unchanged): the rest
-# of the r8 cohort — trace_ops' user_retention_cohorts /
-# churned_users / error_run_lengths, sketches' 5, sequence's 5 —
-# then streaming_incremental_dedup / streaming_store_admission and
-# the r10-green remainder (tpch_q1-q4, multimodal's 8, training's
-# 4, lm, events_* r10 greens).
-# NOT in the window by design: tpch/spans/curation/textops/
-# multimodal/sinkcheck/streaming-queries' r11/r12 greens — files
-# untouched since their last green rows.
+#       rep_admission_step — re-verify (the r12/r13 precedent for
+#       cross-file kernel changes);
+#   (c) r14-changed operators/ann_store.py — every lists reader now
+#       composes the IVF tombstone sidecar (VERDICT r13 #2), the PQ
+#       codebook is trained-once-and-persisted before the query plan
+#       (VERDICT r13 #4), split_ivf_lists enforces its qn-coverage
+#       precondition (ADVICE r13): all 3 re-verify;
+#   (d) the ENTIRE r8 cohort (13, files byte-unchanged since r8 —
+#       five rounds stale, VERDICT r13 #1): sketches' 5, sequence's
+#       5, trace_ops' 3;
+#   (e) the r10 cohort (26 of 35): tpch_q1-q4, multimodal's 8,
+#       training's 4, streaming_incremental_dedup /
+#       streaming_store_admission, lm's doc_bigram_fluency,
+#       sequence's 3 r10 greens, and 4 of trace_ops' 13 r10 greens.
+# r15 RE-COVER PRIORITY: the 9 deferred trace_ops r10 greens
+# (trace_partition_stats, severity_rollup, events_per_minute,
+# top_event_types, error_rate_by_user, events_dedup_latest,
+# events_decay_score, user_recent_events, user_first_last_event) —
+# lowest-risk deferral: trace_ops.py is byte-unchanged and carries
+# fresh r13 evidence on 9 sibling ops.
+# NOT in the window by design: similarity/dedup's r13 greens and
+# tpch q5+/spans/curation/textops/sinkcheck/streaming-queries'
+# r11/r12 greens — files untouched since their last green rows.
 # Exactly 50.
 _FRONT_WINDOW = [
-    # (a) r13-changed dedup_store.py (6, incl. the NEW retraction ops)
+    # (a) r14-changed dedup_store.py (6)
     "dedup_store_retraction", "embedding_store_retraction",
     "embedding_store_rep_admission", "embedding_store_admission",
     "dedup_store_rep_admission", "dedup_store_admission",
     # (b) callers of the changed shared kernel (2)
     "streaming_rep_admission", "streaming_embedding_rep_admission",
-    # (c) r13-changed similarity.py (15, incl. trained-PQ ann_pq_topk)
-    "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_norm_stats", "embedding_centroids", "stratified_sample",
-    "knn_classify", "ann_pq_topk", "embedding_kmeans",
-    "cluster_balanced_sample", "doc_lang_kmeans", "ann_recall_eval",
-    "ann_radius_count", "embedding_covariance", "ann_filtered_topk",
-    # (d) r13-changed ann_store.py (3, incl. residual IVF-PQ)
+    # (c) r14-changed ann_store.py (3)
     "ann_ivfpq_topk", "ann_ivf_store_search", "ann_ivf_refresh_recall",
-    # (e) r13-changed dedup.py (15 — the unpinned r8 cohort)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "embedding_neardup", "dedup_cluster_labels",
-    "chunk_dedup", "neardup_keep_best", "dedup_containment",
-    "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
-    "embedding_neardup_lsh_verified", "doc_minhash_signatures",
-    "dedup_incremental_minhash", "embedding_incremental_neardup",
-    # (f) stalest untouched r8 greens (9, trace_ops.py)
-    "trace_normalize", "event_sessionization", "json_extract_props",
-    "user_activity_gap", "events_rollup_cube", "events_cube",
-    "events_asof_join", "value_percentiles_by_type",
-    "events_running_windows",
+    # (d) the r8 cohort (13)
+    "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
+    "minute_anomaly_zscore", "value_quantile_hist",
+    "funnel_conversion", "funnel_windowed", "events_sliding_windows",
+    "max_concurrent_events", "user_value_deltas",
+    "user_retention_cohorts", "churned_users", "error_run_lengths",
+    # (e) the r10 cohort (26 of 35)
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
+    "multimodal_metadata", "multimodal_chunk",
+    "multimodal_feature_extract", "multimodal_frame_sample",
+    "multimodal_gif_frames", "multimodal_decode",
+    "multimodal_decode_jpeg", "multimodal_audio_decode",
+    "sequence_packing", "embedding_int8_quantize",
+    "doc_skyline_select", "pack_manifest",
+    "streaming_incremental_dedup", "streaming_store_admission",
+    "doc_bigram_fluency",
+    "user_path_transitions", "events_pivot_usertype",
+    "events_moving_avg",
+    "events_range_join", "topk_events_by_value",
+    "events_unpivot_measures", "events_dow_hour_heatmap",
 ]
 
 

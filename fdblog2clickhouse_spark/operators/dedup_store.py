@@ -894,6 +894,20 @@ def rep_admission_step(
         verify = lambda cand, feats: jaccard_on_candidates(  # noqa: E731
             cand, feats, threshold
         )
+    # Tombstoned doc_ids are invisible to the WHOLE step, not just the
+    # members append (ADVICE r13 high): a redelivered retracted doc
+    # whose group was dropped would otherwise classify as NEW content
+    # and can become the new group's id (min batch doc_id) — either
+    # resurrecting takedown content as a live memberless group (its id
+    # never got a gdelta key) or, when the id IS a retired gdelta key,
+    # silently routing a genuinely new same-content doc's member row
+    # to a dead id (_apply_gdelta filters it forever: data loss). The
+    # sidecar is O(retracted) → broadcast, same as _apply_gdelta's.
+    tomb = _read_sidecar(spark, tombstones_path(mem_path))
+    if tomb is not None:
+        g_batch = g_batch.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
     # RAW members on purpose: a tombstoned (retracted) doc_id still
     # anti-joins here, so a redelivered batch can never resurrect a
     # takedown — the id stays out until fold_retractions retires the
@@ -1620,11 +1634,16 @@ def retract_docs(
     store never admitted is a no-op. Returns counts."""
     ids = ids.select("doc_id").distinct().cache()
     live = live_members(spark, mem_path, sig_path)
-    r = live.join(ids, "doc_id", "left_semi").cache()
+    # localCheckpoint, not cache: r is consumed AFTER the gdelta swap
+    # below (the new tombstone rows), and cache is best-effort — an
+    # evicted partition would recompute r's lineage against the NEW
+    # gdelta, which already drops the dropped groups' rows, silently
+    # losing their tombstones (ADVICE r13). Checkpointing severs the
+    # lineage; r is O(retracted), so the materialization is bounded.
+    r = live.join(ids, "doc_id", "left_semi").localCheckpoint()
     n_r = r.count()
     if n_r == 0:
         ids.unpersist()
-        r.unpersist()
         return {"retracted": 0, "dropped_groups": 0, "reelected": 0}
 
     affected = r.select("group_id").distinct()
@@ -1694,7 +1713,7 @@ def retract_docs(
         new_tomb = new_tomb.unionByName(old_tomb.select("doc_id")).distinct()
     _swap_write(new_tomb, tomb_path)
 
-    for c in (ids, r, eff_changes):
+    for c in (ids, eff_changes):
         c.unpersist()
     return {
         "retracted": n_r,
@@ -1731,6 +1750,18 @@ def fold_retractions(
     if not has_gd and not has_tomb:
         return {"folded": False}
     lay = banded_layout(band_path)
+    if lay is None and os.path.isdir(band_path):
+        # an index dir without a layout marker is a crashed overwrite
+        # build — folding past it would retire the gdelta while stale
+        # band rows keyed by retired/dropped group ids stay behind
+        # with nothing left to filter them at pruned-read time
+        # (ADVICE r13). Mirror write_banded_index's append rule: force
+        # the rebuild instead. A MISSING index dir stays a no-op.
+        raise RuntimeError(
+            f"banded index at {band_path} has no layout marker "
+            "(interrupted build?): rebuild it with write_banded_index "
+            "mode='overwrite' before folding retractions"
+        )
     _swap_write(live_store_sigs(spark, sig_path), sig_path)
     if lay is not None:
         write_banded_index(
@@ -1747,21 +1778,85 @@ def fold_retractions(
     return {"folded": True}
 
 
+def ivf_tombstones_path(lists_path: str) -> str:
+    return lists_path.rstrip("/") + "_tombstones"
+
+
+def _lists_id_col(lists: DataFrame) -> str:
+    """The vector-id column of an inverted-lists table: ann_store
+    writes (n_id, list_id); accept vec_id too for externally built
+    tables (the CLI takes an arbitrary --lists path)."""
+    return "n_id" if "n_id" in lists.columns else "vec_id"
+
+
+def live_ivf_lists(spark: SparkSession, lists_path: str) -> DataFrame:
+    """The inverted-lists table with retractions applied: tombstoned
+    vec_ids removed. The sidecar is O(retracted) → broadcast — the
+    same composition rule as `live_members`, so EVERY lists reader
+    (search, probe-recall, refresh, split, compaction) sees the
+    post-takedown index without a single physical rewrite."""
+    heal_swap(lists_path)
+    lists = spark.read.parquet(lists_path)
+    tomb = _read_sidecar(spark, ivf_tombstones_path(lists_path))
+    if tomb is None:
+        return lists
+    idc = _lists_id_col(lists)
+    return lists.join(
+        F.broadcast(tomb.select(F.col("vec_id").alias(idc))), idc, "left_anti"
+    )
+
+
 def retract_ivf_vectors(
     spark: SparkSession, lists_path: str, ids: DataFrame
 ) -> dict:
-    """The IVF sibling: delete vectors from the persisted inverted
-    lists (same crash-safe swap; the codebook keeps its centroids —
-    vanished-list ids never drop, matching refresh_ivf_centroids'
-    rule — and recall drift from the now-stale centroids is what
-    `probe-recall` exists to catch)."""
+    """The IVF sibling of `retract_docs` — O(retracted), never
+    O(index) (VERDICT r13 #2: the previous full read→anti-join→swap
+    rewrite was a full-index write per takedown batch): merge the
+    retracted vec_ids into a tombstone sidecar beside the lists
+    table; the physical lists are untouched, readers compose the
+    sidecar (`live_ivf_lists`), and `fold_ivf_retractions` (run by
+    compact-store / refresh-ivf, which rewrite the lists anyway)
+    retires it. The codebook keeps its centroids — vanished-list ids
+    never drop, matching refresh_ivf_centroids' rule — and recall
+    drift from the now-stale centroids is what `probe-recall` exists
+    to catch. Same crash-safe swap as the text sidecars."""
     ids = ids.select(F.col("doc_id").alias("vec_id")).distinct()
-    lists = spark.read.parquet(lists_path)
-    kept = lists.join(ids, "vec_id", "left_anti")
-    n_before = lists.count()
-    _swap_write(kept, lists_path)
-    n_after = spark.read.parquet(lists_path).count()
-    return {"removed": n_before - n_after, "remaining": n_after}
+    tomb_path = ivf_tombstones_path(lists_path)
+    heal_swap(tomb_path)
+    old_tomb = _read_sidecar(spark, tomb_path)
+    new_tomb = ids
+    if old_tomb is not None:
+        new_tomb = new_tomb.unionByName(old_tomb.select("vec_id")).distinct()
+    # localCheckpoint before the swap: new_tomb's lineage reads the
+    # OLD sidecar, which the swap removes (same hazard retract_docs'
+    # tombstone write had — ADVICE r13)
+    new_tomb = new_tomb.localCheckpoint()
+    n_total = new_tomb.count()
+    _swap_write(new_tomb, tomb_path)
+    return {"tombstoned": n_total}
+
+
+def fold_ivf_retractions(spark: SparkSession, lists_path: str) -> dict:
+    """Fold the IVF tombstone sidecar into the physical lists table
+    and retire it — the compaction-time companion to
+    `retract_ivf_vectors`, mirroring `fold_retractions`: one swap
+    rewrite of the lists (the only O(index) write, amortized into the
+    maintenance pass that rewrites them anyway), sidecar deleted
+    LAST. A crash between the two leaves tombstones that match
+    nothing — harmless, and the re-run retires them. No-op when no
+    sidecar exists."""
+    import os
+    import shutil
+
+    heal_swap(lists_path)
+    tomb_path = ivf_tombstones_path(lists_path)
+    heal_swap(tomb_path)
+    if _read_sidecar(spark, tomb_path) is None:
+        return {"folded": False}
+    _swap_write(live_ivf_lists(spark, lists_path), lists_path)
+    if os.path.isdir(tomb_path):
+        shutil.rmtree(tomb_path)
+    return {"folded": True}
 
 
 # ------------------------------ retraction invariance proof ops
@@ -1779,6 +1874,17 @@ def retract_ivf_vectors(
 
 _RETRACT_MOD = 7
 _RETRACT_REM = 4
+
+# The VECTOR retraction proof runs its verify at a LOWER cosine bar
+# than the admission ops: at the production _COSINE_THRESHOLD the
+# sf0.01 embeddings corpus has only 4 hyperplane-verified pairs in
+# total, so the driver row pinned a 1-row surface — too thin a hash
+# to carry the ghost-row proof (VERDICT r13 #6). At 0.32 the same
+# lifecycle pins 10 final-batch rows of which the retraction removes
+# 3 (measured via the oracle sweep, r14); the op and its SQL use the
+# identical bar everywhere, so retract-then-admit ≡ never-admitted
+# is unchanged as an equivalence — just over a wider evidence set.
+_RETRACT_COSINE_THRESHOLD = 0.32
 
 
 def _retract_pred(col):
@@ -1933,7 +2039,7 @@ def embedding_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = cosine_on_candidates_nullsafe(
             cand.select(F.col("da").alias("va"), F.col("db").alias("vb")),
             feats,
-            _COSINE_THRESHOLD,
+            _RETRACT_COSINE_THRESHOLD,
         )
         return v.select(
             F.col("va").alias("da"), F.col("vb").alias("db"), "cosine"
@@ -2013,7 +2119,7 @@ SELECT va, vb,
 FROM cand
 JOIN qn a ON a.vec_id = va
 JOIN qn b ON b.vec_id = vb
-WHERE {_NEARDUP_COS_SQL_BODY} >= {_COSINE_THRESHOLD}
+WHERE {_NEARDUP_COS_SQL_BODY} >= {_RETRACT_COSINE_THRESHOLD}
 """
 
 

@@ -385,3 +385,184 @@ def test_split_ivf_lists_skips_degenerate_and_under_budget(spark, tmp_path):
 
     stats = ann_store.split_ivf_lists(spark, qn, cb, li, max_list=100)
     assert stats == {"split": 0, "reseeded": 0, "max_list_after": None}
+
+
+# ------------------------------------------- IVF retraction sidecar
+
+
+def test_store_search_composes_tombstones(spark, sf_oracle):
+    """VERDICT r13 #2: a takedown must be invisible to the persisted
+    index's search WITHOUT a physical rewrite — retract_ivf_vectors
+    writes only the tombstone sidecar, ivf_store_search_plan composes
+    it (results identical to an index that never held the vectors),
+    and compact_ivf_lists is the fold point that rewrites once and
+    retires the sidecar."""
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        ivf_tombstones_path,
+        retract_ivf_vectors,
+    )
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+
+    before = ann_store.ann_ivf_store_search(spark, sf_oracle).collect()
+    root = scratch_path("ivf_store")
+    cb_path, lists_path = os.path.join(root, "codebook"), os.path.join(root, "lists")
+    qn = _quantized(spark, sf_oracle).cache()
+
+    # retract two vectors that actually appear as neighbors — the
+    # invariance claim is then non-vacuous
+    victims = sorted({r["n_id"] for r in before})[:2]
+    files_before = sorted(os.listdir(lists_path))
+    ids = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    retract_ivf_vectors(spark, lists_path, ids)
+    assert sorted(os.listdir(lists_path)) == files_before  # NO rewrite
+
+    got = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(
+                spark, qn, cb_path, lists_path
+            ).collect(),
+        )
+    )
+    assert all(r[1] not in victims for r in got)  # n_id never a victim
+
+    # expected: the same plan over a physically-filtered lists copy
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        lists2 = os.path.join(td, "lists")
+        raw = spark.read.parquet(lists_path)
+        raw.where(~raw["n_id"].isin(victims)).write.parquet(lists2)
+        want = sorted(
+            map(
+                tuple,
+                ann_store.ivf_store_search_plan(
+                    spark, qn, cb_path, lists2
+                ).collect(),
+            )
+        )
+    assert got == want
+
+    # the fold point: compaction folds + retires, search unchanged
+    ann_store.compact_ivf_lists(spark, lists_path)
+    assert not os.path.isdir(ivf_tombstones_path(lists_path))
+    folded = spark.read.parquet(lists_path)
+    assert folded.where(folded["n_id"].isin(victims)).count() == 0
+    after = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(
+                spark, qn, cb_path, lists_path
+            ).collect(),
+        )
+    )
+    assert after == got
+    qn.unpersist()
+
+
+def test_split_raises_on_uncovered_vectors(spark, tmp_path):
+    """ADVICE r13: a LIVE indexed vector missing from qn used to
+    vanish silently from the rewritten lists — now the coverage
+    precondition is enforced."""
+    import pytest
+
+    qn = _skew_fixture_qn(spark)
+    cb, li = _skew_index(spark, tmp_path, qn)
+    with pytest.raises(ValueError, match="does not cover"):
+        ann_store.split_ivf_lists(
+            spark, qn.where(qn.vec_id != 100), cb, li, max_list=20
+        )
+
+
+def test_split_ignores_tombstoned_vectors(spark, tmp_path):
+    """A TOMBSTONED vector needs no qn coverage (it is dead): the
+    split gates/assigns on the live view, and the retracted row is
+    physically dropped from the rewritten split list while the
+    sidecar keeps filtering untouched lists."""
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        retract_ivf_vectors,
+    )
+
+    qn = _skew_fixture_qn(spark)
+    cb, li = _skew_index(spark, tmp_path, qn)
+    ids = spark.createDataFrame([(100,)], "doc_id long")
+    retract_ivf_vectors(spark, li, ids)
+
+    stats = ann_store.split_ivf_lists(
+        spark, qn.where(qn.vec_id != 100), cb, li, max_list=20
+    )
+    assert stats["split"] == 1
+    # the retracted row is gone from the (rewritten) hot list
+    assert spark.read.parquet(li).where("n_id = 100").count() == 0
+    sizes = {
+        r["list_id"]: r["count"]
+        for r in spark.read.parquet(li).groupBy("list_id").count().collect()
+    }
+    assert sizes[8000] == 3
+    assert sizes[7000] + sizes[9000] == 29  # 30 hot members − 1 retracted
+
+
+def test_refresh_folds_tombstones(spark, tmp_path):
+    """refresh_ivf_centroids rewrites live members only, so it
+    doubles as a fold point: the sidecar is retired and the retracted
+    vector is physically gone."""
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        ivf_tombstones_path,
+        retract_ivf_vectors,
+    )
+
+    qn = _refresh_fixture_qn(spark)
+    cb = str(tmp_path / "codebook")
+    li = str(tmp_path / "lists")
+    qn.where(qn.vec_id.isin([200, 300])).selectExpr(
+        "vec_id AS c_id", "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).selectExpr(
+        "v_id AS n_id", "c_id AS list_id"
+    ).write.parquet(li)
+
+    ids = spark.createDataFrame([(305,)], "doc_id long")
+    retract_ivf_vectors(spark, li, ids)
+    ann_store.refresh_ivf_centroids(spark, qn, cb, li)
+    assert not os.path.isdir(ivf_tombstones_path(li))
+    assert spark.read.parquet(li).where("n_id = 305").count() == 0
+    # every other vector is still indexed exactly once
+    assert spark.read.parquet(li).count() == qn.count() - 1
+
+
+# ------------------------------------------- persisted PQ codebook
+
+
+def test_train_pq_codebook_matches_in_plan_training(spark, sf_oracle):
+    """The build-time artifact (`train_pq_codebook` over the
+    persisted index) is row-identical to the in-plan training the
+    oracle proof uses — persisting the codebook changes WHERE
+    training runs, never what it computes (VERDICT r13 #4)."""
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+
+    ann_store.ann_ivf_store_search(spark, sf_oracle)  # (re)build index
+    root = scratch_path("ivf_store")
+    qn = _quantized(spark, sf_oracle).cache()
+    path = ann_store.train_pq_codebook(
+        spark, qn, os.path.join(root, "codebook"), os.path.join(root, "lists")
+    )
+    assert path == os.path.join(root, "codebook_pq")
+    got = sorted(
+        (r["sub"], r["code"], tuple(r["carr"]))
+        for r in spark.read.parquet(path).collect()
+    )
+    _, _, _, _, resid = ann_store._ivfpq_parts(qn)
+    want = sorted(
+        (r["sub"], r["code"], tuple(r["carr"]))
+        for r in ann_store._ivfpq_train(resid).collect()
+    )
+    qn.unpersist()
+    assert got == want

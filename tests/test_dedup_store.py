@@ -1333,14 +1333,128 @@ def test_retraction_fold_preserves_pruned_reads(spark, tmp_path):
 
 
 def test_retract_ivf_vectors(spark, tmp_path):
+    """IVF retraction is O(retracted): the physical lists table is
+    byte-untouched (no rewrite, VERDICT r13 #2), the tombstone
+    sidecar carries the takedown, live_ivf_lists composes it, and
+    fold_ivf_retractions rewrites once + retires the sidecar."""
+    import os
+
     lists = str(tmp_path / "lists")
     spark.createDataFrame(
         [(0, 1), (0, 2), (1, 3), (1, 4)], "list_id int, vec_id long"
     ).write.parquet(lists)
+    files_before = sorted(os.listdir(lists))
+
     stats = dedup_store.retract_ivf_vectors(spark, lists, _ids(spark, 2, 3, 99))
-    assert stats == {"removed": 2, "remaining": 2}
-    left = {(r["list_id"], r["vec_id"]) for r in spark.read.parquet(lists).collect()}
-    assert left == {(0, 1), (1, 4)}
+    assert stats == {"tombstoned": 3}  # 99 tombstones too (never indexed)
+    # physical table untouched — the whole point of the sidecar
+    assert sorted(os.listdir(lists)) == files_before
+    assert spark.read.parquet(lists).count() == 4
+    live = {
+        (r["list_id"], r["vec_id"])
+        for r in dedup_store.live_ivf_lists(spark, lists).collect()
+    }
+    assert live == {(0, 1), (1, 4)}
+
+    # a second retraction composes (sidecar union), still no rewrite
+    stats = dedup_store.retract_ivf_vectors(spark, lists, _ids(spark, 1, 2))
+    assert stats == {"tombstoned": 4}
+    assert sorted(os.listdir(lists)) == files_before
+    assert {
+        (r["list_id"], r["vec_id"])
+        for r in dedup_store.live_ivf_lists(spark, lists).collect()
+    } == {(1, 4)}
+
+    # fold: one rewrite, sidecar retired, live view unchanged
+    assert dedup_store.fold_ivf_retractions(spark, lists) == {"folded": True}
+    assert not os.path.isdir(dedup_store.ivf_tombstones_path(lists))
+    assert {
+        (r["list_id"], r["vec_id"]) for r in spark.read.parquet(lists).collect()
+    } == {(1, 4)}
+    # idempotent: folding again is a no-op
+    assert dedup_store.fold_ivf_retractions(spark, lists) == {"folded": False}
+
+
+def test_rep_admission_redelivered_tombstoned_doc(spark, tmp_path):
+    """ADVICE r13 (high): a redelivered RETRACTED doc whose group was
+    dropped must not found a group — and a genuinely NEW doc with
+    identical content arriving in the same batch must admit LIVE
+    under its own id, not a dead one. Before the tombstone guard, the
+    retracted doc's id (the batch min) became the new group id:
+    either resurrected takedown content or routed the new doc's
+    member row to a retired gdelta key (permanent silent loss)."""
+    from pyspark.sql import functions as F
+
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    # retract doc 3 — group C (singleton) drops entirely
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 3))
+
+    # redeliver 3 alongside a NEW doc 30 with IDENTICAL content,
+    # before any fold
+    txt = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    batch = spark.createDataFrame(
+        [(3, txt), (30, txt)], "doc_id long, text string"
+    )
+    g_batch = dedup_store.rep_group_frame(batch)
+    feats = lambda ids: dedup_store.shingle_frame(batch).select(  # noqa: E731
+        "doc_id", F.col("sh").alias("fs")
+    )
+    stats = dedup_store.rep_admission_step(
+        spark, g_batch, sig, bands, mem, feats, lambda v: v.count()
+    )
+    # only the new doc admits; the group id is 30 (the tombstoned 3
+    # can neither found nor join groups)
+    assert stats["new_docs"] == 1
+    live_m = dedup_store.live_members(spark, mem, sig)
+    assert {
+        (r["doc_id"], r["group_id"])
+        for r in live_m.where(F.col("doc_id").isin(3, 30)).collect()
+    } == {(30, 30)}
+    assert (
+        dedup_store.live_store_sigs(spark, sig)
+        .where(F.col("group_id") == 30)
+        .count()
+        == 1
+    )
+    # no live signature keyed by the retracted id survives
+    assert (
+        dedup_store.live_store_sigs(spark, sig)
+        .where(F.col("group_id") == 3)
+        .count()
+        == 0
+    )
+
+    # fold retires the sidecars; the new doc's membership SURVIVES
+    # the fold (the old bug physically deleted it) and 3 stays out
+    dedup_store.fold_retractions(spark, sig, bands, mem)
+    m = spark.read.parquet(mem)
+    assert m.where(F.col("doc_id") == 30).count() == 1
+    assert m.where(F.col("doc_id") == 3).count() == 0
+
+
+def test_fold_refuses_markerless_banded_index(spark, tmp_path):
+    """ADVICE r13: an index dir WITHOUT a layout marker (crashed
+    overwrite build) must fail the fold loudly — folding past it
+    would retire the gdelta while stale band rows keyed by retired
+    ids stay behind unfiltered. A MISSING index dir stays a no-op."""
+    import os
+    import shutil
+
+    import pytest
+
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1))
+    os.remove(os.path.join(bands, "_index_meta.json"))
+    with pytest.raises(RuntimeError, match="no layout marker"):
+        dedup_store.fold_retractions(spark, sig, bands, mem)
+    # sidecars still stand — nothing was retired
+    assert os.path.isdir(dedup_store.gdelta_path(sig))
+
+    # with the index dir gone entirely, the fold proceeds markerless
+    shutil.rmtree(bands)
+    assert dedup_store.fold_retractions(spark, sig, bands, mem) == {
+        "folded": True
+    }
 
 
 def test_retraction_oracle_parity(spark, sf_oracle):

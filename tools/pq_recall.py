@@ -197,3 +197,79 @@ print(
     " (ceiling for any ivfpq_*)",
     flush=True,
 )
+
+# ------------------------------------------------- nprobe sweep
+# VERDICT r13 #3: probe coverage dominates IVF-PQ recall — sweep
+# nprobe and report, per point, the coverage ceiling, the residual
+# IVF-PQ recall under it, and the scan cost (candidates per query —
+# the fraction of the corpus a query's ADC pass touches).
+n_corpus = qn.count()
+print(f"\nnprobe sweep (lists={len(ann_store._CENTROID_IDS)}, corpus={n_corpus}):", flush=True)
+print("nprobe  coverage  ivfpq_resid  cand/query  corpus_frac", flush=True)
+for p in (1, 2, 4, 6, 8, 12, 16):
+    if p > len(ann_store._CENTROID_IDS):
+        break
+    probes_p = ann_store._assign(
+        qn.where(F.col("vec_id") < N_QUERIES), cent, p
+    ).select(F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list"))
+    cand_p = (
+        lists.join(broadcast(probes_p), F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+    )
+    cov = recall(cand_p, truth)
+    rp = recall(
+        ann_store._ivfpq_plan(spark, qn, nprobe=p).select("q_id", "n_id"), truth
+    )
+    n_cand = cand_p.count() / N_QUERIES
+    print(
+        f"{p:6d}  {cov:8.3f}  {rp:11.3f}  {n_cand:10.1f}  {n_cand / n_corpus:11.3f}",
+        flush=True,
+    )
+
+# ------------------------------------- refreshed coarse codebook
+# The other coverage lever: one Lloyd iteration on the COARSE
+# codebook (the refresh_ivf_centroids M/E step) re-centers the lists
+# on the data; measure how much the coverage ceiling moves at each
+# nprobe without touching the proof op's constants.
+elems = lists.join(
+    qn.select(F.col("vec_id").alias("n_id"), "q"), "n_id"
+).select("list_id", F.posexplode("q").alias("pos", "val"))
+cs = elems.groupBy("list_id", "pos").agg(
+    F.floor(F.sum("val").cast("double") / F.count(F.lit(1))).cast("long").alias("cv")
+)
+newc = (
+    cs.groupBy("list_id")
+    .agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("q")
+    )
+    .withColumn(
+        "nq",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    .select(F.col("list_id").alias("c_id"), "q", "nq")
+)
+cent1 = newc.unionByName(
+    cent.join(newc.select("c_id"), "c_id", "left_anti")
+).cache()
+lists1 = ann_store._assign(qn, cent1, 1).select(
+    F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+).cache()
+lists1.count()
+print("\ncoverage ceiling after ONE coarse Lloyd iteration:", flush=True)
+for p in (1, 2, 4, 6, 8):
+    probes_p = ann_store._assign(
+        qn.where(F.col("vec_id") < N_QUERIES), cent1, p
+    ).select(F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list"))
+    cand_p = (
+        lists1.join(broadcast(probes_p), F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+    )
+    print(f"  nprobe={p}: coverage={recall(cand_p, truth):.3f}", flush=True)
