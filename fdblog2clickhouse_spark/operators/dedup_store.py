@@ -806,10 +806,10 @@ def rebucket_banded_index(
 
 def rep_admission_frames(
     store_sigs: DataFrame, g_batch: DataFrame, rep_builder=None
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Classify one batch's content groups against the persisted rep
     store and build the band join's batch side. Returns
-    (group_map, new_sigs, batch_side):
+    (group_map, new_sigs, batch_side, touched_sigs):
       group_map  — (gh, group_id) for EVERY batch gh (existing id for
                    known content, min batch doc_id for new content);
       new_sigs   — signature rows for the new groups only (the only
@@ -818,29 +818,41 @@ def rep_admission_frames(
       batch_side — new groups ∪ TOUCHED store groups (groups that
                    gained a member this batch are rescored so
                    late-joining exact dups inherit complete
-                   neighbor evidence — see the block comment above).
+                   neighbor evidence — see the block comment above);
+      touched_sigs — the CACHED store rows backing all of the above;
+                   the caller unpersists it after the appends.
     The store side is the banded index's pruned read MINUS every
     batch-side group id (`pruned_store_rows` + anti-join): touched
     groups move wholly to the batch side, and a crash-leaked banded
     row for a group being re-admitted as new can never double-join.
+
+    ONE flat-store scan per step: everything the step needs from the
+    store reduces to the touched groups' full rows (a gh semi-join
+    against the batch, batch-bounded by definition), so that frame is
+    computed once and cached — classification (`touched` is its
+    2-column projection; a batch gh is in the store iff it is in
+    touched), the batch side, the pruned read's footprint collect,
+    and the band rows all read the cache. The r14 phase profile at a
+    256×/1M-group store caught the uncached spelling re-scanning the
+    flat store ~5× per step (classification 12 s + 28 s hiding in the
+    'pruned' phase, both dominated by repeated store scans).
 
     `rep_builder` maps the new-group subset of the batch group frame
     to its signature rows (group_id, gh, *key_cols) — the MinHash
     rep build by default; the vector store passes its hyperplane
     sibling (the frames logic is family-agnostic)."""
     rep_builder = rep_builder or (lambda g: rep_signature_frame(rep_reps(g)))
-    known = store_sigs.select("gh", "group_id")
     bg = g_batch.select("gh").distinct()
-    touched = known.join(bg, "gh", "left_semi")
-    g_new = g_batch.join(known.select("gh"), "gh", "left_anti")
+    touched_sigs = store_sigs.join(bg, "gh", "left_semi").cache()
+    touched = touched_sigs.select("gh", "group_id")
+    g_new = g_batch.join(touched.select("gh"), "gh", "left_anti")
     new_sigs = rep_builder(g_new)
-    batch_side = new_sigs.unionByName(
-        store_sigs.join(touched.select("group_id"), "group_id", "left_semi")
-    )
+    batch_side = new_sigs.unionByName(touched_sigs)
     return (
         touched.unionByName(new_sigs.select("gh", "group_id")),
         new_sigs,
         batch_side,
+        touched_sigs,
     )
 
 
@@ -928,7 +940,7 @@ def rep_admission_step(
     # pruned-index sides must carry post-re-election group ids so
     # evidence expansion and verify features resolve to live docs.
     store_sigs = live_store_sigs(spark, sig_path)
-    group_map, new_sigs, batch_side = rep_admission_frames(
+    group_map, new_sigs, batch_side, touched_sigs = rep_admission_frames(
         store_sigs, g_batch, rep_builder
     )
     group_map, new_sigs = group_map.cache(), new_sigs.cache()
@@ -977,7 +989,7 @@ def rep_admission_step(
         mem_new.join(group_map, "gh").select(
             "doc_id", "gh", "group_id"
         ).write.mode("append").parquet(mem_path)
-    for c in (mem_new, group_map, new_sigs, cand, feats):
+    for c in (mem_new, group_map, new_sigs, cand, feats, touched_sigs):
         c.unpersist()
     return {
         "new_docs": n_mem_new,
