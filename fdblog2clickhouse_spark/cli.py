@@ -608,18 +608,21 @@ def cmd_compact_store(args) -> int:
         cols = set(spark.read.parquet(args.store).columns)
         sort_col = "bk0" if "bk0" in cols else ("bv0" if "bv0" in cols else "list_id")
     if sort_col == "list_id":
-        # an IVF inverted-lists table: its retraction sidecar is the
-        # vec_id tombstone file, folded here for the same reason the
-        # rep-store sidecars are (the compaction rewrite is the
-        # amortization point)
-        from .operators.dedup_store import fold_ivf_retractions
+        # an IVF inverted-lists table: compact_ivf_lists is the fold
+        # point — ONE rewrite compacts the live view and retires the
+        # vec_id tombstone sidecar
+        from .operators.ann_store import compact_ivf_lists
+        from .operators.dedup_store import ivf_tombstones_path
 
-        ivf_fold = fold_ivf_retractions(spark, args.store)
-        if ivf_fold["folded"]:
+        if os.path.isdir(ivf_tombstones_path(args.store)):
             fold = {"folded": True}
-    before = compact_signature_store(
-        spark, args.store, sort_col=sort_col, n_files=args.target_files
-    )
+        before = compact_ivf_lists(
+            spark, args.store, n_files=args.target_files
+        )
+    else:
+        before = compact_signature_store(
+            spark, args.store, sort_col=sort_col, n_files=args.target_files
+        )
     # an already-compact store (before <= target) is left untouched —
     # report the real file count, not the target
     msg = (
@@ -763,7 +766,15 @@ def cmd_refresh_ivf(args) -> int:
             f" max_list_after_split={sp['max_list_after']}"
         )
     if args.train_pq:
-        pq = train_pq_codebook(spark, qn, args.codebook, args.lists)
+        # refresh/split retrain an EXISTING artifact themselves (the
+        # freshness rule); the flag bootstraps it the first time
+        import os
+
+        from .operators.ann_store import pq_codebook_path
+
+        pq = pq_codebook_path(args.codebook)
+        if not os.path.isdir(pq):
+            pq = train_pq_codebook(spark, qn, args.codebook, args.lists)
         msg += f" pq_codebook={pq}"
     print(msg)
     return 0

@@ -168,25 +168,48 @@ def compact_ivf_lists(
     the search-time access pattern: probes read whole lists, so
     list_id locality tightens row-group min/max pruning for the
     lists join. Same crash-safe rename-aside swap as the signature
-    store (this IS `compact_signature_store` with the lists sort
-    key); search-result invariance before/after is CI-pinned by
-    re-running `ivf_store_search_plan` against the compacted table
-    (tests/test_ann_store.py). Returns the pre-compaction file
-    count. Centroid refresh is intentionally NOT done here: the
-    insert ≡ rebuild equivalence (module docstring) holds only for a
-    frozen codebook, and refreshing centroids is a reindex, not a
-    maintenance pass — that is `refresh_ivf_centroids` below, with
-    its own recall-pinned probe (`ann_ivf_refresh_recall`). Folds a
-    pending tombstone sidecar FIRST (`fold_ivf_retractions`) so the
-    compaction rewrites the post-takedown table and the sidecar is
-    retired in the same maintenance pass — the retraction contract's
-    fold point, mirroring compact-store's fold_retractions call."""
-    from .dedup_store import compact_signature_store
+    store. This is ALSO the retraction fold point: the rewrite reads
+    the LIVE view (tombstone sidecar composed) and retires the
+    sidecar after the swap — ONE O(index) write covers both jobs
+    (self-review r14: fold-then-compact was two full rewrites per
+    maintenance pass); `fold_ivf_retractions` stays for a fold with
+    no compaction need. Search-result invariance before/after is
+    CI-pinned by re-running `ivf_store_search_plan` against the
+    compacted table (tests/test_ann_store.py). Returns the
+    pre-compaction file count; an already-compact table with NO
+    pending sidecar is left untouched. Centroid refresh is
+    intentionally NOT done here: the insert ≡ rebuild equivalence
+    (module docstring) holds only for a frozen codebook, and
+    refreshing centroids is a reindex, not a maintenance pass — that
+    is `refresh_ivf_centroids` below, with its own recall-pinned
+    probe (`ann_ivf_refresh_recall`)."""
+    import glob
+    import os
 
-    fold_ivf_retractions(spark, lists_path)
-    return compact_signature_store(
-        spark, lists_path, sort_col="list_id", n_files=n_files
+    from .dedup_store import (
+        _read_sidecar,
+        _swap_write,
+        heal_swap,
+        ivf_tombstones_path,
+        live_ivf_lists,
+        retire_sidecar,
     )
+
+    heal_swap(lists_path)
+    tomb_path = ivf_tombstones_path(lists_path)
+    has_tomb = _read_sidecar(spark, tomb_path) is not None
+    files = glob.glob(os.path.join(lists_path, "*.parquet"))
+    if not has_tomb and len(files) <= n_files:
+        return len(files)
+    _swap_write(
+        live_ivf_lists(spark, lists_path)
+        .repartition(n_files)
+        .sortWithinPartitions("list_id"),
+        lists_path,
+    )
+    if has_tomb:
+        retire_sidecar(tomb_path)
+    return len(files)
 
 
 # ------------------------------------------------- ann_ivfpq_topk
@@ -532,9 +555,18 @@ def refresh_ivf_centroids(
     # the rewritten lists carry live members only — retire the
     # tombstone sidecar LAST (a crash before this leaves tombstones
     # that match nothing; the next fold/refresh retires them)
-    from .dedup_store import ivf_tombstones_path
+    from .dedup_store import heal_swap, ivf_tombstones_path, retire_sidecar
 
-    shutil.rmtree(ivf_tombstones_path(lists_path), ignore_errors=True)
+    retire_sidecar(ivf_tombstones_path(lists_path))
+    # a persisted PQ codebook encodes residuals against the OLD
+    # centroids — retrain it against the refreshed index so the
+    # artifact never goes silently stale (self-review r14; qn covers
+    # every live member, the same precondition the refresh itself
+    # carries)
+    pq_p = pq_codebook_path(codebook_path)
+    heal_swap(pq_p)
+    if os.path.isdir(pq_p):
+        train_pq_codebook(spark, qn, codebook_path, lists_path)
     return stats
 
 
@@ -835,6 +867,15 @@ def split_ivf_lists(
         os.rename(live, old)
         os.rename(staging, live)
         shutil.rmtree(old)
+    # split changed centroids and list assignments — retrain a
+    # persisted PQ codebook so it never encodes against retired
+    # geometry (same staleness rule as refresh, self-review r14)
+    from .dedup_store import heal_swap
+
+    pq_p = pq_codebook_path(codebook_path)
+    heal_swap(pq_p)
+    if os.path.isdir(pq_p):
+        train_pq_codebook(spark, qn, codebook_path, lists_path)
     return {
         "split": len(eff_alloc),
         "reseeded": sum(1 for _, _, r in eff_alloc if r),

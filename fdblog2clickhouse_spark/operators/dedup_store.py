@@ -1535,11 +1535,19 @@ def gdelta_path(sig_path: str) -> str:
 
 def _read_sidecar(spark: SparkSession, path: str) -> DataFrame | None:
     """Sidecar read: None when absent or holding no parquet yet (a
-    crashed first write) — callers treat both as 'no retractions'."""
+    crashed first write) — callers treat both as 'no retractions'.
+    Heals a crash-interrupted swap FIRST (self-review r14): a reader
+    running before any writer would otherwise see only path+'.old'
+    and conclude 'no retractions' — the admission guard would readmit
+    takedowns, a retract re-run would rebuild the sidecar WITHOUT the
+    earlier tombstones (then _swap_write's own healer restores the
+    old set only to rename it aside and delete it: permanent loss),
+    and every IVF reader would serve taken-down vectors."""
     import os
 
     from pyspark.errors import AnalysisException
 
+    heal_swap(path)
     if not os.path.isdir(path):
         return None
     try:
@@ -1560,6 +1568,18 @@ def heal_swap(path: str) -> None:
     old = path + ".old"
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
+
+
+def retire_sidecar(path: str) -> None:
+    """Remove a FOLDED sidecar together with its swap remnants: a
+    stale path+'.old' left by a _swap_write that crashed before its
+    final cleanup would be resurrected by the next heal_swap as live
+    state — e.g. re-inserted vectors silently vanishing because a
+    long-retired tombstone set came back (self-review r14)."""
+    import shutil
+
+    for p in (path, path + ".old", path + ".staging"):
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _swap_write(df: DataFrame, path: str) -> None:
@@ -1746,7 +1766,6 @@ def fold_retractions(
     re-run; the sidecars are deleted LAST, only after all three
     tables are folded. No-op when no sidecars exist."""
     import os
-    import shutil
 
     # heal crash-interrupted swaps FIRST: a prior fold (or sidecar
     # write) that died mid-rename leaves only path+'.old', and the
@@ -1785,8 +1804,7 @@ def fold_retractions(
         )
     _swap_write(live_members(spark, mem_path, sig_path), mem_path)
     for p in (gd_p, tomb_p):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        retire_sidecar(p)
     return {"folded": True}
 
 
@@ -1857,17 +1875,12 @@ def fold_ivf_retractions(spark: SparkSession, lists_path: str) -> dict:
     LAST. A crash between the two leaves tombstones that match
     nothing — harmless, and the re-run retires them. No-op when no
     sidecar exists."""
-    import os
-    import shutil
-
     heal_swap(lists_path)
     tomb_path = ivf_tombstones_path(lists_path)
-    heal_swap(tomb_path)
     if _read_sidecar(spark, tomb_path) is None:
         return {"folded": False}
     _swap_write(live_ivf_lists(spark, lists_path), lists_path)
-    if os.path.isdir(tomb_path):
-        shutil.rmtree(tomb_path)
+    retire_sidecar(tomb_path)
     return {"folded": True}
 
 

@@ -566,3 +566,72 @@ def test_train_pq_codebook_matches_in_plan_training(spark, sf_oracle):
     )
     qn.unpersist()
     assert got == want
+
+
+def test_refresh_retrains_persisted_pq_codebook(spark, sf_oracle):
+    """Self-review r14: a persisted PQ codebook encodes residuals
+    against the CURRENT centroids — refresh_ivf_centroids must
+    retrain it (stale geometry would reproduce the measured
+    recall-collapse silently)."""
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+
+    ann_store.ann_ivf_store_search(spark, sf_oracle)  # (re)build index
+    root = scratch_path("ivf_store")
+    cb_p, li_p = os.path.join(root, "codebook"), os.path.join(root, "lists")
+    qn = _quantized(spark, sf_oracle).cache()
+
+    pq_p = ann_store.train_pq_codebook(spark, qn, cb_p, li_p)
+    rows0 = sorted(
+        (r["sub"], r["code"], tuple(r["carr"]))
+        for r in spark.read.parquet(pq_p).collect()
+    )
+    ann_store.refresh_ivf_centroids(spark, qn, cb_p, li_p)
+    rows1 = sorted(
+        (r["sub"], r["code"], tuple(r["carr"]))
+        for r in spark.read.parquet(pq_p).collect()
+    )
+    # the Lloyd step moved the centroids, so the residual geometry —
+    # and with it the trained codebook — changed
+    assert rows1 != rows0
+    # and the artifact equals a fresh training against the refreshed
+    # index: refresh left it exactly as fresh as train_pq_codebook
+    ann_store.train_pq_codebook(spark, qn, cb_p, li_p)
+    rows2 = sorted(
+        (r["sub"], r["code"], tuple(r["carr"]))
+        for r in spark.read.parquet(pq_p).collect()
+    )
+    qn.unpersist()
+    assert rows1 == rows2
+
+
+def test_compact_ivf_lists_skips_when_compact_and_no_sidecar(spark, tmp_path):
+    """The single-rewrite compaction (self-review r14) leaves an
+    already-compact table with no pending sidecar byte-untouched, and
+    folds + sorts in ONE rewrite when a sidecar exists."""
+    import glob
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        ivf_tombstones_path,
+        retract_ivf_vectors,
+    )
+
+    lists = str(tmp_path / "lists")
+    spark.createDataFrame(
+        [(1, 10), (0, 11), (1, 12)], "list_id long, n_id long"
+    ).coalesce(1).write.parquet(lists)
+    files0 = sorted(os.listdir(lists))
+    assert ann_store.compact_ivf_lists(spark, lists) == 1
+    assert sorted(os.listdir(lists)) == files0  # untouched
+
+    ids = spark.createDataFrame([(12,)], "doc_id long")
+    retract_ivf_vectors(spark, lists, ids)
+    assert ann_store.compact_ivf_lists(spark, lists) == 1  # folds anyway
+    assert not os.path.isdir(ivf_tombstones_path(lists))
+    assert {
+        (r["list_id"], r["n_id"]) for r in spark.read.parquet(lists).collect()
+    } == {(1, 10), (0, 11)}
+    assert len(glob.glob(os.path.join(lists, "*.parquet"))) == 1

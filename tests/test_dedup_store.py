@@ -1732,3 +1732,73 @@ def test_streaming_admission_composes_mid_stream_retraction(spark, tmp_path):
     assert not any(60 in p for p in pairs)
     assert not any(1 in p or 3 in p or 4 in p for p in pairs)
     g_all.unpersist()
+
+
+def test_retract_rerun_after_crashed_sidecar_swap_keeps_old_tombstones(
+    spark, tmp_path
+):
+    """Self-review r14: a retract re-run after a crash that left only
+    <tombstones>.old must COMPOSE with the earlier tombstones, not
+    rebuild the sidecar from this run's ids alone (the unhealed read
+    returned None and the writer's own healer then restored the old
+    set only to delete it — permanent tombstone loss)."""
+    import os
+
+    sig, bands, mem = _build_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 3))
+    tomb = dedup_store.tombstones_path(mem)
+    # crash inside _swap_write: live dir renamed aside, staging lost
+    os.rename(tomb, tomb + ".old")
+
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 4))
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(tomb).collect()
+    }
+    assert got == {3, 4}  # 3 survived the crash-recovery
+    live = dedup_store.live_members(spark, mem, sig)
+    assert live.where(live["doc_id"].isin(3, 4)).count() == 0
+
+
+def test_live_ivf_lists_heals_crashed_sidecar_swap(spark, tmp_path):
+    """Self-review r14: every IVF reader must see the tombstones even
+    when a crashed swap left only the sidecar's .old dir."""
+    import os
+
+    lists = str(tmp_path / "lists")
+    spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3)], "list_id int, vec_id long"
+    ).write.parquet(lists)
+    dedup_store.retract_ivf_vectors(spark, lists, _ids(spark, 2))
+    tomb = dedup_store.ivf_tombstones_path(lists)
+    os.rename(tomb, tomb + ".old")
+
+    live = {
+        r["vec_id"] for r in dedup_store.live_ivf_lists(spark, lists).collect()
+    }
+    assert live == {1, 3}  # the takedown still filters
+
+
+def test_sidecar_retirement_removes_swap_remnants(spark, tmp_path):
+    """Self-review r14: retiring a folded sidecar must also remove a
+    stale .old left by a _swap_write that crashed before its final
+    cleanup — the next heal would otherwise resurrect long-retired
+    tombstones and silently delete re-inserted rows."""
+    import os
+
+    lists = str(tmp_path / "lists")
+    spark.createDataFrame(
+        [(0, 1), (0, 2)], "list_id int, vec_id long"
+    ).write.parquet(lists)
+    dedup_store.retract_ivf_vectors(spark, lists, _ids(spark, 1))
+    tomb = dedup_store.ivf_tombstones_path(lists)
+    # simulate the crashed final-cleanup state: tomb AND a stale .old
+    spark.createDataFrame([(2,)], "vec_id long").write.parquet(tomb + ".old")
+
+    assert dedup_store.fold_ivf_retractions(spark, lists) == {"folded": True}
+    assert not os.path.isdir(tomb)
+    assert not os.path.exists(tomb + ".old")
+    # vec 2 (re-insertable content) is NOT ghost-filtered afterwards
+    assert {
+        r["vec_id"] for r in dedup_store.live_ivf_lists(spark, lists).collect()
+    } == {2}
