@@ -105,6 +105,10 @@ HEADLINE = [
     # admit, both families) — tracked from birth (all lifecycle)
     "dedup_store_retraction",
     "embedding_store_retraction",
+    # round 14: the persisted-index IVF-PQ lifecycle (build 4
+    # artifacts → encode-insert through them → disk-only query) —
+    # tracked from birth (lifecycle)
+    "ann_ivfpq_store_search",
 ]
 
 # VERDICT r11 bench finding: the headline total had become dominated
@@ -126,6 +130,7 @@ LIFECYCLE = {
     "span_rewrite_sink_roundtrip",
     "dedup_store_retraction",
     "embedding_store_retraction",
+    "ann_ivfpq_store_search",
 }
 
 # Family subtotals (VERDICT r10 item #7): 38 tracked queries make the

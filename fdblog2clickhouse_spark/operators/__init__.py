@@ -48,20 +48,22 @@ from pyspark.sql import DataFrame, SparkSession
 #       composes the IVF tombstone sidecar (VERDICT r13 #2), the PQ
 #       codebook is trained-once-and-persisted before the query plan
 #       (VERDICT r13 #4), split_ivf_lists enforces its qn-coverage
-#       precondition (ADVICE r13): all 3 re-verify;
+#       precondition (ADVICE r13), and the NEW persisted-index
+#       IVF-PQ lifecycle op (build 4 artifacts → encode-insert
+#       through them → disk-only query) landed: all 4 verify;
 #   (d) the ENTIRE r8 cohort (13, files byte-unchanged since r8 —
 #       five rounds stale, VERDICT r13 #1): sketches' 5, sequence's
 #       5, trace_ops' 3;
-#   (e) the r10 cohort (26 of 35): tpch_q1-q4, multimodal's 8,
+#   (e) the r10 cohort (25 of 35): tpch_q1-q4, multimodal's 8,
 #       training's 4, streaming_incremental_dedup /
 #       streaming_store_admission, lm's doc_bigram_fluency,
-#       sequence's 3 r10 greens, and 4 of trace_ops' 13 r10 greens.
-# r15 RE-COVER PRIORITY: the 9 deferred trace_ops r10 greens
+#       sequence's 3 r10 greens, and 3 of trace_ops' 13 r10 greens.
+# r15 RE-COVER PRIORITY: the 10 deferred trace_ops r10 greens
 # (trace_partition_stats, severity_rollup, events_per_minute,
 # top_event_types, error_rate_by_user, events_dedup_latest,
-# events_decay_score, user_recent_events, user_first_last_event) —
-# lowest-risk deferral: trace_ops.py is byte-unchanged and carries
-# fresh r13 evidence on 9 sibling ops.
+# events_decay_score, user_recent_events, user_first_last_event,
+# events_dow_hour_heatmap) — lowest-risk deferral: trace_ops.py is
+# byte-unchanged and carries fresh r13 evidence on 9 sibling ops.
 # NOT in the window by design: similarity/dedup's r13 greens and
 # tpch q5+/spans/curation/textops/sinkcheck/streaming-queries'
 # r11/r12 greens — files untouched since their last green rows.
@@ -73,8 +75,9 @@ _FRONT_WINDOW = [
     "dedup_store_rep_admission", "dedup_store_admission",
     # (b) callers of the changed shared kernel (2)
     "streaming_rep_admission", "streaming_embedding_rep_admission",
-    # (c) r14-changed ann_store.py (3)
-    "ann_ivfpq_topk", "ann_ivf_store_search", "ann_ivf_refresh_recall",
+    # (c) r14-changed ann_store.py (4, incl. the NEW persisted IVF-PQ)
+    "ann_ivfpq_topk", "ann_ivfpq_store_search", "ann_ivf_store_search",
+    "ann_ivf_refresh_recall",
     # (d) the r8 cohort (13)
     "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
     "minute_anomaly_zscore", "value_quantile_hist",
@@ -94,7 +97,7 @@ _FRONT_WINDOW = [
     "user_path_transitions", "events_pivot_usertype",
     "events_moving_avg",
     "events_range_join", "topk_events_by_value",
-    "events_unpivot_measures", "events_dow_hour_heatmap",
+    "events_unpivot_measures",
 ]
 
 

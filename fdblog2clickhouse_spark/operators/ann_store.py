@@ -323,6 +323,98 @@ def _ivfpq_train(resid: DataFrame) -> DataFrame:
     return _pq_train_cb(resid.select("vec_id", "q"))
 
 
+def _pq_sub_d2(vec_col: str):
+    """Exact BIGINT squared L2 between one subspace slice of
+    `vec_col` and the in-scope codebook row's `carr`."""
+    from .similarity import _PQ_SUBDIM
+
+    return F.aggregate(
+        F.zip_with(
+            F.expr(f"slice({vec_col}, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"),
+            F.col("carr"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivfpq_codes(resid: DataFrame, cb: DataFrame) -> DataFrame:
+    """Residual frames → PQ codes (vec_id, sub, code): nearest
+    codebook entry per subspace, exact BIGINT distance,
+    code-ascending tiebreak. Per-vector deterministic given the
+    codebook — the property that makes encode-at-insert ≡ rebuild."""
+    scored = resid.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "sub", "code", _pq_sub_d2("q").alias("d2")
+    )
+    w_arg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_arg))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def _ivfpq_query(
+    queries: DataFrame,
+    cent: DataFrame,
+    lists: DataFrame,
+    codes: DataFrame,
+    cb: DataFrame,
+    nprobe: int = _N_PROBE,
+) -> DataFrame:
+    """The IVF-PQ QUERY side over arbitrary (possibly disk-read)
+    index frames: probe assignment, per-(query, probed list) residual
+    LUT, ADC scoring of probed-list candidates through their codes,
+    top-k. `queries` is (vec_id, q, nq); everything else is the
+    index — in-memory in the proof op, parquet scans in the store
+    op."""
+    probes = _assign(queries, cent, nprobe).select(
+        F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list")
+    )
+    centv = cent.select("c_id", F.col("q").alias("cq"))
+    qres = (
+        queries.select(F.col("vec_id").alias("q_id"), "q")
+        .join(broadcast(probes), "q_id")
+        .join(broadcast(centv), F.col("probe_list") == F.col("c_id"))
+        .select(
+            "q_id",
+            "probe_list",
+            F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
+        )
+    )
+    lut = qres.crossJoin(F.broadcast(cb)).select(
+        F.col("q_id").alias("lq_id"),
+        F.col("probe_list").alias("l_list"),
+        F.col("sub").alias("lsub"),
+        F.col("code").alias("lcode"),
+        _pq_sub_d2("q").alias("d2"),
+    )
+    cand = (
+        lists.join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "list_id")
+    )
+    adc = (
+        cand.join(codes, F.col("n_id") == F.col("vec_id"))
+        .join(
+            broadcast(lut),
+            (F.col("list_id") == F.col("l_list"))
+            & (F.col("q_id") == F.col("lq_id"))
+            & (F.col("sub") == F.col("lsub"))
+            & (F.col("code") == F.col("lcode")),
+        )
+        .groupBy("q_id", "n_id", "list_id")
+        .agg(F.sum("d2").alias("approx_dist"))
+    )
+    w_top = Window.partitionBy("q_id").orderBy("approx_dist", "n_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_top).cast("int"))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("q_id", "n_id", "list_id", "approx_dist", "rank")
+    )
+
+
 def _ivfpq_plan(
     spark: SparkSession,
     qn: DataFrame,
@@ -349,75 +441,120 @@ def _ivfpq_plan(
     arithmetic stays exact BIGINT, so the composed plan remains
     hash-exact against the oracle, which runs the identical trainer
     in SQL."""
-    from .similarity import _PQ_SUBDIM
-
     cent, centv, lists, probes, resid = _ivfpq_parts(qn, nprobe)
     cb = pq_cb if pq_cb is not None else _ivfpq_train(resid)
+    codes = _ivfpq_codes(resid, cb)
+    queries = qn.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "q", "nq")
+    return _ivfpq_query(queries, cent, lists, codes, cb, nprobe)
 
-    def sub_d2(vec_col: str):
-        return F.aggregate(
-            F.zip_with(
-                F.expr(f"slice({vec_col}, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"),
-                F.col("carr"),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
 
-    scored = resid.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "sub", "code", sub_d2("q").alias("d2")
-    )
-    w_arg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(w_arg))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub", "code")
-    )
-    qres = (
-        qn.where(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "q")
-        .join(broadcast(probes), "q_id")
-        .join(broadcast(centv), F.col("probe_list") == F.col("c_id"))
-        .select(
-            "q_id",
-            "probe_list",
-            F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
-        )
-    )
-    lut = qres.crossJoin(F.broadcast(cb)).select(
-        F.col("q_id").alias("lq_id"),
-        F.col("probe_list").alias("l_list"),
-        F.col("sub").alias("lsub"),
-        F.col("code").alias("lcode"),
-        sub_d2("q").alias("d2"),
+def ivfpq_store_search_plan(
+    spark: SparkSession,
+    queries: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+    codes_path: str,
+    nprobe: int = _N_PROBE,
+) -> DataFrame:
+    """The production IVF-PQ QUERY-NODE plan: every index artifact —
+    coarse codebook, inverted lists, PQ codes, trained PQ codebook —
+    is read from disk; the query touches raw vectors only for the
+    query set itself. This is the consumer of `train_pq_codebook`'s
+    artifact (and the 2.0×-measured prebuilt-codebook path in
+    SCALE.md). Lists are read through `live_ivf_lists`, so a pending
+    takedown is invisible; a tombstoned vector's stale CODES rows are
+    harmless — candidates come from the live lists, so they never
+    reach the ADC join."""
+    return _ivfpq_query(
+        queries,
+        spark.read.parquet(codebook_path),
+        live_ivf_lists(spark, lists_path),
+        spark.read.parquet(codes_path),
+        spark.read.parquet(pq_codebook_path(codebook_path)),
+        nprobe,
     )
 
-    # --- compose: ADC-score ONLY vectors in probed lists, each
-    #     against the LUT of the list it lives in
-    cand = (
-        lists.join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
-        .where(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", "list_id")
-    )
-    adc = (
-        cand.join(codes, F.col("n_id") == F.col("vec_id"))
-        .join(
-            broadcast(lut),
-            (F.col("list_id") == F.col("l_list"))
-            & (F.col("q_id") == F.col("lq_id"))
-            & (F.col("sub") == F.col("lsub"))
-            & (F.col("code") == F.col("lcode")),
+
+def ann_ivfpq_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index IVF-PQ lifecycle — the production
+    build/insert/query split `ann_ivf_store_search` proves for plain
+    IVF, extended to the compressed index:
+
+      1. BUILD: coarse codebook to disk; the BASE corpus (vec_id ≢ 0
+         mod 10) is assigned into inverted lists; the residual PQ
+         codebook is TRAINED ON THE BASE residuals and persisted
+         beside the coarse codebook (`train_pq_codebook`); base
+         residual codes are written — four on-disk artifacts;
+      2. INSERT: the new batch (vec_id ≡ 0 mod 10) is assigned AND
+         residual-encoded purely through the PERSISTED codebooks and
+         appended to lists + codes — the codebooks are never
+         retrained by an insert (that is refresh's job);
+      3. QUERY: `ivfpq_store_search_plan` — disk artifacts only.
+
+    Why the oracle can be the one-shot IVF-PQ spelling with the
+    trainer restricted to the base slice: assignment and residual
+    encoding are per-vector deterministic given the codebooks, so
+    encode-at-insert is EXACTLY a full rebuild against the same
+    (base-trained) codebooks, and the hash match proves that
+    equivalence plus the four-artifact roundtrip. Training on the
+    base slice is the honest production shape — the codebooks
+    predate the insert stream (the drift this causes is what
+    `probe-recall` / `refresh-ivf --train-pq` manage)."""
+    root = scratch_dir("ivfpq_store")
+    cb_path = root + "/codebook"
+    lists_path = root + "/lists"
+    codes_path = root + "/codes"
+
+    qn = _quantized(spark, sf_dir).cache()
+
+    # 1. BUILD from the base corpus
+    qn.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.mode("overwrite").parquet(cb_path)
+    cent_d = spark.read.parquet(cb_path)
+    base = qn.where(F.pmod(F.col("vec_id"), F.lit(_INSERT_MOD)) != 0)
+    _assign(base, cent_d, 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.mode("overwrite").parquet(lists_path)
+    train_pq_codebook(spark, base, cb_path, lists_path)
+    pq_d = spark.read.parquet(pq_codebook_path(cb_path))
+    centv_d = cent_d.select("c_id", F.col("q").alias("cq"))
+
+    def resid_of(sub: DataFrame, lists: DataFrame) -> DataFrame:
+        return (
+            sub.join(lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
+            .join(broadcast(centv_d), F.col("list_id") == F.col("c_id"))
+            .select(
+                "vec_id",
+                F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
+            )
         )
-        .groupBy("q_id", "n_id", "list_id")
-        .agg(F.sum("d2").alias("approx_dist"))
+
+    _ivfpq_codes(
+        resid_of(base, spark.read.parquet(lists_path)), pq_d
+    ).write.mode("overwrite").parquet(codes_path)
+
+    # 2. INSERT through the persisted codebooks only
+    batch = qn.where(F.pmod(F.col("vec_id"), F.lit(_INSERT_MOD)) == 0)
+    b_lists = _assign(batch, cent_d, 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
     )
-    w_top = Window.partitionBy("q_id").orderBy("approx_dist", "n_id")
-    return (
-        adc.withColumn("rank", F.row_number().over(w_top).cast("int"))
-        .where(F.col("rank") <= _IVF_TOPK)
-        .select("q_id", "n_id", "list_id", "approx_dist", "rank")
+    b_lists.write.mode("append").parquet(lists_path)
+    _ivfpq_codes(resid_of(batch, b_lists), pq_d).write.mode("append").parquet(
+        codes_path
     )
+
+    # 3. QUERY through the on-disk index
+    out = ivfpq_store_search_plan(
+        spark,
+        qn.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "q", "nq"),
+        cb_path,
+        lists_path,
+        codes_path,
+    )
+    out.write.mode("overwrite").parquet(root + "/result")
+    qn.unpersist()
+    return spark.read.parquet(root + "/result")
 
 
 # ------------------------------------------- IVF centroid refresh
@@ -1137,7 +1274,13 @@ FROM brute b LEFT JOIN ivf1 i ON i.q_id = b.q_id AND i.n_id = b.n_id
 """
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(train_on_base: bool = False) -> str:
+    """The one-shot IVF-PQ spelling. `train_on_base` restricts the
+    PQ TRAINER to the base slice (vec_id ≢ 0 mod 10) — the persisted
+    store op's shape, where the codebooks are built before the
+    insert batch exists; codes/LUT/ADC still cover the full corpus
+    (encoding is per-vector deterministic given the codebooks, so
+    encode-at-insert ≡ rebuild)."""
     from .dedup import _QUANT_CTE
     from .similarity import (
         _COS_SQL,
@@ -1145,6 +1288,13 @@ def _ivfpq_sql() -> str:
         _pq_train_ctes_sql,
     )
 
+    train_cte = (
+        "tresid AS (SELECT vec_id, q FROM resid "
+        f"WHERE ((vec_id % {_INSERT_MOD}) + {_INSERT_MOD}) % {_INSERT_MOD} <> 0),\n"
+        if train_on_base
+        else ""
+    )
+    train_src = "tresid" if train_on_base else "resid"
     return f"""
 WITH {_QUANT_CTE},
 cent AS (
@@ -1171,7 +1321,7 @@ resid AS MATERIALIZED (
   JOIN qn v ON v.vec_id = l.n_id
   JOIN cent c ON c.c_id = l.list_id
 ),
-{_pq_train_ctes_sql('resid', 'r')},
+{train_cte}{_pq_train_ctes_sql(train_src, 'r')},
 scored AS (
   SELECT vec_id, sub, code, {_PQ_D2_SQL} AS d2 FROM resid, rcb AS cb(sub, code, carr)
 ),
@@ -1215,6 +1365,7 @@ FROM (
 QUERIES = {
     "ann_ivf_store_search": ann_ivf_store_search,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_store_search": ann_ivfpq_store_search,
     "ann_ivf_refresh_recall": ann_ivf_refresh_recall,
 }
 
@@ -1224,6 +1375,11 @@ ORACLE = {
     # one oracle pins both the equivalence and the index roundtrip.
     "ann_ivf_store_search": _ANN_IVF_SQL,
     "ann_ivfpq_topk": _ivfpq_sql(),
+    # same spelling with the TRAINER restricted to the base slice —
+    # the persisted store's codebooks predate the insert batch; the
+    # hash pins encode-at-insert ≡ rebuild plus the 4-artifact
+    # roundtrip (op docstring).
+    "ann_ivfpq_store_search": _ivfpq_sql(train_on_base=True),
     # the refresh lifecycle is deterministic end to end (floored
     # integer M-step), so even though refresh CHANGES search results,
     # the (phase, hits, total) recall frame is hash-exact.

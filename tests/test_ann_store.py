@@ -635,3 +635,50 @@ def test_compact_ivf_lists_skips_when_compact_and_no_sidecar(spark, tmp_path):
         (r["list_id"], r["n_id"]) for r in spark.read.parquet(lists).collect()
     } == {(1, 10), (0, 11)}
     assert len(glob.glob(os.path.join(lists, "*.parquet"))) == 1
+
+
+def test_ivfpq_store_search_matches_oracle(spark, sf_oracle):
+    """The persisted-index IVF-PQ lifecycle (build 4 artifacts →
+    encode-insert through them → disk-only query) hash-matches the
+    one-shot spelling with the trainer restricted to the base slice
+    — encode-at-insert ≡ rebuild plus the artifact roundtrip."""
+    compare(
+        ann_store.ann_ivfpq_store_search(spark, sf_oracle),
+        ann_store.ORACLE["ann_ivfpq_store_search"],
+        sf_oracle,
+    )
+
+
+def test_ivfpq_store_search_composes_tombstones(spark, sf_oracle):
+    """The disk-only IVF-PQ query honors a pending takedown: after
+    retract_ivf_vectors, no tombstoned vector appears as a neighbor,
+    with zero index rewrite."""
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        retract_ivf_vectors,
+    )
+    from fdblog2clickhouse_spark.operators.sinkcheck import scratch_path
+    from fdblog2clickhouse_spark.operators.similarity import _N_QUERIES
+    from pyspark.sql import functions as F
+
+    before = ann_store.ann_ivfpq_store_search(spark, sf_oracle).collect()
+    root = scratch_path("ivfpq_store")
+    lists_path = os.path.join(root, "lists")
+    victims = sorted({r["n_id"] for r in before})[:2]
+    files_before = sorted(os.listdir(lists_path))
+    ids = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    retract_ivf_vectors(spark, lists_path, ids)
+    assert sorted(os.listdir(lists_path)) == files_before  # no rewrite
+
+    qn = _quantized(spark, sf_oracle)
+    got = ann_store.ivfpq_store_search_plan(
+        spark,
+        qn.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "q", "nq"),
+        os.path.join(root, "codebook"),
+        lists_path,
+        os.path.join(root, "codes"),
+    ).collect()
+    assert got, "query returned nothing"
+    assert all(r["n_id"] not in victims for r in got)
