@@ -49,11 +49,13 @@ from ..operators.dedup_store import (
     emb_rep_signature_frame,
     emb_self_cosines,
     expand_group_evidence,
+    read_table,
     rep_admission_step,
     rep_group_frame,
     rep_reps,
     rep_signature_frame,
     write_banded_index,
+    write_table,
 )
 from ..sources.tables import table
 
@@ -87,12 +89,17 @@ def streaming_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g_base = g_all.where(_base_pred(F.col("doc_id")))
     reps_base = rep_reps(g_base)
-    rep_signature_frame(reps_base).write.mode("overwrite").parquet(sig_path)
-    write_banded_index(spark.read.parquet(sig_path), band_path, "overwrite")
-    g_base.select("doc_id", "gh").join(
-        reps_base.select("gh", "group_id"), "gh"
-    ).select("doc_id", "gh", "group_id").write.mode("overwrite").parquet(
-        mem_path
+    write_table(
+        rep_signature_frame(reps_base), sig_path, "overwrite", key="gh"
+    )
+    write_banded_index(read_table(spark, sig_path), band_path, "overwrite")
+    write_table(
+        g_base.select("doc_id", "gh")
+        .join(reps_base.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        mem_path,
+        "overwrite",
+        key="doc_id",
     )
 
     from ..functions.text import shingles_expr
@@ -173,19 +180,25 @@ def streaming_embedding_rep_admission(
 
     g_base = g_all.where(_base_pred(F.col("doc_id")))
     reps_base = emb_rep_reps(g_base)
-    emb_rep_signature_frame(spark, reps_base).write.mode(
-        "overwrite"
-    ).parquet(sig_path)
+    write_table(
+        emb_rep_signature_frame(spark, reps_base),
+        sig_path,
+        "overwrite",
+        key="gh",
+    )
     write_banded_index(
-        spark.read.parquet(sig_path),
+        read_table(spark, sig_path),
         band_path,
         "overwrite",
         key_cols=_EMB_KEY_COLS,
     )
-    g_base.select("doc_id", "gh").join(
-        reps_base.select("gh", "group_id"), "gh"
-    ).select("doc_id", "gh", "group_id").write.mode("overwrite").parquet(
-        mem_path
+    write_table(
+        g_base.select("doc_id", "gh")
+        .join(reps_base.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        mem_path,
+        "overwrite",
+        key="doc_id",
     )
 
     def feats_for(cand_ids: DataFrame) -> DataFrame:
@@ -242,7 +255,7 @@ def streaming_embedding_rep_admission(
     q.awaitTermination()
 
     multi = (
-        spark.read.parquet(mem_path)
+        read_table(spark, mem_path)
         .groupBy("group_id")
         .count()
         .where(F.col("count") > 1)

@@ -1802,3 +1802,217 @@ def test_sidecar_retirement_removes_swap_remnants(spark, tmp_path):
     assert {
         r["vec_id"] for r in dedup_store.live_ivf_lists(spark, lists).collect()
     } == {2}
+
+
+# --------------- key-bucketed flat store + members layout (round 15)
+#
+# VERDICT r14: the admission step's last O(store) reads were the flat
+# signature store's gh scan and the members doc_id projection. The
+# bucketed layout bounds both by the batch's bucket footprint; these
+# tests pin the layout marker discipline, the pruned read's
+# exactness AND its physical read bound, the legacy fallback, the
+# migration swap, and compaction/fold layout preservation.
+
+
+def _bucket_vals(ds, keys, col, buckets):
+    expr = ds._tbl_pb_expr(keys.schema[col].dataType, col, buckets)
+    return sorted(
+        r[0] for r in keys.select(expr.alias("pb")).distinct().collect()
+    )
+
+
+def test_bucketed_table_roundtrip_and_pruned_read(spark, tmp_path):
+    """write_table persists the layout marker, read_table hides the
+    bucket column, and pruned_table (a) returns exactly the rows a
+    full-scan semi-join needs and (b) physically opens ONLY the
+    batch keys' partition dirs — the read bound is in inputFiles,
+    not just the plan text."""
+    import os
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "sigs")
+    df = spark.createDataFrame(
+        [(i, f"gh{i}") for i in range(200)], "group_id long, gh string"
+    )
+    ds.write_table(df, path, "overwrite", key="gh", buckets=8)
+    assert ds.table_layout(path) == {"buckets": 8, "key": "gh"}
+    full = ds.read_table(spark, path)
+    assert sorted(full.columns) == ["gh", "group_id"]
+    assert full.count() == 200
+
+    keys = spark.createDataFrame([("gh3",), ("gh17",)], "gh string")
+    pr = ds.pruned_table(spark, path, keys)
+    got = {
+        (r["group_id"], r["gh"])
+        for r in pr.join(keys, "gh", "left_semi").collect()
+    }
+    assert got == {(3, "gh3"), (17, "gh17")}
+    # physical bound: every opened file lives in a selected bucket dir
+    vals = _bucket_vals(ds, keys, "gh", 8)
+    assert 0 < len(vals) <= 2
+    for f in pr.inputFiles():
+        assert any(f"/pb={v}/" in f for v in vals), f
+    # and NOT the whole table (8 buckets of 200 uniform keys are all
+    # populated; the prune must open at most |vals| of them)
+    opened = {f.split("/pb=")[1].split("/")[0] for f in pr.inputFiles()}
+    assert len(opened) <= len(vals)
+
+
+def test_pruned_table_legacy_falls_back_to_full_scan(spark, tmp_path):
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "legacy")
+    df = spark.createDataFrame(
+        [(i, f"gh{i}") for i in range(20)], "group_id long, gh string"
+    )
+    df.write.parquet(path)
+    keys = spark.createDataFrame([("gh3",)], "gh string")
+    assert ds.table_layout(path) is None
+    pr = ds.pruned_table(spark, path, keys)
+    assert pr.count() == 20  # full scan — correctness never needs the layout
+
+
+def test_write_table_append_honors_persisted_layout(spark, tmp_path):
+    """Appends bucket with the MARKER's layout (never in-process
+    defaults), and a legacy dir's append stays flat."""
+    import glob
+    import os
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "sigs")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"gh{i}") for i in range(lo, hi)], "group_id long, gh string"
+    )
+    ds.write_table(mk(0, 50), path, "overwrite", key="gh", buckets=4)
+    ds.write_table(mk(50, 80), path, "append")
+    assert ds.table_layout(path) == {"buckets": 4, "key": "gh"}
+    assert ds.read_table(spark, path).count() == 80
+    # no stray top-level files: every row lives under a pb dir
+    assert glob.glob(os.path.join(path, "*.parquet")) == []
+
+    legacy = str(tmp_path / "legacy")
+    mk(0, 10).write.parquet(legacy)
+    ds.write_table(mk(10, 15), legacy, "append")
+    assert ds.table_layout(legacy) is None
+    assert glob.glob(os.path.join(legacy, "pb=*")) == []
+    assert ds.read_table(spark, legacy).count() == 15
+
+
+def test_bucket_table_migration_and_rebucket(spark, tmp_path):
+    """Legacy → bucketed migration, then a re-bucket to a new count:
+    rows invariant both times, the swap leaves no .old remnant, and
+    pruned reads stay exact at the new layout."""
+    import os
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "members")
+    df = spark.createDataFrame(
+        [(i, f"gh{i % 7}", i % 7) for i in range(100)],
+        "doc_id long, gh string, group_id long",
+    )
+    df.write.parquet(path)
+    r = ds.bucket_table(spark, path, "doc_id", 8)
+    assert r == {"buckets_before": None, "buckets_after": 8}
+    assert ds.table_layout(path) == {"buckets": 8, "key": "doc_id"}
+    assert ds.read_table(spark, path).count() == 100
+    r2 = ds.bucket_table(spark, path, "doc_id", 32)
+    assert r2 == {"buckets_before": 8, "buckets_after": 32}
+    assert not os.path.exists(path + ".old")
+    keys = spark.createDataFrame([(13,), (77,)], "doc_id long")
+    got = {
+        r["doc_id"]
+        for r in ds.pruned_table(spark, path, keys)
+        .join(keys, "doc_id", "left_semi")
+        .collect()
+    }
+    assert got == {13, 77}
+
+
+def test_compact_signature_store_preserves_bucketed_layout(spark, tmp_path):
+    """The bucketed branch compacts WITHIN each pb partition: marker
+    survives, rows byte-identical, one file per partition after."""
+    import glob
+    import os
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "sigs")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"gh{i}", f"bk{i % 3}") for i in range(lo, hi)],
+        "group_id long, gh string, bk0 string",
+    )
+    ds.write_table(mk(0, 40), path, "overwrite", key="gh", buckets=4)
+    ds.write_table(mk(40, 60), path, "append")
+    ds.write_table(mk(60, 90), path, "append")
+    before = {
+        tuple(r) for r in ds.read_table(spark, path).collect()
+    }
+    per_dir = [
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(path, "pb=*"))
+    ]
+    assert max(per_dir) > 1
+    n = ds.compact_signature_store(spark, path, sort_col="bk0")
+    assert n == sum(per_dir)
+    assert ds.table_layout(path) == {"buckets": 4, "key": "gh"}
+    per_dir_after = [
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(path, "pb=*"))
+    ]
+    assert per_dir_after and max(per_dir_after) == 1
+    assert {
+        tuple(r) for r in ds.read_table(spark, path).collect()
+    } == before
+
+
+def test_fold_retractions_preserves_bucketed_layout(spark, tmp_path):
+    """fold_retractions' full rewrites go through the layout-
+    preserving swap: after a retract + fold, both tables keep their
+    markers, the tombstoned doc is physically gone, and the pruned
+    admission reads still work."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma delta") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    sig = str(tmp_path / "sigs")
+    band = str(tmp_path / "bands")
+    mem = str(tmp_path / "members")
+    g = ds.rep_group_frame(docs)
+    reps = ds.rep_reps(g)
+    ds.write_table(
+        ds.rep_signature_frame(reps), sig, "overwrite", key="gh", buckets=4
+    )
+    ds.write_banded_index(ds.read_table(spark, sig), band, "overwrite")
+    ds.write_table(
+        g.select("doc_id", "gh")
+        .join(reps.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        mem,
+        "overwrite",
+        key="doc_id",
+        buckets=4,
+    )
+    ds.retract_docs(
+        spark, sig, mem, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    assert ds.fold_retractions(spark, sig, band, mem) == {"folded": True}
+    assert ds.table_layout(sig) == {"buckets": 4, "key": "gh"}
+    assert ds.table_layout(mem) == {"buckets": 4, "key": "doc_id"}
+    assert not os.path.exists(sig + ".old") and not os.path.exists(mem + ".old")
+    m = ds.read_table(spark, mem)
+    assert m.where(F.col("doc_id") == 3).count() == 0
+    assert m.count() == 7
+    keys = spark.createDataFrame([(5,)], "doc_id long")
+    assert (
+        ds.pruned_table(spark, mem, keys).where(F.col("doc_id") == 5).count()
+        == 1
+    )

@@ -310,10 +310,13 @@ def test_no_unbounded_driver_collect():
         "operators/bpe.py": {
             "best = argmax_one_row.collect()",
         },
-        # the banded index's partition-filter literal: ≤ n_bands ×
-        # buckets rows by layout construction
+        # the banded index's partition-filter literal (≤ n_bands ×
+        # buckets rows by layout construction) and the bucketed
+        # flat-store/members partition-filter literal (≤ buckets
+        # rows by the persisted layout — round 15)
         "operators/dedup_store.py": {
             'for r in batch_rows.select("band", "kb").distinct().collect()',
+            "for r in keys.select(pb.alias(_TBL_PB)).distinct().collect()",
         },
         # split_ivf_lists' maintenance metadata: per-list counts,
         # empty list ids, and split-list ids — all bounded by the
@@ -322,6 +325,11 @@ def test_no_unbounded_driver_collect():
             'over = [(r["list_id"], r["count"]) for r in over_rows.collect()]',
             'empties = sorted(r["c_id"] for r in empty_rows.collect())',
             'eff = {r["list_id"] for r in child2_lists.collect()}',
+        },
+        # search-ivfpq's terminal print: ≤ --queries × topk ranked
+        # rows by construction (the window caps rank at _IVF_TOPK)
+        "cli.py": {
+            'rows = out.orderBy("q_id", "rank").collect()',
         },
     }
     allowed = [

@@ -18,7 +18,14 @@ rep store K×, retract a FIXED-size slice, and measure
 Store construction mirrors tools/admission_scale.py: the sf0.1 base
 slice's REP-STORE tables replicated with 10M·k doc_id offsets
 (slice semantics preserved, replicas collide nowhere), banded index
-at the 256-bucket scale setting. The retracted slice is 3 disjoint
+at the 256-bucket scale setting — and, since round 15, the flat
+store and members tables in the KEY-BUCKETED layout at the same
+256-bucket scale setting (VERDICT r14 #2): the admission step's
+flat-store gh scan and members doc_id anti-join now prune to the
+batch's key buckets, so the `admit` column is the direct
+measurement of the last-O(store)-term fix (the r14 soak measured it
+at 3.1× over 256× data; bucketed it should track the batch's bucket
+footprint, not the store). The retracted slice is 3 disjoint
 100-doc cuts of the base replica (one per timing rep — retraction
 mutates sidecar state, so every rep retracts FRESH ids), interleaved
 ABBA across K values.
@@ -54,6 +61,7 @@ N_RETRACT = 100
 BATCH_DOCS = 24
 
 ds._BANDED_BUCKETS = 256  # scale setting (see admission_scale.py)
+TBL_BUCKETS = 256         # flat store + members key-bucket scale setting
 
 spark = get_spark()
 spark.sparkContext.setLogLevel("ERROR")
@@ -96,12 +104,13 @@ for k in KS:
             .withColumn("group_id", F.col("group_id") + OFFSET * i)
             .withColumn("gh", F.concat(F.col("gh"), tag))
         )
-    sig_k.write.mode("overwrite").parquet(sig_p)
-    mem_k.write.mode("overwrite").parquet(mem_p)
-    ds.write_banded_index(spark.read.parquet(sig_p), band_p, "overwrite")
+    ds.write_table(sig_k, sig_p, "overwrite", key="gh", buckets=TBL_BUCKETS)
+    ds.write_table(mem_k, mem_p, "overwrite", key="doc_id",
+                   buckets=TBL_BUCKETS)
+    ds.write_banded_index(ds.read_table(spark, sig_p), band_p, "overwrite")
     stores[k] = (sig_p, band_p, mem_p)
-    print(f"store x{k}: {spark.read.parquet(sig_p).count()} groups / "
-          f"{spark.read.parquet(mem_p).count()} members", flush=True)
+    print(f"store x{k}: {ds.read_table(spark, sig_p).count()} groups / "
+          f"{ds.read_table(spark, mem_p).count()} members", flush=True)
 
 # three DISJOINT 100-doc retraction slices of the base replica (reps
 # must retract fresh ids — a re-retraction is a no-op by design)
