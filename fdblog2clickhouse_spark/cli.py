@@ -249,10 +249,12 @@ def cmd_build_store(args) -> int:
     from .operators.dedup_store import (
         banded_path,
         members_path,
+        read_table,
         rep_group_frame,
         rep_reps,
         rep_signature_frame,
         write_banded_index,
+        write_table,
     )
 
     spark = _spark()
@@ -262,18 +264,30 @@ def cmd_build_store(args) -> int:
     # tokenize + md5 of every doc) runs twice on a backfill corpus.
     g = rep_group_frame(spark.read.schema(_DOC_SCHEMA).json(args.docs)).cache()
     reps = rep_reps(g).cache()
-    rep_signature_frame(reps).write.mode("overwrite").parquet(args.store)
+    # gh/doc_id-bucketed layouts (VERDICT r14): admit's flat-store
+    # classification scan and members anti-join prune to the batch's
+    # key buckets instead of reading the whole store per step.
+    write_table(
+        rep_signature_frame(reps), args.store, "overwrite", key="gh",
+        buckets=args.buckets,
+    )
     # the band-partitioned index at <store>_bands: admit's store-side
     # read prunes to the batch's (band, kb) partitions instead of
     # scanning the whole store (VERDICT r10 item #4)
     write_banded_index(
-        spark.read.parquet(args.store), banded_path(args.store), "overwrite"
+        read_table(spark, args.store), banded_path(args.store), "overwrite"
     )
-    g.select("doc_id", "gh").join(reps.select("gh", "group_id"), "gh").select(
-        "doc_id", "gh", "group_id"
-    ).write.mode("overwrite").parquet(members_path(args.store))
-    n_groups = spark.read.parquet(args.store).count()
-    n_docs = spark.read.parquet(members_path(args.store)).count()
+    write_table(
+        g.select("doc_id", "gh")
+        .join(reps.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        members_path(args.store),
+        "overwrite",
+        key="doc_id",
+        buckets=args.buckets,
+    )
+    n_groups = read_table(spark, args.store).count()
+    n_docs = read_table(spark, members_path(args.store)).count()
     g.unpersist(), reps.unpersist()
     print(f"store groups: {n_groups} members: {n_docs}")
     return 0
@@ -320,26 +334,35 @@ def cmd_build_vstore(args) -> int:
         emb_rep_reps,
         emb_rep_signature_frame,
         members_path,
+        read_table,
         write_banded_index,
+        write_table,
     )
 
     spark = _spark()
     g = emb_rep_group_frame(_vector_qn(spark, args.vectors)).cache()
     reps = emb_rep_reps(g).cache()
-    emb_rep_signature_frame(spark, reps).write.mode("overwrite").parquet(
-        args.store
+    write_table(
+        emb_rep_signature_frame(spark, reps), args.store, "overwrite",
+        key="gh", buckets=args.buckets,
     )
     write_banded_index(
-        spark.read.parquet(args.store),
+        read_table(spark, args.store),
         banded_path(args.store),
         "overwrite",
         key_cols=_EMB_KEY_COLS,
     )
-    g.select("doc_id", "gh").join(reps.select("gh", "group_id"), "gh").select(
-        "doc_id", "gh", "group_id"
-    ).write.mode("overwrite").parquet(members_path(args.store))
-    n_groups = spark.read.parquet(args.store).count()
-    n_docs = spark.read.parquet(members_path(args.store)).count()
+    write_table(
+        g.select("doc_id", "gh")
+        .join(reps.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        members_path(args.store),
+        "overwrite",
+        key="doc_id",
+        buckets=args.buckets,
+    )
+    n_groups = read_table(spark, args.store).count()
+    n_docs = read_table(spark, members_path(args.store)).count()
     g.unpersist(), reps.unpersist()
     print(f"vstore groups: {n_groups} members: {n_docs}")
     return 0
@@ -605,32 +628,45 @@ def cmd_compact_store(args) -> int:
         # here instead of reaching the compactor's own healer
         # (self-review r13 finding #3).
         heal_swap(args.store)
-        cols = set(spark.read.parquet(args.store).columns)
+        from .operators.dedup_store import read_table
+
+        # read_table, not a raw parquet read: a bucketed store hides
+        # its pb partition column, and an EMPTY bucketed store (no
+        # data files) is readable only through the marker schema
+        cols = set(read_table(spark, args.store).columns)
         sort_col = "bk0" if "bk0" in cols else ("bv0" if "bv0" in cols else "list_id")
     if sort_col == "list_id":
         # an IVF inverted-lists table: compact_ivf_lists is the fold
-        # point — ONE rewrite compacts the live view and retires the
-        # vec_id tombstone sidecar
+        # point — ONE rewrite compacts the live view, folds a codes
+        # sibling, and retires the vec_id tombstone sidecar. The
+        # message is built from what the pass ACTUALLY did (its
+        # return), never from a pre-call sidecar-dir probe (ADVICE
+        # r14: an empty crash-remnant dir used to print folded=true
+        # without folding, and a fold that RAISED the file count was
+        # reported as min(before, target)).
         from .operators.ann_store import compact_ivf_lists
-        from .operators.dedup_store import ivf_tombstones_path
 
-        if os.path.isdir(ivf_tombstones_path(args.store)):
-            fold = {"folded": True}
-        before = compact_ivf_lists(
-            spark, args.store, n_files=args.target_files
+        r = compact_ivf_lists(spark, args.store, n_files=args.target_files)
+        msg = (
+            f"compacted: files_before={r['files_before']} "
+            f"files_after={r['files_after']}"
         )
+        if r["folded"]:
+            msg += " retractions_folded=true"
     else:
+        import glob
+
         before = compact_signature_store(
             spark, args.store, sort_col=sort_col, n_files=args.target_files
         )
-    # an already-compact store (before <= target) is left untouched —
-    # report the real file count, not the target
-    msg = (
-        f"compacted: files_before={before} "
-        f"files_after={min(before, args.target_files)}"
-    )
-    if fold["folded"]:
-        msg += " retractions_folded=true"
+        # real post-pass count (bucketed stores keep files under
+        # pb=*/ partition dirs), not min(before, target)
+        after = len(
+            glob.glob(os.path.join(args.store, "*.parquet"))
+        ) + len(glob.glob(os.path.join(args.store, "pb=*", "*.parquet")))
+        msg = f"compacted: files_before={before} files_after={after}"
+        if fold["folded"]:
+            msg += " retractions_folded=true"
     members = members_path(args.store)
     if os.path.isdir(members):
         m_before = compact_signature_store(
@@ -804,6 +840,164 @@ def cmd_probe_recall(args) -> int:
     return 0
 
 
+def cmd_build_ivfpq(args) -> int:
+    """Build the FOUR-artifact persisted IVF-PQ index from an
+    embeddings parquet — the operational path to the prebuilt-
+    codebook query node (`ivfpq_store_search_plan`, the 2.0×-
+    measured shape in SCALE.md): <index>/codebook (coarse
+    centroids), <index>/lists (vec_id → list assignments),
+    <index>/codebook_pq (residual PQ codebook, trained on the build
+    corpus), <index>/lists_codes (one PQ code row per vector per
+    subspace). Coarse seeds are the --centroids lowest vec_ids —
+    corpus points, deterministic; run `refresh-ivf` after the build
+    for the Lloyd iteration that makes residuals tight (SCALE.md:
+    corpus-point centroids leave residuals larger than the raw
+    vectors; ONE refresh recovers flat-PQ recall — the lift
+    `ann_ivfpq_refresh_recall` pins in the driver)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators.ann_store import (
+        _assign,
+        ivf_codes_path,
+        reencode_ivf_codes,
+        train_pq_codebook,
+    )
+
+    spark = _spark()
+    qn = _vector_qn(spark, args.vectors).cache()
+    cb_path = os.path.join(args.index, "codebook")
+    lists_path = os.path.join(args.index, "lists")
+    cent = qn.orderBy("vec_id").limit(args.centroids).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(cb_path)
+    _assign(qn, spark.read.parquet(cb_path), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.mode("overwrite").parquet(lists_path)
+    train_pq_codebook(spark, qn, cb_path, lists_path)
+    n = reencode_ivf_codes(spark, qn, cb_path, lists_path)
+    qn.unpersist()
+    print(
+        f"ivfpq index: vectors={n} centroids={args.centroids} "
+        f"codes={ivf_codes_path(lists_path)} "
+        "(run refresh-ivf for the Lloyd pass that tightens residuals)"
+    )
+    return 0
+
+
+def cmd_insert_vectors(args) -> int:
+    """Insert a vector batch into a persisted IVF(-PQ) index purely
+    through the persisted codebooks — assignment appended to the
+    lists, and (when the index carries a codes table) residual PQ
+    codes encoded against the persisted PQ codebook and appended
+    beside them. Codebooks are never retrained by an insert (that is
+    refresh-ivf's job); encode-at-insert ≡ rebuild is the
+    driver-pinned equivalence (`ann_ivfpq_store_search`). Appends
+    are not idempotent under redelivery — dedupe the feed or
+    compact-store with a retraction of the duplicate ids."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from .operators.ann_store import (
+        _assign,
+        _ivfpq_codes,
+        ivf_codes_path,
+        pq_codebook_path,
+    )
+
+    spark = _spark()
+    qn_b = _vector_qn(spark, args.batch).cache()
+    cent_d = spark.read.parquet(args.codebook)
+    b_lists = _assign(qn_b, cent_d, 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    )
+    b_lists.write.mode("append").parquet(args.lists)
+    n = qn_b.count()
+    msg = f"inserted: vectors={n}"
+    codes_p = ivf_codes_path(args.lists)
+    if os.path.isdir(codes_p):
+        pq_p = pq_codebook_path(args.codebook)
+        if not os.path.isdir(pq_p):
+            raise SystemExit(
+                f"index has a codes table ({codes_p}) but no PQ codebook "
+                f"({pq_p}): the artifact set is incoherent"
+            )
+        centv = cent_d.select("c_id", F.col("q").alias("cq"))
+        resid = (
+            qn_b.join(b_lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
+            .join(broadcast(centv), F.col("list_id") == F.col("c_id"))
+            .select(
+                "vec_id",
+                F.zip_with(
+                    F.col("q"), F.col("cq"), lambda x, y: x - y
+                ).alias("q"),
+            )
+        )
+        _ivfpq_codes(resid, spark.read.parquet(pq_p)).write.mode(
+            "append"
+        ).parquet(codes_p)
+        msg += " codes=appended"
+    qn_b.unpersist()
+    print(msg)
+    return 0
+
+
+def cmd_search_ivfpq(args) -> int:
+    """Query a persisted IVF-PQ index through the four on-disk
+    artifacts (`ivfpq_store_search_plan` — the production query
+    node; no training, no raw-vector scan beyond the query set).
+    Queries are the --queries lowest vec_ids of --vectors."""
+    from .operators.ann_store import ivf_codes_path, ivfpq_store_search_plan
+
+    spark = _spark()
+    qn = _vector_qn(spark, args.vectors)
+    queries = qn.orderBy("vec_id").limit(args.queries)
+    out = ivfpq_store_search_plan(
+        spark,
+        queries,
+        args.codebook,
+        args.lists,
+        ivf_codes_path(args.lists),
+        nprobe=args.nprobe,
+    )
+    rows = out.orderBy("q_id", "rank").collect()
+    for r in rows:
+        print(
+            f"q={r['q_id']} rank={r['rank']} n={r['n_id']} "
+            f"list={r['list_id']} d={r['approx_dist']}"
+        )
+    print(f"search: queries={args.queries} rows={len(rows)}")
+    return 0
+
+
+def cmd_bucket_store(args) -> int:
+    """Migrate a rep store's flat signature table and members table
+    to the key-bucketed layout (or to a NEW bucket count) — the
+    scan-bound migration for stores built before the bucketed layout
+    (VERDICT r14: the admission step's last O(store) reads were the
+    flat-store gh scan and the members doc_id projection; bucketing
+    both bounds every per-step read by the batch's bucket
+    footprint). Crash-safe rename-aside swap per table; admission
+    evidence is invariant (the bucket is a pure pruning key)."""
+    import os
+
+    from .operators.dedup_store import bucket_table, members_path
+
+    spark = _spark()
+    r = bucket_table(spark, args.store, "gh", args.buckets)
+    msg = f"store buckets: {r['buckets_before']}->{r['buckets_after']}"
+    mem = members_path(args.store)
+    if os.path.isdir(mem):
+        rm = bucket_table(spark, mem, "doc_id", args.buckets)
+        msg += f" members buckets: {rm['buckets_before']}->{rm['buckets_after']}"
+    print(msg)
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run one registered operator against a testdata dir and print
     the result — the 'traditional OLAP SQL queries' consumer surface
@@ -872,6 +1066,11 @@ def main(argv: list[str] | None = None) -> int:
     sb = sub.add_parser("build-store")
     sb.add_argument("docs", help="JSON-lines doc corpus (doc_id, text)")
     sb.add_argument("store", help="signature-store parquet path")
+    sb.add_argument("--buckets", type=int, default=None,
+                    help="key-bucket count for the flat store (gh) and "
+                         "members (doc_id) layouts — admission reads "
+                         "prune to the batch's buckets (default 16; "
+                         "size to batch_keys << buckets at scale)")
     sb.set_defaults(fn=cmd_build_store)
 
     sm = sub.add_parser("admit")
@@ -889,6 +1088,9 @@ def main(argv: list[str] | None = None) -> int:
     sbv = sub.add_parser("build-vstore")
     sbv.add_argument("vectors", help="embeddings parquet (vec_id, embedding)")
     sbv.add_argument("store", help="hyperplane-store parquet path")
+    sbv.add_argument("--buckets", type=int, default=None,
+                     help="key-bucket count for the flat store (gh) and "
+                          "members (doc_id) layouts (default 16)")
     sbv.set_defaults(fn=cmd_build_vstore)
 
     smv = sub.add_parser("admit-vectors")
@@ -962,6 +1164,39 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--topk", type=int, default=10)
     sp.add_argument("--nprobe", type=int, default=4)
     sp.set_defaults(fn=cmd_probe_recall)
+
+    sbi = sub.add_parser("build-ivfpq")
+    sbi.add_argument("vectors", help="embeddings parquet (vec_id, embedding)")
+    sbi.add_argument("index", help="index root dir (codebook/ lists/ "
+                                   "codebook_pq/ lists_codes/ are written "
+                                   "under it)")
+    sbi.add_argument("--centroids", type=int, default=16,
+                     help="coarse centroid count (lowest vec_ids as "
+                          "seeds; refresh-ivf runs the Lloyd pass)")
+    sbi.set_defaults(fn=cmd_build_ivfpq)
+
+    siv = sub.add_parser("insert-vectors")
+    siv.add_argument("batch", help="vectors parquet batch (vec_id, embedding)")
+    siv.add_argument("codebook", help="persisted coarse codebook path")
+    siv.add_argument("lists", help="persisted inverted-lists path")
+    siv.set_defaults(fn=cmd_insert_vectors)
+
+    ssq = sub.add_parser("search-ivfpq")
+    ssq.add_argument("codebook", help="persisted coarse codebook path")
+    ssq.add_argument("lists", help="persisted inverted-lists path")
+    ssq.add_argument("--vectors", required=True,
+                     help="embeddings parquet supplying the query vectors")
+    ssq.add_argument("--queries", type=int, default=5,
+                     help="query sample size (lowest vec_ids)")
+    ssq.add_argument("--nprobe", type=int, default=4)
+    ssq.set_defaults(fn=cmd_search_ivfpq)
+
+    sbk = sub.add_parser("bucket-store")
+    sbk.add_argument("store", help="rep-store signatures parquet path")
+    sbk.add_argument("--buckets", type=int, required=True,
+                     help="new key-bucket count for the flat store and "
+                          "members layouts")
+    sbk.set_defaults(fn=cmd_bucket_store)
 
     sl = sub.add_parser("list-queries")
     sl.set_defaults(fn=cmd_list_queries)

@@ -27,77 +27,66 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-14 window (policy above; VERDICT r13 #1 ordered the whole
-# stale tail covered — 48 ops — but r14's own changed code takes its
-# 11 slots first, so 9 of the lowest-risk r10 greens defer to r15).
-# Triage:
-#   (a) r14-changed operators/dedup_store.py — the ADVICE r13 HIGH
-#       fix (rep_admission_step anti-joins the batch against the
-#       tombstone sidecar, so a redelivered retracted doc can
-#       neither found nor join groups), retract_docs' checkpointed
-#       tombstone frame, fold's markerless-index guard, the NEW
-#       O(retracted) IVF tombstone sidecar
-#       (retract_ivf_vectors/live_ivf_lists/fold_ivf_retractions),
-#       and the vector retraction proof's widened pinned surface
-#       (verify bar 0.32 → 10 final rows, VERDICT r13 #6): all six
-#       ops in the file re-verify;
+# Round-15 window (policy above; VERDICT r14 #1 ordered the whole
+# 51-op r10+r11 stale tail covered in one window "with no
+# changed-code slots competing" — but r14 items #2/#3 ORDERED code
+# changes in dedup_store.py and ann_store.py, so their ops take the
+# first 13 slots and 14 of the 41 r11 greens defer to r16, named
+# below). Triage:
+#   (a) r15-changed operators/dedup_store.py — the gh/doc_id-
+#       BUCKETED flat-store + members layout (VERDICT r14 #2: the
+#       admission step's last O(store) reads now prune to the
+#       batch's key buckets; write_table/read_table/pruned_table/
+#       bucket_table, layout-preserving compaction + fold), plus the
+#       codes-aware fold_ivf_retractions: all six ops re-verify;
 #   (b) streaming/rep_admission.py's two ops CALL the changed
-#       rep_admission_step — re-verify (the r12/r13 precedent for
-#       cross-file kernel changes);
-#   (c) r14-changed operators/ann_store.py — every lists reader now
-#       composes the IVF tombstone sidecar (VERDICT r13 #2), the PQ
-#       codebook is trained-once-and-persisted before the query plan
-#       (VERDICT r13 #4), split_ivf_lists enforces its qn-coverage
-#       precondition (ADVICE r13), and the NEW persisted-index
-#       IVF-PQ lifecycle op (build 4 artifacts → encode-insert
-#       through them → disk-only query) landed: all 4 verify;
-#   (d) the ENTIRE r8 cohort (13, files byte-unchanged since r8 —
-#       five rounds stale, VERDICT r13 #1): sketches' 5, sequence's
-#       5, trace_ops' 3;
-#   (e) the r10 cohort (25 of 35): tpch_q1-q4, multimodal's 8,
-#       training's 4, streaming_incremental_dedup /
-#       streaming_store_admission, lm's doc_bigram_fluency,
-#       sequence's 3 r10 greens, and 3 of trace_ops' 13 r10 greens.
-# r15 RE-COVER PRIORITY: the 10 deferred trace_ops r10 greens
-# (trace_partition_stats, severity_rollup, events_per_minute,
-# top_event_types, error_rate_by_user, events_dedup_latest,
-# events_decay_score, user_recent_events, user_first_last_event,
-# events_dow_hour_heatmap) — lowest-risk deferral: trace_ops.py is
-# byte-unchanged and carries fresh r13 evidence on 9 sibling ops.
-# NOT in the window by design: similarity/dedup's r13 greens and
-# tpch q5+/spans/curation/textops/sinkcheck/streaming-queries'
-# r11/r12 greens — files untouched since their last green rows.
-# Exactly 50.
+#       rep_admission_step and build the bucketed stores themselves;
+#   (c) r15-changed operators/ann_store.py — the PQ codes table is
+#       now a lifecycle citizen (compact/fold anti-join takedowns
+#       out of codes; refresh/split retrain AND re-encode — ADVICE
+#       r14 medium; build-ivfpq/insert-vectors/search-ivfpq CLI),
+#       compact_ivf_lists reports what it actually did (ADVICE r14),
+#       and the NEW `ann_ivfpq_refresh_recall` pins the 0.033→0.200
+#       recall recovery as a driver row (VERDICT r14 #4): all 5
+#       verify;
+#   (d) the 10 trace_ops ops at r10 evidence (five rounds stale —
+#       r14's ordered re-cover priority);
+#   (e) 27 of the 41-op r11 cohort: textops' 8, bpe's 2,
+#       sinkcheck's 7, tpch q5-q14.
+# DEFERRED to r16 (named, per the verdict's "defer and say which"):
+# tpch_q15-q22 + the 6 tpch analytics (customer_rfm,
+# market_basket_pairs, nation_activity_fullouter,
+# orders_percent_rank, nation_yoy_growth, brand_revenue_share) — 14
+# ops, all in byte-unchanged tpch.py whose q1-q4 went green in r14
+# and whose q5-q14 re-verify THIS round, the lowest-risk possible
+# deferral. NOT in the window by design: every r12-r14 green whose
+# file is untouched. Exactly 50.
 _FRONT_WINDOW = [
-    # (a) r14-changed dedup_store.py (6)
+    # (a) r15-changed dedup_store.py (6)
+    "dedup_store_rep_admission", "embedding_store_rep_admission",
     "dedup_store_retraction", "embedding_store_retraction",
-    "embedding_store_rep_admission", "embedding_store_admission",
-    "dedup_store_rep_admission", "dedup_store_admission",
+    "dedup_store_admission", "embedding_store_admission",
     # (b) callers of the changed shared kernel (2)
     "streaming_rep_admission", "streaming_embedding_rep_admission",
-    # (c) r14-changed ann_store.py (4, incl. the NEW persisted IVF-PQ)
-    "ann_ivfpq_topk", "ann_ivfpq_store_search", "ann_ivf_store_search",
-    "ann_ivf_refresh_recall",
-    # (d) the r8 cohort (13)
-    "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
-    "minute_anomaly_zscore", "value_quantile_hist",
-    "funnel_conversion", "funnel_windowed", "events_sliding_windows",
-    "max_concurrent_events", "user_value_deltas",
-    "user_retention_cohorts", "churned_users", "error_run_lengths",
-    # (e) the r10 cohort (26 of 35)
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
-    "multimodal_metadata", "multimodal_chunk",
-    "multimodal_feature_extract", "multimodal_frame_sample",
-    "multimodal_gif_frames", "multimodal_decode",
-    "multimodal_decode_jpeg", "multimodal_audio_decode",
-    "sequence_packing", "embedding_int8_quantize",
-    "doc_skyline_select", "pack_manifest",
-    "streaming_incremental_dedup", "streaming_store_admission",
-    "doc_bigram_fluency",
-    "user_path_transitions", "events_pivot_usertype",
-    "events_moving_avg",
-    "events_range_join", "topk_events_by_value",
-    "events_unpivot_measures",
+    # (c) r15-changed ann_store.py (5, incl. the NEW refresh-recall)
+    "ann_ivfpq_refresh_recall", "ann_ivfpq_store_search",
+    "ann_ivfpq_topk", "ann_ivf_store_search", "ann_ivf_refresh_recall",
+    # (d) trace_ops' r10 tail (10)
+    "trace_partition_stats", "severity_rollup", "events_per_minute",
+    "top_event_types", "error_rate_by_user", "events_dedup_latest",
+    "events_decay_score", "user_recent_events",
+    "events_dow_hour_heatmap", "user_first_last_event",
+    # (e) the r11 cohort, 27 of 41
+    "token_count", "text_quality_score", "lang_id_ngram",
+    "doc_fingerprint", "doc_stats_by_lang", "token_histogram",
+    "quality_repetition", "pii_detect",
+    "bpe_train_merges", "bpe_tokenize",
+    "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
+    "rollup_sink_roundtrip", "upsert_sink_roundtrip",
+    "hll_sink_roundtrip", "hist_sink_roundtrip",
+    "bucketed_sink_roundtrip",
+    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
 ]
 
 

@@ -156,9 +156,20 @@ def ivf_store_search_plan(
     )
 
 
+def ivf_codes_path(lists_path: str) -> str:
+    """The PQ codes table lives BESIDE the inverted lists —
+    (vec_id, sub, code), one row per (indexed vector, subspace). The
+    maintenance passes (compact/fold/refresh/split) auto-detect this
+    sibling so a takedown removes the taken-down vectors' derived
+    representations and a centroid refresh re-encodes instead of
+    leaving codes pointing at retired geometry (VERDICT r14 /
+    ADVICE r14)."""
+    return lists_path.rstrip("/") + "_codes"
+
+
 def compact_ivf_lists(
     spark: SparkSession, lists_path: str, *, n_files: int = 1
-) -> int:
+) -> dict:
     """OPTIMIZE FINAL for the inverted-lists table: every
     `ann_ivf_store_search`-style insert batch appends one file group,
     so a long-running insert loop accumulates one tiny parquet file
@@ -175,14 +186,22 @@ def compact_ivf_lists(
     maintenance pass); `fold_ivf_retractions` stays for a fold with
     no compaction need. Search-result invariance before/after is
     CI-pinned by re-running `ivf_store_search_plan` against the
-    compacted table (tests/test_ann_store.py). Returns the
-    pre-compaction file count; an already-compact table with NO
-    pending sidecar is left untouched. Centroid refresh is
-    intentionally NOT done here: the insert ≡ rebuild equivalence
-    (module docstring) holds only for a frozen codebook, and
-    refreshing centroids is a reindex, not a maintenance pass — that
-    is `refresh_ivf_centroids` below, with its own recall-pinned
-    probe (`ann_ivf_refresh_recall`)."""
+    compacted table (tests/test_ann_store.py). Returns
+    {files_before, files_after, rewrote, folded} — built from what
+    ACTUALLY happened, not a pre-call sidecar probe (ADVICE r14: an
+    empty crash-remnant sidecar dir on an already-compact table used
+    to report folded=true without folding, and a fold rewrite that
+    RAISED the file count was reported as min(before, target)). An
+    already-compact table with NO pending sidecar is left untouched.
+    A codes sibling (`ivf_codes_path`) is folded in the same pass:
+    tombstoned vectors' codes rows are anti-joined away — the
+    takedown contract covers derived representations, not just list
+    membership (VERDICT r14). Centroid refresh is intentionally NOT
+    done here: the insert ≡ rebuild equivalence (module docstring)
+    holds only for a frozen codebook, and refreshing centroids is a
+    reindex, not a maintenance pass — that is `refresh_ivf_centroids`
+    below, with its own recall-pinned probe
+    (`ann_ivf_refresh_recall`)."""
     import glob
     import os
 
@@ -197,19 +216,53 @@ def compact_ivf_lists(
 
     heal_swap(lists_path)
     tomb_path = ivf_tombstones_path(lists_path)
-    has_tomb = _read_sidecar(spark, tomb_path) is not None
+    tomb = _read_sidecar(spark, tomb_path)
+    has_tomb = tomb is not None
     files = glob.glob(os.path.join(lists_path, "*.parquet"))
     if not has_tomb and len(files) <= n_files:
-        return len(files)
+        # an empty/remnant sidecar DIR (crashed first write) on an
+        # already-compact table: nothing to fold — clean the remnant
+        # so the next probe doesn't see phantom state
+        if os.path.isdir(tomb_path):
+            retire_sidecar(tomb_path)
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "rewrote": False,
+            "folded": False,
+        }
     _swap_write(
         live_ivf_lists(spark, lists_path)
         .repartition(n_files)
         .sortWithinPartitions("list_id"),
         lists_path,
     )
+    codes_p = ivf_codes_path(lists_path)
+    heal_swap(codes_p)
+    if has_tomb and os.path.isdir(codes_p):
+        # fold the takedown into the DERIVED representation too: a
+        # tombstoned vector's PQ codes leave disk with the same pass
+        # that rewrites the lists (they were already query-invisible
+        # — candidates come from live lists — but takedown means
+        # REMOVED, and the rows otherwise accumulate unboundedly
+        # under an insert+retract loop)
+        _swap_write(
+            spark.read.parquet(codes_p)
+            .join(tomb.select("vec_id"), "vec_id", "left_anti")
+            .repartition(n_files)
+            .sortWithinPartitions("vec_id"),
+            codes_p,
+        )
     if has_tomb:
         retire_sidecar(tomb_path)
-    return len(files)
+    return {
+        "files_before": len(files),
+        "files_after": len(
+            glob.glob(os.path.join(lists_path, "*.parquet"))
+        ),
+        "rewrote": True,
+        "folded": has_tomb,
+    }
 
 
 # ------------------------------------------------- ann_ivfpq_topk
@@ -250,6 +303,51 @@ def train_pq_codebook(
     out = pq_codebook_path(codebook_path)
     _swap_write(_pq_train_cb(resid).coalesce(1), out)
     return out
+
+
+def reencode_ivf_codes(
+    spark: SparkSession,
+    qn: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+    codes_path: str | None = None,
+) -> int:
+    """Re-encode the persisted PQ codes table against the CURRENT
+    coarse centroids, lists, and PQ codebook — the mandatory
+    companion of any pass that retrains geometry (ADVICE r14: after
+    a refresh, stored codes were encoded against retired centroids
+    and the old codebook while the query LUT used the new ones —
+    exactly the silent ADC-incoherence recall collapse the retrain
+    exists to prevent, moved one artifact over). `qn` must cover
+    every live indexed vector — enforced, because the resid inner
+    join would otherwise DROP missing vectors' codes silently.
+    Swap-written; returns the re-encoded row count's vector count."""
+    from .dedup_store import _swap_write
+
+    codes_path = codes_path or ivf_codes_path(lists_path)
+    cent = spark.read.parquet(codebook_path).select(
+        "c_id", F.col("q").alias("cq")
+    )
+    lists = live_ivf_lists(spark, lists_path)
+    pq_cb = spark.read.parquet(pq_codebook_path(codebook_path))
+    resid = (
+        qn.join(lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
+        .join(broadcast(cent), F.col("list_id") == F.col("c_id"))
+        .select(
+            "vec_id",
+            F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
+        )
+    )
+    n_live = lists.count()
+    n_resid = resid.count()
+    if n_resid != n_live:
+        raise ValueError(
+            "reencode_ivf_codes: qn does not cover every live indexed "
+            f"vector ({n_resid} of {n_live} matched) — pass the full "
+            "corpus, or fold/retract missing vectors first"
+        )
+    _swap_write(_ivfpq_codes(resid, pq_cb), codes_path)
+    return n_resid
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,7 +601,10 @@ def ann_ivfpq_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = scratch_dir("ivfpq_store")
     cb_path = root + "/codebook"
     lists_path = root + "/lists"
-    codes_path = root + "/codes"
+    # the maintenance-pass convention (`ivf_codes_path`): the codes
+    # table is a lifecycle citizen — compact/fold/refresh/split find
+    # it beside the lists
+    codes_path = ivf_codes_path(lists_path)
 
     qn = _quantized(spark, sf_dir).cache()
 
@@ -699,11 +800,23 @@ def refresh_ivf_centroids(
     # centroids — retrain it against the refreshed index so the
     # artifact never goes silently stale (self-review r14; qn covers
     # every live member, the same precondition the refresh itself
-    # carries)
+    # carries) — and a persisted CODES table must follow the
+    # codebook (ADVICE r14: stale codes against a refreshed LUT are
+    # ADC-incoherent), so it is re-encoded in the same pass.
     pq_p = pq_codebook_path(codebook_path)
     heal_swap(pq_p)
+    codes_p = ivf_codes_path(lists_path)
+    heal_swap(codes_p)
+    if os.path.isdir(codes_p) and not os.path.isdir(pq_p):
+        raise RuntimeError(
+            f"IVF index has a codes table ({codes_p}) but no PQ "
+            f"codebook ({pq_p}): the artifact set is incoherent — "
+            "restore the codebook or remove the codes table"
+        )
     if os.path.isdir(pq_p):
         train_pq_codebook(spark, qn, codebook_path, lists_path)
+        if os.path.isdir(codes_p):
+            reencode_ivf_codes(spark, qn, codebook_path, lists_path, codes_p)
     return stats
 
 
@@ -840,6 +953,29 @@ def split_ivf_lists(
     over = [(r["list_id"], r["count"]) for r in over_rows.collect()]
     if not over:
         return {"split": 0, "reseeded": 0, "max_list_after": None}
+    # a PQ-bearing index retrains its codebook (and re-encodes codes)
+    # after an effective split, and THAT step's precondition is qn
+    # covering EVERY live vector — not just the split lists' members
+    # (ADVICE r14: a qn missing vectors in untouched lists silently
+    # trained the codebook on a residual subset). Enforce it before
+    # any staging write.
+    from .dedup_store import heal_swap as _heal_swap
+
+    pq_p = pq_codebook_path(codebook_path)
+    _heal_swap(pq_p)
+    if os.path.isdir(pq_p):
+        n_live = lists_live.count()
+        n_cov = lists_live.join(
+            qn.select(F.col("vec_id").alias("n_id")), "n_id", "left_semi"
+        ).count()
+        if n_cov != n_live:
+            raise ValueError(
+                "split_ivf_lists: this index carries a PQ codebook, so "
+                "qn must cover EVERY live indexed vector for the "
+                f"post-split retrain ({n_cov} of {n_live} covered) — "
+                "pass the full corpus, or fold/retract missing vectors "
+                "first"
+            )
     empty_rows = cb.select("c_id").join(
         sizes.select(F.col("list_id").alias("c_id")), "c_id", "left_anti"
     )
@@ -1006,13 +1142,25 @@ def split_ivf_lists(
         shutil.rmtree(old)
     # split changed centroids and list assignments — retrain a
     # persisted PQ codebook so it never encodes against retired
-    # geometry (same staleness rule as refresh, self-review r14)
+    # geometry (same staleness rule as refresh, self-review r14),
+    # and re-encode a persisted codes table against the new
+    # geometry in the same pass (ADVICE r14). Coverage was enforced
+    # up front.
     from .dedup_store import heal_swap
 
-    pq_p = pq_codebook_path(codebook_path)
     heal_swap(pq_p)
+    codes_p = ivf_codes_path(lists_path)
+    heal_swap(codes_p)
+    if os.path.isdir(codes_p) and not os.path.isdir(pq_p):
+        raise RuntimeError(
+            f"IVF index has a codes table ({codes_p}) but no PQ "
+            f"codebook ({pq_p}): the artifact set is incoherent — "
+            "restore the codebook or remove the codes table"
+        )
     if os.path.isdir(pq_p):
         train_pq_codebook(spark, qn, codebook_path, lists_path)
+        if os.path.isdir(codes_p):
+            reencode_ivf_codes(spark, qn, codebook_path, lists_path, codes_p)
     return {
         "split": len(eff_alloc),
         "reseeded": sum(1 for _, _, r in eff_alloc if r),
@@ -1153,6 +1301,139 @@ def ann_ivf_refresh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_search_hits(
+    spark: SparkSession,
+    corpus: DataFrame,
+    brute: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+    codes_path: str,
+) -> DataFrame:
+    """IVF-PQ top-k through the FOUR on-disk artifacts for the
+    refresh-probe query set, intersected with the exact top-k: one
+    (hits, total) row of exact BIGINT counts — the compressed-index
+    sibling of `_ivf_search_hits`."""
+    ivfpq = ivfpq_store_search_plan(
+        spark,
+        corpus.where(_refresh_query_pred()).select("vec_id", "q", "nq"),
+        codebook_path,
+        lists_path,
+        codes_path,
+    ).select("q_id", "n_id")
+    hit = ivfpq.withColumn("hit", F.lit(1))
+    return brute.join(hit, ["q_id", "n_id"], "left").agg(
+        F.count("hit").alias("hits"), F.count(F.lit(1)).alias("total")
+    )
+
+
+def ann_ivfpq_refresh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ sibling of `ann_ivf_refresh_recall` — the oracle
+    row for the r14 recall-recovery story (VERDICT r14 #4, measured
+    in SCALE.md as 0.033 → 0.200 but pinned until now only by
+    tools/pq_recall_lloyd.py): build the four-artifact persisted
+    IVF-PQ index on the original vectors (coarse codebook from the
+    md5-derived corpus points, lists, BASE-trained residual PQ
+    codebook, codes), INSERT a drifted copy of the corpus purely
+    through the stale persisted codebooks, measure compressed-search
+    recall against the exact top-k, run `refresh_ivf_centroids` —
+    which now retrains the PQ codebook AND re-encodes the persisted
+    codes in the same pass (ADVICE r14) — and measure again. Output:
+    (phase, hits, total), exact integers, deterministic on both
+    engines (floored-mean M-step, exact BIGINT ADC), so the oracle's
+    one-shot spelling pins the whole story: the four-artifact
+    roundtrip, encode-at-insert ≡ rebuild against stale codebooks,
+    the coarse Lloyd refresh, the PQ retrain on post-refresh
+    residuals, the codes re-encode, and both compressed searches.
+    The recall LIFT itself is the payload — the md5 coarse centroids
+    give residuals larger than the raw vectors (SCALE.md), and one
+    Lloyd iteration recovers flat-PQ recall; this op makes the
+    driver, not a SCALE.md table, the witness."""
+    root = scratch_dir("ivfpq_refresh")
+    codebook_path = root + "/codebook"
+    lists_path = root + "/lists"
+    codes_path = ivf_codes_path(lists_path)
+
+    corpus = _drifted_corpus(_quantized(spark, sf_dir)).cache()
+    qn0 = corpus.where(F.col("vec_id") < _DRIFT_ID_OFFSET)
+
+    # BUILD on the ORIGINAL distribution: four artifacts to disk
+    qn0.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
+    cent_d = spark.read.parquet(codebook_path)
+    _assign(qn0, cent_d, 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.mode("overwrite").parquet(lists_path)
+    train_pq_codebook(spark, qn0, codebook_path, lists_path)
+    pq_d = spark.read.parquet(pq_codebook_path(codebook_path))
+    centv_d = cent_d.select("c_id", F.col("q").alias("cq"))
+
+    def resid_of(sub: DataFrame, lists: DataFrame) -> DataFrame:
+        return (
+            sub.join(lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
+            .join(broadcast(centv_d), F.col("list_id") == F.col("c_id"))
+            .select(
+                "vec_id",
+                F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
+            )
+        )
+
+    _ivfpq_codes(
+        resid_of(qn0, spark.read.parquet(lists_path)), pq_d
+    ).write.mode("overwrite").parquet(codes_path)
+
+    # drifted INSERT purely through the stale persisted codebooks
+    drift = corpus.where(F.col("vec_id") >= _DRIFT_ID_OFFSET)
+    b_lists = _assign(drift, cent_d, 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    )
+    b_lists.write.mode("append").parquet(lists_path)
+    _ivfpq_codes(resid_of(drift, b_lists), pq_d).write.mode("append").parquet(
+        codes_path
+    )
+
+    # exact ground truth over the grown corpus (same brute as the
+    # plain-IVF sibling)
+    queries = corpus.where(_refresh_query_pred()).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    nv = corpus.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    wb = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    brute = (
+        nv.join(broadcast(queries), F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", _cosine_cols())
+        .withColumn("rank", F.row_number().over(wb))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("q_id", "n_id")
+        .cache()
+    )
+
+    before = _ivfpq_search_hits(
+        spark, corpus, brute, codebook_path, lists_path, codes_path
+    )
+    before.withColumn("phase", F.lit("before")).select(
+        "phase", "hits", "total"
+    ).write.mode("overwrite").parquet(root + "/before")
+
+    # coarse Lloyd + lists reassign + PQ retrain + codes re-encode —
+    # ONE maintenance call keeps all four artifacts coherent
+    refresh_ivf_centroids(spark, corpus, codebook_path, lists_path)
+
+    after = _ivfpq_search_hits(
+        spark, corpus, brute, codebook_path, lists_path, codes_path
+    )
+    after.withColumn("phase", F.lit("after")).select(
+        "phase", "hits", "total"
+    ).write.mode("overwrite").parquet(root + "/after")
+    corpus.unpersist()
+    brute.unpersist()
+    return spark.read.parquet(root + "/before").unionByName(
+        spark.read.parquet(root + "/after")
+    )
+
+
 def _refresh_recall_sql() -> str:
     """The one-shot spelling of the whole refresh lifecycle. Every
     multiply-referenced CTE is AS MATERIALIZED (DuckDB inlines CTEs
@@ -1274,6 +1555,167 @@ FROM brute b LEFT JOIN ivf1 i ON i.q_id = b.q_id AND i.n_id = b.n_id
 """
 
 
+def _ivfpq_refresh_recall_sql() -> str:
+    """The one-shot spelling of the IVF-PQ refresh lifecycle:
+    `_refresh_recall_sql`'s coarse-refresh machinery composed with
+    `_ivfpq_sql`'s PQ machinery, twice — phase 'before' searches
+    through the STALE artifacts (coarse codebook = md5 corpus
+    points, PQ codebook trained on the ORIGINAL corpus's residuals,
+    codes over everything), phase 'after' through the refreshed set
+    (one coarse Lloyd iteration, lists reassigned, PQ retrained on
+    the post-refresh residuals of the FULL corpus, codes re-encoded).
+    Multiply-referenced CTEs are AS MATERIALIZED (the established
+    DuckDB chained-CTE convention)."""
+    from .dedup import _QUANT_CTE
+    from .similarity import _PQ_D2_SQL, _pq_train_ctes_sql
+
+    cent_ids = ", ".join(map(str, _CENTROID_IDS))
+    qpred = (
+        f"(v_id < {_N_QUERIES} OR (v_id >= {_DRIFT_ID_OFFSET} "
+        f"AND v_id < {_DRIFT_ID_OFFSET + _N_QUERIES}))"
+    )
+    cos_vc = _COS_SQL.format(a="v", b="c")
+    dim = 64
+
+    def pq_phase(n: str, cent: str, lists: str, probes: str, tsrc: str) -> str:
+        """One compressed search phase: residuals vs `cent`, trainer
+        over `tsrc`, codes for every indexed vector, per-(query,
+        probed list) LUT, ADC top-k → `ivfpq{n}`(q_id, n_id)."""
+        return f"""resid{n} AS MATERIALIZED (
+  SELECT l.n_id AS vec_id, l.list_id,
+         list_transform(list_zip(v.q, c.q), z -> z[1] - z[2]) AS q
+  FROM {lists} l
+  JOIN corpus v ON v.vec_id = l.n_id
+  JOIN {cent} c ON c.c_id = l.list_id
+),
+t{n}resid AS ({tsrc}),
+{_pq_train_ctes_sql(f't{n}resid', f'r{n}')},
+scored{n} AS (
+  SELECT vec_id, sub, code, {_PQ_D2_SQL} AS d2
+  FROM resid{n}, r{n}cb AS cb(sub, code, carr)
+),
+codes{n} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM scored{n}
+  ) t WHERE rn = 1
+),
+qres{n} AS (
+  SELECT p.q_id, p.probe_list,
+         list_transform(list_zip(v.q, c.q), z -> z[1] - z[2]) AS q
+  FROM {probes} p
+  JOIN corpus v ON v.vec_id = p.q_id
+  JOIN {cent} c ON c.c_id = p.probe_list
+),
+lut{n} AS (
+  SELECT q_id, probe_list, sub, code, {_PQ_D2_SQL} AS d2
+  FROM qres{n}, r{n}cb AS cb(sub, code, carr)
+),
+adc{n} AS (
+  SELECT c.q_id, c.n_id, CAST(SUM(t.d2) AS BIGINT) AS approx_dist
+  FROM (
+    SELECT p.q_id, l.n_id, l.list_id
+    FROM {lists} l
+    JOIN {probes} p ON l.list_id = p.probe_list AND l.n_id <> p.q_id
+  ) c
+  JOIN codes{n} k ON k.vec_id = c.n_id
+  JOIN lut{n} t ON t.q_id = c.q_id AND t.probe_list = c.list_id
+               AND t.sub = k.sub AND t.code = k.code
+  GROUP BY 1, 2
+),
+ivfpq{n} AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY approx_dist, n_id
+    ) AS rank FROM adc{n}
+  ) r WHERE rank <= {_IVF_TOPK}
+)"""
+
+    return f"""
+WITH {_QUANT_CTE},
+drifted AS (
+  SELECT vec_id + {_DRIFT_ID_OFFSET} AS vec_id,
+         list_transform(q, x -> x + {_REFRESH_DRIFT}) AS q
+  FROM qn
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, q, nq FROM qn
+  UNION ALL
+  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nq
+  FROM drifted
+),
+cent0 AS MATERIALIZED (
+  SELECT vec_id AS c_id, q, nq FROM qn WHERE vec_id IN ({cent_ids})
+),
+a0 AS MATERIALIZED (
+  SELECT v.vec_id AS v_id, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.c_id ASC
+         ) AS crank
+  FROM corpus v JOIN cent0 c ON TRUE
+),
+lists0 AS MATERIALIZED (SELECT v_id AS n_id, c_id AS list_id FROM a0 WHERE crank = 1),
+probes0 AS (
+  SELECT v_id AS q_id, c_id AS probe_list FROM a0
+  WHERE {qpred} AND crank <= {_N_PROBE}
+),
+{pq_phase('0', 'cent0', 'lists0', 'probes0',
+          f'SELECT vec_id, q FROM resid0 WHERE vec_id < {_DRIFT_ID_OFFSET}')},
+ex AS (
+  SELECT l.list_id, unnest(generate_series(1, {dim})) AS pos, v.q
+  FROM lists0 l JOIN corpus v ON v.vec_id = l.n_id
+),
+cs AS (
+  SELECT list_id, pos,
+         CAST(FLOOR(CAST(SUM(q[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM ex GROUP BY 1, 2
+),
+cent1m AS (SELECT list_id AS c_id, list(cv ORDER BY pos ASC) AS q FROM cs GROUP BY 1),
+cent1 AS MATERIALIZED (
+  SELECT c_id, q, list_sum(list_transform(q, x -> x * x)) AS nq FROM cent1m
+  UNION ALL
+  SELECT c_id, q, nq FROM cent0
+  WHERE c_id NOT IN (SELECT c_id FROM cent1m)
+),
+a1 AS MATERIALIZED (
+  SELECT v.vec_id AS v_id, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.c_id ASC
+         ) AS crank
+  FROM corpus v JOIN cent1 c ON TRUE
+),
+lists1 AS MATERIALIZED (SELECT v_id AS n_id, c_id AS list_id FROM a1 WHERE crank = 1),
+probes1 AS (
+  SELECT v_id AS q_id, c_id AS probe_list FROM a1
+  WHERE {qpred} AND crank <= {_N_PROBE}
+),
+{pq_phase('1', 'cent1', 'lists1', 'probes1',
+          'SELECT vec_id, q FROM resid1')},
+brute AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a='n', b='q')} DESC, n.vec_id ASC
+           ) AS rank
+    FROM corpus q JOIN corpus n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+       OR (q.vec_id >= {_DRIFT_ID_OFFSET}
+           AND q.vec_id < {_DRIFT_ID_OFFSET + _N_QUERIES})
+  ) r WHERE rank <= {_IVF_TOPK}
+)
+SELECT 'before' AS phase,
+       CAST(COUNT(i.n_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM brute b LEFT JOIN ivfpq0 i ON i.q_id = b.q_id AND i.n_id = b.n_id
+UNION ALL
+SELECT 'after' AS phase,
+       CAST(COUNT(i.n_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM brute b LEFT JOIN ivfpq1 i ON i.q_id = b.q_id AND i.n_id = b.n_id
+"""
+
+
 def _ivfpq_sql(train_on_base: bool = False) -> str:
     """The one-shot IVF-PQ spelling. `train_on_base` restricts the
     PQ TRAINER to the base slice (vec_id ≢ 0 mod 10) — the persisted
@@ -1367,6 +1809,7 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_store_search": ann_ivfpq_store_search,
     "ann_ivf_refresh_recall": ann_ivf_refresh_recall,
+    "ann_ivfpq_refresh_recall": ann_ivfpq_refresh_recall,
 }
 
 ORACLE = {
@@ -1384,4 +1827,8 @@ ORACLE = {
     # integer M-step), so even though refresh CHANGES search results,
     # the (phase, hits, total) recall frame is hash-exact.
     "ann_ivf_refresh_recall": _refresh_recall_sql(),
+    # the compressed-index sibling: one hash pins the four-artifact
+    # roundtrip, stale-codebook insert ≡ rebuild, the PQ retrain +
+    # codes re-encode on refresh, and the recall lift itself.
+    "ann_ivfpq_refresh_recall": _ivfpq_refresh_recall_sql(),
 }

@@ -67,7 +67,8 @@ def test_ivf_lists_compaction_preserves_search(spark, sf_oracle):
     assert n_before > 1, "expected one file group per insert batch"
     rows_before = sorted(map(tuple, spark.read.parquet(lists_path).collect()))
 
-    assert ann_store.compact_ivf_lists(spark, lists_path) == n_before
+    r = ann_store.compact_ivf_lists(spark, lists_path)
+    assert r["files_before"] == n_before and r["rewrote"]
     assert len(glob.glob(os.path.join(lists_path, "*.parquet"))) == 1
     assert sorted(map(tuple, spark.read.parquet(lists_path).collect())) == rows_before
 
@@ -624,12 +625,15 @@ def test_compact_ivf_lists_skips_when_compact_and_no_sidecar(spark, tmp_path):
         [(1, 10), (0, 11), (1, 12)], "list_id long, n_id long"
     ).coalesce(1).write.parquet(lists)
     files0 = sorted(os.listdir(lists))
-    assert ann_store.compact_ivf_lists(spark, lists) == 1
+    r = ann_store.compact_ivf_lists(spark, lists)
+    assert r == {"files_before": 1, "files_after": 1,
+                 "rewrote": False, "folded": False}
     assert sorted(os.listdir(lists)) == files0  # untouched
 
     ids = spark.createDataFrame([(12,)], "doc_id long")
     retract_ivf_vectors(spark, lists, ids)
-    assert ann_store.compact_ivf_lists(spark, lists) == 1  # folds anyway
+    r = ann_store.compact_ivf_lists(spark, lists)
+    assert r["folded"] and r["rewrote"]  # folds anyway
     assert not os.path.isdir(ivf_tombstones_path(lists))
     assert {
         (r["list_id"], r["n_id"]) for r in spark.read.parquet(lists).collect()
@@ -678,7 +682,155 @@ def test_ivfpq_store_search_composes_tombstones(spark, sf_oracle):
         qn.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "q", "nq"),
         os.path.join(root, "codebook"),
         lists_path,
-        os.path.join(root, "codes"),
+        ann_store.ivf_codes_path(lists_path),
     ).collect()
     assert got, "query returned nothing"
     assert all(r["n_id"] not in victims for r in got)
+
+
+# ------------------- PQ codes table as a lifecycle citizen (round 15)
+#
+# VERDICT r14 / ADVICE r14: a takedown must remove the taken-down
+# vectors' DERIVED representations (codes), and a geometry retrain
+# (refresh/split) must re-encode the persisted codes or the stored
+# codes and the query LUT become ADC-incoherent.
+
+
+def _toy_codes_index(spark, tmp_path):
+    import os
+
+    lists = str(tmp_path / "lists")
+    codes = ann_store.ivf_codes_path(lists)
+    spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 1)], "n_id long, list_id long"
+    ).write.parquet(lists)
+    spark.createDataFrame(
+        [(v, s, (v + s) % 4) for v in (10, 11, 12) for s in (0, 1)],
+        "vec_id long, sub int, code int",
+    ).write.parquet(codes)
+    return lists, codes
+
+
+def test_compact_folds_takedown_into_codes(spark, tmp_path):
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        ivf_tombstones_path,
+        retract_ivf_vectors,
+    )
+
+    lists, codes = _toy_codes_index(spark, tmp_path)
+    retract_ivf_vectors(
+        spark, lists, spark.createDataFrame([(12,)], "doc_id long")
+    )
+    r = ann_store.compact_ivf_lists(spark, lists)
+    assert r["folded"] and r["rewrote"]
+    assert not os.path.isdir(ivf_tombstones_path(lists))
+    assert {
+        r["n_id"] for r in spark.read.parquet(lists).collect()
+    } == {10, 11}
+    assert {
+        r["vec_id"] for r in spark.read.parquet(codes).collect()
+    } == {10, 11}  # the takedown removed the derived representation too
+
+
+def test_fold_ivf_retractions_folds_codes(spark, tmp_path):
+    import os
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        fold_ivf_retractions,
+        retract_ivf_vectors,
+    )
+
+    lists, codes = _toy_codes_index(spark, tmp_path)
+    retract_ivf_vectors(
+        spark, lists, spark.createDataFrame([(11,)], "doc_id long")
+    )
+    assert fold_ivf_retractions(spark, lists) == {"folded": True}
+    assert {
+        r["vec_id"] for r in spark.read.parquet(codes).collect()
+    } == {10, 12}
+
+
+def test_refresh_reencodes_persisted_codes(spark, sf_smoke, tmp_path):
+    """After refresh_ivf_centroids the codes table must equal a fresh
+    encode against the NEW lists + centroids + retrained PQ codebook
+    — byte-exact, and a retracted vector's codes leave with the same
+    pass (the re-encode covers live members only)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        retract_ivf_vectors,
+    )
+
+    qn = _quantized(spark, sf_smoke).cache()
+    cb = str(tmp_path / "codebook")
+    lists = str(tmp_path / "lists")
+    codes = ann_store.ivf_codes_path(lists)
+    qn.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.parquet(lists)
+    ann_store.train_pq_codebook(spark, qn, cb, lists)
+    ann_store.reencode_ivf_codes(spark, qn, cb, lists)
+    codes0 = {tuple(r) for r in spark.read.parquet(codes).collect()}
+
+    victim = qn.agg(F.max("vec_id")).first()[0]
+    retract_ivf_vectors(
+        spark, lists, spark.createDataFrame([(victim,)], "doc_id long")
+    )
+    ann_store.refresh_ivf_centroids(spark, qn, cb, lists)
+
+    got = {tuple(r) for r in spark.read.parquet(codes).collect()}
+    assert got != codes0  # geometry changed → codes changed
+    assert all(r[0] != victim for r in got)  # takedown's codes are gone
+
+    # expected: fresh encode against the post-refresh artifacts
+    centv = spark.read.parquet(cb).select("c_id", F.col("q").alias("cq"))
+    resid = (
+        qn.join(
+            spark.read.parquet(lists).withColumnRenamed("n_id", "vec_id"),
+            "vec_id",
+        )
+        .join(broadcast(centv), F.col("list_id") == F.col("c_id"))
+        .select(
+            "vec_id",
+            F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
+        )
+    )
+    pq_cb = spark.read.parquet(ann_store.pq_codebook_path(cb))
+    want = {
+        tuple(r) for r in ann_store._ivfpq_codes(resid, pq_cb).collect()
+    }
+    qn.unpersist()
+    assert got == want
+
+
+def test_refresh_rejects_codes_without_pq_codebook(spark, sf_smoke, tmp_path):
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+
+    qn = _quantized(spark, sf_smoke)
+    cb = str(tmp_path / "codebook")
+    lists = str(tmp_path / "lists")
+    qn.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.parquet(lists)
+    ann_store.train_pq_codebook(spark, qn, cb, lists)
+    ann_store.reencode_ivf_codes(spark, qn, cb, lists)
+    shutil.rmtree(ann_store.pq_codebook_path(cb))
+    with pytest.raises(RuntimeError, match="incoherent"):
+        ann_store.refresh_ivf_centroids(spark, qn, cb, lists)
