@@ -109,6 +109,11 @@ HEADLINE = [
     # artifacts → encode-insert through them → disk-only query) —
     # tracked from birth (lifecycle)
     "ann_ivfpq_store_search",
+    # round 15: the compressed-index refresh probe (stale artifacts →
+    # Lloyd refresh + PQ retrain + codes re-encode → recall lift) —
+    # tracked from birth (lifecycle), the IVF-PQ sibling of
+    # ann_ivf_refresh_recall
+    "ann_ivfpq_refresh_recall",
 ]
 
 # VERDICT r11 bench finding: the headline total had become dominated
@@ -131,6 +136,7 @@ LIFECYCLE = {
     "dedup_store_retraction",
     "embedding_store_retraction",
     "ann_ivfpq_store_search",
+    "ann_ivfpq_refresh_recall",
 }
 
 # Family subtotals (VERDICT r10 item #7): 38 tracked queries make the
