@@ -3,9 +3,11 @@ layout vs the legacy flat layout, on the UNCHANGED rep-admission
 lifecycle ops (the SCALE.md noise protocol: one session, ABBA
 order, median of 5 per arm).
 
-BENCH_r15 moved the lifecycle proof ops +8-25% vs r14 on the same
-day the layout landed, so the delta cannot be presumed noise — this
-isolates the LAYOUT's cost exactly: arm B monkeypatches
+The layout lands the same round the bench runs, so any lifecycle-op
+delta in BENCH_r15 cannot be presumed noise — this isolates the
+LAYOUT's cost exactly (measured r15: +11% on
+embedding_store_rep_admission, +25% on dedup_store_retraction at
+sf0.1 proof scale — SCALE.md): arm B monkeypatches
 `dedup_store.write_table` to the legacy flat write (no marker), so
 every pruned read falls back to the legacy full scan and every
 append stays flat, while ALL other round-15 code (cached g_batch,

@@ -61,7 +61,12 @@ N_RETRACT = 100
 BATCH_DOCS = 24
 
 ds._BANDED_BUCKETS = 256  # scale setting (see admission_scale.py)
-TBL_BUCKETS = 256         # flat store + members key-bucket scale setting
+# flat store + members key-bucket scale setting; override via env to
+# measure the rebucket-UP story (the layout's slope is store/buckets
+# per touched bucket, so doubling buckets should halve the admit
+# curve's residual data term — the banded index's sweep, table
+# edition)
+TBL_BUCKETS = int(os.environ.get("TBL_BUCKETS", "256"))
 
 spark = get_spark()
 spark.sparkContext.setLogLevel("ERROR")
