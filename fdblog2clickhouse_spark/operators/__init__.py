@@ -51,16 +51,17 @@ from pyspark.sql import DataFrame, SparkSession
 #       verify;
 #   (d) the 10 trace_ops ops at r10 evidence (five rounds stale —
 #       r14's ordered re-cover priority);
-#   (e) 27 of the 41-op r11 cohort: textops' 8, bpe's 2,
-#       sinkcheck's 7, tpch q5-q14.
+#   (e) 26 of the 41-op r11 cohort: textops' 8, bpe's 2,
+#       sinkcheck's 7, tpch q5-q13.
 # DEFERRED to r16 (named, per the verdict's "defer and say which"):
-# tpch_q15-q22 + the 6 tpch analytics (customer_rfm,
+# tpch_q14-q22 + the 6 tpch analytics (customer_rfm,
 # market_basket_pairs, nation_activity_fullouter,
-# orders_percent_rank, nation_yoy_growth, brand_revenue_share) — 14
+# orders_percent_rank, nation_yoy_growth, brand_revenue_share) — 15
 # ops, all in byte-unchanged tpch.py whose q1-q4 went green in r14
-# and whose q5-q14 re-verify THIS round, the lowest-risk possible
-# deferral. NOT in the window by design: every r12-r14 green whose
-# file is untouched. Exactly 50.
+# and whose q5-q13 re-verify THIS round, the lowest-risk possible
+# deferral (q14 joined it when the NEW ann_ivf_filtered_search took
+# a changed-code slot). NOT in the window by design: every r12-r14
+# green whose file is untouched. Exactly 50.
 _FRONT_WINDOW = [
     # (a) r15-changed dedup_store.py (6)
     "dedup_store_rep_admission", "embedding_store_rep_admission",
@@ -68,8 +69,10 @@ _FRONT_WINDOW = [
     "dedup_store_admission", "embedding_store_admission",
     # (b) callers of the changed shared kernel (2)
     "streaming_rep_admission", "streaming_embedding_rep_admission",
-    # (c) r15-changed ann_store.py (5, incl. the NEW refresh-recall)
-    "ann_ivfpq_refresh_recall", "ann_ivfpq_store_search",
+    # (c) r15-changed ann_store.py (6, incl. the NEW refresh-recall
+    # and the NEW filtered persisted-index search)
+    "ann_ivfpq_refresh_recall", "ann_ivf_filtered_search",
+    "ann_ivfpq_store_search",
     "ann_ivfpq_topk", "ann_ivf_store_search", "ann_ivf_refresh_recall",
     # (d) trace_ops' r10 tail (10)
     "trace_partition_stats", "severity_rollup", "events_per_minute",
@@ -86,7 +89,7 @@ _FRONT_WINDOW = [
     "hll_sink_roundtrip", "hist_sink_roundtrip",
     "bucketed_sink_roundtrip",
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
 ]
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .dedup import _quantized
+from .dedup import _QUANT_CTE, _quantized
 from .dedup_store import fold_ivf_retractions, live_ivf_lists
 from .sinkcheck import scratch_dir
 from .similarity import (
@@ -154,6 +154,105 @@ def ivf_store_search_plan(
         .withColumn("rank", F.row_number().over(wq).cast("int"))
         .where(F.col("rank") <= _IVF_TOPK)
     )
+
+
+_FILTER_LABEL_MAX = 4  # filtered search's predicate: label < 4 (~40%)
+
+
+def ivf_store_filtered_search_plan(
+    spark: SparkSession,
+    qn: DataFrame,
+    allowed: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+    nprobe: int = _N_PROBE,
+) -> DataFrame:
+    """`ivf_store_search_plan` with a metadata predicate composed
+    into the INDEX read — filtered vector search, the retrieval
+    shape every RAG / curation stack runs against a vector store
+    (predicate first, distance second). `allowed` is a frame with an
+    `n_id` column (the ids passing the caller's metadata predicate);
+    it semi-joins the inverted lists BEFORE any per-dimension work,
+    so the expensive cosine arithmetic runs on filtered candidates
+    only — pre-filtering, never post-filtering (a post-filter
+    computes distances for every probed vector and can return < k
+    SURVIVORS of a k-cut, which silently changes semantics). Probe
+    selection is NOT filtered: which lists a query visits depends
+    only on (query, codebook) — the filter restricts candidates
+    within probed lists, exactly the FAISS IDSelector / payload-
+    filter semantics. At scale the semi-join shuffles lists on
+    n_id only when `allowed` is large; a selective predicate under
+    AQE broadcasts. Composes the tombstone sidecar via
+    `live_ivf_lists` like every other lists reader."""
+    lists = live_ivf_lists(spark, lists_path).join(
+        allowed.select("n_id"), "n_id", "left_semi"
+    )
+    probes = _assign(
+        qn.where(F.col("vec_id") < _N_QUERIES),
+        spark.read.parquet(codebook_path),
+        nprobe,
+    ).select(F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list"))
+
+    qv = qn.select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    nv = qn.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    cands = (
+        nv.join(lists, "n_id")
+        .join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "list_id", "qb", "nb")
+        .join(broadcast(qv), "q_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cands.select("q_id", "n_id", "list_id", _cosine_cols())
+        .withColumn("rank", F.row_number().over(wq).cast("int"))
+        .where(F.col("rank") <= _IVF_TOPK)
+    )
+
+
+def ann_ivf_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search through the PERSISTED IVF index: build the
+    on-disk index (codebook + lists, `ann_ivf_store_search`'s build
+    step), then answer the query set under a metadata predicate
+    (label < _FILTER_LABEL_MAX) through
+    `ivf_store_filtered_search_plan`. The brute-force sibling
+    (`ann_filtered_topk`, similarity.py) pins pre-filter semantics
+    on the exact scan; THIS op pins them on the index path — the
+    production combination (a vector store query with a payload
+    filter), where the predicate must compose with the inverted
+    lists, not with a full corpus scan. Queries are not themselves
+    filtered (a query vector's metadata is irrelevant to what it may
+    retrieve). Some queries can legitimately return < topk rows
+    (their probed lists hold < topk allowed vectors) — identical on
+    both engines, and exactly why pre- vs post-filter matters.
+    Oracle: the full-corpus IVF spelling with the same predicate
+    joined into the candidate step."""
+    root = scratch_dir("ivf_filtered")
+    codebook_path = root + "/codebook"
+    lists_path = root + "/lists"
+
+    qn = _quantized(spark, sf_dir).cache()
+
+    qn.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).write.mode("overwrite").parquet(codebook_path)
+    _assign(qn, spark.read.parquet(codebook_path), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.mode("overwrite").parquet(lists_path)
+
+    allowed = qn.where(F.col("label") < _FILTER_LABEL_MAX).select(
+        F.col("vec_id").alias("n_id")
+    )
+    out = ivf_store_filtered_search_plan(
+        spark, qn, allowed, codebook_path, lists_path
+    )
+    out.write.mode("overwrite").parquet(root + "/result")
+    qn.unpersist()
+    return spark.read.parquet(root + "/result")
 
 
 def ivf_codes_path(lists_path: str) -> str:
@@ -1804,8 +1903,50 @@ FROM (
 """
 
 
+# the full-corpus IVF spelling with the metadata predicate joined
+# into the CANDIDATE step only (probe selection unfiltered — the
+# pre-filter composes with the index read, not with which lists a
+# query visits): `ann_ivf_filtered_search`'s oracle.
+_ANN_IVF_FILTERED_SQL = f"""
+WITH {_QUANT_CTE},
+cent AS (
+  SELECT vec_id AS c_id, q, nq FROM qn
+  WHERE vec_id IN ({', '.join(map(str, _CENTROID_IDS))})
+),
+assign AS (
+  SELECT v.vec_id AS v_id, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_COS_SQL.format(a='v', b='c')} DESC, c.c_id ASC
+         ) AS crank
+  FROM qn v JOIN cent c ON TRUE
+),
+lists AS (SELECT v_id AS n_id, c_id AS list_id FROM assign WHERE crank = 1),
+probes AS (
+  SELECT v_id AS q_id, c_id AS probe_list FROM assign
+  WHERE v_id < {_N_QUERIES} AND crank <= {_N_PROBE}
+),
+allowed AS (SELECT vec_id AS n_id FROM qn WHERE label < {_FILTER_LABEL_MAX}),
+pairs AS (
+  SELECT p.q_id, l.n_id, l.list_id,
+         {_COS_SQL.format(a='q', b='n')} AS cosine
+  FROM lists l
+  JOIN allowed a ON a.n_id = l.n_id
+  JOIN probes p ON l.list_id = p.probe_list AND l.n_id <> p.q_id
+  JOIN qn n ON n.vec_id = l.n_id
+  JOIN qn q ON q.vec_id = p.q_id
+), ranked AS (
+  SELECT q_id, n_id, list_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id, list_id, cosine, rank FROM ranked WHERE rank <= {_IVF_TOPK}
+"""
+
+
 QUERIES = {
     "ann_ivf_store_search": ann_ivf_store_search,
+    "ann_ivf_filtered_search": ann_ivf_filtered_search,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_store_search": ann_ivfpq_store_search,
     "ann_ivf_refresh_recall": ann_ivf_refresh_recall,
@@ -1817,6 +1958,10 @@ ORACLE = {
     # provably equivalent (assignment is per-vector independent), so
     # one oracle pins both the equivalence and the index roundtrip.
     "ann_ivf_store_search": _ANN_IVF_SQL,
+    # the same spelling with the predicate in the candidate step —
+    # the hash pins pre-filter (never post-filter) semantics on the
+    # index path plus the codebook/lists roundtrip.
+    "ann_ivf_filtered_search": _ANN_IVF_FILTERED_SQL,
     "ann_ivfpq_topk": _ivfpq_sql(),
     # same spelling with the TRAINER restricted to the base slice —
     # the persisted store's codebooks predate the insert batch; the

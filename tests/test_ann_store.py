@@ -834,3 +834,59 @@ def test_refresh_rejects_codes_without_pq_codebook(spark, sf_smoke, tmp_path):
     shutil.rmtree(ann_store.pq_codebook_path(cb))
     with pytest.raises(RuntimeError, match="incoherent"):
         ann_store.refresh_ivf_centroids(spark, qn, cb, lists)
+
+
+def test_filtered_search_matches_oracle(spark, sf_oracle):
+    compare(
+        ann_store.ann_ivf_filtered_search(spark, sf_oracle),
+        ann_store.ORACLE["ann_ivf_filtered_search"],
+        sf_oracle,
+    )
+
+
+def test_filtered_search_prefilters_and_composes_tombstones(
+    spark, sf_oracle, tmp_path
+):
+    """Every returned neighbor passes the predicate (pre-filter —
+    a post-filter could also violate this only by returning fewer
+    rows, so additionally pin that a retraction through the vec_id
+    tombstone sidecar is composed by the FILTERED plan like every
+    other lists reader: retracting a returned neighbor removes it
+    without any index rewrite."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        retract_ivf_vectors,
+    )
+
+    qn = _quantized(spark, sf_oracle).cache()
+    cb = str(tmp_path / "codebook")
+    lists = str(tmp_path / "lists")
+    qn.where(
+        F.col("vec_id").isin(similarity._CENTROID_IDS)
+    ).select(F.col("vec_id").alias("c_id"), "q", "nq").coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.parquet(lists)
+    allowed = qn.where(
+        F.col("label") < ann_store._FILTER_LABEL_MAX
+    ).select(F.col("vec_id").alias("n_id"))
+    out = ann_store.ivf_store_filtered_search_plan(
+        spark, qn, allowed, cb, lists
+    )
+    rows = out.collect()
+    assert rows, "filtered search returned nothing"
+    allowed_ids = {r["n_id"] for r in allowed.collect()}
+    assert {r["n_id"] for r in rows} <= allowed_ids
+
+    victim = rows[0]["n_id"]
+    retract_ivf_vectors(
+        spark, lists,
+        spark.createDataFrame([(victim,)], "doc_id long"),
+    )
+    after = ann_store.ivf_store_filtered_search_plan(
+        spark, qn, allowed, cb, lists
+    ).collect()
+    qn.unpersist()
+    assert victim not in {r["n_id"] for r in after}
