@@ -879,15 +879,31 @@ def table_layout(path: str) -> dict | None:
         return None
     with open(meta) as f:
         lay = json.load(f)
-    return {"buckets": int(lay["buckets"]), "key": str(lay["key"])}
+    return {
+        "buckets": int(lay["buckets"]),
+        "key": str(lay["key"]),
+        # bucket-expression version: markers written before round
+        # 15's skew fix carry no field and mean the raw-pmod
+        # spelling; every reader/appender must reproduce the exact
+        # expression the data was WRITTEN with or the prune selects
+        # partitions where the matching rows don't live.
+        "pb": str(lay.get("pb", "mod")),
+    }
 
 
-def _tbl_pb_expr(dtype, col: str, buckets: int):
-    """Deterministic bucket of a join key: integral keys pmod
-    directly; string keys (gh is an md5 hex, but any string works)
-    hash through md5 first so the bucketing never assumes hex. Both
-    spellings are pure Spark SQL — the same expression buckets the
-    store at write time and the batch at read time."""
+def _tbl_pb_expr(dtype, col: str, buckets: int, variant: str = "xxh64"):
+    """Deterministic bucket of a join key. String keys (gh is an md5
+    hex, but any string works) hash through md5 so the bucketing
+    never assumes hex. Integral keys HASH through xxhash64 before
+    the pmod (variant 'xxh64', the default for new layouts): raw
+    `pmod(id, buckets)` degenerates on arithmetic-progression id
+    spaces — snowflake-style ids with low bits zero land every row
+    in a handful of buckets (all in ONE when the stride shares the
+    bucket count's factors), silently turning the pruned read back
+    into a near-full scan. xxhash64 is seed-stable inside Spark, so
+    the same expression buckets the store at write time and the
+    batch at read time; variant 'mod' reproduces pre-r15 markers.
+    Both spellings are pure Spark SQL."""
     from pyspark.sql.types import StringType
 
     if isinstance(dtype, StringType):
@@ -895,7 +911,11 @@ def _tbl_pb_expr(dtype, col: str, buckets: int):
             f"CAST(pmod(CAST(conv(substring(md5({col}), 1, 8), 16, 10) "
             f"AS BIGINT), {buckets}) AS INT)"
         )
-    return F.expr(f"CAST(pmod(CAST({col} AS BIGINT), {buckets}) AS INT)")
+    if variant == "mod":
+        return F.expr(f"CAST(pmod(CAST({col} AS BIGINT), {buckets}) AS INT)")
+    return F.expr(
+        f"CAST(pmod(xxhash64(CAST({col} AS BIGINT)), {buckets}) AS INT)"
+    )
 
 
 def _write_tbl_marker(
@@ -913,7 +933,13 @@ def _write_tbl_marker(
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _TBL_META), "w") as f:
         json.dump(
-            {"buckets": buckets, "key": key, "schema": schema_json}, f
+            {
+                "buckets": buckets,
+                "key": key,
+                "schema": schema_json,
+                "pb": "xxh64",
+            },
+            f,
         )
 
 
@@ -949,17 +975,20 @@ def write_table(
     without `key` they stay legacy-flat."""
     import os
 
+    variant = "xxh64"  # new layouts; appends reproduce the persisted one
+    write_marker = True
     if mode == "append" and os.path.exists(path):
         lay = table_layout(path)
         if lay is None:
             df.write.mode("append").parquet(path)
             return
-        key, buckets = lay["key"], lay["buckets"]
+        key, buckets, variant = lay["key"], lay["buckets"], lay["pb"]
+        write_marker = False  # the marker IS the layout — never drift it
     if key is None:
         df.write.mode(mode).parquet(path)
         return
     buckets = buckets or _STORE_BUCKETS
-    pb = _tbl_pb_expr(df.schema[key].dataType, key, buckets)
+    pb = _tbl_pb_expr(df.schema[key].dataType, key, buckets, variant)
     (
         df.withColumn(_TBL_PB, pb)
         .repartition(_TBL_PB)
@@ -967,7 +996,8 @@ def write_table(
         .mode(mode)
         .parquet(path)
     )
-    _write_tbl_marker(path, key, buckets, df.schema.json())
+    if write_marker:
+        _write_tbl_marker(path, key, buckets, df.schema.json())
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -1009,7 +1039,7 @@ def pruned_table(
         return read_table(spark, path)
     buckets = lay["buckets"]
     kc = key_col or lay["key"]
-    pb = _tbl_pb_expr(keys.schema[kc].dataType, kc, buckets)
+    pb = _tbl_pb_expr(keys.schema[kc].dataType, kc, buckets, lay["pb"])
     vals = sorted(
         r[0]
         for r in keys.select(pb.alias(_TBL_PB)).distinct().collect()
@@ -1043,7 +1073,10 @@ def bucket_table(
     every instant `path` or `path + '.old'` holds a complete table.
     Pruned-read results are invariant across a re-bucket (the bucket
     is a pure pruning key; every join still matches on the key value
-    itself). Returns {buckets_before, buckets_after}."""
+    itself). Also migrates a pre-r15 raw-pmod layout to the
+    skew-robust xxh64 bucket expression (data and marker rewritten
+    together — the no-op early return requires the CURRENT
+    expression version). Returns {buckets_before, buckets_after}."""
     import os
     import shutil
 
@@ -1051,7 +1084,12 @@ def bucket_table(
     shutil.rmtree(path + ".old", ignore_errors=True)
     lay = table_layout(path)
     before = lay["buckets"] if lay else None
-    if lay and lay["buckets"] == buckets and lay["key"] == key:
+    if (
+        lay
+        and lay["buckets"] == buckets
+        and lay["key"] == key
+        and lay["pb"] == "xxh64"
+    ):
         return {"buckets_before": before, "buckets_after": buckets}
     old, staging = path + ".old", path + ".rebucket"
     shutil.rmtree(staging, ignore_errors=True)

@@ -1836,7 +1836,7 @@ def test_bucketed_table_roundtrip_and_pruned_read(spark, tmp_path):
         [(i, f"gh{i}") for i in range(200)], "group_id long, gh string"
     )
     ds.write_table(df, path, "overwrite", key="gh", buckets=8)
-    assert ds.table_layout(path) == {"buckets": 8, "key": "gh"}
+    assert ds.table_layout(path) == {"buckets": 8, "key": "gh", "pb": "xxh64"}
     full = ds.read_table(spark, path)
     assert sorted(full.columns) == ["gh", "group_id"]
     assert full.count() == 200
@@ -1887,7 +1887,7 @@ def test_write_table_append_honors_persisted_layout(spark, tmp_path):
     )
     ds.write_table(mk(0, 50), path, "overwrite", key="gh", buckets=4)
     ds.write_table(mk(50, 80), path, "append")
-    assert ds.table_layout(path) == {"buckets": 4, "key": "gh"}
+    assert ds.table_layout(path) == {"buckets": 4, "key": "gh", "pb": "xxh64"}
     assert ds.read_table(spark, path).count() == 80
     # no stray top-level files: every row lives under a pb dir
     assert glob.glob(os.path.join(path, "*.parquet")) == []
@@ -1916,7 +1916,7 @@ def test_bucket_table_migration_and_rebucket(spark, tmp_path):
     df.write.parquet(path)
     r = ds.bucket_table(spark, path, "doc_id", 8)
     assert r == {"buckets_before": None, "buckets_after": 8}
-    assert ds.table_layout(path) == {"buckets": 8, "key": "doc_id"}
+    assert ds.table_layout(path) == {"buckets": 8, "key": "doc_id", "pb": "xxh64"}
     assert ds.read_table(spark, path).count() == 100
     r2 = ds.bucket_table(spark, path, "doc_id", 32)
     assert r2 == {"buckets_before": 8, "buckets_after": 32}
@@ -1957,7 +1957,7 @@ def test_compact_signature_store_preserves_bucketed_layout(spark, tmp_path):
     assert max(per_dir) > 1
     n = ds.compact_signature_store(spark, path, sort_col="bk0")
     assert n == sum(per_dir)
-    assert ds.table_layout(path) == {"buckets": 4, "key": "gh"}
+    assert ds.table_layout(path) == {"buckets": 4, "key": "gh", "pb": "xxh64"}
     per_dir_after = [
         len(glob.glob(os.path.join(d, "*.parquet")))
         for d in glob.glob(os.path.join(path, "pb=*"))
@@ -2005,8 +2005,8 @@ def test_fold_retractions_preserves_bucketed_layout(spark, tmp_path):
         spark, sig, mem, spark.createDataFrame([(3,)], "doc_id long")
     )
     assert ds.fold_retractions(spark, sig, band, mem) == {"folded": True}
-    assert ds.table_layout(sig) == {"buckets": 4, "key": "gh"}
-    assert ds.table_layout(mem) == {"buckets": 4, "key": "doc_id"}
+    assert ds.table_layout(sig) == {"buckets": 4, "key": "gh", "pb": "xxh64"}
+    assert ds.table_layout(mem) == {"buckets": 4, "key": "doc_id", "pb": "xxh64"}
     assert not os.path.exists(sig + ".old") and not os.path.exists(mem + ".old")
     m = ds.read_table(spark, mem)
     assert m.where(F.col("doc_id") == 3).count() == 0
@@ -2016,3 +2016,98 @@ def test_fold_retractions_preserves_bucketed_layout(spark, tmp_path):
         ds.pruned_table(spark, mem, keys).where(F.col("doc_id") == 5).count()
         == 1
     )
+
+
+def test_integral_bucketing_survives_strided_id_spaces(spark, tmp_path):
+    """Snowflake-style id spaces (low bits zero — here every id a
+    multiple of 64) collapse under raw pmod bucketing: with 8
+    buckets, pmod(64k, 8) = 0 for every row, so the 'pruned' read
+    degenerates to a full scan of one mega-partition. The xxh64
+    variant spreads them; pruned reads still return exactly the
+    matching rows."""
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "strided")
+    df = spark.createDataFrame(
+        [(i * 64, f"g{i}") for i in range(64)], "doc_id long, gh string"
+    )
+    ds.write_table(df, path, "overwrite", key="doc_id", buckets=8)
+    import glob
+    import os
+
+    dirs = glob.glob(os.path.join(path, "pb=*"))
+    assert len(dirs) > 4, f"strided ids collapsed into {len(dirs)} buckets"
+    keys = spark.createDataFrame([(128,), (640,)], "doc_id long")
+    got = sorted(
+        r["doc_id"]
+        for r in ds.pruned_table(spark, path, keys)
+        .join(keys, "doc_id", "left_semi")
+        .collect()
+    )
+    assert got == [128, 640]
+
+
+def test_pre_r15_mod_marker_reads_with_its_own_expression(spark, tmp_path):
+    """A marker WITHOUT the pb field is the raw-pmod layout
+    (backward compat): appends and pruned reads must reproduce that
+    exact expression — bucketing the batch keys with xxh64 against
+    pmod-written data would prune to partitions where the matching
+    rows don't live."""
+    import json
+    import os
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "legacy_mod")
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(40)], "doc_id long, gh string"
+    )
+    # write the data the way a pre-r15 build did: raw pmod buckets
+    pb = ds._tbl_pb_expr(df.schema["doc_id"].dataType, "doc_id", 4, "mod")
+    (
+        df.withColumn(ds._TBL_PB, pb)
+        .repartition(ds._TBL_PB)
+        .write.partitionBy(ds._TBL_PB)
+        .parquet(path)
+    )
+    with open(os.path.join(path, ds._TBL_META), "w") as f:
+        json.dump(
+            {"buckets": 4, "key": "doc_id", "schema": df.schema.json()}, f
+        )
+    assert ds.table_layout(path)["pb"] == "mod"
+
+    keys = spark.createDataFrame([(7,), (22,)], "doc_id long")
+    pr = ds.pruned_table(spark, path, keys)
+    got = sorted(
+        r["doc_id"] for r in pr.join(keys, "doc_id", "left_semi").collect()
+    )
+    assert got == [7, 22]
+    # physical: the opened dirs are the MOD buckets (7%4=3, 22%4=2)
+    opened = {f.split("/pb=")[1].split("/")[0] for f in pr.inputFiles()}
+    assert opened <= {"2", "3"}
+
+    # an append lands in the mod buckets too (marker never drifts)
+    ds.write_table(
+        spark.createDataFrame([(41, "g41")], "doc_id long, gh string"),
+        path,
+        "append",
+    )
+    assert ds.table_layout(path)["pb"] == "mod"
+    keys2 = spark.createDataFrame([(41,)], "doc_id long")
+    pr2 = ds.pruned_table(spark, path, keys2)
+    assert [r["doc_id"] for r in pr2.join(keys2, "doc_id", "left_semi").collect()] == [41]
+    opened2 = {f.split("/pb=")[1].split("/")[0] for f in pr2.inputFiles()}
+    assert opened2 == {"1"}  # 41 % 4
+
+    # bucket_table migrates the expression version even at the same
+    # bucket count/key, and pruned reads stay invariant
+    r = ds.bucket_table(spark, path, "doc_id", 4)
+    assert r == {"buckets_before": 4, "buckets_after": 4}
+    assert ds.table_layout(path)["pb"] == "xxh64"
+    got3 = sorted(
+        r2["doc_id"]
+        for r2 in ds.pruned_table(spark, path, keys)
+        .join(keys, "doc_id", "left_semi")
+        .collect()
+    )
+    assert got3 == [7, 22]
