@@ -51,24 +51,27 @@ from pyspark.sql import DataFrame, SparkSession
 #       verify;
 #   (d) the 10 trace_ops ops at r10 evidence (five rounds stale —
 #       r14's ordered re-cover priority);
-#   (e) 26 of the 41-op r11 cohort: textops' 8, bpe's 2,
-#       sinkcheck's 7, tpch q5-q13.
+#   (e) 25 of the 41-op r11 cohort: textops' 8, bpe's 2,
+#       sinkcheck's 7, tpch q5-q12.
 # DEFERRED to r16 (named, per the verdict's "defer and say which"):
-# tpch_q14-q22 + the 6 tpch analytics (customer_rfm,
+# tpch_q13-q22 + the 6 tpch analytics (customer_rfm,
 # market_basket_pairs, nation_activity_fullouter,
-# orders_percent_rank, nation_yoy_growth, brand_revenue_share) — 15
+# orders_percent_rank, nation_yoy_growth, brand_revenue_share) — 16
 # ops, all in byte-unchanged tpch.py whose q1-q4 went green in r14
-# and whose q5-q13 re-verify THIS round, the lowest-risk possible
-# deferral (q14 joined it when the NEW ann_ivf_filtered_search took
-# a changed-code slot). NOT in the window by design: every r12-r14
-# green whose file is untouched. Exactly 50.
+# and whose q5-q12 re-verify THIS round, the lowest-risk possible
+# deferral (q13/q14 joined it when the NEW ann_ivf_filtered_search
+# and streaming_ivf_insert took changed-code slots). NOT in the
+# window by design: every r12-r14 green whose file is untouched.
+# Exactly 50.
 _FRONT_WINDOW = [
     # (a) r15-changed dedup_store.py (6)
     "dedup_store_rep_admission", "embedding_store_rep_admission",
     "dedup_store_retraction", "embedding_store_retraction",
     "dedup_store_admission", "embedding_store_admission",
-    # (b) callers of the changed shared kernel (2)
+    # (b) callers of the changed shared kernel (2) + the NEW
+    # streaming IVF insert (1)
     "streaming_rep_admission", "streaming_embedding_rep_admission",
+    "streaming_ivf_insert",
     # (c) r15-changed ann_store.py (6, incl. the NEW refresh-recall
     # and the NEW filtered persisted-index search)
     "ann_ivfpq_refresh_recall", "ann_ivf_filtered_search",
@@ -89,7 +92,7 @@ _FRONT_WINDOW = [
     "hll_sink_roundtrip", "hist_sink_roundtrip",
     "bucketed_sink_roundtrip",
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q10", "tpch_q11", "tpch_q12",
 ]
 
 

@@ -787,6 +787,86 @@ def _store_admission_stream_sql() -> str:
     return _STORE_ADMISSION_SQL
 
 
+def streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vector ingestion into the PERSISTED IVF index —
+    the streaming completion of `ann_ivf_store_search`
+    (operators/ann_store.py), closing the store family's symmetry:
+    the dedup stores have had an online admission loop since round
+    12 (`streaming_store_admission`), while the ANN index could only
+    be fed by batch CLI inserts. Arriving vectors (the
+    vec_id % 10 == 0 insert slice, landed as 4 JSON rotations of the
+    QUANTIZED frame — exact integers, so the rotation roundtrip is
+    lossless by construction — and consumed one file per micro-batch
+    under maxFilesPerTrigger=1) run through foreachBatch: every
+    micro-batch assigns itself against the persisted codebook
+    (`_assign` rank-1, the insert-vectors CLI kernel) and APPENDS
+    its (n_id, list_id) rows to the on-disk lists table. Codebooks
+    are never retrained by an insert (refresh-ivf's job), so the
+    index the final search reads is byte-equivalent to the batch
+    lifecycle's.
+
+    Oracle: the plain full-corpus IVF spelling — assignment depends
+    only on (vector, codebook), so ANY slicing of the inserts into
+    micro-batches is provably equivalent to a one-shot rebuild; the
+    hash pins that equivalence THROUGH the streaming machinery
+    (checkpointed availableNow drain, per-batch codebook reads,
+    append visibility across batches) plus the index roundtrip."""
+    from ..operators.ann_store import _assign, ivf_store_search_plan
+    from ..operators.dedup import _quantized
+    from ..operators.similarity import _CENTROID_IDS
+    from ..operators.sinkcheck import scratch_dir
+
+    root = scratch_dir("ivf_insert_stream")
+    codebook_path = root + "/codebook"
+    lists_path = root + "/lists"
+    arrivals = root + "/rotations"
+
+    qn = _quantized(spark, sf_dir).cache()
+
+    # index BUILD: codebook + the BASE corpus's assignments on disk
+    # (the same base/insert split as ann_ivf_store_search)
+    qn.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).write.mode("overwrite").parquet(codebook_path)
+    base = qn.where(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    _assign(base, spark.read.parquet(codebook_path), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.mode("overwrite").parquet(lists_path)
+
+    # arrivals: the insert slice as 4 integer-exact JSON rotations
+    qn.where(F.pmod(F.col("vec_id"), F.lit(10)) == 0).select(
+        "vec_id", "q", "nq"
+    ).coalesce(4).write.mode("overwrite").json(arrivals)
+
+    def insert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        _assign(batch_df, s.read.parquet(codebook_path), 1).select(
+            F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+        ).write.mode("append").parquet(lists_path)
+
+    stream = spark.readStream.schema(
+        "vec_id long, q array<long>, nq long"
+    ).option("maxFilesPerTrigger", 1).json(arrivals)
+    q = (
+        stream.writeStream.foreachBatch(insert)
+        .option("checkpointLocation", arrivals + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = ivf_store_search_plan(spark, qn, codebook_path, lists_path)
+    out.write.mode("overwrite").parquet(root + "/result")
+    qn.unpersist()
+    return spark.read.parquet(root + "/result")
+
+
+def _ivf_insert_stream_sql() -> str:
+    from ..operators.similarity import _ANN_IVF_SQL
+
+    return _ANN_IVF_SQL
+
+
 QUERIES = {
     "streaming_trace_ingest": streaming_trace_ingest,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -799,6 +879,7 @@ QUERIES = {
     "streaming_hll_rollup": streaming_hll_rollup,
     "streaming_incremental_dedup": streaming_incremental_dedup,
     "streaming_store_admission": streaming_store_admission,
+    "streaming_ivf_insert": streaming_ivf_insert,
 }
 
 ORACLE = {
@@ -813,4 +894,5 @@ ORACLE = {
     "streaming_hll_rollup": _hll_rollup_sql(),
     "streaming_incremental_dedup": _incr_stream_sql(),
     "streaming_store_admission": _store_admission_stream_sql(),
+    "streaming_ivf_insert": _ivf_insert_stream_sql(),
 }

@@ -275,3 +275,30 @@ def test_streaming_incremental_matches_batch_incremental(spark, sf_oracle):
         for r in sq.streaming_incremental_dedup(spark, sf_oracle).collect()
     }
     assert stream == batch and batch
+
+
+def test_streaming_ivf_insert_oracle(spark, sf_smoke):
+    from fdblog2clickhouse_spark.streaming import queries as sq
+
+    compare(
+        sq.streaming_ivf_insert(spark, sf_smoke),
+        sq.ORACLE["streaming_ivf_insert"],
+        sf_smoke,
+    )
+
+
+def test_streaming_ivf_insert_matches_batch_lifecycle(spark, sf_oracle):
+    """Micro-batched insert through the persisted codebook must be
+    byte-identical to the batch build+insert lifecycle
+    (`ann_ivf_store_search`) — the slicing-independence claim at the
+    DataFrame level, independent of the DuckDB oracle."""
+    from fdblog2clickhouse_spark.operators import ann_store
+    from fdblog2clickhouse_spark.streaming import queries as sq
+
+    via_stream = sorted(
+        map(tuple, sq.streaming_ivf_insert(spark, sf_oracle).collect())
+    )
+    via_batch = sorted(
+        map(tuple, ann_store.ann_ivf_store_search(spark, sf_oracle).collect())
+    )
+    assert via_stream == via_batch
