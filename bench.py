@@ -114,6 +114,11 @@ HEADLINE = [
     # tracked from birth (lifecycle), the IVF-PQ sibling of
     # ann_ivf_refresh_recall
     "ann_ivfpq_refresh_recall",
+    # round 15 (cont.): filtered search on the persisted index (the
+    # payload-filter query node) and the streaming vector-insert
+    # lifecycle — both tracked from birth
+    "ann_ivf_filtered_search",
+    "streaming_ivf_insert",
 ]
 
 # VERDICT r11 bench finding: the headline total had become dominated
@@ -137,6 +142,7 @@ LIFECYCLE = {
     "embedding_store_retraction",
     "ann_ivfpq_store_search",
     "ann_ivfpq_refresh_recall",
+    "streaming_ivf_insert",
 }
 
 # Family subtotals (VERDICT r10 item #7): 38 tracked queries make the
@@ -168,7 +174,7 @@ FAMILY = {
     **{
         q: "streaming"
         for q in ("streaming_view_purchase_join", "streaming_store_admission",
-                  "streaming_embedding_rep_admission")
+                  "streaming_embedding_rep_admission", "streaming_ivf_insert")
     },
     **{q: "multimodal" for q in ("multimodal_gif_frames",)},
 }
