@@ -890,3 +890,33 @@ def test_filtered_search_prefilters_and_composes_tombstones(
     ).collect()
     qn.unpersist()
     assert victim not in {r["n_id"] for r in after}
+
+
+def test_filtered_plan_shape_no_cartesian(spark, sf_smoke, tmp_path):
+    """The filtered search plan must keep the IVF query node's
+    shape: no cartesian blow-up, probes/queries broadcast, and the
+    allowed-id restriction spelled as a semi-join (LeftSemi) so the
+    filter never widens the candidate set."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.plans import formatted_plan
+
+    qn = _quantized(spark, sf_smoke)
+    cb = str(tmp_path / "codebook")
+    lists = str(tmp_path / "lists")
+    qn.where(
+        F.col("vec_id").isin(similarity._CENTROID_IDS)
+    ).select(F.col("vec_id").alias("c_id"), "q", "nq").coalesce(1).write.parquet(cb)
+    ann_store._assign(qn, spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.parquet(lists)
+    allowed = qn.where(
+        F.col("label") < ann_store._FILTER_LABEL_MAX
+    ).select(F.col("vec_id").alias("n_id"))
+    plan = formatted_plan(
+        ann_store.ivf_store_filtered_search_plan(spark, qn, allowed, cb, lists)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
