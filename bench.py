@@ -142,6 +142,9 @@ LIFECYCLE = {
     "embedding_store_retraction",
     "ann_ivfpq_store_search",
     "ann_ivfpq_refresh_recall",
+    # builds its index to scratch per run (the store-search shape),
+    # so its cost is the lifecycle's, not the query engine's
+    "ann_ivf_filtered_search",
     "streaming_ivf_insert",
 }
 
