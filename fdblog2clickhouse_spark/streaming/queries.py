@@ -803,7 +803,11 @@ def streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     its (n_id, list_id) rows to the on-disk lists table. Codebooks
     are never retrained by an insert (refresh-ivf's job), so the
     index the final search reads is byte-equivalent to the batch
-    lifecycle's.
+    lifecycle's. (An IVF-PQ index — one with a codes sibling — must
+    stream through the insert-vectors kernel instead, which appends
+    residual PQ codes alongside the lists rows: lists-only appends
+    would leave new vectors absent from compressed search, since
+    `ivfpq_store_search_plan` inner-joins candidates to codes.)
 
     Oracle: the plain full-corpus IVF spelling — assignment depends
     only on (vector, codebook), so ANY slicing of the inserts into
