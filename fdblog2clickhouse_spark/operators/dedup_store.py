@@ -1227,6 +1227,15 @@ def rep_admission_step(
         verify = lambda cand, feats: jaccard_on_candidates(  # noqa: E731
             cand, feats, threshold
         )
+    # Heal crashed maintenance swaps BEFORE any read: a fold/rebucket
+    # interrupted between its two renames leaves the table only at
+    # path+'.old', and the next caller is far more likely to be an
+    # admission step than a maintenance re-run — without this the
+    # step dies on PATH_NOT_FOUND until an operator runs
+    # compact-store (the _read_sidecar lesson, r14 self-review #1,
+    # applied to the main tables).
+    heal_swap(sig_path)
+    heal_swap(mem_path)
     # Tombstoned doc_ids are invisible to the WHOLE step, not just the
     # members append (ADVICE r13 high): a redelivered retracted doc
     # whose group was dropped would otherwise classify as NEW content

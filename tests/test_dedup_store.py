@@ -2111,3 +2111,54 @@ def test_pre_r15_mod_marker_reads_with_its_own_expression(spark, tmp_path):
         .collect()
     )
     assert got3 == [7, 22]
+
+
+def test_admission_step_heals_crashed_maintenance_swap(spark, tmp_path):
+    """A fold/rebucket interrupted between its two renames leaves a
+    table only at path+'.old'; the NEXT caller is usually an
+    admission step, not a maintenance re-run — the step must heal
+    before reading (the _read_sidecar rule applied to the main
+    tables) instead of dying on PATH_NOT_FOUND."""
+    import os
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    g_all = ds.rep_group_frame(docs)
+    g_base = g_all.where(ds._base_pred(F.col("doc_id")))
+    reps = ds.rep_reps(g_base)
+    sig = str(tmp_path / "sigs")
+    band = str(tmp_path / "bands")
+    mem = str(tmp_path / "members")
+    ds.write_table(ds.rep_signature_frame(reps), sig, "overwrite", key="gh")
+    ds.write_banded_index(ds.read_table(spark, sig), band, "overwrite")
+    ds.write_table(
+        g_base.select("doc_id", "gh")
+        .join(reps.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        mem,
+        "overwrite",
+        key="doc_id",
+    )
+    # simulate the crash window: table renamed aside, swap-in not done
+    os.rename(sig, sig + ".old")
+    os.rename(mem, mem + ".old")
+
+    from fdblog2clickhouse_spark.functions.text import shingles_expr
+
+    def feats_for(cand_ids):
+        return g_all.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.array_distinct(F.expr(shingles_expr("t", 3))).alias("fs"),
+        )
+
+    batch = g_all.where(ds._slice(F.col("doc_id"), ds._BATCH1_REM))
+    out = ds.rep_admission_step(
+        spark, batch, sig, band, mem, feats_for, lambda v: v.count()
+    )
+    assert out["new_docs"] > 0
+    assert os.path.isdir(sig) and os.path.isdir(mem)
+    assert not os.path.isdir(sig + ".old") and not os.path.isdir(mem + ".old")
