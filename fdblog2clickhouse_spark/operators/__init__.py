@@ -27,72 +27,76 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-15 window (policy above; VERDICT r14 #1 ordered the whole
-# 51-op r10+r11 stale tail covered in one window "with no
-# changed-code slots competing" — but r14 items #2/#3 ORDERED code
-# changes in dedup_store.py and ann_store.py, so their ops take the
-# first 13 slots and 14 of the 41 r11 greens defer to r16, named
-# below). Triage:
-#   (a) r15-changed operators/dedup_store.py — the gh/doc_id-
-#       BUCKETED flat-store + members layout (VERDICT r14 #2: the
-#       admission step's last O(store) reads now prune to the
-#       batch's key buckets; write_table/read_table/pruned_table/
-#       bucket_table, layout-preserving compaction + fold), plus the
-#       codes-aware fold_ivf_retractions: all six ops re-verify;
-#   (b) streaming/rep_admission.py's two ops CALL the changed
-#       rep_admission_step and build the bucketed stores themselves;
-#   (c) r15-changed operators/ann_store.py — the PQ codes table is
-#       now a lifecycle citizen (compact/fold anti-join takedowns
-#       out of codes; refresh/split retrain AND re-encode — ADVICE
-#       r14 medium; build-ivfpq/insert-vectors/search-ivfpq CLI),
-#       compact_ivf_lists reports what it actually did (ADVICE r14),
-#       and the NEW `ann_ivfpq_refresh_recall` pins the 0.033→0.200
-#       recall recovery as a driver row (VERDICT r14 #4): all 5
-#       verify;
-#   (d) the 10 trace_ops ops at r10 evidence (five rounds stale —
-#       r14's ordered re-cover priority);
-#   (e) 25 of the 41-op r11 cohort: textops' 8, bpe's 2,
-#       sinkcheck's 7, tpch q5-q12.
-# DEFERRED to r16 (named, per the verdict's "defer and say which"):
-# tpch_q13-q22 + the 6 tpch analytics (customer_rfm,
-# market_basket_pairs, nation_activity_fullouter,
-# orders_percent_rank, nation_yoy_growth, brand_revenue_share) — 16
-# ops, all in byte-unchanged tpch.py whose q1-q4 went green in r14
-# and whose q5-q12 re-verify THIS round, the lowest-risk possible
-# deferral (q13/q14 joined it when the NEW ann_ivf_filtered_search
-# and streaming_ivf_insert took changed-code slots). NOT in the
-# window by design: every r12-r14 green whose file is untouched.
+# Round-16 window (policy above; VERDICT r15 #1 orders the whole
+# 41-op r11+r12 stale tail covered in one window, leaving ~9 slots
+# for this round's changed code). Triage:
+#   (a) r16-changed operators/dedup_store.py (VERDICT r15 #2
+#       partition-granular retraction fold + #3 automated re-bucket
+#       decision in the compact-store maintenance pass): all six of
+#       the file's ops re-verify;
+#   (b) r16-changed streaming/queries.py — the codes-bearing IVF-PQ
+#       guard/append leg (VERDICT r15 #4) changes
+#       `streaming_ivf_insert`; the file's other two non-stale ops
+#       (streaming_store_admission, streaming_incremental_dedup,
+#       both r14-green, functions byte-untouched by the edit) are
+#       deferred, self-checked via tools/window_check.py;
+#   (c) r16-changed operators/ann_store.py — ADVICE r15 folds
+#       ivf_store_filtered_search_plan into ivf_store_search_plan
+#       (allowed=None semi-join): the two ops sharing that plan
+#       (`ann_ivf_store_search`, `ann_ivf_filtered_search`)
+#       re-verify; the file's four ivfpq/refresh ops (all r15-green,
+#       code paths untouched by the refactor) are deferred,
+#       self-checked via tools/window_check.py;
+#   (d) the 16-op r11 cohort promised this round (registry comment
+#       r15): tpch_q13-q22 + the 6 tpch analytics;
+#   (e) the 25-op r12 cohort: streaming/queries.py's 9,
+#       sources/trace_json.py's 1, curation.py's 5, textops.py's 6,
+#       spans.py's 4.
+# DEFERRED (named): streaming_store_admission,
+# streaming_incremental_dedup (b above); ann_ivfpq_topk,
+# ann_ivfpq_store_search, ann_ivf_refresh_recall,
+# ann_ivfpq_refresh_recall (c above); streaming_rep_admission,
+# streaming_embedding_rep_admission (file unchanged, call the
+# changed dedup_store kernel — r15-green, admission path untouched
+# by the fold/re-bucket work, self-checked via window_check). NOT in
+# the window by design: every r13-r15 green whose file is untouched.
 # Exactly 50.
-_FRONT_WINDOW = [
-    # (a) r15-changed dedup_store.py (6)
+#
+# The changed-code slice of the window, exported so
+# tools/window_check.py's no-arg pre-flight tracks it instead of
+# hardcoding a count (ADVICE r15).
+CHANGED_OPS = [
+    # (a) r16-changed dedup_store.py (6)
     "dedup_store_rep_admission", "embedding_store_rep_admission",
     "dedup_store_retraction", "embedding_store_retraction",
     "dedup_store_admission", "embedding_store_admission",
-    # (b) callers of the changed shared kernel (2) + the NEW
-    # streaming IVF insert (1)
-    "streaming_rep_admission", "streaming_embedding_rep_admission",
+    # (b) r16-changed streaming/queries.py (1 of 3 non-stale)
     "streaming_ivf_insert",
-    # (c) r15-changed ann_store.py (6, incl. the NEW refresh-recall
-    # and the NEW filtered persisted-index search)
-    "ann_ivfpq_refresh_recall", "ann_ivf_filtered_search",
-    "ann_ivfpq_store_search",
-    "ann_ivfpq_topk", "ann_ivf_store_search", "ann_ivf_refresh_recall",
-    # (d) trace_ops' r10 tail (10)
-    "trace_partition_stats", "severity_rollup", "events_per_minute",
-    "top_event_types", "error_rate_by_user", "events_dedup_latest",
-    "events_decay_score", "user_recent_events",
-    "events_dow_hour_heatmap", "user_first_last_event",
-    # (e) the r11 cohort, 27 of 41
-    "token_count", "text_quality_score", "lang_id_ngram",
-    "doc_fingerprint", "doc_stats_by_lang", "token_histogram",
-    "quality_repetition", "pii_detect",
-    "bpe_train_merges", "bpe_tokenize",
-    "mergetree_sink_roundtrip", "zorder_sink_roundtrip",
-    "rollup_sink_roundtrip", "upsert_sink_roundtrip",
-    "hll_sink_roundtrip", "hist_sink_roundtrip",
-    "bucketed_sink_roundtrip",
-    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q11", "tpch_q12",
+    # (c) r16-changed ann_store.py (2 of 6)
+    "ann_ivf_store_search", "ann_ivf_filtered_search",
+]
+
+_FRONT_WINDOW = CHANGED_OPS + [
+    # (d) the r11 cohort (16)
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "customer_rfm", "market_basket_pairs", "nation_activity_fullouter",
+    "orders_percent_rank", "nation_yoy_growth", "brand_revenue_share",
+    # (e) the r12 cohort (25)
+    "streaming_trace_ingest", "streaming_windowed_counts",
+    "streaming_sessionize", "streaming_stateful_error_count",
+    "streaming_dedup_events", "streaming_rollup_ingest",
+    "streaming_upsert_ingest", "streaming_view_purchase_join",
+    "streaming_hll_rollup",
+    "trace_json_batch_ingest",
+    "benchmark_decontam", "domain_mixture_sample",
+    "token_collocations", "quality_filter_funnel",
+    "doc_length_histogram",
+    "corpus_select", "doc_top_terms", "bpe_pair_stats",
+    "source_dup_inflation", "lang_confusion_metrics",
+    "doc_rarity_score",
+    "dup_span_stats", "dup_span_dedup", "dup_span_apply",
+    "span_rewrite_sink_roundtrip",
 ]
 
 

@@ -30,7 +30,9 @@ def main() -> int:
     qs = mod.queries()
     oracles = mod.oracle_sql()
     if not names:
-        names = list(qs)[:13]
+        from fdblog2clickhouse_spark.operators import CHANGED_OPS
+
+        names = list(CHANGED_OPS)
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("window-check")
