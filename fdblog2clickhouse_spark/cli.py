@@ -596,7 +596,10 @@ def cmd_compact_store(args) -> int:
     expansion — the layout's largest table, ADVICE r11). Pass
     `--buckets N` to also RE-BUCKET the banded index to a new
     partition count (rebucket_banded_index — the migration path for
-    a store built at the small default)."""
+    a store built at the small default). Key-bucketed flat-store and
+    members tables are re-bucketed UP automatically when their
+    rows/bucket crosses the soak-measured knee (VERDICT r15 #3 —
+    `maybe_rebucket_table`; disable with --no-auto-rebucket)."""
     import os
 
     from .operators.dedup_store import (
@@ -605,6 +608,7 @@ def cmd_compact_store(args) -> int:
         compact_signature_store,
         fold_retractions,
         heal_swap,
+        maybe_rebucket_table,
         members_path,
         rebucket_banded_index,
     )
@@ -617,6 +621,28 @@ def cmd_compact_store(args) -> int:
     fold = fold_retractions(
         spark, args.store, banded_path(args.store), members_path(args.store)
     )
+    # the automatic re-bucket decision, AFTER the fold (so the row
+    # count reflects retired tombstones) and BEFORE compaction (a
+    # re-bucket leaves one file per partition, so the compactors
+    # no-op on a freshly re-bucketed table)
+    rebucket_notes = []
+    if not args.no_auto_rebucket:
+        rb_kw = {}
+        if args.rebucket_trigger is not None:
+            rb_kw["trigger_rows"] = args.rebucket_trigger
+            rb_kw["target_rows"] = max(1, args.rebucket_trigger // 4)
+        for label, p in (
+            ("store", args.store),
+            ("members", members_path(args.store)),
+        ):
+            if not os.path.isdir(p):
+                continue
+            rb = maybe_rebucket_table(spark, p, **rb_kw)
+            if rb["rebucketed"]:
+                rebucket_notes.append(
+                    f"{label}_rebucketed={rb['buckets_before']}->"
+                    f"{rb['buckets_after']} (rows={rb['rows']})"
+                )
     sort_col = args.sort_col
     if sort_col is None:
         # derive the flat-store sort key from the schema: a text
@@ -666,7 +692,12 @@ def cmd_compact_store(args) -> int:
         ) + len(glob.glob(os.path.join(args.store, "pb=*", "*.parquet")))
         msg = f"compacted: files_before={before} files_after={after}"
         if fold["folded"]:
-            msg += " retractions_folded=true"
+            # -1 = legacy full rewrite, else partitions rewritten
+            msg += (
+                " retractions_folded=true"
+                f" fold_parts=sig:{fold['sig_parts']}"
+                f"/index:{fold['index_parts']}/mem:{fold['mem_parts']}"
+            )
     members = members_path(args.store)
     if os.path.isdir(members):
         m_before = compact_signature_store(
@@ -688,6 +719,8 @@ def cmd_compact_store(args) -> int:
         # table, or a flat store whose index was never built) would
         # otherwise be ignored silently — say so
         msg += " buckets_ignored=no_banded_index"
+    if rebucket_notes:
+        msg += " " + " ".join(rebucket_notes)
     print(msg)
     return 0
 
@@ -897,49 +930,13 @@ def cmd_insert_vectors(args) -> int:
     driver-pinned equivalence (`ann_ivfpq_store_search`). Appends
     are not idempotent under redelivery — dedupe the feed or
     compact-store with a retraction of the duplicate ids."""
-    import os
-
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import broadcast
-
-    from .operators.ann_store import (
-        _assign,
-        _ivfpq_codes,
-        ivf_codes_path,
-        pq_codebook_path,
-    )
+    from .operators.ann_store import ivf_insert_batch
 
     spark = _spark()
     qn_b = _vector_qn(spark, args.batch).cache()
-    cent_d = spark.read.parquet(args.codebook)
-    b_lists = _assign(qn_b, cent_d, 1).select(
-        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
-    )
-    b_lists.write.mode("append").parquet(args.lists)
-    n = qn_b.count()
-    msg = f"inserted: vectors={n}"
-    codes_p = ivf_codes_path(args.lists)
-    if os.path.isdir(codes_p):
-        pq_p = pq_codebook_path(args.codebook)
-        if not os.path.isdir(pq_p):
-            raise SystemExit(
-                f"index has a codes table ({codes_p}) but no PQ codebook "
-                f"({pq_p}): the artifact set is incoherent"
-            )
-        centv = cent_d.select("c_id", F.col("q").alias("cq"))
-        resid = (
-            qn_b.join(b_lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
-            .join(broadcast(centv), F.col("list_id") == F.col("c_id"))
-            .select(
-                "vec_id",
-                F.zip_with(
-                    F.col("q"), F.col("cq"), lambda x, y: x - y
-                ).alias("q"),
-            )
-        )
-        _ivfpq_codes(resid, spark.read.parquet(pq_p)).write.mode(
-            "append"
-        ).parquet(codes_p)
+    r = ivf_insert_batch(spark, qn_b, args.codebook, args.lists)
+    msg = f"inserted: vectors={r['vectors']}"
+    if r["codes_appended"]:
         msg += " codes=appended"
     qn_b.unpersist()
     print(msg)
@@ -1119,6 +1116,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-bucket the banded index to this partition "
                          "count (migration: a store built at 16 buckets "
                          "gains pruning granularity without a rebuild)")
+    sk.add_argument("--no-auto-rebucket", action="store_true",
+                    help="skip the automatic rows/bucket check that "
+                         "re-buckets the flat store and members tables "
+                         "up when they cross the measured knee")
+    sk.add_argument("--rebucket-trigger", type=int, default=None,
+                    help="rows/bucket that triggers the automatic "
+                         "re-bucket (default: the soak-derived knee, "
+                         "4096)")
     sk.set_defaults(fn=cmd_compact_store)
 
     sr = sub.add_parser("retract")

@@ -118,6 +118,7 @@ def ivf_store_search_plan(
     codebook_path: str,
     lists_path: str,
     nprobe: int = _N_PROBE,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """The LAZY query-node search plan over an on-disk IVF index —
     reusable (`compact_ivf_lists`'s invariance pin,
@@ -127,8 +128,16 @@ def ivf_store_search_plan(
     through `live_ivf_lists`, so a pending takedown (tombstone
     sidecar) is invisible without any index rewrite; `nprobe` is the
     recall/cost knob (sweep in tools/pq_recall.py, curve in
-    SCALE.md) — the proof ops pin the oracle's _N_PROBE."""
+    SCALE.md) — the proof ops pin the oracle's _N_PROBE. `allowed`
+    (a frame with an `n_id` column) composes a metadata predicate
+    into the index read — see `ivf_store_filtered_search_plan`, the
+    documented filtered-search entry point; keeping the semi-join
+    HERE keeps the probe/candidate/rank body single-source (ADVICE
+    r15: the filtered plan used to duplicate it, so tie-break or
+    nprobe fixes had to be made twice)."""
     lists = live_ivf_lists(spark, lists_path)
+    if allowed is not None:
+        lists = lists.join(allowed.select("n_id"), "n_id", "left_semi")
     probes = _assign(
         qn.where(F.col("vec_id") < _N_QUERIES),
         spark.read.parquet(codebook_path),
@@ -183,34 +192,12 @@ def ivf_store_filtered_search_plan(
     filter semantics. At scale the semi-join shuffles lists on
     n_id only when `allowed` is large; a selective predicate under
     AQE broadcasts. Composes the tombstone sidecar via
-    `live_ivf_lists` like every other lists reader."""
-    lists = live_ivf_lists(spark, lists_path).join(
-        allowed.select("n_id"), "n_id", "left_semi"
-    )
-    probes = _assign(
-        qn.where(F.col("vec_id") < _N_QUERIES),
-        spark.read.parquet(codebook_path),
-        nprobe,
-    ).select(F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list"))
-
-    qv = qn.select(
-        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
-    )
-    nv = qn.select(
-        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
-    )
-    cands = (
-        nv.join(lists, "n_id")
-        .join(broadcast(probes), F.col("list_id") == F.col("probe_list"))
-        .where(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", "list_id", "qb", "nb")
-        .join(broadcast(qv), "q_id")
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    return (
-        cands.select("q_id", "n_id", "list_id", _cosine_cols())
-        .withColumn("rank", F.row_number().over(wq).cast("int"))
-        .where(F.col("rank") <= _IVF_TOPK)
+    `live_ivf_lists` like every other lists reader. A thin wrapper:
+    the probe/candidate/rank body lives in `ivf_store_search_plan`
+    (ADVICE r15 — single-source, so ranking fixes can't drift
+    between the plain and filtered paths)."""
+    return ivf_store_search_plan(
+        spark, qn, codebook_path, lists_path, nprobe, allowed=allowed
     )
 
 
@@ -264,6 +251,61 @@ def ivf_codes_path(lists_path: str) -> str:
     leaving codes pointing at retired geometry (VERDICT r14 /
     ADVICE r14)."""
     return lists_path.rstrip("/") + "_codes"
+
+
+def ivf_insert_batch(
+    spark: SparkSession, qn_batch: DataFrame, codebook_path: str,
+    lists_path: str,
+) -> dict:
+    """Insert ONE vector batch into a persisted IVF(-PQ) index
+    purely through the persisted codebooks — THE single insert
+    kernel behind the `insert-vectors` CLI and the streaming insert
+    leg (VERDICT r15 #4: the streaming leg used to append lists rows
+    only, so a stream pointed at a codes-bearing IVF-PQ index left
+    every new vector invisible to compressed search —
+    `ivfpq_store_search_plan` inner-joins candidates to codes).
+    Assignment rows append to the lists; when the index carries a
+    codes sibling, residual PQ codes are encoded against the
+    persisted PQ codebook and appended beside them in the SAME call
+    — a codes table with no PQ codebook is an incoherent artifact
+    set and refuses loudly. Codebooks are never retrained by an
+    insert (refresh-ivf's job); encode-at-insert ≡ rebuild is the
+    driver-pinned equivalence (`ann_ivfpq_store_search`). Appends
+    are not idempotent under redelivery — dedupe the feed or
+    compact-store with a retraction of the duplicate ids. Returns
+    {"vectors": n, "codes_appended": bool}."""
+    import os
+
+    cent_d = spark.read.parquet(codebook_path)
+    b_lists = _assign(qn_batch, cent_d, 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    )
+    b_lists.write.mode("append").parquet(lists_path)
+    codes_p = ivf_codes_path(lists_path)
+    if not os.path.isdir(codes_p):
+        return {"vectors": qn_batch.count(), "codes_appended": False}
+    pq_p = pq_codebook_path(codebook_path)
+    if not os.path.isdir(pq_p):
+        raise RuntimeError(
+            f"index has a codes table ({codes_p}) but no PQ codebook "
+            f"({pq_p}): the artifact set is incoherent — rebuild with "
+            "build-ivfpq or train the PQ codebook before inserting"
+        )
+    centv = cent_d.select("c_id", F.col("q").alias("cq"))
+    resid = (
+        qn_batch.join(b_lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
+        .join(broadcast(centv), F.col("list_id") == F.col("c_id"))
+        .select(
+            "vec_id",
+            F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias(
+                "q"
+            ),
+        )
+    )
+    _ivfpq_codes(resid, spark.read.parquet(pq_p)).write.mode(
+        "append"
+    ).parquet(codes_p)
+    return {"vectors": qn_batch.count(), "codes_appended": True}
 
 
 def compact_ivf_lists(

@@ -330,10 +330,13 @@ def compact_signature_store(
 
     # finish a previous crash-interrupted swap: the .old dir is the
     # complete pre-compaction store — restore it if path vanished.
+    # Then a crashed granular fold's per-partition swaps: compaction
+    # reads the live dirs, so a missing bucket would lose its rows.
     old = path + ".old"
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
     shutil.rmtree(old, ignore_errors=True)
+    heal_table_fold(path)
 
     lay = table_layout(path)
     staging = path + ".compact"
@@ -641,10 +644,12 @@ def pruned_store_rows(
     from pyspark.errors import AnalysisException
 
     # complete a crashed compaction swap first (same recovery rule as
-    # the flat-store compactor: the .old dir is the complete index)
+    # the flat-store compactor: the .old dir is the complete index),
+    # then a crashed granular fold's per-partition swaps
     old = path + ".old"
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
+    heal_table_fold(path)
     if not os.path.exists(path):
         # a write_banded_index'd index dir ALWAYS exists, even empty
         # (marker file). Missing dir = the index was lost — scoring
@@ -745,6 +750,7 @@ def compact_banded_index(
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
     shutil.rmtree(old, ignore_errors=True)
+    heal_table_fold(path)
 
     part_dirs = glob.glob(os.path.join(path, "band=*", "kb=*"))
     counts = [
@@ -809,6 +815,7 @@ def rebucket_banded_index(
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
     shutil.rmtree(old, ignore_errors=True)
+    heal_table_fold(path)
     lay = banded_layout(path)
     if lay is None:
         raise RuntimeError(
@@ -862,6 +869,24 @@ def rebucket_banded_index(
 _TBL_META = "_table_meta.json"  # leading '_': parquet listing skips it
 _TBL_PB = "pb"
 _STORE_BUCKETS = 16  # new stores' default; raise via bucket_table at scale
+
+# Partition-granular fold (VERDICT r15 #2): the retraction fold used
+# to rewrite the bucketed tables whole (`_swap_write_table`), paying
+# per-partition write overhead exactly when the production recipe
+# says to RAISE the bucket count (the r15 soak: fold 7.6 s at 256
+# buckets vs 18.0 s at 1024 on the same store). The granular path
+# rewrites ONLY the partitions that hold tombstoned/relabeled rows
+# and leaves every other partition dir byte-invariant. Crash story:
+# a journal marker (leading '_' — parquet listing skips it) lists
+# the partition dirs mid-swap; each dir is renamed aside to a
+# '.bfold-'-prefixed sibling (leading '.' — likewise invisible)
+# before its staged replacement renames in, so `heal_table_fold`
+# can always roll a bucket back (safe at ANY point: the sidecars
+# are retired only after the whole fold succeeds, so pre-fold
+# bucket + sidecars is exactly the live view) or drop a completed
+# swap's remnant. Hot read paths pay one stat() on the journal.
+_FOLD_JOURNAL = "_fold_inflight.json"
+_BFOLD_PREFIX = ".bfold-"
 
 
 def table_layout(path: str) -> dict | None:
@@ -1008,6 +1033,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     marker-persisted schema."""
     from pyspark.errors import AnalysisException
 
+    # one stat call unless a granular fold crashed mid-swap, in which
+    # case a missing bucket dir would silently drop its rows from
+    # this read (the _read_sidecar heal-first lesson, per-partition)
+    heal_table_fold(path)
     try:
         return spark.read.parquet(path).drop(_TBL_PB)
     except AnalysisException:
@@ -1034,6 +1063,7 @@ def pruned_table(
 
     from pyspark.errors import AnalysisException
 
+    heal_table_fold(path)  # same per-partition heal as read_table
     lay = table_layout(path)
     if lay is None:
         return read_table(spark, path)
@@ -1081,6 +1111,7 @@ def bucket_table(
     import shutil
 
     heal_swap(path)
+    heal_table_fold(path)
     shutil.rmtree(path + ".old", ignore_errors=True)
     lay = table_layout(path)
     before = lay["buckets"] if lay else None
@@ -1100,6 +1131,68 @@ def bucket_table(
     os.rename(staging, path)
     shutil.rmtree(old)
     return {"buckets_before": before, "buckets_after": buckets}
+
+
+# Auto-rebucket thresholds (VERDICT r15 #3), derived from the r15
+# soak's measured knee: at 256 buckets the ×256 store (1.02 M
+# groups ≈ 4 k rows/bucket) bent the admit curve (6.52 → 9.43 s
+# from ×64), while 1024 buckets (≈ 1 k rows/bucket) sat BELOW the
+# ×1 time — so the maintenance pass re-buckets UP when a table
+# crosses ~4 k rows/bucket, jumping straight to the ~1 k-rows/bucket
+# good point (the gap between trigger and target is what prevents a
+# growing store from re-bucketing on every pass).
+_REBUCKET_TRIGGER_ROWS = 4096  # rows/bucket at the measured knee
+_REBUCKET_TARGET_ROWS = 1024  # rows/bucket at the measured good point
+_REBUCKET_MAX = 65536  # ceiling: one listing dir per bucket
+
+
+def maybe_rebucket_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    trigger_rows: int = _REBUCKET_TRIGGER_ROWS,
+    target_rows: int = _REBUCKET_TARGET_ROWS,
+    max_buckets: int = _REBUCKET_MAX,
+) -> dict:
+    """The automated re-bucket decision (VERDICT r15 #3: the soak's
+    1024-bucket row proved 're-bucket up as the store grows' is the
+    production recipe, but only the manual `bucket-store` CLI did it
+    — at 100 TB someone had to notice the admit curve bending).
+    Called from the compact-store maintenance pass: when a bucketed
+    table's rows/bucket crosses `trigger_rows`, re-bucket UP (never
+    down — shrinking buys nothing and pays a rewrite) to the next
+    power of two that brings it under `target_rows`. Legacy-flat
+    tables are left alone — `bucket_table` is the deliberate
+    migration step. Returns {"rebucketed": bool, "rows": n,
+    "buckets_before": b, "buckets_after": b'} (rows/buckets None for
+    legacy)."""
+    lay = table_layout(path)
+    if lay is None:
+        return {
+            "rebucketed": False,
+            "rows": None,
+            "buckets_before": None,
+            "buckets_after": None,
+        }
+    n = read_table(spark, path).count()
+    before = lay["buckets"]
+    out = {
+        "rebucketed": False,
+        "rows": n,
+        "buckets_before": before,
+        "buckets_after": before,
+    }
+    if n <= before * trigger_rows:
+        return out
+    need = before
+    while need * target_rows < n and need < max_buckets:
+        need *= 2
+    if need <= before:
+        return out
+    bucket_table(spark, path, lay["key"], need)
+    out["rebucketed"] = True
+    out["buckets_after"] = need
+    return out
 
 
 def _swap_write_table(df: DataFrame, path: str) -> None:
@@ -2127,6 +2220,212 @@ def retract_docs(
     }
 
 
+def heal_table_fold(path: str) -> None:
+    """Complete or roll back a crash-interrupted partition-granular
+    fold (`_granular_fold_rewrite`). The journal names the partition
+    dirs that were mid-swap: an aside dir ('.bfold-<leaf>') paired
+    with a MISSING live dir is the complete pre-fold partition —
+    restore it (rolling back is always safe: the retraction sidecars
+    are retired only after the entire fold succeeds, so pre-fold
+    content + sidecars IS the live view, and the fold re-run
+    converges — already-folded partitions hold no matching rows and
+    are not selected again); an aside paired with a present live dir
+    is a completed swap's remnant — drop it. No journal = one stat
+    call, so every read path affords the check."""
+    import json
+    import os
+    import shutil
+
+    j = os.path.join(path, _FOLD_JOURNAL)
+    if not os.path.exists(j):
+        return
+    with open(j) as f:
+        rels = json.load(f)["dirs"]
+    for rel in rels:
+        parent, leaf = os.path.split(rel)
+        live = os.path.join(path, rel)
+        aside = os.path.join(path, parent, _BFOLD_PREFIX + leaf)
+        if os.path.isdir(aside):
+            if os.path.isdir(live):
+                shutil.rmtree(aside, ignore_errors=True)
+            else:
+                os.rename(aside, live)
+    shutil.rmtree(path + ".bfold", ignore_errors=True)
+    os.remove(j)
+
+
+def _granular_fold_rewrite(path: str, staging: str, rels: list[str]) -> None:
+    """Swap staged partition dirs into the live table under the fold
+    journal. `staging` (already fully written — no live state is
+    touched until the staged job has committed) holds the FOLDED
+    content of exactly the partitions named by `rels` (relative dirs
+    like 'pb=3' or 'band=2/kb=7'); a rel with no staged dir was
+    emptied by the fold and its live dir is simply retired. Every
+    partition NOT in `rels` is left byte-invariant — the whole point
+    (VERDICT r15 #2: full-table rewrites made fold cost scale with
+    the bucket count instead of the retracted set)."""
+    import json
+    import os
+    import shutil
+
+    j = os.path.join(path, _FOLD_JOURNAL)
+    with open(j, "w") as f:
+        json.dump({"dirs": rels}, f)
+    for rel in rels:
+        parent, leaf = os.path.split(rel)
+        live = os.path.join(path, rel)
+        aside = os.path.join(path, parent, _BFOLD_PREFIX + leaf)
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(live):
+            os.rename(live, aside)
+        staged = os.path.join(staging, rel)
+        if os.path.isdir(staged):
+            os.rename(staged, live)
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(j)
+
+
+def _fold_table_granular(
+    spark: SparkSession,
+    path: str,
+    sig_path: str,
+    gd_keys: DataFrame | None,
+    tomb: DataFrame | None,
+) -> int:
+    """Granular fold of ONE bucketed table (flat sigs or members):
+    find the rows the sidecars touch, rewrite only their partitions.
+    The affected-key scan is a 2-column columnar read of the RAW
+    table (no shuffle — the sidecar side is O(retracted) and
+    broadcast), the same accepted store-sized read as the retract
+    column's semi-join; the WRITE is bounded by the affected
+    partition set. Scanning raw and per-table is what makes a
+    crashed fold's re-run converge: partitions an earlier attempt
+    already folded contain no matching rows and are not selected
+    again. Returns the number of partitions rewritten."""
+    import os
+    import shutil
+
+    lay = table_layout(path)
+    key = lay["key"]
+    aff = None
+    if gd_keys is not None:
+        aff = (
+            read_table(spark, path)
+            .select(key, "group_id")
+            .join(F.broadcast(gd_keys), "group_id", "left_semi")
+            .select(key)
+        )
+    if tomb is not None:
+        # tombstones are doc_ids — only the members table (bucket key
+        # doc_id) ever passes them here
+        t = tomb.select("doc_id")
+        aff = t if aff is None else aff.unionByName(t)
+    if aff is None:
+        return 0
+    pb = _tbl_pb_expr(aff.schema[key].dataType, key, lay["buckets"], lay["pb"])
+    vals = sorted(
+        {
+            r[0]
+            for r in aff.select(pb.alias(_TBL_PB)).distinct().collect()
+            if r[0] is not None
+        }
+    )
+    rels = [
+        rel
+        for v in vals
+        if os.path.isdir(os.path.join(path, rel := f"{_TBL_PB}={v}"))
+    ]
+    if not rels:
+        return 0
+    from pyspark.errors import AnalysisException
+
+    try:
+        src = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, rel) for rel in rels]
+        )
+    except AnalysisException:
+        # selected dirs exist but hold no parquet (crash remnants —
+        # possible when every rel is tombstone-derived): no rows to
+        # fold there (same guard as pruned_table)
+        return 0
+    folded = src
+    if tomb is not None:
+        folded = folded.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
+    folded = _apply_gdelta(spark, folded, sig_path, "group_id")
+    staging = path + ".bfold"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        # carry the READ's own partition column through — bit-identical
+        # layout by construction (the fold never changes a bucket key,
+        # so no row can cross partitions)
+        folded.repartition(F.col(_TBL_PB))
+        .write.partitionBy(_TBL_PB)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    _granular_fold_rewrite(path, staging, rels)
+    return len(rels)
+
+
+def _fold_index_granular(
+    spark: SparkSession, band_path: str, sig_path: str, gd_keys: DataFrame
+) -> int:
+    """Granular fold of the banded index: same contract as
+    `_fold_table_granular` over the index's own (band, kb) hive
+    layout. Equivalent to the full rebuild it replaces: a relabeled
+    group's sig row keeps the old rep's signature (so its band keys
+    — and therefore its partitions — are unchanged), and a dropped
+    group's rows are removed by the same gdelta composition the
+    pruned reader applies; crash-leaked duplicate index rows remain
+    tolerated by the reader's dropDuplicates and retired by
+    compact_banded_index, exactly as before."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.parquet(band_path)
+    except AnalysisException:
+        return 0  # marker-only empty index: nothing to fold
+    pair_rows = (
+        idx.select("band", "kb", "group_id")
+        .join(F.broadcast(gd_keys), "group_id", "left_semi")
+        .select("band", "kb")
+        .distinct()
+    )
+    pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]
+    rels = [
+        rel
+        for b, kb in pairs
+        if os.path.isdir(
+            os.path.join(band_path, rel := f"band={b}/kb={kb}")
+        )
+    ]
+    if not rels:
+        return 0
+    try:
+        src = spark.read.option("basePath", band_path).parquet(
+            *[os.path.join(band_path, rel) for rel in rels]
+        )
+    except AnalysisException:
+        return 0  # selected dirs hold no parquet (crash remnants)
+    folded = _apply_gdelta(spark, src, sig_path, "group_id")
+    staging = band_path + ".bfold"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        folded.repartition("band", "kb")
+        .write.partitionBy("band", "kb")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    _granular_fold_rewrite(band_path, staging, rels)
+    return len(rels)
+
+
 def fold_retractions(
     spark: SparkSession, sig_path: str, band_path: str, mem_path: str
 ) -> dict:
@@ -2137,21 +2436,35 @@ def fold_retractions(
     relabeled simply matches nothing; a tombstone for an already
     removed doc anti-joins nothing), so the recovery story is
     re-run; the sidecars are deleted LAST, only after all three
-    tables are folded. No-op when no sidecars exist."""
+    tables are folded. No-op when no sidecars exist.
+
+    Tables in the key-bucketed layout (and the banded index) fold
+    PARTITION-GRANULARLY (VERDICT r15 #2): only partitions holding
+    tombstoned/relabeled rows are rewritten — the write cost tracks
+    the retracted set, not the bucket count (the r15 soak's fold
+    column grew 7.6 → 18.0 s when buckets went 256 → 1024 on the
+    same store, pure per-partition overhead of the full-table swap).
+    Legacy-flat tables keep the full `_swap_write_table` rewrite.
+    Returns {"folded": True, "sig_parts": n, "index_parts": n,
+    "mem_parts": n} with n = partitions rewritten, 0 = table
+    untouched (e.g. a tombstone-only fold never rewrites the sig
+    store or index), -1 = legacy full rewrite."""
     import os
 
     # heal crash-interrupted swaps FIRST: a prior fold (or sidecar
-    # write) that died mid-rename leaves only path+'.old', and the
-    # live-view read plans below would raise PATH_NOT_FOUND before
-    # _swap_write's own healer ran (self-review r13 finding #2)
-    for p in (sig_path, mem_path):
+    # write) that died mid-rename leaves only path+'.old' (or a
+    # granular fold's journal + aside dirs), and the live-view read
+    # plans below would raise PATH_NOT_FOUND before _swap_write's
+    # own healer ran (self-review r13 finding #2)
+    for p in (sig_path, mem_path, band_path):
         heal_swap(p)
+        heal_table_fold(p)
     gd_p, tomb_p = gdelta_path(sig_path), tombstones_path(mem_path)
     for p in (gd_p, tomb_p):
         heal_swap(p)
-    has_gd = _read_sidecar(spark, gd_p) is not None
-    has_tomb = _read_sidecar(spark, tomb_p) is not None
-    if not has_gd and not has_tomb:
+    gd = _read_sidecar(spark, gd_p)
+    tomb = _read_sidecar(spark, tomb_p)
+    if gd is None and tomb is None:
         return {"folded": False}
     lay = banded_layout(band_path)
     if lay is None and os.path.isdir(band_path):
@@ -2166,19 +2479,50 @@ def fold_retractions(
             "(interrupted build?): rebuild it with write_banded_index "
             "mode='overwrite' before folding retractions"
         )
-    _swap_write_table(live_store_sigs(spark, sig_path), sig_path)
-    if lay is not None:
-        write_banded_index(
-            read_table(spark, sig_path),
-            band_path,
-            "overwrite",
-            key_cols=lay["key_cols"],
-            buckets=lay["buckets"],
+    # the gdelta KEY set drives the sig-store and index folds; an
+    # empty one (possible: a retraction where every touched group
+    # kept its rep writes only tombstones worth of change) means
+    # both are already physically correct — skip them entirely
+    gd_keys = None
+    if gd is not None:
+        gd_keys = gd.select("group_id").distinct().cache()
+        if gd_keys.count() == 0:
+            gd_keys.unpersist()
+            gd_keys = None
+    stats = {"folded": True, "sig_parts": 0, "index_parts": 0, "mem_parts": 0}
+    if gd_keys is not None:
+        if table_layout(sig_path) is not None:
+            stats["sig_parts"] = _fold_table_granular(
+                spark, sig_path, sig_path, gd_keys, None
+            )
+            if lay is not None:
+                stats["index_parts"] = _fold_index_granular(
+                    spark, band_path, sig_path, gd_keys
+                )
+        else:
+            _swap_write_table(live_store_sigs(spark, sig_path), sig_path)
+            stats["sig_parts"] = -1
+            if lay is not None:
+                write_banded_index(
+                    read_table(spark, sig_path),
+                    band_path,
+                    "overwrite",
+                    key_cols=lay["key_cols"],
+                    buckets=lay["buckets"],
+                )
+                stats["index_parts"] = -1
+    if table_layout(mem_path) is not None:
+        stats["mem_parts"] = _fold_table_granular(
+            spark, mem_path, sig_path, gd_keys, tomb
         )
-    _swap_write_table(live_members(spark, mem_path, sig_path), mem_path)
+    else:
+        _swap_write_table(live_members(spark, mem_path, sig_path), mem_path)
+        stats["mem_parts"] = -1
+    if gd_keys is not None:
+        gd_keys.unpersist()
     for p in (gd_p, tomb_p):
         retire_sidecar(p)
-    return {"folded": True}
+    return stats
 
 
 def ivf_tombstones_path(lists_path: str) -> str:

@@ -799,15 +799,18 @@ def streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless by construction — and consumed one file per micro-batch
     under maxFilesPerTrigger=1) run through foreachBatch: every
     micro-batch assigns itself against the persisted codebook
-    (`_assign` rank-1, the insert-vectors CLI kernel) and APPENDS
-    its (n_id, list_id) rows to the on-disk lists table. Codebooks
-    are never retrained by an insert (refresh-ivf's job), so the
-    index the final search reads is byte-equivalent to the batch
-    lifecycle's. (An IVF-PQ index — one with a codes sibling — must
-    stream through the insert-vectors kernel instead, which appends
-    residual PQ codes alongside the lists rows: lists-only appends
-    would leave new vectors absent from compressed search, since
-    `ivfpq_store_search_plan` inner-joins candidates to codes.)
+    (`ivf_insert_batch` — THE shared insert kernel, also behind the
+    insert-vectors CLI) and APPENDS its (n_id, list_id) rows to the
+    on-disk lists table. Codebooks are never retrained by an insert
+    (refresh-ivf's job), so the index the final search reads is
+    byte-equivalent to the batch lifecycle's. Because the kernel is
+    shared, a codes-bearing IVF-PQ target gets its residual PQ codes
+    encoded and appended PER MICRO-BATCH too (VERDICT r15 #4: the
+    old lists-only foreachBatch silently hid streamed vectors from
+    compressed search, since `ivfpq_store_search_plan` inner-joins
+    candidates to codes; tests/test_streaming.py pins the completed
+    leg end-to-end). This proof op's own index is lists-only, so its
+    oracle equivalence is unchanged.
 
     Oracle: the plain full-corpus IVF spelling — assignment depends
     only on (vector, codebook), so ANY slicing of the inserts into
@@ -815,7 +818,11 @@ def streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash pins that equivalence THROUGH the streaming machinery
     (checkpointed availableNow drain, per-batch codebook reads,
     append visibility across batches) plus the index roundtrip."""
-    from ..operators.ann_store import _assign, ivf_store_search_plan
+    from ..operators.ann_store import (
+        _assign,
+        ivf_insert_batch,
+        ivf_store_search_plan,
+    )
     from ..operators.dedup import _quantized
     from ..operators.similarity import _CENTROID_IDS
     from ..operators.sinkcheck import scratch_dir
@@ -843,10 +850,9 @@ def streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(4).write.mode("overwrite").json(arrivals)
 
     def insert(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        _assign(batch_df, s.read.parquet(codebook_path), 1).select(
-            F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
-        ).write.mode("append").parquet(lists_path)
+        ivf_insert_batch(
+            batch_df.sparkSession, batch_df, codebook_path, lists_path
+        )
 
     stream = spark.readStream.schema(
         "vec_id long, q array<long>, nq long"

@@ -1439,3 +1439,68 @@ def test_ivfpq_cli_soak(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "search: queries=3" in out
     assert f" n={victim} " not in out  # the takedown never answers
+
+def test_compact_store_auto_rebucket_growth(spark, tmp_path, capsys):
+    """VERDICT r15 #3: a store built small that grows past the
+    rows/bucket knee is re-bucketed UP by the compact-store
+    maintenance pass itself — no manual `bucket-store` — the report
+    line says what it did, and the next admission still classifies
+    and pairs correctly through the migrated pruned reads."""
+    import json
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        members_path,
+        table_layout,
+    )
+
+    t_c = "new content charlie group words xray yankee zulu november oscar"
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    all_docs = [
+        (1, _T_A), (2, _T_A), (3, _T_B),
+        (20, _T_A + " mike november"),
+        (41, t_c),
+        (50, t_c + " extra"),
+    ]
+    corpus = write_json("corpus.json", all_docs)
+    base = write_json("base.json", all_docs[:3])
+    rot1 = write_json("rot1.json", [all_docs[3]])
+    rot2 = write_json("rot2.json", [all_docs[4]])
+    rot3 = write_json("rot3.json", [all_docs[5]])
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    # deliberately undersized layout: 1 bucket
+    assert cli.main(["build-store", base, store, "--buckets", "1"]) == 0
+    capsys.readouterr()
+    for rot in (rot1, rot2):
+        assert cli.main(["admit", rot, store, "--corpus", corpus,
+                         "--evidence", evidence]) == 0
+    capsys.readouterr()
+
+    # members now holds 5 docs in 1 bucket — past a trigger of 2;
+    # the maintenance pass must re-bucket BOTH tables up by itself
+    assert cli.main(["compact-store", store, "--rebucket-trigger", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "store_rebucketed=1->" in out
+    assert "members_rebucketed=1->" in out
+    assert table_layout(store)["buckets"] > 1
+    assert table_layout(members_path(store))["buckets"] > 1
+
+    # a SECOND pass is a no-op (trigger/target hysteresis): no report
+    assert cli.main(["compact-store", store, "--rebucket-trigger", "2"]) == 0
+    out2 = capsys.readouterr().out
+    assert "rebucketed=" not in out2
+
+    # post-rebucket admission: near-dup found through the migrated
+    # pruned reads
+    assert cli.main(["admit", rot3, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    out3 = capsys.readouterr().out
+    assert "new_docs=1" in out3 and "rotation_pairs=1" in out3

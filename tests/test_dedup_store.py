@@ -1298,7 +1298,7 @@ def test_retracted_id_cannot_readmit_until_fold(spark, tmp_path):
     assert stats["new_docs"] == 0  # tombstone blocks re-admission
 
     fold = dedup_store.fold_retractions(spark, sig, bands, mem)
-    assert fold == {"folded": True}
+    assert fold["folded"] is True
     import os
 
     assert not os.path.isdir(dedup_store.tombstones_path(mem))
@@ -1452,9 +1452,9 @@ def test_fold_refuses_markerless_banded_index(spark, tmp_path):
 
     # with the index dir gone entirely, the fold proceeds markerless
     shutil.rmtree(bands)
-    assert dedup_store.fold_retractions(spark, sig, bands, mem) == {
-        "folded": True
-    }
+    assert dedup_store.fold_retractions(spark, sig, bands, mem)[
+        "folded"
+    ] is True
 
 
 def test_retraction_oracle_parity(spark, sf_oracle):
@@ -1606,7 +1606,7 @@ def test_fold_heals_crashed_swap_before_reading(spark, tmp_path):
     # simulate the crash window: members renamed aside, not replaced
     os.rename(mem, mem + ".old")
     fold = dedup_store.fold_retractions(spark, sig, bands, mem)
-    assert fold == {"folded": True}
+    assert fold["folded"] is True
     live = {
         (r["doc_id"], r["group_id"]) for r in spark.read.parquet(mem).collect()
     }
@@ -2004,7 +2004,12 @@ def test_fold_retractions_preserves_bucketed_layout(spark, tmp_path):
     ds.retract_docs(
         spark, sig, mem, spark.createDataFrame([(3,)], "doc_id long")
     )
-    assert ds.fold_retractions(spark, sig, band, mem) == {"folded": True}
+    fold = ds.fold_retractions(spark, sig, band, mem)
+    assert fold["folded"] is True
+    # granular under the bucketed layout: ONE bucket per table holds
+    # the retracted singleton's rows
+    assert fold["sig_parts"] == 1 and fold["mem_parts"] == 1
+    assert 1 <= fold["index_parts"] <= 4
     assert ds.table_layout(sig) == {"buckets": 4, "key": "gh", "pb": "xxh64"}
     assert ds.table_layout(mem) == {"buckets": 4, "key": "doc_id", "pb": "xxh64"}
     assert not os.path.exists(sig + ".old") and not os.path.exists(mem + ".old")
@@ -2162,3 +2167,261 @@ def test_admission_step_heals_crashed_maintenance_swap(spark, tmp_path):
     assert out["new_docs"] > 0
     assert os.path.isdir(sig) and os.path.isdir(mem)
     assert not os.path.isdir(sig + ".old") and not os.path.isdir(mem + ".old")
+
+def _build_bucketed_rep_store(spark, tmp_path, buckets=4, extra_docs=24):
+    """_build_rep_store in the key-bucketed layout, padded with
+    `extra_docs` singleton docs so several buckets carry rows the
+    fold must NOT touch."""
+    docs = list(_RETRACT_DOCS) + [
+        (100 + i, f"pad{i} one two three four five six seven eight nine")
+        for i in range(extra_docs)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    g = dedup_store.rep_group_frame(d)
+    reps = dedup_store.rep_reps(g)
+    sig = str(tmp_path / "signatures")
+    bands = str(tmp_path / "bands")
+    mem = str(tmp_path / "members")
+    dedup_store.write_table(
+        dedup_store.rep_signature_frame(reps), sig, "overwrite",
+        key="gh", buckets=buckets,
+    )
+    dedup_store.write_banded_index(
+        dedup_store.read_table(spark, sig), bands, "overwrite"
+    )
+    dedup_store.write_table(
+        g.select("doc_id", "gh")
+        .join(reps.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        mem,
+        "overwrite",
+        key="doc_id",
+        buckets=buckets,
+    )
+    return sig, bands, mem
+
+
+def _partition_snapshot(path):
+    """(relative file, size, mtime_ns) per partition dir — byte-
+    invariance evidence for untouched partitions."""
+    import glob
+    import os
+
+    snap = {}
+    for d in glob.glob(os.path.join(path, "**", "*.parquet"),
+                       recursive=True):
+        rel = os.path.relpath(d, path)
+        st = os.stat(d)
+        snap.setdefault(os.path.dirname(rel), []).append(
+            (os.path.basename(rel), st.st_size, st.st_mtime_ns)
+        )
+    return {k: sorted(v) for k, v in snap.items()}
+
+
+def test_granular_fold_equivalence_and_byte_invariance(spark, tmp_path):
+    """VERDICT r15 #2: the partition-granular fold materializes
+    exactly the live view (same rows as the sidecar-composed reads
+    it replaces) while leaving every partition WITHOUT affected rows
+    byte-identical — the property that makes fold cost track the
+    retracted set instead of the bucket count."""
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    # rep retraction (re-election) + whole-group drop + plain member
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1, 3, 14))
+    live_s = {
+        tuple(r)
+        for r in dedup_store.live_store_sigs(spark, sig).collect()
+    }
+    live_m = {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    }
+    snap_sig = _partition_snapshot(sig)
+    snap_mem = _partition_snapshot(mem)
+    snap_band = _partition_snapshot(bands)
+
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True
+    assert fold["sig_parts"] >= 1 and fold["mem_parts"] >= 1
+    assert fold["index_parts"] >= 1
+
+    # physical tables now ARE the pre-fold live views
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, sig).collect()
+    } == live_s
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, mem).collect()
+    } == live_m
+    # untouched partitions byte-invariant (size AND mtime)
+    for path, before in ((sig, snap_sig), (mem, snap_mem), (bands, snap_band)):
+        after = _partition_snapshot(path)
+        untouched_before = {
+            k: v for k, v in before.items() if k in after and v == after[k]
+        }
+        rewritten = [k for k in before if before[k] != after.get(k)]
+        assert untouched_before, f"every partition of {path} was rewritten"
+        assert len(rewritten) <= {
+            sig: fold["sig_parts"],
+            mem: fold["mem_parts"],
+            bands: fold["index_parts"],
+        }[path]
+    # the pruned admission read serves exactly the folded store's
+    # live groups (probe with the store itself — every group's own
+    # band keys select its partitions)
+    got = dedup_store.pruned_store_rows(
+        spark, bands, dedup_store.read_table(spark, sig)
+    )
+    live_gids = {
+        r["group_id"]
+        for r in dedup_store.read_table(spark, sig)
+        .select("group_id")
+        .collect()
+    }
+    assert {r["id"] for r in got.collect()} == live_gids
+
+
+def test_granular_fold_tombstone_only_skips_sig_and_index(spark, tmp_path):
+    """Retracting a NON-rep member of a surviving group writes a
+    tombstone and a zero-row gdelta: the sig store and banded index
+    are already physically correct, so the fold must leave BOTH
+    entirely untouched (sig_parts == index_parts == 0) and rewrite
+    only the members bucket holding the tombstoned doc."""
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    # doc 2: group A member, rep 1 survives, no re-election, no drop
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 2))
+    snap_sig = _partition_snapshot(sig)
+    snap_band = _partition_snapshot(bands)
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True
+    assert fold["sig_parts"] == 0 and fold["index_parts"] == 0
+    assert fold["mem_parts"] == 1
+    assert _partition_snapshot(sig) == snap_sig
+    assert _partition_snapshot(bands) == snap_band
+    m = dedup_store.read_table(spark, mem)
+    assert m.where(m["doc_id"] == 2).count() == 0
+
+
+def test_granular_fold_partial_crash_converges(spark, tmp_path):
+    """A fold that crashes between the sig-store pass and the
+    members pass leaves a consistent state (sidecars still stand, so
+    every live view composes them over the half-folded tables) and a
+    re-run CONVERGES: the already-folded table's affected-key scan
+    finds nothing and rewrites zero partitions."""
+    from pyspark.sql import functions as F
+
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1, 3))
+    live_m = {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    }
+    # partial fold: sig only (the crash point after the first table)
+    gd = spark.read.parquet(dedup_store.gdelta_path(sig))
+    gd_keys = gd.select("group_id").distinct()
+    assert dedup_store._fold_table_granular(
+        spark, sig, sig, gd_keys, None
+    ) >= 1
+    # live views still correct mid-crash (gdelta applies as no-op to
+    # the already-folded sig rows)
+    assert {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    } == live_m
+    assert (
+        dedup_store.live_store_sigs(spark, sig)
+        .where(F.col("group_id") == 3)
+        .count()
+        == 0
+    )
+    # re-run: sig pass finds nothing left, the rest completes
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True
+    assert fold["sig_parts"] == 0  # converged — nothing re-rewritten
+    assert fold["mem_parts"] >= 1
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, mem).collect()
+    } == live_m
+
+
+def test_heal_table_fold_crash_windows(spark, tmp_path):
+    """The per-bucket swap's two crash windows: (a) live dir renamed
+    aside, replacement not yet in place — heal restores the aside
+    (roll-back is safe: sidecars outlive the fold); (b) swap
+    completed but aside not yet removed — heal drops the remnant.
+    Readers (read_table / pruned_table) heal before planning, so
+    neither window can silently drop a bucket's rows."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(32)], "doc_id long, gh string"
+    )
+    ds.write_table(df, path, "overwrite", key="doc_id", buckets=4)
+    total = ds.read_table(spark, path).count()
+    part = os.path.basename(glob.glob(os.path.join(path, "pb=*"))[0])
+
+    # (a) mid-swap: live renamed aside, journal present
+    os.rename(
+        os.path.join(path, part),
+        os.path.join(path, ds._BFOLD_PREFIX + part),
+    )
+    with open(os.path.join(path, ds._FOLD_JOURNAL), "w") as f:
+        json.dump({"dirs": [part]}, f)
+    # a raw read WOULD drop the bucket's rows; read_table heals first
+    assert ds.read_table(spark, path).count() == total
+    assert os.path.isdir(os.path.join(path, part))
+    assert not os.path.exists(os.path.join(path, ds._FOLD_JOURNAL))
+
+    # (b) completed swap, aside remnant left behind
+    shutil.copytree(
+        os.path.join(path, part),
+        os.path.join(path, ds._BFOLD_PREFIX + part),
+    )
+    with open(os.path.join(path, ds._FOLD_JOURNAL), "w") as f:
+        json.dump({"dirs": [part]}, f)
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+    assert ds.pruned_table(spark, path, keys).count() >= 1
+    assert not os.path.isdir(os.path.join(path, ds._BFOLD_PREFIX + part))
+    assert ds.read_table(spark, path).count() == total
+
+
+def test_maybe_rebucket_table_decision(spark, tmp_path):
+    """VERDICT r15 #3: the maintenance pass re-buckets UP when
+    rows/bucket crosses the trigger, straight to the target ratio's
+    power of two; under the trigger it no-ops; legacy tables are
+    never auto-migrated."""
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(64)], "doc_id long, gh string"
+    )
+    ds.write_table(df, path, "overwrite", key="doc_id", buckets=2)
+    before = {tuple(r) for r in ds.read_table(spark, path).collect()}
+
+    # under the trigger: no-op
+    rb = ds.maybe_rebucket_table(
+        spark, path, trigger_rows=64, target_rows=16
+    )
+    assert rb == {
+        "rebucketed": False, "rows": 64,
+        "buckets_before": 2, "buckets_after": 2,
+    }
+
+    # over the trigger: jump to the target ratio
+    rb = ds.maybe_rebucket_table(
+        spark, path, trigger_rows=16, target_rows=4
+    )
+    assert rb["rebucketed"] is True
+    assert rb["buckets_before"] == 2 and rb["buckets_after"] == 16
+    assert ds.table_layout(path)["buckets"] == 16
+    assert {tuple(r) for r in ds.read_table(spark, path).collect()} == before
+    keys = spark.createDataFrame([(7,)], "doc_id long")
+    assert ds.pruned_table(spark, path, keys).where("doc_id = 7").count() == 1
+
+    # legacy table: never auto-migrated
+    legacy = str(tmp_path / "legacy")
+    df.write.parquet(legacy)
+    rb = ds.maybe_rebucket_table(spark, legacy, trigger_rows=1)
+    assert rb["rebucketed"] is False and rb["rows"] is None

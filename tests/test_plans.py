@@ -311,12 +311,17 @@ def test_no_unbounded_driver_collect():
             "best = argmax_one_row.collect()",
         },
         # the banded index's partition-filter literal (≤ n_bands ×
-        # buckets rows by layout construction) and the bucketed
+        # buckets rows by layout construction), the bucketed
         # flat-store/members partition-filter literal (≤ buckets
-        # rows by the persisted layout — round 15)
+        # rows by the persisted layout — round 15), and the granular
+        # fold's affected-partition literals (same bounds: ≤ buckets
+        # distinct pb values / ≤ n_bands × buckets (band, kb) pairs
+        # — round 16)
         "operators/dedup_store.py": {
             'for r in batch_rows.select("band", "kb").distinct().collect()',
             "for r in keys.select(pb.alias(_TBL_PB)).distinct().collect()",
+            "for r in aff.select(pb.alias(_TBL_PB)).distinct().collect()",
+            'pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]',
         },
         # split_ivf_lists' maintenance metadata: per-list counts,
         # empty list ids, and split-list ids — all bounded by the

@@ -302,3 +302,77 @@ def test_streaming_ivf_insert_matches_batch_lifecycle(spark, sf_oracle):
         map(tuple, ann_store.ann_ivf_store_search(spark, sf_oracle).collect())
     )
     assert via_stream == via_batch
+
+def test_streaming_insert_into_codes_bearing_ivfpq(spark, tmp_path):
+    """VERDICT r15 #4: a stream pointed at a codes-bearing IVF-PQ
+    index must not silently degrade compressed search. The streaming
+    insert now routes through `ivf_insert_batch` (the insert-vectors
+    kernel), which appends residual PQ codes per micro-batch — so
+    after the drain the artifact set stays coherent (codes cover
+    every listed vector) and `search-ivfpq`'s plan can ANSWER with
+    streamed vectors."""
+    from fdblog2clickhouse_spark import cli
+    from fdblog2clickhouse_spark.cli import _vector_qn
+    from fdblog2clickhouse_spark.operators.ann_store import (
+        ivf_codes_path,
+        ivf_insert_batch,
+        ivfpq_store_search_plan,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    base_p = str(tmp_path / "base")
+    emb.where(F.pmod("vec_id", F.lit(10)) != 0).coalesce(1).write.parquet(
+        base_p
+    )
+    index = str(tmp_path / "index")
+    cb = os.path.join(index, "codebook")
+    lists = os.path.join(index, "lists")
+    codes = ivf_codes_path(lists)
+    assert cli.main(["build-ivfpq", base_p, index, "--centroids", "4"]) == 0
+    n_base = spark.read.parquet(lists).count()
+
+    # arrivals: the insert slice as 2 integer-exact JSON rotations
+    arrivals = str(tmp_path / "rotations")
+    all_p = str(tmp_path / "all")
+    emb.coalesce(1).write.parquet(all_p)
+    qn = _vector_qn(spark, all_p).cache()
+    qn.where(F.pmod("vec_id", F.lit(10)) == 0).coalesce(2).write.json(
+        arrivals
+    )
+
+    def insert(batch_df, batch_id):
+        ivf_insert_batch(batch_df.sparkSession, batch_df, cb, lists)
+
+    q = (
+        spark.readStream.schema("vec_id long, q array<long>, nq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(arrivals)
+        .writeStream.foreachBatch(insert)
+        .option("checkpointLocation", arrivals + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    li = spark.read.parquet(lists)
+    co = spark.read.parquet(codes)
+    n_all = li.count()
+    assert n_all > n_base
+    # the coherence the old lists-only leg broke: EVERY listed vector
+    # has codes, including the streamed ones
+    assert co.select("vec_id").distinct().count() == n_all
+    streamed = {
+        r["vec_id"]
+        for r in qn.where(F.pmod("vec_id", F.lit(10)) == 0)
+        .select("vec_id")
+        .collect()
+    }
+    assert streamed <= {
+        r["n_id"] for r in li.select("n_id").collect()
+    }
+    # compressed search ANSWERS with streamed vectors (they were
+    # invisible before the shared kernel)
+    got = ivfpq_store_search_plan(spark, qn, cb, lists, codes)
+    answered = {r["n_id"] for r in got.collect()}
+    assert answered & streamed
+    qn.unpersist()
