@@ -60,7 +60,9 @@ KS = (
     else [1, 64, 256]
 )
 OFFSET = 10_000_000
-INSERT_BASE = 900_000_000
+# insert ids must clear EVERY replica's offset range (256 × 10M);
+# 900M sat inside replica 90's range and collided at ×256
+INSERT_BASE = 10_000_000_000
 N_CENTROIDS = 16
 BATCH_N = 200
 N_QUERIES = 10
