@@ -599,7 +599,9 @@ def cmd_compact_store(args) -> int:
     a store built at the small default). Key-bucketed flat-store and
     members tables are re-bucketed UP automatically when their
     rows/bucket crosses the soak-measured knee (VERDICT r15 #3 —
-    `maybe_rebucket_table`; disable with --no-auto-rebucket)."""
+    `maybe_rebucket_table`; disable with --no-auto-rebucket), and a
+    banded index whose bucket count falls below the store's new one
+    is re-bucketed to match in the same pass."""
     import os
 
     from .operators.dedup_store import (
@@ -643,6 +645,25 @@ def cmd_compact_store(args) -> int:
                     f"{label}_rebucketed={rb['buckets_before']}->"
                     f"{rb['buckets_after']} (rows={rb['rows']})"
                 )
+            if label == "store" and rb["rebucketed"]:
+                # the banded index rides the store's decision: its
+                # rows/partition is the same groups/buckets arithmetic
+                # (n_bands × groups over n_bands × buckets), and the
+                # r12 sweep measured over-bucketing penalty-free on
+                # the pruned read — so keep its granularity aligned,
+                # UP only (a manual --buckets below still wins)
+                from .operators.dedup_store import banded_layout
+
+                bands_p = banded_path(args.store)
+                b_lay = banded_layout(bands_p)
+                if b_lay is not None and b_lay["buckets"] < rb["buckets_after"]:
+                    re = rebucket_banded_index(
+                        spark, args.store, bands_p, rb["buckets_after"]
+                    )
+                    rebucket_notes.append(
+                        f"bands_rebucketed={re['buckets_before']}->"
+                        f"{re['buckets_after']} (aligned)"
+                    )
     sort_col = args.sort_col
     if sort_col is None:
         # derive the flat-store sort key from the schema: a text

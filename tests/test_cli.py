@@ -1504,3 +1504,60 @@ def test_compact_store_auto_rebucket_growth(spark, tmp_path, capsys):
                      "--evidence", evidence]) == 0
     out3 = capsys.readouterr().out
     assert "new_docs=1" in out3 and "rotation_pairs=1" in out3
+
+def test_compact_store_auto_rebucket_aligns_banded_index(
+    spark, tmp_path, capsys
+):
+    """When the store's auto-rebucket fires with a bucket count ABOVE
+    the banded index's persisted layout, the index is re-bucketed to
+    match in the same pass (its rows/partition is the same
+    groups/buckets arithmetic, and the r12 sweep measured
+    over-bucketing penalty-free on the pruned read) — and the next
+    admission still finds its near-dup through the fully migrated
+    layout."""
+    import json
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        banded_layout,
+        banded_path,
+        members_path,
+        table_layout,
+    )
+
+    def write_json(name, rows):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        return str(p)
+
+    base_docs = [
+        (i, f"doc{i} alpha bravo charlie delta echo foxtrot golf hotel")
+        for i in range(1, 81)
+    ]
+    rot_doc = (200, _T_A)
+    near_doc = (201, _T_A + " mike november")
+    corpus = write_json("corpus.json", base_docs + [rot_doc, near_doc])
+    base = write_json("base.json", base_docs + [rot_doc])
+    rot = write_json("rot.json", [near_doc])
+    store = str(tmp_path / "store")
+    evidence = str(tmp_path / "evidence")
+
+    assert cli.main(["build-store", base, store, "--buckets", "1"]) == 0
+    capsys.readouterr()
+    assert banded_layout(banded_path(store))["buckets"] == 16
+
+    # 81 groups in 1 bucket, trigger 1 → store jumps to 128, and the
+    # 16-bucket index must follow
+    assert cli.main(["compact-store", store, "--rebucket-trigger", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "store_rebucketed=1->128" in out
+    assert "bands_rebucketed=16->128 (aligned)" in out
+    assert table_layout(store)["buckets"] == 128
+    assert banded_layout(banded_path(store))["buckets"] == 128
+    assert table_layout(members_path(store))["buckets"] == 128
+
+    assert cli.main(["admit", rot, store, "--corpus", corpus,
+                     "--evidence", evidence]) == 0
+    out2 = capsys.readouterr().out
+    assert "new_docs=1" in out2 and "rotation_pairs=1" in out2
