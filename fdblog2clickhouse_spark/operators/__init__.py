@@ -60,7 +60,10 @@ from pyspark.sql import DataFrame, SparkSession
 # changed dedup_store kernel — r15-green, admission path untouched
 # by the fold/re-bucket work, self-checked via window_check). NOT in
 # the window by design: every r13-r15 green whose file is untouched.
-# Exactly 50.
+# Exactly 50. Additionally, a FULL tools/driver_sim.py sweep at r16
+# open reproduced all 168 ops MATCH on this registry order, so every
+# out-of-window op has fresh local oracle evidence this round, not
+# just byte-unchanged-file reasoning.
 #
 # The changed-code slice of the window, exported so
 # tools/window_check.py's no-arg pre-flight tracks it instead of
