@@ -2658,12 +2658,16 @@ def _retract_sql_pred(expr: str) -> str:
 
 def dedup_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction invariance, text family: after base + batch-1
-    admission and a mid-lifecycle `retract_docs`, batch 2's admission
-    evidence (expanded through live membership) must be EXACTLY what
-    a never-admitted one-shot scoring of batch 2 against the
-    surviving corpus yields — takedowns leave no ghost evidence, and
-    re-elected groups keep verifying (the verify features come from
-    the new rep's doc id, alive by construction)."""
+    admission, a mid-lifecycle `retract_docs`, AND a
+    partition-granular `fold_retractions` (round 16 — the tables are
+    key-bucketed, so the driver row pins the granular fold
+    end-to-end), batch 2's admission evidence (expanded through live
+    membership) must be EXACTLY what a never-admitted one-shot
+    scoring of batch 2 against the surviving corpus yields —
+    takedowns leave no ghost evidence, re-elected groups keep
+    verifying (the verify features come from the new rep's doc id,
+    alive by construction), and folding is invisible to the
+    oracle because it materializes exactly the live views."""
     from ..functions.text import shingles_expr
     from ..sources.tables import table
     from .sinkcheck import scratch_dir
@@ -2715,6 +2719,12 @@ def dedup_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         mem_path,
         g_all.where(_retract_pred(F.col("doc_id"))).select("doc_id"),
     )
+    # fold the sidecars mid-lifecycle (round 16): the tables are
+    # key-bucketed, so this drives the PARTITION-GRANULAR fold — and
+    # because a fold preserves live views exactly, the oracle is
+    # unchanged, making this driver row the end-to-end pin that
+    # retract → granular fold → admit ≡ never-admitted
+    fold_retractions(spark, sig_path, band_path, mem_path)
     import shutil
 
     shutil.rmtree(evidence)  # pre-retraction evidence is history, not output
@@ -2835,6 +2845,10 @@ def embedding_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         mem_path,
         g_all.where(_retract_pred(F.col("doc_id"))).select("doc_id"),
     )
+    # granular-fold mid-lifecycle — see dedup_store_retraction; the
+    # vector family pins the same fold ≡ no-fold equivalence through
+    # its own oracle hash
+    fold_retractions(spark, sig_path, band_path, mem_path)
     import shutil
 
     shutil.rmtree(evidence)  # pre-retraction evidence is history, not output

@@ -2425,3 +2425,75 @@ def test_maybe_rebucket_table_decision(spark, tmp_path):
     df.write.parquet(legacy)
     rb = ds.maybe_rebucket_table(spark, legacy, trigger_rows=1)
     assert rb["rebucketed"] is False and rb["rows"] is None
+
+def test_heal_table_fold_banded_index_reader(spark, tmp_path):
+    """The banded index's crash window: a granular index fold that
+    died between its two renames leaves a (band, kb) partition only
+    at its '.bfold-' aside — pruned_store_rows must heal before
+    planning or the batch's candidates from that partition silently
+    vanish (a missing dir is skipped by the explicit-dir listing)."""
+    import glob
+    import json
+    import os
+
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    batch_sigs = ds.read_table(spark, sig)
+    want = {
+        r["id"] for r in ds.pruned_store_rows(spark, bands, batch_sigs).collect()
+    }
+    assert want  # probe with the store itself: every group answers
+
+    # crash state: one kb dir renamed aside, journal present
+    kb_dir = glob.glob(os.path.join(bands, "band=*", "kb=*"))[0]
+    parent, leaf = os.path.split(kb_dir)
+    rel = os.path.join(os.path.basename(parent), leaf)
+    os.rename(kb_dir, os.path.join(parent, ds._BFOLD_PREFIX + leaf))
+    with open(os.path.join(bands, ds._FOLD_JOURNAL), "w") as f:
+        json.dump({"dirs": [rel]}, f)
+
+    got = {
+        r["id"] for r in ds.pruned_store_rows(spark, bands, batch_sigs).collect()
+    }
+    assert got == want  # healed before planning — nothing vanished
+    assert os.path.isdir(kb_dir)
+    assert not os.path.exists(os.path.join(bands, ds._FOLD_JOURNAL))
+
+
+def test_fold_mixed_legacy_and_bucketed_layouts(spark, tmp_path):
+    """A store migrated halfway (bucketed members, legacy flat sigs)
+    folds each table by its own layout: the legacy sig store takes
+    the full layout-preserving rewrite (-1), the bucketed members
+    fold granularly, and the live views match either way."""
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    d = spark.createDataFrame(_RETRACT_DOCS, "doc_id long, text string")
+    g = ds.rep_group_frame(d)
+    reps = ds.rep_reps(g)
+    sig = str(tmp_path / "signatures")
+    bands = str(tmp_path / "bands")
+    mem = str(tmp_path / "members")
+    ds.rep_signature_frame(reps).write.parquet(sig)  # legacy flat
+    ds.write_banded_index(spark.read.parquet(sig), bands, "overwrite")
+    ds.write_table(
+        g.select("doc_id", "gh")
+        .join(reps.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        mem,
+        "overwrite",
+        key="doc_id",
+        buckets=4,
+    )
+    ds.retract_docs(spark, sig, mem, _ids(spark, 1, 3))
+    live_m = {
+        tuple(r) for r in ds.live_members(spark, mem, sig).collect()
+    }
+    fold = ds.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True
+    assert fold["sig_parts"] == -1 and fold["index_parts"] == -1
+    assert fold["mem_parts"] >= 1
+    assert {
+        tuple(r) for r in ds.read_table(spark, mem).collect()
+    } == live_m
+    assert ds.live_store_sigs(spark, sig).count() == 2
