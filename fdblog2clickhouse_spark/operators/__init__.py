@@ -60,10 +60,18 @@ from pyspark.sql import DataFrame, SparkSession
 # changed dedup_store kernel — r15-green, admission path untouched
 # by the fold/re-bucket work, self-checked via window_check). NOT in
 # the window by design: every r13-r15 green whose file is untouched.
-# Exactly 50. Additionally, a FULL tools/driver_sim.py sweep at r16
-# open reproduced all 168 ops MATCH on this registry order, so every
-# out-of-window op has fresh local oracle evidence this round, not
-# just byte-unchanged-file reasoning.
+# Exactly 50. Additionally, FULL tools/driver_sim.py sweeps at both
+# r16 open and r16 close reproduced all 168 ops MATCH on this
+# registry order, so every out-of-window op has fresh local oracle
+# evidence this round, not just byte-unchanged-file reasoning.
+#
+# r17 freshness ledger (who should lead the next window): after
+# CORRECTNESS_r16, the stalest greens are the r13 cohort — 39 ops:
+# trace_ops.py's 9 (trace_normalize, event_sessionization,
+# json_extract_props, user_activity_gap, events_rollup_cube,
+# events_cube, events_asof_join, value_percentiles_by_type,
+# events_running_windows), dedup.py's 15, similarity.py's 15 —
+# which fit one window with ~11 slots left for r17 changed code.
 #
 # The changed-code slice of the window, exported so
 # tools/window_check.py's no-arg pre-flight tracks it instead of
