@@ -2497,3 +2497,53 @@ def test_fold_mixed_legacy_and_bucketed_layouts(spark, tmp_path):
         tuple(r) for r in ds.read_table(spark, mem).collect()
     } == live_m
     assert ds.live_store_sigs(spark, sig).count() == 2
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    retract=st.lists(
+        st.sampled_from([1, 2, 3, 4, 11, 14, 100, 101, 102, 103]),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_granular_fold_matches_live_views_property(spark, tmp_path_factory, retract):
+    """Property: for ANY retraction set over the bucketed store, the
+    partition-granular fold materializes exactly the pre-fold live
+    views (drops, re-elections, chained relabels included) and
+    leaves no sidecars — i.e. granular fold ≡ the live views the
+    full rewrite used to materialize, across the whole retraction
+    semantics space, not just the hand-picked cases."""
+    tmp_path = tmp_path_factory.mktemp("gfoldprop")
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path, extra_docs=6)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, *retract))
+    live_s = {
+        tuple(r) for r in dedup_store.live_store_sigs(spark, sig).collect()
+    }
+    live_m = {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    }
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, sig).collect()
+    } == live_s
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, mem).collect()
+    } == live_m
+    import os
+
+    assert not os.path.isdir(dedup_store.tombstones_path(mem))
+    assert not os.path.isdir(dedup_store.gdelta_path(sig))
+    # the index serves exactly the live groups after the granular fold
+    got = dedup_store.pruned_store_rows(
+        spark, bands, dedup_store.read_table(spark, sig)
+    )
+    assert {r["id"] for r in got.collect()} == {
+        r["group_id"]
+        for r in dedup_store.read_table(spark, sig).select("group_id").collect()
+    }
