@@ -219,6 +219,21 @@ def recall(cb):
 seeds = sv.where(F.col("vec_id") < CODES).select(
     "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("carr")
 )
+def mse(cb):
+    """Mean squared quantization error over all (vec, sub) cells —
+    the objective Lloyd minimizes; printed beside recall to show
+    whether extra iterations improve the objective while degrading
+    the ranking, or degrade both (pure floor-rounding drift)."""
+    scored = sv.join(broadcast(cb), "sub").select(
+        "vec_id", "sub", "code", d2("sv", "carr").alias("d")
+    )
+    wn = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    best = scored.withColumn("rn", F.row_number().over(wn)).where(
+        F.col("rn") == 1
+    )
+    return best.agg(F.avg("d")).first()[0]
+
+
 cb = seeds
 max_it = max(ITERS)
 print(f"sf_dir={SF} C={C} nprobe={NPROBE} subs={SUBS} recall@{K}", flush=True)
@@ -228,4 +243,8 @@ for it in range(1, max_it + 1):
     # driver OOMs compiling it by iteration 3-4
     cb = m_step(e_step(cb), cb).localCheckpoint()
     if it in ITERS:
-        print(f"pq_lloyd_iters={it}: recall@{K}={recall(cb):.3f}", flush=True)
+        print(
+            f"pq_lloyd_iters={it}: recall@{K}={recall(cb):.3f} "
+            f"mse={mse(cb):.1f}",
+            flush=True,
+        )
