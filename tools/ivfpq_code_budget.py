@@ -32,6 +32,14 @@ SUBS = (
     if len(sys.argv) > 2
     else [4, 8, 16]
 )
+# optional codes-per-subspace sweep (argv[3]): each subspace count is
+# crossed with each codebook size — 16 (the operator constant) by
+# default, so the no-arg run reproduces the original sweep
+CODES_SWEEP = (
+    [int(x) for x in sys.argv[3].split(",")]
+    if len(sys.argv) > 3
+    else [16]
+)
 N_QUERIES = 10
 C = 32
 NPROBE = 8
@@ -114,7 +122,9 @@ print(f"sf_dir={SF} corpus={n_corpus} C={C} nprobe={NPROBE} "
       f"recall@{K} over {N_QUERIES} queries", flush=True)
 
 for subs in SUBS:
+  for n_codes in CODES_SWEEP:
     sim._PQ_SUBS, sim._PQ_SUBDIM = subs, sim._DIM // subs
+    sim._PQ_CODES = n_codes
     cb = sim._pq_train_cb(resid.select("vec_id", "q"))
 
     def sub_d2(vec_col):
@@ -170,5 +180,6 @@ for subs in SUBS:
         .where(F.col("rn") <= K).select("q_id", "n_id")
     )
     r = truth.join(out, ["q_id", "n_id"], "left_semi").count() / truth.count()
-    print(f"subspaces={subs:2d} ({subs} code bytes/vector): "
+    print(f"subspaces={subs:2d} codes={n_codes:3d} "
+          f"(~{subs} code bytes/vector at 16 codes): "
           f"recall@{K}={r:.3f}", flush=True)
