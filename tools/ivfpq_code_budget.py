@@ -8,7 +8,9 @@ per vector at 16 codes each) — by patching
 similarity._PQ_SUBS/_PQ_SUBDIM before training, the knob a
 production deployment sizes against its memory budget.
 
-Usage: python tools/ivfpq_code_budget.py [SF_DIR] [SUBS1,SUBS2,...]
+Usage: python tools/ivfpq_code_budget.py [SF_DIR] [SUBS1,...] [CODES1,...]
+(the optional third arg crosses each subspace count with each
+codes-per-subspace codebook size; default 16 = the operator constant)
 """
 
 from __future__ import annotations
@@ -180,6 +182,5 @@ for subs in SUBS:
         .where(F.col("rn") <= K).select("q_id", "n_id")
     )
     r = truth.join(out, ["q_id", "n_id"], "left_semi").count() / truth.count()
-    print(f"subspaces={subs:2d} codes={n_codes:3d} "
-          f"(~{subs} code bytes/vector at 16 codes): "
+    print(f"subspaces={subs:2d} codes={n_codes:3d}: "
           f"recall@{K}={r:.3f}", flush=True)
