@@ -948,15 +948,24 @@ def cmd_insert_vectors(args) -> int:
     codes encoded against the persisted PQ codebook and appended
     beside them. Codebooks are never retrained by an insert (that is
     refresh-ivf's job); encode-at-insert ≡ rebuild is the
-    driver-pinned equivalence (`ann_ivfpq_store_search`). Appends
-    are not idempotent under redelivery — dedupe the feed or
-    compact-store with a retraction of the duplicate ids."""
+    driver-pinned equivalence (`ann_ivfpq_store_search`). Inserts
+    are IDEMPOTENT under redelivery (VERDICT r16 #1): a retried run
+    of the same batch appends nothing twice — already-present
+    vec_ids are reported as skipped."""
     from .operators.ann_store import ivf_insert_batch
 
     spark = _spark()
     qn_b = _vector_qn(spark, args.batch).cache()
-    r = ivf_insert_batch(spark, qn_b, args.codebook, args.lists)
+    try:
+        r = ivf_insert_batch(spark, qn_b, args.codebook, args.lists)
+    except RuntimeError as e:
+        # keep the CLI's error contract: one clean line, no traceback
+        # (ADVICE r16 — the incoherent-artifact refusal used to be a
+        # SystemExit here before the kernel unification)
+        raise SystemExit(str(e))
     msg = f"inserted: vectors={r['vectors']}"
+    if r["skipped"]:
+        msg += f" skipped={r['skipped']} (already indexed)"
     if r["codes_appended"]:
         msg += " codes=appended"
     qn_b.unpersist()

@@ -268,32 +268,80 @@ def ivf_insert_batch(
     codes sibling, residual PQ codes are encoded against the
     persisted PQ codebook and appended beside them in the SAME call
     — a codes table with no PQ codebook is an incoherent artifact
-    set and refuses loudly. Codebooks are never retrained by an
-    insert (refresh-ivf's job); encode-at-insert ≡ rebuild is the
-    driver-pinned equivalence (`ann_ivfpq_store_search`). Appends
-    are not idempotent under redelivery — dedupe the feed or
-    compact-store with a retraction of the duplicate ids. Returns
-    {"vectors": n, "codes_appended": bool}."""
+    set and refuses loudly BEFORE any write, so a refused insert
+    leaves the artifact set untouched (ADVICE r16). Codebooks are
+    never retrained by an insert (refresh-ivf's job);
+    encode-at-insert ≡ rebuild is the driver-pinned equivalence
+    (`ann_ivfpq_store_search`).
+
+    IDEMPOTENT under redelivery (VERDICT r16 #1): foreachBatch is
+    at-least-once, so the batch's vec_ids are anti-joined against
+    the RAW lists before the lists append (raw, not live — a
+    tombstoned vec_id stays retracted until the next fold, the same
+    contract as the dedup admission's raw-members anti-join), and
+    the codes append targets every batch vec_id PRESENT in the lists
+    but MISSING from the codes — which covers, in one spelling, the
+    fresh rows this call adds, a replayed already-complete batch
+    (appends nothing twice), and a replay after a crash BETWEEN the
+    lists append and the codes append (the half-inserted vectors get
+    their codes, not a second lists row). The anti-join side is a
+    2-column columnar read of the lists (and of the codes' vec_id
+    column); batch-internal duplicate vec_ids are collapsed first
+    (a redelivered batch IS an internal duplicate). Returns
+    {"vectors": appended, "skipped": redelivered, "codes_appended":
+    bool}."""
     import os
 
-    cent_d = spark.read.parquet(codebook_path)
-    b_lists = _assign(qn_batch, cent_d, 1).select(
-        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
-    )
-    b_lists.write.mode("append").parquet(lists_path)
     codes_p = ivf_codes_path(lists_path)
-    if not os.path.isdir(codes_p):
-        return {"vectors": qn_batch.count(), "codes_appended": False}
-    pq_p = pq_codebook_path(codebook_path)
-    if not os.path.isdir(pq_p):
-        raise RuntimeError(
-            f"index has a codes table ({codes_p}) but no PQ codebook "
-            f"({pq_p}): the artifact set is incoherent — rebuild with "
-            "build-ivfpq or train the PQ codebook before inserting"
+    has_codes = os.path.isdir(codes_p)
+    if has_codes:
+        pq_p = pq_codebook_path(codebook_path)
+        if not os.path.isdir(pq_p):
+            raise RuntimeError(
+                f"index has a codes table ({codes_p}) but no PQ "
+                f"codebook ({pq_p}): the artifact set is incoherent — "
+                "rebuild with build-ivfpq or train the PQ codebook "
+                "before inserting"
+            )
+    cent_d = spark.read.parquet(codebook_path)
+    batch = qn_batch.dropDuplicates(["vec_id"])
+    prior = spark.read.parquet(lists_path).select(
+        F.col("n_id").alias("vec_id"), "list_id"
+    ).join(batch.select("vec_id"), "vec_id", "left_semi")
+    fresh = batch.join(prior.select("vec_id"), "vec_id", "left_anti")
+    # localCheckpoint (eager): severs the lineage through the lists
+    # read so the append below never races its own scan, and the
+    # assignment is computed ONCE (it used to be re-derived by the
+    # residual join — VERDICT r16 plan audit)
+    b_lists = (
+        _assign(fresh, cent_d, 1)
+        .select(F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id"))
+        .localCheckpoint()
+    )
+    n_fresh = b_lists.count()
+    n_batch = batch.count()
+    if n_fresh:
+        b_lists.write.mode("append").parquet(lists_path)
+    if not has_codes:
+        return {
+            "vectors": n_fresh,
+            "skipped": n_batch - n_fresh,
+            "codes_appended": False,
+        }
+    # lists_after ∩ batch = b_lists ∪ prior; of those, encode codes
+    # for exactly the vec_ids the codes table is missing
+    need = (
+        b_lists.select(F.col("n_id").alias("vec_id"), "list_id")
+        .unionByName(prior)
+        .join(
+            spark.read.parquet(codes_p).select("vec_id"),
+            "vec_id",
+            "left_anti",
         )
+    )
     centv = cent_d.select("c_id", F.col("q").alias("cq"))
     resid = (
-        qn_batch.join(b_lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
+        batch.join(need, "vec_id")
         .join(broadcast(centv), F.col("list_id") == F.col("c_id"))
         .select(
             "vec_id",
@@ -301,11 +349,17 @@ def ivf_insert_batch(
                 "q"
             ),
         )
+        .localCheckpoint()
     )
-    _ivfpq_codes(resid, spark.read.parquet(pq_p)).write.mode(
-        "append"
-    ).parquet(codes_p)
-    return {"vectors": qn_batch.count(), "codes_appended": True}
+    if resid.count():
+        _ivfpq_codes(resid, spark.read.parquet(pq_p)).write.mode(
+            "append"
+        ).parquet(codes_p)
+    return {
+        "vectors": n_fresh,
+        "skipped": n_batch - n_fresh,
+        "codes_appended": True,
+    }
 
 
 def compact_ivf_lists(

@@ -920,3 +920,182 @@ def test_filtered_plan_shape_no_cartesian(spark, sf_smoke, tmp_path):
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _build_ivfpq_fixture(spark, sf_smoke, tmp_path):
+    """A small on-disk IVF-PQ index over the smoke corpus's base
+    slice (vec_id % 10 != 0), leaving the % 10 == 0 slice as the
+    insert batch — the redelivery tests' shared fixture."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+
+    qn = _quantized(spark, sf_smoke).cache()
+    cb = str(tmp_path / "codebook")
+    lists = str(tmp_path / "lists")
+    base = qn.where(F.pmod("vec_id", F.lit(10)) != 0)
+    base.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(base, spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.parquet(lists)
+    ann_store.train_pq_codebook(spark, base, cb, lists)
+    ann_store.reencode_ivf_codes(spark, base, cb, lists)
+    batch = qn.where(F.pmod("vec_id", F.lit(10)) == 0)
+    return qn, cb, lists, batch
+
+
+def _files(path):
+    import glob
+    import os
+
+    return sorted(
+        os.path.basename(f) for f in glob.glob(path + "/*.parquet")
+    )
+
+
+def _rows(spark, path):
+    return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+
+def test_ivf_insert_idempotent_redelivery(spark, sf_smoke, tmp_path):
+    """VERDICT r16 #2: foreachBatch is at-least-once, so inserting
+    the SAME batch twice must end byte-identical to once — the
+    replay appends no lists row, no codes row, and (since empty
+    appends are skipped entirely) no parquet file."""
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    codes = ann_store.ivf_codes_path(lists)
+
+    r1 = ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    assert r1["vectors"] > 0 and r1["skipped"] == 0
+    assert r1["codes_appended"] is True
+    lf, cf = _files(lists), _files(codes)
+    lr, cr = _rows(spark, lists), _rows(spark, codes)
+
+    r2 = ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    assert r2 == {
+        "vectors": 0, "skipped": r1["vectors"], "codes_appended": True,
+    }
+    assert _files(lists) == lf and _files(codes) == cf
+    assert _rows(spark, lists) == lr and _rows(spark, codes) == cr
+
+    # coherent after the replay: codes cover every listed vector
+    li = spark.read.parquet(lists)
+    assert (
+        spark.read.parquet(codes).select("vec_id").distinct().count()
+        == li.count()
+    )
+    # and compressed search still answers with the batch's vectors
+    got = ann_store.ivfpq_store_search_plan(spark, qn, cb, lists, codes)
+    answered = {r["n_id"] for r in got.collect()}
+    streamed = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert answered & streamed
+    qn.unpersist()
+
+
+def test_ivf_insert_repairs_crash_between_appends(spark, sf_smoke, tmp_path):
+    """The half-inserted window: a crash AFTER the lists append but
+    BEFORE the codes append leaves listed vectors with no codes —
+    invisible to compressed search. The replay must NOT double-append
+    their lists rows, and MUST encode exactly the missing codes."""
+    from pyspark.sql import functions as F
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    codes = ann_store.ivf_codes_path(lists)
+
+    # simulate the crash: assignment rows land, codes never do
+    ann_store._assign(batch, spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.mode("append").parquet(lists)
+    n_half = spark.read.parquet(lists).count()
+    n_batch = batch.count()
+    assert (
+        spark.read.parquet(codes).select("vec_id").distinct().count()
+        == n_half - n_batch
+    )
+
+    r = ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    assert r == {
+        "vectors": 0, "skipped": n_batch, "codes_appended": True,
+    }
+    assert spark.read.parquet(lists).count() == n_half
+    # coherence restored: every listed vector has codes again
+    assert (
+        spark.read.parquet(codes).select("vec_id").distinct().count()
+        == n_half
+    )
+    # and the repaired codes are byte-identical to a clean insert's:
+    # encode-at-insert ≡ rebuild, so re-encoding the whole corpus
+    # against the same codebooks reproduces them
+    repaired = _rows(spark, codes)
+    import shutil
+
+    shutil.rmtree(codes)
+    ann_store.reencode_ivf_codes(spark, qn, cb, lists)
+    assert _rows(spark, codes) == repaired
+    qn.unpersist()
+
+
+def test_ivf_insert_refuses_incoherent_before_any_write(
+    spark, sf_smoke, tmp_path
+):
+    """ADVICE r16: the codes-without-codebook refusal must run
+    BEFORE the lists append — the old ordering appended the batch's
+    lists rows and THEN raised, so the refusal itself created the
+    incoherence it refused (and a retry duplicated the rows)."""
+    import shutil
+
+    import pytest
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    codes = ann_store.ivf_codes_path(lists)
+    shutil.rmtree(ann_store.pq_codebook_path(cb))
+    lf, lr = _files(lists), _rows(spark, lists)
+    cf = _files(codes)
+    with pytest.raises(RuntimeError, match="incoherent"):
+        ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    assert _files(lists) == lf and _rows(spark, lists) == lr
+    assert _files(codes) == cf
+    qn.unpersist()
+
+
+def test_ivf_insert_respects_pending_tombstones(spark, sf_smoke, tmp_path):
+    """A retracted vec_id stays retracted until the next fold even
+    if the feed redelivers it (the dedup admission's raw anti-join
+    contract, now shared by the vector store): the insert anti-joins
+    RAW lists, so a tombstoned-but-unfolded row blocks re-insertion;
+    after the fold the id admits fresh."""
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        fold_ivf_retractions,
+        retract_ivf_vectors,
+    )
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    r1 = ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    assert r1["vectors"] > 0
+
+    victim = batch.orderBy("vec_id").limit(1)
+    vid = victim.first()["vec_id"]
+    retract_ivf_vectors(
+        spark, lists, victim.select(F.col("vec_id").alias("doc_id"))
+    )
+    # redelivery while the tombstone is pending: skipped, not revived
+    r2 = ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    assert r2["vectors"] == 0 and r2["skipped"] == r1["vectors"]
+    from fdblog2clickhouse_spark.operators.dedup_store import live_ivf_lists
+
+    assert live_ivf_lists(spark, lists).where(
+        F.col("n_id") == vid
+    ).count() == 0
+
+    # after the fold the id may be admitted fresh
+    fold_ivf_retractions(spark, lists)
+    r3 = ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    assert r3["vectors"] == 1 and r3["skipped"] == r1["vectors"] - 1
+    assert live_ivf_lists(spark, lists).where(
+        F.col("n_id") == vid
+    ).count() == 1
+    qn.unpersist()
