@@ -832,11 +832,18 @@ def cmd_refresh_ivf(args) -> int:
     refresh: over-budget lists are 2-means split (recycling empty
     list ids first — the reseed), so a skew-drifted corpus cannot
     grow one corpus-sized list that nprobe=1 searches then scan
-    whole (`split_ivf_lists`). `--train-pq` retrains and persists the
-    residual PQ codebook beside the coarse one after the refresh
-    (`train_pq_codebook`) — the build-time artifact IVF-PQ queries
-    read instead of training in-query."""
+    whole (`split_ivf_lists`). WITHOUT --max-list the split decision
+    is AUTOMATIC (VERDICT r16 #3, `maybe_split_ivf_lists`): when the
+    live max list size crosses the soak-derived trigger (8192
+    rows/list — the last measured point of the r16 search slope
+    inside the 2× bar), lists are split down to the 2048-row target;
+    disable with --no-auto-split, override the trigger with
+    --split-trigger N (target = N/4). `--train-pq` retrains and
+    persists the residual PQ codebook beside the coarse one after
+    the refresh (`train_pq_codebook`) — the build-time artifact
+    IVF-PQ queries read instead of training in-query."""
     from .operators.ann_store import (
+        maybe_split_ivf_lists,
         refresh_ivf_centroids,
         split_ivf_lists,
         train_pq_codebook,
@@ -855,6 +862,20 @@ def cmd_refresh_ivf(args) -> int:
             f" split={sp['split']} reseeded={sp['reseeded']}"
             f" max_list_after_split={sp['max_list_after']}"
         )
+    elif not args.no_auto_split:
+        ms_kw = {}
+        if args.split_trigger is not None:
+            ms_kw["trigger_rows"] = args.split_trigger
+            ms_kw["target_rows"] = max(1, args.split_trigger // 4)
+        ms = maybe_split_ivf_lists(
+            spark, qn, args.codebook, args.lists, **ms_kw
+        )
+        if ms["triggered"]:
+            msg += (
+                f" auto_split={ms['split']} reseeded={ms['reseeded']}"
+                f" rounds={ms['rounds']}"
+                f" max_list_after_split={ms['max_list_after']}"
+            )
     if args.train_pq:
         # refresh/split retrain an EXISTING artifact themselves (the
         # freshness rule); the flag bootstraps it the first time
@@ -1182,7 +1203,16 @@ def main(argv: list[str] | None = None) -> int:
                          "every indexed vector")
     sv.add_argument("--max-list", type=int, default=None,
                     help="after the refresh, split lists larger than this "
-                         "(2-means, empty ids recycled first)")
+                         "(2-means, empty ids recycled first); overrides "
+                         "the automatic split decision")
+    sv.add_argument("--no-auto-split", action="store_true",
+                    help="skip the automatic max-list check that splits "
+                         "over-budget lists when they cross the measured "
+                         "search-slope trigger")
+    sv.add_argument("--split-trigger", type=int, default=None,
+                    help="rows/list that triggers the automatic split "
+                         "(default: the soak-derived 8192; target = "
+                         "trigger/4)")
     sv.add_argument("--train-pq", action="store_true",
                     help="retrain + persist the residual PQ codebook "
                          "beside the coarse codebook (<codebook>_pq)")

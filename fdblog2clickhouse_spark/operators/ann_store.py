@@ -1363,6 +1363,90 @@ def split_ivf_lists(
     }
 
 
+# Auto-split thresholds (VERDICT r16 #3), derived from the r16 store
+# soak's measured search slope (SCALE.md: fixed 16-centroid geometry,
+# search 1.17 s at 125 rows/list, 2.16 s at 8 k, 2.77 s at 32 k — a
+# linear rows/list × probes candidate term over a flat floor): 8 k
+# rows/list is the last measured point inside the 2× bar (1.85× the
+# flat-geometry time), so the maintenance pass splits when a LIST
+# crosses it, down to 2 k (the slope interpolates to ~1.3× there).
+# The 4× trigger/target gap is what keeps a growing index from
+# re-splitting on every pass — the same rule as
+# dedup_store.maybe_rebucket_table's 4096/1024.
+_SPLIT_TRIGGER_ROWS = 8192
+_SPLIT_TARGET_ROWS = 2048
+
+
+def maybe_split_ivf_lists(
+    spark: SparkSession,
+    qn: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+    *,
+    trigger_rows: int = _SPLIT_TRIGGER_ROWS,
+    target_rows: int = _SPLIT_TARGET_ROWS,
+    max_rounds: int = 16,
+) -> dict:
+    """The automated split decision (VERDICT r16 #3: the r16 soak
+    measured the search slope `split_ivf_lists` exists to flatten,
+    and the re-bucket analog was automated in r16, but splits still
+    only ran via a hand-chosen `refresh-ivf --max-list` — at 100 TB
+    someone had to notice rows/list growing). Called from the
+    refresh-ivf maintenance pass: gate on the LIVE max list size
+    (probes read whole lists, so the hot list — not the average —
+    is what a query pays); when it crosses `trigger_rows`, run
+    `split_ivf_lists` with max_list = `target_rows`, repeating while
+    it makes progress (a 2-means child can itself exceed the budget;
+    each round strictly shrinks an over-budget list or proves it
+    degenerate — identical vectors — in which case splitting cannot
+    help and the loop stops). The gate is one O(index) two-column
+    aggregate inside a pass that is O(index) anyway (refresh
+    reassigns every vector). `qn` must cover every indexed vector
+    when the decision fires (split_ivf_lists' own precondition).
+    Returns {"triggered", "rounds", "split", "reseeded",
+    "max_list_before", "max_list_after"}."""
+    from .dedup_store import live_ivf_lists
+
+    def _max_list() -> int:
+        m = (
+            live_ivf_lists(spark, lists_path)
+            .groupBy("list_id")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        return int(m or 0)
+
+    before = _max_list()
+    out = {
+        "triggered": False,
+        "rounds": 0,
+        "split": 0,
+        "reseeded": 0,
+        "max_list_before": before,
+        "max_list_after": before,
+    }
+    if before <= trigger_rows:
+        return out
+    out["triggered"] = True
+    cur = before
+    while cur > target_rows and out["rounds"] < max_rounds:
+        sp = split_ivf_lists(
+            spark, qn, codebook_path, lists_path, target_rows
+        )
+        out["rounds"] += 1
+        if sp["split"] == 0:
+            break  # every over-budget list is degenerate
+        out["split"] += sp["split"]
+        out["reseeded"] += sp["reseeded"]
+        nxt = sp["max_list_after"]
+        if nxt is None or nxt >= cur:
+            break  # no progress — stop rather than loop
+        cur = nxt
+    out["max_list_after"] = cur
+    return out
+
+
 def ivf_recall_probe(
     spark: SparkSession,
     qn: DataFrame,

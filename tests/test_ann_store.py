@@ -1099,3 +1099,126 @@ def test_ivf_insert_respects_pending_tombstones(spark, sf_smoke, tmp_path):
         F.col("n_id") == vid
     ).count() == 1
     qn.unpersist()
+
+
+def test_maybe_split_ivf_lists_decision(spark, tmp_path):
+    """VERDICT r16 #3: the maintenance pass splits when the live max
+    list size crosses the trigger, down to the target; under the
+    trigger it no-ops (byte-untouched); degenerate over-budget lists
+    stop the loop instead of spinning."""
+    qn = _skew_fixture_qn(spark)
+    cb, li = _skew_index(spark, tmp_path, qn)
+    before = sorted(map(tuple, spark.read.parquet(li).collect()))
+
+    # under the trigger: no-op, nothing rewritten
+    ms = ann_store.maybe_split_ivf_lists(
+        spark, qn, cb, li, trigger_rows=64, target_rows=16
+    )
+    assert ms["triggered"] is False and ms["rounds"] == 0
+    assert ms["max_list_before"] == 30
+    assert sorted(map(tuple, spark.read.parquet(li).collect())) == before
+
+    # over the trigger: split down to the target (possibly multiple
+    # rounds — a child can exceed the budget)
+    ms = ann_store.maybe_split_ivf_lists(
+        spark, qn, cb, li, trigger_rows=20, target_rows=5
+    )
+    assert ms["triggered"] is True and ms["split"] >= 1
+    assert ms["max_list_after"] <= 20
+    sizes = {
+        r["list_id"]: r["count"]
+        for r in spark.read.parquet(li).groupBy("list_id").count().collect()
+    }
+    assert max(sizes.values()) == ms["max_list_after"]
+
+    # degenerate: identical vectors can't split — loop stops, no spin
+    qn2 = spark.createDataFrame(
+        [(i, [500, 500, 0, 0], 500000) for i in range(10)],
+        "vec_id long, q array<long>, nq long",
+    )
+    cb2, li2 = _skew_index(spark, tmp_path / "deg", qn2)
+    ms = ann_store.maybe_split_ivf_lists(
+        spark, qn2, cb2, li2, trigger_rows=4, target_rows=2
+    )
+    assert ms["triggered"] is True and ms["rounds"] == 1
+    assert ms["split"] == 0 and ms["max_list_after"] == 10
+
+
+def test_refresh_ivf_cli_auto_split_growth(spark, tmp_path, capsys):
+    """The growth scenario end to end, with NO manual --max-list: an
+    index whose hot list crossed the (test-scaled) trigger gets its
+    lists split by the refresh-ivf maintenance pass automatically,
+    the report line says so, and full-coverage search results are
+    unchanged (probing every list makes the candidate set
+    split-invariant, so ranking is too)."""
+    import os
+
+    from fdblog2clickhouse_spark import cli
+    from fdblog2clickhouse_spark.operators.dedup import _QUANT
+
+    qn = _skew_fixture_qn(spark)
+    cb, li = _skew_index(spark, tmp_path, qn)
+    # the raw embeddings the CLI quantizes back to exactly qn
+    vecs = str(tmp_path / "vecs")
+    from pyspark.sql import functions as F
+
+    qn.select(
+        "vec_id",
+        F.transform(
+            "q", lambda x: x.cast("double") / F.lit(float(_QUANT))
+        ).alias("embedding"),
+    ).coalesce(1).write.parquet(vecs)
+
+    n_lists_before = spark.read.parquet(cb).count()
+    search0 = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(
+                spark, qn, cb, li, nprobe=32
+            ).collect(),
+        )
+    )
+
+    rc = cli.main(
+        ["refresh-ivf", cb, li, "--vectors", vecs, "--split-trigger", "16"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auto_split=" in out and "max_list_after_split=" in out
+
+    sizes = {
+        r["list_id"]: r["count"]
+        for r in spark.read.parquet(li).groupBy("list_id").count().collect()
+    }
+    assert max(sizes.values()) <= 16  # bounded: under the trigger
+    assert spark.read.parquet(cb).count() > n_lists_before
+    search1 = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(
+                spark, qn, cb, li, nprobe=32
+            ).collect(),
+        )
+    )
+    # full coverage ⇒ candidate set is every vector, before and after
+    # — but list_id is part of the output row; compare on the stable
+    # columns (q_id, n_id, cosine, rank)
+    strip = lambda rows: [
+        (r[0], r[1], r[3], r[4]) for r in rows
+    ]
+    assert strip(search1) == strip(search0)
+
+    # under the trigger now: a second pass still refreshes (that is
+    # its job — a Lloyd step may move vectors between the children)
+    # but the SPLIT decision no-ops and the bound holds
+    rc = cli.main(
+        ["refresh-ivf", cb, li, "--vectors", vecs, "--split-trigger", "16"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auto_split=" not in out
+    sizes = {
+        r["list_id"]: r["count"]
+        for r in spark.read.parquet(li).groupBy("list_id").count().collect()
+    }
+    assert max(sizes.values()) <= 16
