@@ -1985,6 +1985,24 @@ def gdelta_path(sig_path: str) -> str:
     return sig_path.rstrip("/") + "_gdelta"
 
 
+def gdelta_keys_path(sig_path: str) -> str:
+    """The gdelta's BUCKET-KEY sidecar (VERDICT r16 #5): one row per
+    (gh, doc_id) of every live member of a group the gdelta touches,
+    recorded at `retract_docs` time while the rows are cheap to name
+    — `retract_docs` reads the affected groups' membership anyway to
+    compose relabels. The fold's partition discovery then derives
+    the affected sig-store buckets from the gh column and the
+    members buckets from the doc_id column DIRECTLY, skipping its
+    raw-table affected-key scans — the last store-sized read in the
+    retire path. Accumulated by union across retractions (like the
+    tombstones) and retired with the gdelta. COMPLETENESS RULE: the
+    file exists ⟺ it covers the ENTIRE pending gdelta — a retraction
+    composing onto a pre-schema-change sidecar (gdelta present, keys
+    absent) skips writing keys, so the fold falls back to the legacy
+    scans instead of trusting a partial key set."""
+    return sig_path.rstrip("/") + "_gdelta_keys"
+
+
 def _read_sidecar(spark: SparkSession, path: str) -> DataFrame | None:
     """Sidecar read: None when absent or holding no parquet yet (a
     crashed first write) — callers treat both as 'no retractions'.
@@ -2124,12 +2142,14 @@ def retract_docs(
     groups they empty, re-elect (min surviving doc id) groups whose
     rep they take away. The banded index is never touched — readers
     compose the gdelta over the pruned read (rep_admission_step), so
-    retraction needs no index path. Writes the gdelta FIRST,
-    tombstones second,
-    so a crash between the two leaves a state a plain re-run repairs
-    (the docs are still live members, the recompute converges to the
-    same delta — re-election is deterministic). Retracting an id the
-    store never admitted is a no-op. Returns counts."""
+    retraction needs no index path. Write order: the bucket-key
+    sidecar FIRST (`gdelta_keys_path` — a crash after it leaves a
+    harmless superset of keys over the old gdelta), gdelta second,
+    tombstones last, so a crash between any two leaves a state a
+    plain re-run repairs (the docs are still live members, the
+    recompute converges to the same delta — re-election is
+    deterministic). Retracting an id the store never admitted is a
+    no-op. Returns counts."""
     ids = ids.select("doc_id").distinct().cache()
     live = live_members(spark, mem_path, sig_path)
     # localCheckpoint, not cache: r is consumed AFTER the gdelta swap
@@ -2186,8 +2206,34 @@ def retract_docs(
     # the effective key — it just matches nothing). Key sets cannot
     # collide: old entry keys are previously retired ids, effective
     # ids were live until this very retraction.
+    # the bucket-key sidecar (VERDICT r16 #5): (gh, doc_id) of the
+    # CHANGED groups' live members — aff_members carries gh, so the
+    # one frame names both the sig-store buckets (gh) and the
+    # members buckets (doc_id) this gdelta's fold must rewrite.
+    # Written BEFORE the gdelta so any crash leaves keys ⊇ gdelta.
     gd_schema = "group_id long, new_group_id long"
     old_gd = _read_sidecar(spark, gdelta_path(sig_path))
+    keys_p = gdelta_keys_path(sig_path)
+    old_keys = _read_sidecar(spark, keys_p)
+    legacy_keys = old_gd is not None and old_keys is None
+    if not legacy_keys:
+        new_keys = (
+            aff_members.join(
+                eff_changes.select(F.col("eff").alias("group_id")),
+                "group_id",
+                "left_semi",
+            )
+            .select("gh", "doc_id")
+            .distinct()
+        )
+        if old_keys is not None:
+            new_keys = new_keys.unionByName(
+                old_keys.select("gh", "doc_id")
+            ).distinct()
+        # localCheckpoint: the union's lineage reads the old sidecar
+        # the swap below removes (the tombstone write's rule)
+        new_keys = new_keys.localCheckpoint()
+        _swap_write(new_keys, keys_p)
     if old_gd is None:
         old_gd = spark.createDataFrame([], gd_schema)
     mapped = old_gd.join(
@@ -2336,62 +2382,82 @@ def _fold_table_granular(
     sig_path: str,
     gd_keys: DataFrame | None,
     tomb: DataFrame | None,
+    aff_keys: DataFrame | None = None,
 ) -> int:
     """Granular fold of ONE bucketed table (flat sigs or members):
     find the rows the sidecars touch, rewrite only their partitions.
-    The affected-key scan is a 2-column columnar read of the RAW
-    table (no shuffle — the sidecar side is O(retracted) and
-    broadcast), the same accepted store-sized read as the retract
-    column's semi-join; the WRITE is bounded by the affected
-    partition set. Scanning raw and per-table is what makes a
-    crashed fold's re-run converge: partitions an earlier attempt
-    already folded contain no matching rows and are not selected
-    again. Returns the number of partitions rewritten."""
+    Partition discovery is O(retracted) when the retraction recorded
+    its bucket-key sidecar (`aff_keys` — the affected raw key values
+    themselves, VERDICT r16 #5): the recorded keys name the
+    CANDIDATE partitions with no table read, and the exact
+    affected-key scan then runs over those partitions only — so the
+    scan's convergence semantics are kept intact (a partition an
+    earlier crashed attempt already folded matches nothing and drops
+    back out; a recorded-keys superset from a keys-then-crash
+    retraction re-run selects nothing extra) at O(retracted) cost
+    end to end. Without recorded keys (a pre-schema-change sidecar)
+    discovery falls back to the 2-column columnar scan of the whole
+    RAW table (no shuffle — the sidecar side is O(retracted) and
+    broadcast). Either way the WRITE is bounded by the affected
+    partition set. Returns the number of partitions rewritten."""
     import os
     import shutil
 
-    lay = table_layout(path)
-    key = lay["key"]
-    aff = None
-    if gd_keys is not None:
-        aff = (
-            read_table(spark, path)
-            .select(key, "group_id")
-            .join(F.broadcast(gd_keys), "group_id", "left_semi")
-            .select(key)
-        )
-    if tomb is not None:
-        # tombstones are doc_ids — only the members table (bucket key
-        # doc_id) ever passes them here
-        t = tomb.select("doc_id")
-        aff = t if aff is None else aff.unionByName(t)
-    if aff is None:
-        return 0
-    pb = _tbl_pb_expr(aff.schema[key].dataType, key, lay["buckets"], lay["pb"])
-    vals = sorted(
-        {
-            r[0]
-            for r in aff.select(pb.alias(_TBL_PB)).distinct().collect()
-            if r[0] is not None
-        }
-    )
-    rels = [
-        rel
-        for v in vals
-        if os.path.isdir(os.path.join(path, rel := f"{_TBL_PB}={v}"))
-    ]
-    if not rels:
-        return 0
     from pyspark.errors import AnalysisException
 
-    try:
-        src = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, rel) for rel in rels]
-        )
-    except AnalysisException:
-        # selected dirs exist but hold no parquet (crash remnants —
-        # possible when every rel is tombstone-derived): no rows to
-        # fold there (same guard as pruned_table)
+    lay = table_layout(path)
+    key = lay["key"]
+
+    def _pb_vals(df, col):
+        pb = _tbl_pb_expr(df.schema[col].dataType, col, lay["buckets"], lay["pb"])
+        return {
+            r[0]
+            for r in df.select(pb.alias(_TBL_PB)).distinct().collect()
+            if r[0] is not None
+        }
+
+    def _to_rels(vals):
+        return [
+            rel
+            for v in sorted(vals)
+            if os.path.isdir(os.path.join(path, rel := f"{_TBL_PB}={v}"))
+        ]
+
+    def _read_rels(rels):
+        if not rels:
+            return None
+        try:
+            return spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, rel) for rel in rels]
+            )
+        except AnalysisException:
+            # dirs exist but hold no parquet (crash remnants): no
+            # rows there (same guard as pruned_table)
+            return None
+
+    vals = set()
+    if gd_keys is not None:
+        if aff_keys is not None:
+            cand = _read_rels(_to_rels(_pb_vals(aff_keys.select(key), key)))
+        else:
+            cand = read_table(spark, path)  # legacy: full-table scan
+        if cand is not None:
+            vals |= _pb_vals(
+                cand.select(key, "group_id").join(
+                    F.broadcast(gd_keys), "group_id", "left_semi"
+                ),
+                key,
+            )
+    if tomb is not None:
+        # tombstones are doc_ids — only the members table (bucket key
+        # doc_id) ever passes them here; they are key VALUES already,
+        # so no scan is needed (or ever was) for this term
+        vals |= _pb_vals(tomb.select("doc_id"), "doc_id")
+    rels = _to_rels(vals)
+    if not rels:
+        return 0
+    src = _read_rels(rels)
+    if src is None:
         return 0
     folded = src
     if tomb is not None:
@@ -2415,7 +2481,11 @@ def _fold_table_granular(
 
 
 def _fold_index_granular(
-    spark: SparkSession, band_path: str, sig_path: str, gd_keys: DataFrame
+    spark: SparkSession,
+    band_path: str,
+    sig_path: str,
+    gd_keys: DataFrame,
+    aff_gh: DataFrame | None = None,
 ) -> int:
     """Granular fold of the banded index: same contract as
     `_fold_table_granular` over the index's own (band, kb) hive
@@ -2425,23 +2495,50 @@ def _fold_index_granular(
     group's rows are removed by the same gdelta composition the
     pruned reader applies; crash-leaked duplicate index rows remain
     tolerated by the reader's dropDuplicates and retired by
-    compact_banded_index, exactly as before."""
+    compact_banded_index, exactly as before.
+
+    Partition discovery is O(retracted) when the retraction recorded
+    its gh keys (`aff_gh`, VERDICT r16 #5): the affected (band, kb)
+    pairs are recomputed from the PRUNED sig-store read (band keys
+    are content-derived, so any incarnation of a group's sig row —
+    relabeled or not — yields the same pairs; this must run BEFORE
+    the sig fold removes a dropped group's rows, which
+    fold_retractions orders). Fallback to the full index scan when
+    keys are absent OR when some recorded gh has no sig rows left —
+    the one state a crashed earlier fold can produce (sig fold done,
+    index fold not, dropped group's sig rows already gone), where
+    deriving from sigs would silently leak the dropped group's index
+    rows forever."""
     import os
     import shutil
 
     from pyspark.errors import AnalysisException
 
-    try:
-        idx = spark.read.parquet(band_path)
-    except AnalysisException:
-        return 0  # marker-only empty index: nothing to fold
-    pair_rows = (
-        idx.select("band", "kb", "group_id")
-        .join(F.broadcast(gd_keys), "group_id", "left_semi")
-        .select("band", "kb")
-        .distinct()
-    )
-    pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]
+    pairs = None
+    if aff_gh is not None:
+        sig_rows = pruned_table(spark, sig_path, aff_gh, "gh").join(
+            F.broadcast(aff_gh), "gh", "left_semi"
+        )
+        n_rec = aff_gh.count()
+        n_found = sig_rows.select("gh").distinct().count()
+        if n_found == n_rec:
+            lay = banded_layout(band_path)
+            pair_rows = banded_rows_frame(
+                sig_rows, lay["buckets"], lay["key_cols"]
+            ).select("band", "kb").distinct()
+            pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]
+    if pairs is None:
+        try:
+            idx = spark.read.parquet(band_path)
+        except AnalysisException:
+            return 0  # marker-only empty index: nothing to fold
+        pair_rows = (
+            idx.select("band", "kb", "group_id")
+            .join(F.broadcast(gd_keys), "group_id", "left_semi")
+            .select("band", "kb")
+            .distinct()
+        )
+        pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]
     rels = [
         rel
         for b, kb in pairs
@@ -2508,10 +2605,12 @@ def fold_retractions(
         heal_swap(p)
         heal_table_fold(p)
     gd_p, tomb_p = gdelta_path(sig_path), tombstones_path(mem_path)
+    keys_p = gdelta_keys_path(sig_path)
     for p in (gd_p, tomb_p):
         heal_swap(p)
     gd = _read_sidecar(spark, gd_p)
     tomb = _read_sidecar(spark, tomb_p)
+    keys = _read_sidecar(spark, keys_p)
     if gd is None and tomb is None:
         return {"folded": False}
     lay = banded_layout(band_path)
@@ -2537,16 +2636,28 @@ def fold_retractions(
         if gd_keys.count() == 0:
             gd_keys.unpersist()
             gd_keys = None
+    # the recorded bucket keys (VERDICT r16 #5): exists ⟺ covers the
+    # whole gdelta (gdelta_keys_path's completeness rule), making
+    # every discovery below O(retracted). localCheckpoint: the fold
+    # consumes them AFTER sidecar-destroying swaps begin.
+    aff_gh = aff_docs = None
+    if keys is not None and gd_keys is not None:
+        k = keys.localCheckpoint()
+        aff_gh = k.select("gh").distinct()
+        aff_docs = k.select("doc_id").distinct()
     stats = {"folded": True, "sig_parts": 0, "index_parts": 0, "mem_parts": 0}
     if gd_keys is not None:
         if table_layout(sig_path) is not None:
-            stats["sig_parts"] = _fold_table_granular(
-                spark, sig_path, sig_path, gd_keys, None
-            )
+            # index discovery FIRST: it derives (band, kb) from the
+            # sig rows, and the sig fold below removes a dropped
+            # group's rows (_fold_index_granular's ordering note)
             if lay is not None:
                 stats["index_parts"] = _fold_index_granular(
-                    spark, band_path, sig_path, gd_keys
+                    spark, band_path, sig_path, gd_keys, aff_gh
                 )
+            stats["sig_parts"] = _fold_table_granular(
+                spark, sig_path, sig_path, gd_keys, None, aff_gh
+            )
         else:
             _swap_write_table(live_store_sigs(spark, sig_path), sig_path)
             stats["sig_parts"] = -1
@@ -2561,14 +2672,14 @@ def fold_retractions(
                 stats["index_parts"] = -1
     if table_layout(mem_path) is not None:
         stats["mem_parts"] = _fold_table_granular(
-            spark, mem_path, sig_path, gd_keys, tomb
+            spark, mem_path, sig_path, gd_keys, tomb, aff_docs
         )
     else:
         _swap_write_table(live_members(spark, mem_path, sig_path), mem_path)
         stats["mem_parts"] = -1
     if gd_keys is not None:
         gd_keys.unpersist()
-    for p in (gd_p, tomb_p):
+    for p in (gd_p, tomb_p, keys_p):
         retire_sidecar(p)
     return stats
 

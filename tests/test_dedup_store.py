@@ -2639,3 +2639,128 @@ def test_granular_fold_journal_written_atomically(spark, tmp_path, monkeypatch):
     ds._granular_fold_rewrite(path, staging, [live0])
     assert seen and all(n.endswith(".tmp") for n in seen)
     assert not os.path.exists(os.path.join(path, ds._FOLD_JOURNAL))
+
+
+def test_gdelta_keys_recorded_accumulated_retired(spark, tmp_path):
+    """VERDICT r16 #5: retract_docs records the (gh, doc_id) bucket
+    keys of every changed group's member beside the gdelta; a second
+    retraction accumulates; the fold retires the sidecar with the
+    gdelta."""
+    import os
+
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    keys_p = dedup_store.gdelta_keys_path(sig)
+
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1))  # re-elect A
+    assert os.path.isdir(keys_p)
+    k1 = spark.read.parquet(keys_p)
+    # A's members at retract time: docs 1, 2, 11 — one gh
+    assert {r["doc_id"] for r in k1.collect()} == {1, 2, 11}
+    assert k1.select("gh").distinct().count() == 1
+
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 3))  # drop B
+    k2 = spark.read.parquet(keys_p)
+    assert {r["doc_id"] for r in k2.collect()} == {1, 2, 11, 3}
+    assert k2.select("gh").distinct().count() == 2
+
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True
+    assert not os.path.exists(keys_p)
+    assert not os.path.exists(dedup_store.gdelta_path(sig))
+
+
+def test_fold_keys_fast_path_skips_table_scans(spark, tmp_path, monkeypatch):
+    """With the bucket-key sidecar present, the granular fold's
+    discovery never reads the raw tables whole: read_table is not
+    called at all (discovery = recorded keys → candidate partitions
+    → exact scan WITHIN them; the banded pairs come from the PRUNED
+    sig read), and the result still materializes exactly the live
+    views."""
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1, 3, 14))
+    live_s = {
+        tuple(r) for r in dedup_store.live_store_sigs(spark, sig).collect()
+    }
+    live_m = {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    }
+
+    real = dedup_store.read_table
+    calls = []
+
+    def spy(spark_, path_):
+        calls.append(path_)
+        return real(spark_, path_)
+
+    monkeypatch.setattr(dedup_store, "read_table", spy)
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    monkeypatch.undo()
+    assert fold["folded"] is True
+    assert fold["sig_parts"] >= 1 and fold["index_parts"] >= 1
+    assert calls == [], f"fast path read tables whole: {calls}"
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, sig).collect()
+    } == live_s
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, mem).collect()
+    } == live_m
+
+
+def test_fold_without_keys_sidecar_falls_back_to_scan(spark, tmp_path):
+    """A pre-schema-change retraction (gdelta present, keys absent)
+    folds through the legacy scans — byte-for-byte the same end
+    state as the fast path, and a retraction COMPOSING onto such a
+    sidecar skips writing keys (the completeness rule) so the fold
+    never trusts a partial key set."""
+    import os
+    import shutil
+
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1))
+    keys_p = dedup_store.gdelta_keys_path(sig)
+    shutil.rmtree(keys_p)  # simulate a pre-schema-change retraction
+
+    # composing retraction must NOT write a (partial) keys sidecar
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 3))
+    assert not os.path.exists(keys_p)
+
+    live_s = {
+        tuple(r) for r in dedup_store.live_store_sigs(spark, sig).collect()
+    }
+    live_m = {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    }
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True and fold["sig_parts"] >= 1
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, sig).collect()
+    } == live_s
+    assert {
+        tuple(r) for r in dedup_store.read_table(spark, mem).collect()
+    } == live_m
+
+
+def test_fold_index_falls_back_when_dropped_sigs_already_folded(
+    spark, tmp_path
+):
+    """The one crash state where deriving banded pairs from the sig
+    store would LEAK: sig fold completed (dropped group's sig rows
+    gone), index fold not, re-run. The recorded gh then has no sig
+    rows left — the index fold must detect that and fall back to its
+    scan, so the dropped group's index rows still leave disk."""
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 3))  # drop B
+    gd = spark.read.parquet(dedup_store.gdelta_path(sig))
+    gd_keys = gd.select("group_id").distinct()
+    # the crash: sig folded, index not
+    assert dedup_store._fold_table_granular(
+        spark, sig, sig, gd_keys, None
+    ) >= 1
+    assert (
+        spark.read.parquet(bands).where("group_id = 3").count() > 0
+    )  # the would-be leak
+
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True
+    assert fold["index_parts"] >= 1  # the scan fallback found them
+    assert spark.read.parquet(bands).where("group_id = 3").count() == 0
