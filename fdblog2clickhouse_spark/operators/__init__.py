@@ -27,87 +27,76 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-16 window (policy above; VERDICT r15 #1 orders the whole
-# 41-op r11+r12 stale tail covered in one window, leaving ~9 slots
-# for this round's changed code). Triage:
-#   (a) r16-changed operators/dedup_store.py (VERDICT r15 #2
-#       partition-granular retraction fold + #3 automated re-bucket
-#       decision in the compact-store maintenance pass): all six of
-#       the file's ops re-verify;
-#   (b) r16-changed streaming/queries.py — the codes-bearing IVF-PQ
-#       guard/append leg (VERDICT r15 #4) changes
-#       `streaming_ivf_insert`; the file's other two non-stale ops
-#       (streaming_store_admission, streaming_incremental_dedup,
-#       both r14-green, functions byte-untouched by the edit) are
-#       deferred, self-checked via tools/window_check.py;
-#   (c) r16-changed operators/ann_store.py — ADVICE r15 folds
-#       ivf_store_filtered_search_plan into ivf_store_search_plan
-#       (allowed=None semi-join): the two ops sharing that plan
-#       (`ann_ivf_store_search`, `ann_ivf_filtered_search`)
-#       re-verify; the file's four ivfpq/refresh ops (all r15-green,
-#       code paths untouched by the refactor) are deferred,
-#       self-checked via tools/window_check.py;
-#   (d) the 16-op r11 cohort promised this round (registry comment
-#       r15): tpch_q13-q22 + the 6 tpch analytics;
-#   (e) the 25-op r12 cohort: streaming/queries.py's 9,
-#       sources/trace_json.py's 1, curation.py's 5, textops.py's 6,
-#       spans.py's 4.
-# DEFERRED (named): streaming_store_admission,
-# streaming_incremental_dedup (b above); ann_ivfpq_topk,
-# ann_ivfpq_store_search, ann_ivf_refresh_recall,
-# ann_ivfpq_refresh_recall (c above); streaming_rep_admission,
-# streaming_embedding_rep_admission (file unchanged, call the
-# changed dedup_store kernel — r15-green, admission path untouched
-# by the fold/re-bucket work, self-checked via window_check). NOT in
-# the window by design: every r13-r15 green whose file is untouched.
-# Exactly 50. Additionally, FULL tools/driver_sim.py sweeps at both
-# r16 open and r16 close reproduced all 168 ops MATCH on this
-# registry order, so every out-of-window op has fresh local oracle
-# evidence this round, not just byte-unchanged-file reasoning.
+# Round-17 window (policy above; VERDICT r16 #1 orders the whole
+# 39-op r13 stale tail covered in one window, leaving ~11 slots for
+# this round's changed code). Triage:
+#   (a) r17-changed operators/dedup_store.py (VERDICT r16 #5
+#       O(retracted) fold discovery via the gdelta bucket-key
+#       sidecar + ADVICE r16 atomic fold journal / corrupt-journal
+#       heal): all six of the file's ops re-verify — the two
+#       retraction ops drive retract_docs' keys recording AND the
+#       keys-backed granular fold mid-lifecycle;
+#   (b) r17-changed operators/ann_store.py — ivf_insert_batch is now
+#       idempotent under redelivery with the coherence check
+#       hoisted before any write (VERDICT r16 #2 + ADVICE r16), and
+#       maybe_split_ivf_lists automates the split decision (VERDICT
+#       r16 #3): `streaming_ivf_insert` (the kernel's driver op)
+#       re-verifies, plus the file's four heaviest-traffic search
+#       ops (ann_ivf_store_search, ann_ivfpq_store_search,
+#       ann_ivfpq_topk, ann_ivf_filtered_search);
+#   (c) the 39-op r13 cohort promised this round (r16 freshness
+#       ledger): trace_ops.py's 9, dedup.py's 15, similarity.py's
+#       15.
+# DEFERRED (named): ann_ivf_refresh_recall, ann_ivfpq_refresh_recall
+# (file changed but refresh_ivf_centroids itself is byte-untouched —
+# the insert/split work is outside their path; both re-verified
+# MATCH via tools/window_check.py this round); streaming/queries.py
+# ops other than streaming_ivf_insert (docstring-only edit, function
+# bodies byte-untouched; streaming_ivf_insert itself covers the
+# changed kernel). NOT in the window by design: every r14-r16 green
+# whose file is untouched. Exactly 50.
 #
-# r17 freshness ledger (who should lead the next window): after
-# CORRECTNESS_r16, the stalest greens are the r13 cohort — 39 ops:
-# trace_ops.py's 9 (trace_normalize, event_sessionization,
-# json_extract_props, user_activity_gap, events_rollup_cube,
-# events_cube, events_asof_join, value_percentiles_by_type,
-# events_running_windows), dedup.py's 15, similarity.py's 15 —
-# which fit one window with ~11 slots left for r17 changed code.
+# r18 freshness ledger (who should lead the next window): after
+# CORRECTNESS_r17, the stalest greens are the r14 cohort —
+# sketches.py's 6, sequence.py's 7, tpch.py's q1-q4 + 2 analytics
+# (verify exact set against the r16 verdict table), trace_ops'
+# r14 rows, multimodal.py's 8, training.py's 4, lm.py's 1,
+# streaming_incremental_dedup, streaming_store_admission — more
+# than one window; lead with multimodal + sketches + sequence.
 #
 # The changed-code slice of the window, exported so
 # tools/window_check.py's no-arg pre-flight tracks it instead of
 # hardcoding a count (ADVICE r15).
 CHANGED_OPS = [
-    # (a) r16-changed dedup_store.py (6)
-    "dedup_store_rep_admission", "embedding_store_rep_admission",
+    # (a) r17-changed dedup_store.py (6)
     "dedup_store_retraction", "embedding_store_retraction",
     "dedup_store_admission", "embedding_store_admission",
-    # (b) r16-changed streaming/queries.py (1 of 3 non-stale)
+    "dedup_store_rep_admission", "embedding_store_rep_admission",
+    # (b) r17-changed ann_store.py (4 + the kernel's streaming op)
     "streaming_ivf_insert",
-    # (c) r16-changed ann_store.py (2 of 6)
-    "ann_ivf_store_search", "ann_ivf_filtered_search",
+    "ann_ivf_store_search", "ann_ivfpq_store_search",
+    "ann_ivfpq_topk", "ann_ivf_filtered_search",
 ]
 
 _FRONT_WINDOW = CHANGED_OPS + [
-    # (d) the r11 cohort (16)
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "customer_rfm", "market_basket_pairs", "nation_activity_fullouter",
-    "orders_percent_rank", "nation_yoy_growth", "brand_revenue_share",
-    # (e) the r12 cohort (25)
-    "streaming_trace_ingest", "streaming_windowed_counts",
-    "streaming_sessionize", "streaming_stateful_error_count",
-    "streaming_dedup_events", "streaming_rollup_ingest",
-    "streaming_upsert_ingest", "streaming_view_purchase_join",
-    "streaming_hll_rollup",
-    "trace_json_batch_ingest",
-    "benchmark_decontam", "domain_mixture_sample",
-    "token_collocations", "quality_filter_funnel",
-    "doc_length_histogram",
-    "corpus_select", "doc_top_terms", "bpe_pair_stats",
-    "source_dup_inflation", "lang_confusion_metrics",
-    "doc_rarity_score",
-    "dup_span_stats", "dup_span_dedup", "dup_span_apply",
-    "span_rewrite_sink_roundtrip",
+    # (c) the r13 cohort (39): trace_ops.py's 9
+    "trace_normalize", "event_sessionization", "json_extract_props",
+    "user_activity_gap", "events_rollup_cube", "events_cube",
+    "events_asof_join", "value_percentiles_by_type",
+    "events_running_windows",
+    # dedup.py's 15
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "embedding_neardup", "dedup_cluster_labels",
+    "chunk_dedup", "neardup_keep_best", "dedup_containment",
+    "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
+    "embedding_neardup_lsh_verified", "doc_minhash_signatures",
+    "dedup_incremental_minhash", "embedding_incremental_neardup",
+    # similarity.py's 15
+    "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_norm_stats", "embedding_centroids", "stratified_sample",
+    "knn_classify", "ann_pq_topk", "embedding_kmeans",
+    "cluster_balanced_sample", "doc_lang_kmeans", "ann_recall_eval",
+    "ann_radius_count", "embedding_covariance", "ann_filtered_topk",
 ]
 
 
