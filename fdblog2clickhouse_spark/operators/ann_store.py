@@ -305,10 +305,17 @@ def ivf_insert_batch(
             )
     cent_d = spark.read.parquet(codebook_path)
     batch = qn_batch.dropDuplicates(["vec_id"])
+    # every join below keeps the store-sized table (lists/codes) on
+    # the PROBE side of a broadcast semi/anti against a batch-bounded
+    # build side: one 2-column columnar scan each, zero shuffles of
+    # the index (explicit hints — left_semi/left_anti can only build
+    # on the right, so without them a big right side would shuffle)
     prior = spark.read.parquet(lists_path).select(
         F.col("n_id").alias("vec_id"), "list_id"
-    ).join(batch.select("vec_id"), "vec_id", "left_semi")
-    fresh = batch.join(prior.select("vec_id"), "vec_id", "left_anti")
+    ).join(F.broadcast(batch.select("vec_id")), "vec_id", "left_semi")
+    fresh = batch.join(
+        F.broadcast(prior.select("vec_id")), "vec_id", "left_anti"
+    )
     # localCheckpoint (eager): severs the lineage through the lists
     # read so the append below never races its own scan, and the
     # assignment is computed ONCE (it used to be re-derived by the
@@ -329,15 +336,19 @@ def ivf_insert_batch(
             "codes_appended": False,
         }
     # lists_after ∩ batch = b_lists ∪ prior; of those, encode codes
-    # for exactly the vec_ids the codes table is missing
+    # for exactly the vec_ids the codes table is missing. The codes
+    # side is reduced to its batch-relevant ids FIRST (columnar scan
+    # + broadcast semi) so the anti-join's build side stays
+    # batch-bounded — a direct anti against the codes table would
+    # shuffle the whole table (left_anti can only build on the
+    # right).
+    codes_present = spark.read.parquet(codes_p).select("vec_id").join(
+        F.broadcast(batch.select("vec_id")), "vec_id", "left_semi"
+    )
     need = (
         b_lists.select(F.col("n_id").alias("vec_id"), "list_id")
         .unionByName(prior)
-        .join(
-            spark.read.parquet(codes_p).select("vec_id"),
-            "vec_id",
-            "left_anti",
-        )
+        .join(F.broadcast(codes_present), "vec_id", "left_anti")
     )
     centv = cent_d.select("c_id", F.col("q").alias("cq"))
     resid = (

@@ -320,7 +320,10 @@ def test_no_unbounded_driver_collect():
         "operators/dedup_store.py": {
             'for r in batch_rows.select("band", "kb").distinct().collect()',
             "for r in keys.select(pb.alias(_TBL_PB)).distinct().collect()",
-            "for r in aff.select(pb.alias(_TBL_PB)).distinct().collect()",
+            # _fold_table_granular._pb_vals (r17: the aff scan's
+            # spelling, generalized to recorded-keys / candidate
+            # frames — still ≤ buckets distinct pb values by layout)
+            "for r in df.select(pb.alias(_TBL_PB)).distinct().collect()",
             'pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]',
         },
         # split_ivf_lists' maintenance metadata: per-list counts,
