@@ -989,6 +989,8 @@ def cmd_insert_vectors(args) -> int:
         msg += f" skipped={r['skipped']} (already indexed)"
     if r["codes_appended"]:
         msg += " codes=appended"
+    if r["compacted"]:
+        msg += " lists=auto-compacted"
     qn_b.unpersist()
     print(msg)
     return 0

@@ -976,6 +976,7 @@ def test_ivf_insert_idempotent_redelivery(spark, sf_smoke, tmp_path):
     r2 = ann_store.ivf_insert_batch(spark, batch, cb, lists)
     assert r2 == {
         "vectors": 0, "skipped": r1["vectors"], "codes_appended": True,
+        "compacted": False,
     }
     assert _files(lists) == lf and _files(codes) == cf
     assert _rows(spark, lists) == lr and _rows(spark, codes) == cr
@@ -1018,6 +1019,7 @@ def test_ivf_insert_repairs_crash_between_appends(spark, sf_smoke, tmp_path):
     r = ann_store.ivf_insert_batch(spark, batch, cb, lists)
     assert r == {
         "vectors": 0, "skipped": n_batch, "codes_appended": True,
+        "compacted": False,
     }
     assert spark.read.parquet(lists).count() == n_half
     # coherence restored: every listed vector has codes again
@@ -1222,3 +1224,112 @@ def test_refresh_ivf_cli_auto_split_growth(spark, tmp_path, capsys):
         for r in spark.read.parquet(li).groupBy("list_id").count().collect()
     }
     assert max(sizes.values()) <= 16
+
+
+def test_maybe_compact_ivf_lists_decision(spark, sf_smoke, tmp_path):
+    """Round 17 — the file-count third of the maintenance triad:
+    under the trigger the check is a pure listing (files untouched);
+    over it, the lists compact to size-derived file counts with
+    search results invariant, a pending tombstone folds in the same
+    pass, and a many-files CODES sibling compacts too (the plain
+    compactor only rewrites codes on a takedown)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    codes = ann_store.ivf_codes_path(lists)
+    # fragment both tables: many tiny appends
+    for i in range(6):
+        ann_store.ivf_insert_batch(
+            spark,
+            batch.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(1_000_000 * (i + 1))
+            ),
+            cb,
+            lists,
+        )
+    n_lists_files = len(glob.glob(os.path.join(lists, "*.parquet")))
+    n_codes_files = len(glob.glob(os.path.join(codes, "*.parquet")))
+    assert n_lists_files > 4 and n_codes_files > 4
+
+    # under the trigger: pure no-op
+    r = ann_store.maybe_compact_ivf_lists(
+        spark, lists, trigger_files=10_000
+    )
+    assert r == {
+        "compacted": False, "files": n_lists_files,
+        "codes_compacted": False,
+    }
+    assert len(glob.glob(os.path.join(lists, "*.parquet"))) == n_lists_files
+
+    rows_l = sorted(map(tuple, spark.read.parquet(lists).collect()))
+    rows_c = sorted(map(tuple, spark.read.parquet(codes).collect()))
+    search0 = sorted(
+        map(
+            tuple,
+            ann_store.ivfpq_store_search_plan(
+                spark, qn, cb, lists, codes
+            ).collect(),
+        )
+    )
+    # over the trigger: both tables collapse, content identical
+    r = ann_store.maybe_compact_ivf_lists(spark, lists, trigger_files=4)
+    assert r["compacted"] is True and r["codes_compacted"] is True
+    assert len(glob.glob(os.path.join(lists, "*.parquet"))) < n_lists_files
+    assert len(glob.glob(os.path.join(codes, "*.parquet"))) < n_codes_files
+    assert sorted(map(tuple, spark.read.parquet(lists).collect())) == rows_l
+    assert sorted(map(tuple, spark.read.parquet(codes).collect())) == rows_c
+    assert (
+        sorted(
+            map(
+                tuple,
+                ann_store.ivfpq_store_search_plan(
+                    spark, qn, cb, lists, codes
+                ).collect(),
+            )
+        )
+        == search0
+    )
+    qn.unpersist()
+
+
+def test_insert_kernel_auto_compacts(spark, sf_smoke, tmp_path):
+    """The kernel runs the compaction decision itself, so BOTH
+    insert paths (CLI and streaming foreachBatch) amortize it with
+    zero caller changes: with a test-scaled trigger, a run of tiny
+    insert batches ends with a compacted lists table and reports
+    compacted=True on the batch that crossed the line; the
+    idempotence contract survives the rewrite (a replay after the
+    compaction still appends nothing)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    fired = []
+    for i in range(5):
+        r = ann_store.ivf_insert_batch(
+            spark,
+            batch.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(1_000_000 * (i + 1))
+            ),
+            cb,
+            lists,
+            compact_trigger_files=3,
+        )
+        fired.append(r["compacted"])
+    assert any(fired)
+    assert len(glob.glob(os.path.join(lists, "*.parquet"))) <= 3
+    # replay the last batch: still idempotent across the rewrite
+    r = ann_store.ivf_insert_batch(
+        spark,
+        batch.withColumn("vec_id", F.col("vec_id") + F.lit(5_000_000)),
+        cb,
+        lists,
+        compact_trigger_files=0,  # disabled: pure replay check
+    )
+    assert r["vectors"] == 0 and r["skipped"] == batch.count()
+    qn.unpersist()
