@@ -57,12 +57,20 @@ from pyspark.sql import DataFrame, SparkSession
 # whose file is untouched. Exactly 50.
 #
 # r18 freshness ledger (who should lead the next window): after
-# CORRECTNESS_r17, the stalest greens are the r14 cohort —
-# sketches.py's 6, sequence.py's 7, tpch.py's q1-q4 + 2 analytics
-# (verify exact set against the r16 verdict table), trace_ops'
-# r14 rows, multimodal.py's 8, training.py's 4, lm.py's 1,
-# streaming_incremental_dedup, streaming_store_admission — more
-# than one window; lead with multimodal + sketches + sequence.
+# CORRECTNESS_r17, the stalest greens are the 38-op r14 cohort —
+# trace_ops.py's 6 (user_retention_cohorts, events_range_join,
+# topk_events_by_value, churned_users, events_unpivot_measures,
+# error_run_lengths), sketches.py's 5 (hll_distinct_users,
+# cms_heavy_hitters, value_histogram, minute_anomaly_zscore,
+# value_quantile_hist), sequence.py's 8 (funnel_conversion,
+# user_path_transitions, events_pivot_usertype,
+# events_sliding_windows, max_concurrent_events, user_value_deltas,
+# events_moving_avg, funnel_windowed), tpch.py's 4 (q1-q4),
+# multimodal.py's 8, training.py's 4 (sequence_packing,
+# embedding_int8_quantize, doc_skyline_select, pack_manifest),
+# lm.py's doc_bigram_fluency, and streaming_incremental_dedup +
+# streaming_store_admission — 38 fit one window with ~12 slots for
+# r18 changed code.
 #
 # The changed-code slice of the window, exported so
 # tools/window_check.py's no-arg pre-flight tracks it instead of
