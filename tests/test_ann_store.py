@@ -1333,3 +1333,107 @@ def test_insert_kernel_auto_compacts(spark, sf_smoke, tmp_path):
     )
     assert r["vectors"] == 0 and r["skipped"] == batch.count()
     qn.unpersist()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [7, 23, 61])
+def test_ivf_lifecycle_random_ops_match_model(spark, tmp_path, seed):
+    """Randomized lifecycle property (the IVF analog of the dedup
+    store's fold-matches-live-views property): a seeded random
+    sequence of insert / REPLAY / retract / fold / auto-compact ops
+    against the persisted index must leave live_ivf_lists exactly
+    equal to a driver-side reference model (set of live vec_ids,
+    each assigned by the same fixed codebook) — replays never
+    duplicate, tombstones hide until a fold, folds/compactions never
+    lose or resurrect a row, and file-count maintenance is
+    invisible to the live view."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        fold_ivf_retractions,
+        live_ivf_lists,
+        retract_ivf_vectors,
+    )
+
+    rng = random.Random(seed)
+    d = 4
+
+    def vec(vid):
+        r = random.Random(vid * 2654435761 % 2**31)
+        return [r.randint(-1000, 1000) for _ in range(d)]
+
+    cb = str(tmp_path / "codebook")
+    lists = str(tmp_path / "lists")
+    cents = [(9000 + i, [1000 * (1 if i % 2 == 0 else -1) * (i + 1) % 1700,
+                         500 * i - 750, 0, 0]) for i in range(4)]
+    spark.createDataFrame(
+        [(c, q, sum(x * x for x in q)) for c, q in cents],
+        "c_id long, q array<long>, nq long",
+    ).coalesce(1).write.parquet(cb)
+
+    def frame(ids):
+        rows = [(i, vec(i), sum(x * x for x in vec(i))) for i in ids]
+        return spark.createDataFrame(
+            rows, "vec_id long, q array<long>, nq long"
+        )
+
+    # seed the index with an initial base
+    base_ids = list(range(100, 130))
+    ann_store._assign(frame(base_ids), spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.parquet(lists)
+
+    live = set(base_ids)       # the model: ids visible to readers
+    tombstoned = set()         # retracted, pending fold
+    next_id = 200
+    last_batch = None
+    for _ in range(12):
+        op = rng.choice(["insert", "replay", "retract", "fold", "compact"])
+        if op == "insert":
+            n = rng.randint(1, 8)
+            ids = list(range(next_id, next_id + n))
+            # sprinkle in some already-known ids: replays/overlaps
+            ids += rng.sample(sorted(live), min(2, len(live)))
+            next_id += n
+            ann_store.ivf_insert_batch(
+                spark, frame(ids), cb, lists, compact_trigger_files=0
+            )
+            last_batch = ids
+            live |= set(ids) - tombstoned  # tombstoned ids stay hidden
+        elif op == "replay" and last_batch:
+            ann_store.ivf_insert_batch(
+                spark, frame(last_batch), cb, lists, compact_trigger_files=0
+            )
+            live |= set(last_batch) - tombstoned
+        elif op == "retract" and live:
+            victims = set(rng.sample(sorted(live), min(3, len(live))))
+            retract_ivf_vectors(
+                spark, lists,
+                spark.createDataFrame(
+                    [(v,) for v in victims], "doc_id long"
+                ),
+            )
+            live -= victims
+            tombstoned |= victims
+        elif op == "fold":
+            fold_ivf_retractions(spark, lists)
+            tombstoned = set()  # folded: ids may re-admit fresh
+        elif op == "compact":
+            ann_store.maybe_compact_ivf_lists(spark, lists, trigger_files=2)
+
+        got = {
+            (r["n_id"], r["list_id"])
+            for r in live_ivf_lists(spark, lists).collect()
+        }
+        want = {
+            (r["v_id"], r["c_id"])
+            for r in ann_store._assign(
+                frame(sorted(live)), spark.read.parquet(cb), 1
+            ).collect()
+        }
+        assert got == want, f"divergence after {op} (seed {seed})"
