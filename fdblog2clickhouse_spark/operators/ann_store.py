@@ -1486,7 +1486,7 @@ def maybe_split_ivf_lists(
     *,
     trigger_rows: int = _SPLIT_TRIGGER_ROWS,
     target_rows: int = _SPLIT_TARGET_ROWS,
-    max_rounds: int = 16,
+    max_rounds: int = 4,
 ) -> dict:
     """The automated split decision (VERDICT r16 #3: the r16 soak
     measured the search slope `split_ivf_lists` exists to flatten,
@@ -1500,12 +1500,20 @@ def maybe_split_ivf_lists(
     it makes progress (a 2-means child can itself exceed the budget;
     each round strictly shrinks an over-budget list or proves it
     degenerate — identical vectors — in which case splitting cannot
-    help and the loop stops). The gate is one O(index) two-column
-    aggregate inside a pass that is O(index) anyway (refresh
-    reassigns every vector). `qn` must cover every indexed vector
-    when the decision fires (split_ivf_lists' own precondition).
-    Returns {"triggered", "rounds", "split", "reseeded",
-    "max_list_before", "max_list_after"}."""
+    help and the loop stops). Each round is a full O(index) rewrite
+    (split_ivf_lists swaps the whole lists table), so `max_rounds`
+    caps a single maintenance pass at 4 rewrites and the NEXT pass
+    continues from wherever this one stopped — the amortization the
+    trigger/target gap already implies. Balanced corpora converge in
+    ~log2(max/target) rounds; the measured worst case is extreme tie
+    geometry (a hot list of replicated identical vectors sheds one
+    vector-group per round — tools/split_scale.py, SCALE.md), where
+    the cap is exactly what bounds the pass. The gate is one
+    O(index) two-column aggregate inside a pass that is O(index)
+    anyway (refresh reassigns every vector). `qn` must cover every
+    indexed vector when the decision fires (split_ivf_lists' own
+    precondition). Returns {"triggered", "rounds", "split",
+    "reseeded", "max_list_before", "max_list_after"}."""
     from .dedup_store import live_ivf_lists
 
     def _max_list() -> int:
