@@ -298,7 +298,18 @@ def ivf_insert_batch(
     bool, "compacted": bool}."""
     import os
 
+    from .dedup_store import heal_swap
+
+    # heal crash-interrupted swaps FIRST (a compaction that died
+    # mid-rename leaves the table only at path+'.old'): the reads
+    # below would raise PATH_NOT_FOUND — and worse, the codes
+    # existence CHECK would silently classify a codes-bearing index
+    # as lists-only, inserting vectors invisible to compressed
+    # search (and an append to the missing lists path would fork a
+    # fresh table beside the real one at .old)
+    heal_swap(lists_path)
     codes_p = ivf_codes_path(lists_path)
+    heal_swap(codes_p)
     has_codes = os.path.isdir(codes_p)
     if has_codes:
         pq_p = pq_codebook_path(codebook_path)

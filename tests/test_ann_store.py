@@ -1437,3 +1437,41 @@ def test_ivf_lifecycle_random_ops_match_model(spark, tmp_path, seed):
             ).collect()
         }
         assert got == want, f"divergence after {op} (seed {seed})"
+
+
+def test_ivf_insert_heals_crashed_swap_first(spark, sf_smoke, tmp_path):
+    """A compaction that crashed mid-rename leaves lists (or codes)
+    only at path+'.old'. The insert kernel must heal BEFORE its
+    reads and existence checks: un-healed, the lists read raises (or
+    an append forks a fresh table beside the real one), and the
+    codes-dir check silently classifies a codes-bearing index as
+    lists-only — streamed vectors invisible to compressed search."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    codes = ann_store.ivf_codes_path(lists)
+
+    # the crash state: both tables renamed aside, nothing live
+    os.rename(lists, lists + ".old")
+    os.rename(codes, codes + ".old")
+
+    r = ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    assert r["vectors"] == batch.count() and r["codes_appended"] is True
+    assert not os.path.exists(lists + ".old") or os.path.isdir(lists)
+    # healed + coherent: every listed vector (base + batch) has codes
+    li = spark.read.parquet(lists)
+    assert (
+        spark.read.parquet(codes).select("vec_id").distinct().count()
+        == li.count()
+    )
+    # and the base rows survived (no forked fresh table)
+    base_ids = {
+        r["vec_id"]
+        for r in qn.where(F.pmod("vec_id", F.lit(10)) != 0)
+        .select("vec_id")
+        .collect()
+    }
+    assert base_ids <= {r["n_id"] for r in li.collect()}
+    qn.unpersist()
