@@ -135,6 +135,15 @@ def ivf_store_search_plan(
     HERE keeps the probe/candidate/rank body single-source (ADVICE
     r15: the filtered plan used to duplicate it, so tie-break or
     nprobe fixes had to be made twice)."""
+    from .dedup_store import heal_swap
+
+    # heal-on-every-read-path (the dedup family's rule, extended to
+    # the query node in r17): a refresh/split that crashed mid-swap
+    # leaves the codebook only at '.old' — without this one stat the
+    # query node raises PATH_NOT_FOUND until maintenance reruns.
+    # Rename-only (no .old cleanup): readers never delete a
+    # maintainer's in-flight state.
+    heal_swap(codebook_path)
     lists = live_ivf_lists(spark, lists_path)
     if allowed is not None:
         lists = lists.join(allowed.select("n_id"), "n_id", "left_semi")
@@ -869,7 +878,14 @@ def ivfpq_store_search_plan(
     SCALE.md). Lists are read through `live_ivf_lists`, so a pending
     takedown is invisible; a tombstoned vector's stale CODES rows are
     harmless — candidates come from the live lists, so they never
-    reach the ADC join."""
+    reach the ADC join. Heals crash-interrupted swaps on every
+    artifact it reads (rename-only — the query node never deletes a
+    maintainer's in-flight '.old'), so a refresh/split/compact that
+    died mid-rename doesn't take the read path down with it."""
+    from .dedup_store import heal_swap
+
+    for p in (codebook_path, codes_path, pq_codebook_path(codebook_path)):
+        heal_swap(p)
     return _ivfpq_query(
         queries,
         spark.read.parquet(codebook_path),

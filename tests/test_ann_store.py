@@ -1475,3 +1475,53 @@ def test_ivf_insert_heals_crashed_swap_first(spark, sf_smoke, tmp_path):
     }
     assert base_ids <= {r["n_id"] for r in li.collect()}
     qn.unpersist()
+
+
+def test_search_plans_heal_crashed_swaps(spark, sf_smoke, tmp_path):
+    """The query nodes heal a crash-interrupted maintenance swap on
+    every artifact they read: with codebook / codes / PQ codebook
+    renamed aside (the mid-rename crash state), both search plans
+    still answer — and identically to the pre-crash state."""
+    import os
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    codes = ann_store.ivf_codes_path(lists)
+    pq = ann_store.pq_codebook_path(cb)
+
+    want_ivf = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(spark, qn, cb, lists).collect(),
+        )
+    )
+    want_pq = sorted(
+        map(
+            tuple,
+            ann_store.ivfpq_store_search_plan(
+                spark, qn, cb, lists, codes
+            ).collect(),
+        )
+    )
+
+    os.rename(cb, cb + ".old")
+    got = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(spark, qn, cb, lists).collect(),
+        )
+    )
+    assert got == want_ivf and os.path.isdir(cb)
+
+    for p in (cb, codes, pq):
+        os.rename(p, p + ".old")
+    got = sorted(
+        map(
+            tuple,
+            ann_store.ivfpq_store_search_plan(
+                spark, qn, cb, lists, codes
+            ).collect(),
+        )
+    )
+    assert got == want_pq
+    assert os.path.isdir(cb) and os.path.isdir(codes) and os.path.isdir(pq)
+    qn.unpersist()
