@@ -317,11 +317,13 @@ def ivf_insert_batch(
     # search (and an append to the missing lists path would fork a
     # fresh table beside the real one at .old)
     heal_swap(lists_path)
+    heal_swap(codebook_path)
     codes_p = ivf_codes_path(lists_path)
     heal_swap(codes_p)
     has_codes = os.path.isdir(codes_p)
     if has_codes:
         pq_p = pq_codebook_path(codebook_path)
+        heal_swap(pq_p)
         if not os.path.isdir(pq_p):
             raise RuntimeError(
                 f"index has a codes table ({codes_p}) but no PQ "
@@ -1621,6 +1623,9 @@ def ivf_recall_probe(
         .where(F.col("rank") <= topk)
         .select("q_id", "n_id")
     )
+    from .dedup_store import heal_swap
+
+    heal_swap(codebook_path)  # read-path heal, same rule as the plans
     probes = _assign(queries, spark.read.parquet(codebook_path), nprobe).select(
         F.col("v_id").alias("q_id"), F.col("c_id").alias("probe_list")
     )
