@@ -38,9 +38,12 @@ from pyspark.sql import DataFrame, SparkSession
 #       keys-backed granular fold mid-lifecycle;
 #   (b) r17-changed operators/ann_store.py — ivf_insert_batch is now
 #       idempotent under redelivery with the coherence check
-#       hoisted before any write (VERDICT r16 #2 + ADVICE r16), and
-#       maybe_split_ivf_lists automates the split decision (VERDICT
-#       r16 #3): `streaming_ivf_insert` (the kernel's driver op)
+#       hoisted before any write (VERDICT r16 #2 + ADVICE r16) and
+#       auto-compacts lists+codes past the measured file-count
+#       trigger; maybe_split_ivf_lists automates the split decision
+#       (VERDICT r16 #3, pass-bounded at 4 rewrites); the query
+#       nodes, the kernel, and the recall probe heal every artifact
+#       they read: `streaming_ivf_insert` (the kernel's driver op)
 #       re-verifies, plus the file's four heaviest-traffic search
 #       ops (ann_ivf_store_search, ann_ivfpq_store_search,
 #       ann_ivfpq_topk, ann_ivf_filtered_search);
