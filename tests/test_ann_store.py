@@ -1525,3 +1525,63 @@ def test_search_plans_heal_crashed_swaps(spark, sf_smoke, tmp_path):
     assert got == want_pq
     assert os.path.isdir(cb) and os.path.isdir(codes) and os.path.isdir(pq)
     qn.unpersist()
+
+
+def test_auto_compact_fold_retires_tombstones_mid_insert_loop(
+    spark, sf_smoke, tmp_path
+):
+    """A triggered auto-compaction IS a fold (compact-store's
+    contract, inherited): when the insert loop crosses the file
+    trigger with a tombstone sidecar pending, the tombstoned rows
+    leave disk, the sidecar retires, and the id becomes
+    re-admittable by a later batch — while the tombstone is pending,
+    redelivery cannot revive it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        ivf_tombstones_path,
+        live_ivf_lists,
+        retract_ivf_vectors,
+    )
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    r1 = ann_store.ivf_insert_batch(
+        spark, batch, cb, lists, compact_trigger_files=0
+    )
+    victim = batch.orderBy("vec_id").limit(1)
+    vid = victim.first()["vec_id"]
+    retract_ivf_vectors(
+        spark, lists, victim.select(F.col("vec_id").alias("doc_id"))
+    )
+    assert os.path.isdir(ivf_tombstones_path(lists))
+
+    # inserts until the file trigger fires: the compaction folds the
+    # pending tombstone in the same pass
+    fired = False
+    for i in range(4):
+        r = ann_store.ivf_insert_batch(
+            spark,
+            batch.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(1_000_000 * (i + 1))
+            ),
+            cb,
+            lists,
+            compact_trigger_files=2,
+        )
+        fired = fired or r["compacted"]
+    assert fired
+    assert not os.path.isdir(ivf_tombstones_path(lists))
+    raw = spark.read.parquet(lists)
+    assert raw.where(F.col("n_id") == vid).count() == 0  # physically gone
+
+    # post-fold: the id admits fresh
+    r = ann_store.ivf_insert_batch(
+        spark, batch, cb, lists, compact_trigger_files=0
+    )
+    assert r["vectors"] == 1 and r["skipped"] == r1["vectors"] - 1
+    assert live_ivf_lists(spark, lists).where(
+        F.col("n_id") == vid
+    ).count() == 1
+    qn.unpersist()
