@@ -838,7 +838,9 @@ def cmd_refresh_ivf(args) -> int:
     rows/list — the last measured point of the r16 search slope
     inside the 2× bar), lists are split down to the 2048-row target;
     disable with --no-auto-split, override the trigger with
-    --split-trigger N (target = N/4). `--train-pq` retrains and
+    --split-trigger N (target = N/4) — combining --split-trigger
+    with either --max-list or --no-auto-split is an error, not a
+    silent drop (ADVICE r17). `--train-pq` retrains and
     persists the residual PQ codebook beside the coarse one after
     the refresh (`train_pq_codebook`) — the build-time artifact
     IVF-PQ queries read instead of training in-query."""
@@ -849,6 +851,23 @@ def cmd_refresh_ivf(args) -> int:
         train_pq_codebook,
     )
 
+    # --split-trigger tunes the AUTOMATIC split decision, which
+    # --max-list (manual split) and --no-auto-split each disable —
+    # silently dropping the flag would let a user believe their
+    # tuned trigger is live (ADVICE r17)
+    if args.split_trigger is not None:
+        if args.max_list is not None:
+            raise SystemExit(
+                "refresh-ivf: --split-trigger conflicts with --max-list "
+                "(--max-list runs the manual split pass, which ignores "
+                "the automatic trigger) — pass one or the other"
+            )
+        if args.no_auto_split:
+            raise SystemExit(
+                "refresh-ivf: --split-trigger conflicts with "
+                "--no-auto-split (the trigger tunes the automatic split "
+                "that flag disables) — drop one"
+            )
     spark = _spark()
     qn = _vector_qn(spark, args.vectors)
     stats = refresh_ivf_centroids(spark, qn, args.codebook, args.lists)

@@ -27,87 +27,96 @@ from pyspark.sql import DataFrame, SparkSession
 #   in that order. Code rewritten this round is never left to a
 #   local-pytest-only check when a driver slot exists for it.
 #
-# Round-17 window (policy above; VERDICT r16 #1 orders the whole
-# 39-op r13 stale tail covered in one window, leaving ~11 slots for
-# this round's changed code). Triage:
-#   (a) r17-changed operators/dedup_store.py (VERDICT r16 #5
-#       O(retracted) fold discovery via the gdelta bucket-key
-#       sidecar + ADVICE r16 atomic fold journal / corrupt-journal
-#       heal): all six of the file's ops re-verify — the two
-#       retraction ops drive retract_docs' keys recording AND the
-#       keys-backed granular fold mid-lifecycle;
-#   (b) r17-changed operators/ann_store.py — ivf_insert_batch is now
-#       idempotent under redelivery with the coherence check
-#       hoisted before any write (VERDICT r16 #2 + ADVICE r16) and
-#       auto-compacts lists+codes past the measured file-count
-#       trigger; maybe_split_ivf_lists automates the split decision
-#       (VERDICT r16 #3, pass-bounded at 4 rewrites); the query
-#       nodes, the kernel, and the recall probe heal every artifact
-#       they read: `streaming_ivf_insert` (the kernel's driver op)
-#       re-verifies, plus the file's four heaviest-traffic search
-#       ops (ann_ivf_store_search, ann_ivfpq_store_search,
-#       ann_ivfpq_topk, ann_ivf_filtered_search);
-#   (c) the 39-op r13 cohort promised this round (r16 freshness
-#       ledger): trace_ops.py's 9, dedup.py's 15, similarity.py's
-#       15.
-# DEFERRED (named): ann_ivf_refresh_recall, ann_ivfpq_refresh_recall
-# (file changed but refresh_ivf_centroids itself is byte-untouched —
-# the insert/split work is outside their path; both re-verified
-# MATCH via tools/window_check.py this round); streaming/queries.py
-# ops other than streaming_ivf_insert (docstring-only edit, function
-# bodies byte-untouched; streaming_ivf_insert itself covers the
-# changed kernel). NOT in the window by design: every r14-r16 green
-# whose file is untouched. Exactly 50.
+# Round-18 window (policy above; VERDICT r17 #1 orders the 38-op
+# r14 stale cohort covered in one window, leaving ~12 slots for this
+# round's changed code). Triage:
+#   (a) r18-changed operators/dedup_store.py (VERDICT r17 #2 /
+#       ADVICE r17: heal-race-robust `_swap_aside` now carries EVERY
+#       rename-aside swap, the granular fold journals its emptied
+#       partitions explicitly and aborts-not-loses under a
+#       cross-process heal rollback, and the layout marker caches
+#       the exact row count — set by rewrites, adjusted O(retracted)
+#       by the fold, read by maybe_rebucket_table): all six of the
+#       file's ops re-verify — the retraction ops drive the hardened
+#       fold + marker adjust mid-lifecycle, the admissions drive the
+#       append-invalidate path;
+#   (b) r18-changed operators/ann_store.py — ivf_insert_batch pins
+#       the pre-append lists snapshot via localCheckpoint (ADVICE
+#       r17), maybe_compact_ivf_lists no longer double-rewrites
+#       codes when its fold already did (ADVICE r17), and refresh/
+#       split publish through `_swap_aside`: `streaming_ivf_insert`
+#       (the kernel) plus ann_ivf_refresh_recall +
+#       ann_ivfpq_refresh_recall (the refresh path's driver ops,
+#       ALSO the r15-stale pair) re-verify;
+#   (c) the 38-op r14 cohort promised this round (r17 freshness
+#       ledger): trace_ops.py's 6, sketches.py's 5, sequence.py's 8,
+#       tpch q1-q4, multimodal.py's 8, training.py's 4, lm.py's 1,
+#       streaming_incremental_dedup + streaming_store_admission;
+#   (d) 3 spare slots → the stalest r15 greens: trace_partition_stats,
+#       severity_rollup, events_per_minute.
+# DEFERRED (named): ann_store.py search ops (ann_ivf_store_search,
+# ann_ivfpq_store_search, ann_ivfpq_topk, ann_ivf_filtered_search —
+# their functions are byte-untouched this round; the swap/heal work
+# they consume is pinned by the kernel + refresh ops above and by
+# tests/test_ann_store.py::test_swap_survives_racing_heal); cli.py
+# changes are flag validation only (no driver ops; pinned by
+# tests/test_cli.py). NOT in the window by design: every r15-r17
+# green whose file is untouched. Exactly 50.
 #
-# r18 freshness ledger (who should lead the next window): after
-# CORRECTNESS_r17, the stalest greens are the 38-op r14 cohort —
-# trace_ops.py's 6 (user_retention_cohorts, events_range_join,
-# topk_events_by_value, churned_users, events_unpivot_measures,
-# error_run_lengths), sketches.py's 5 (hll_distinct_users,
-# cms_heavy_hitters, value_histogram, minute_anomaly_zscore,
-# value_quantile_hist), sequence.py's 8 (funnel_conversion,
-# user_path_transitions, events_pivot_usertype,
-# events_sliding_windows, max_concurrent_events, user_value_deltas,
-# events_moving_avg, funnel_windowed), tpch.py's 4 (q1-q4),
-# multimodal.py's 8, training.py's 4 (sequence_packing,
-# embedding_int8_quantize, doc_skyline_select, pack_manifest),
-# lm.py's doc_bigram_fluency, and streaming_incremental_dedup +
-# streaming_store_admission — 38 fit one window with ~12 slots for
-# r18 changed code.
+# r19 freshness ledger (who should lead the next window): after
+# CORRECTNESS_r18, the stalest greens are the remaining r15 cohort —
+# trace_ops.py's 7 (top_event_types, error_rate_by_user,
+# events_dedup_latest, events_decay_score, user_recent_events,
+# events_dow_hour_heatmap, user_first_last_event), tpch q5-q12 (8),
+# textops.py's 8 (token_count, text_quality_score, lang_id_ngram,
+# doc_fingerprint, doc_stats_by_lang, token_histogram,
+# quality_repetition, pii_detect), bpe.py's 2 (bpe_train_merges,
+# bpe_tokenize), streaming_rep_admission +
+# streaming_embedding_rep_admission, and sinkcheck.py's 7
+# (mergetree/zorder/rollup/upsert/hll/hist/bucketed roundtrips) —
+# ~34 ops, one window with ~16 slots for r19 changed code.
 #
 # The changed-code slice of the window, exported so
 # tools/window_check.py's no-arg pre-flight tracks it instead of
 # hardcoding a count (ADVICE r15).
 CHANGED_OPS = [
-    # (a) r17-changed dedup_store.py (6)
+    # (a) r18-changed dedup_store.py (6)
     "dedup_store_retraction", "embedding_store_retraction",
     "dedup_store_admission", "embedding_store_admission",
     "dedup_store_rep_admission", "embedding_store_rep_admission",
-    # (b) r17-changed ann_store.py (4 + the kernel's streaming op)
+    # (b) r18-changed ann_store.py (the kernel + the refresh pair)
     "streaming_ivf_insert",
-    "ann_ivf_store_search", "ann_ivfpq_store_search",
-    "ann_ivfpq_topk", "ann_ivf_filtered_search",
+    "ann_ivf_refresh_recall", "ann_ivfpq_refresh_recall",
 ]
 
 _FRONT_WINDOW = CHANGED_OPS + [
-    # (c) the r13 cohort (39): trace_ops.py's 9
-    "trace_normalize", "event_sessionization", "json_extract_props",
-    "user_activity_gap", "events_rollup_cube", "events_cube",
-    "events_asof_join", "value_percentiles_by_type",
-    "events_running_windows",
-    # dedup.py's 15
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "embedding_neardup", "dedup_cluster_labels",
-    "chunk_dedup", "neardup_keep_best", "dedup_containment",
-    "dedup_jaccard_lsh_verified", "dedup_containment_lsh_verified",
-    "embedding_neardup_lsh_verified", "doc_minhash_signatures",
-    "dedup_incremental_minhash", "embedding_incremental_neardup",
-    # similarity.py's 15
-    "ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_norm_stats", "embedding_centroids", "stratified_sample",
-    "knn_classify", "ann_pq_topk", "embedding_kmeans",
-    "cluster_balanced_sample", "doc_lang_kmeans", "ann_recall_eval",
-    "ann_radius_count", "embedding_covariance", "ann_filtered_topk",
+    # (c) the r14 cohort (38): trace_ops.py's 6
+    "user_retention_cohorts", "events_range_join",
+    "topk_events_by_value", "churned_users", "events_unpivot_measures",
+    "error_run_lengths",
+    # sketches.py's 5
+    "hll_distinct_users", "cms_heavy_hitters", "value_histogram",
+    "minute_anomaly_zscore", "value_quantile_hist",
+    # sequence.py's 8
+    "funnel_conversion", "user_path_transitions", "events_pivot_usertype",
+    "events_sliding_windows", "max_concurrent_events", "user_value_deltas",
+    "events_moving_avg", "funnel_windowed",
+    # tpch.py's q1-q4
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
+    # multimodal.py's 8
+    "multimodal_metadata", "multimodal_chunk",
+    "multimodal_feature_extract", "multimodal_frame_sample",
+    "multimodal_gif_frames", "multimodal_decode",
+    "multimodal_decode_jpeg", "multimodal_audio_decode",
+    # training.py's 4
+    "sequence_packing", "embedding_int8_quantize", "doc_skyline_select",
+    "pack_manifest",
+    # lm.py's 1
+    "doc_bigram_fluency",
+    # streaming's 2
+    "streaming_incremental_dedup", "streaming_store_admission",
+    # (d) spare slots → stalest r15 greens (3)
+    "trace_partition_stats", "severity_rollup", "events_per_minute",
 ]
 
 

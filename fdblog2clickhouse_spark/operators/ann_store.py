@@ -28,6 +28,34 @@ Scale shape: the codebook is broadcast-sized by construction; the
 lists table is one row per vector (the partition key at 100 TB —
 queries touch nprobe/k of it); insert cost is O(batch × centroids)
 with no shuffle beyond the batch's own assignment window.
+
+MAINTAINER CONTRACT (VERDICT r17 #2 / ADVICE r17) — the rule every
+writer in this module pins, mirroring `dedup_store.heal_table_fold`:
+
+  ONE MAINTAINER, MANY READERS. An index artifact set (codebook,
+  lists, codes, PQ codebook, sidecars) takes its WRITES from exactly
+  one process at a time. `ivf_insert_batch` is a writer — and since
+  round 17 a COMPACTING writer (`maybe_compact_ivf_lists` runs
+  inside it), so a live insert stream counts as the maintainer: do
+  not run `refresh-ivf` / `compact-store` / `split` from a cron
+  beside it — pause the stream (or route the maintenance commands
+  through the same process, which serializes them).
+
+  Concurrent QUERY processes are safe against the one maintainer:
+  every reader heals crash remnants before building its plan
+  (`heal_swap`, rename-only), a reader's heal that fires inside the
+  maintainer's swap window is absorbed by the swap's bounded retry
+  (`dedup_store._swap_aside`), and a heal that LOSES its own rename
+  race tolerates it (`heal_swap`'s guard). A reader whose
+  already-built scan raced a swap sees FileNotFound and retries the
+  read — the standard rename-swap caveat.
+
+  A SECOND WRITER (out of contract) aborts, never corrupts: rename
+  collisions or `_swap_aside` retry exhaustion raise with both the
+  live table and the staging dir complete, and every maintenance
+  pass converges on re-run. Pinned by
+  tests/test_ann_store.py::test_swap_survives_racing_heal and
+  ::test_second_writer_aborts_not_corrupts.
 """
 
 from __future__ import annotations
@@ -304,7 +332,13 @@ def ivf_insert_batch(
     failure mode — without anyone noticing; `compact_trigger_files`
     overrides the measured default (None), 0 disables. Returns
     {"vectors": appended, "skipped": redelivered, "codes_appended":
-    bool, "compacted": bool}."""
+    bool, "compacted": bool}.
+
+    WRITER — one maintainer per artifact set (module docstring
+    MAINTAINER CONTRACT): auto-compact makes every insert loop a
+    COMPACTING writer, so a cron refresh-ivf/compact-store beside a
+    live insert stream is out of contract (aborts, never corrupts;
+    query processes are always safe)."""
     import os
 
     from .dedup_store import heal_swap
@@ -338,9 +372,18 @@ def ivf_insert_batch(
     # build side: one 2-column columnar scan each, zero shuffles of
     # the index (explicit hints — left_semi/left_anti can only build
     # on the right, so without them a big right side would shuffle)
+    # localCheckpoint (eager, batch-bounded — a semi against the
+    # batch): pins the PRE-APPEND snapshot of the lists explicitly.
+    # `prior` is re-evaluated inside `need`/`resid` AFTER the lists
+    # self-append below; without the checkpoint the no-duplicate-
+    # codes invariant rested on Spark's implicit InMemoryFileIndex
+    # snapshot never re-listing files (ADVICE r17 — any refactor
+    # that refreshed the path would double-encode fresh vectors).
     prior = spark.read.parquet(lists_path).select(
         F.col("n_id").alias("vec_id"), "list_id"
-    ).join(F.broadcast(batch.select("vec_id")), "vec_id", "left_semi")
+    ).join(
+        F.broadcast(batch.select("vec_id")), "vec_id", "left_semi"
+    ).localCheckpoint()
     fresh = batch.join(
         F.broadcast(prior.select("vec_id")), "vec_id", "left_anti"
     )
@@ -439,6 +482,9 @@ def compact_ivf_lists(
     to report folded=true without folding, and a fold rewrite that
     RAISED the file count was reported as min(before, target)). An
     already-compact table with NO pending sidecar is left untouched.
+    WRITER — one maintainer per artifact set (module docstring
+    MAINTAINER CONTRACT); its swaps retry through racing reader
+    heals (`_swap_aside`).
     A codes sibling (`ivf_codes_path`) is folded in the same pass:
     tombstoned vectors' codes rows are anti-joined away — the
     takedown contract covers derived representations, not just list
@@ -551,7 +597,8 @@ def maybe_compact_ivf_lists(
     Returns {"compacted": bool, "files": n, "codes_compacted":
     bool}. The occasional O(index) rewrite inside one micro-batch is
     the LSM amortization trade; a crash mid-compact heals through
-    the compactor's own swap recovery."""
+    the compactor's own swap recovery. WRITER — one maintainer per
+    artifact set (module docstring MAINTAINER CONTRACT)."""
     import glob
     import math
     import os
@@ -559,19 +606,26 @@ def maybe_compact_ivf_lists(
     files = glob.glob(os.path.join(lists_path, "*.parquet"))
     out = {"compacted": False, "files": len(files), "codes_compacted": False}
     codes_p = ivf_codes_path(lists_path)
+    folded_codes = False
     if len(files) > trigger_files:
         total = sum(os.path.getsize(f) for f in files)
-        compact_ivf_lists(
+        res = compact_ivf_lists(
             spark, lists_path,
             n_files=max(1, math.ceil(total / target_bytes)),
         )
         out["compacted"] = True
+        # a fold inside the triggered compaction already rewrote the
+        # codes sibling — don't pay a second O(codes) rewrite in the
+        # same micro-batch (ADVICE r17; the cfiles glob below is
+        # taken post-compact, but the explicit guard keeps the
+        # single-rewrite invariant independent of the fold's sizing)
+        folded_codes = res["folded"] and os.path.isdir(codes_p)
     from .dedup_store import _swap_write, heal_swap
 
     if os.path.isdir(codes_p):
         heal_swap(codes_p)
         cfiles = glob.glob(os.path.join(codes_p, "*.parquet"))
-        if len(cfiles) > trigger_files:
+        if not folded_codes and len(cfiles) > trigger_files:
             total = sum(os.path.getsize(f) for f in cfiles)
             _swap_write(
                 spark.read.parquet(codes_p)
@@ -1019,7 +1073,11 @@ def refresh_ivf_centroids(
     re-running the refresh repairs it deterministically: the M-step
     reads lists (old) + vectors, so the rerun recomputes the same
     codebook and completes the lists swap. Returns
-    {n_lists, moved, max_list_before, max_list_after}."""
+    {n_lists, moved, max_list_before, max_list_after}.
+
+    WRITER — one maintainer per artifact set (module docstring
+    MAINTAINER CONTRACT): do not run beside a live insert stream
+    (the stream's auto-compact is itself a writer)."""
     import os
     import shutil
 
@@ -1107,14 +1165,13 @@ def refresh_ivf_centroids(
         "max_list_after": sizes_after.agg(F.max("count")).first()[0],
     }
 
+    from .dedup_store import _swap_aside
+
     for live, staging in (
         (codebook_path, cb_staging),
         (lists_path, li_staging),
     ):
-        old = live + ".old"
-        os.rename(live, old)
-        os.rename(staging, live)
-        shutil.rmtree(old)
+        _swap_aside(live, staging)
     # the rewritten lists carry live members only — retire the
     # tombstone sidecar LAST (a crash before this leaves tombstones
     # that match nothing; the next fold/refresh retires them)
@@ -1248,7 +1305,9 @@ def split_ivf_lists(
     refresh: codebook staged+swapped first, then lists; a crash
     between the swaps leaves new centroids over old lists, which is
     self-consistent (probes and lists join on list_id) and repaired
-    by re-running. `qn` must cover every indexed vector."""
+    by re-running. `qn` must cover every indexed vector.
+    WRITER — one maintainer per artifact set (module docstring
+    MAINTAINER CONTRACT)."""
     import os
     import shutil
 
@@ -1457,14 +1516,13 @@ def split_ivf_lists(
         .first()[0]
     )
     assigned.unpersist()
+    from .dedup_store import _swap_aside
+
     for live, staging in (
         (codebook_path, cb_staging),
         (lists_path, li_staging),
     ):
-        old = live + ".old"
-        os.rename(live, old)
-        os.rename(staging, live)
-        shutil.rmtree(old)
+        _swap_aside(live, staging)
     # split changed centroids and list assignments — retrain a
     # persisted PQ codebook so it never encodes against retired
     # geometry (same staleness rule as refresh, self-review r14),

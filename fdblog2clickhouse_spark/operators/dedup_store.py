@@ -363,9 +363,7 @@ def compact_signature_store(
         shutil.copy2(
             os.path.join(path, _TBL_META), os.path.join(staging, _TBL_META)
         )
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old)
+        _swap_aside(path, staging)
         return n_before
 
     files = glob.glob(os.path.join(path, "*.parquet"))
@@ -378,9 +376,7 @@ def compact_signature_store(
         .write.mode("overwrite")
         .parquet(staging)
     )
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    _swap_aside(path, staging)
     return len(files)
 
 
@@ -781,9 +777,7 @@ def compact_banded_index(
         .parquet(staging)
     )
     shutil.copy2(meta, os.path.join(staging, _BANDED_META))
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    _swap_aside(path, staging)
     return n_before
 
 
@@ -834,9 +828,7 @@ def rebucket_banded_index(
         key_cols=lay["key_cols"],
         buckets=buckets,
     )
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    _swap_aside(path, staging)
     return {"buckets_before": lay["buckets"], "buckets_after": buckets}
 
 
@@ -944,28 +936,103 @@ def _tbl_pb_expr(dtype, col: str, buckets: int, variant: str = "xxh64"):
 
 
 def _write_tbl_marker(
-    path: str, key: str, buckets: int, schema_json: str
+    path: str, key: str, buckets: int, schema_json: str,
+    rows: int | None = None,
 ) -> None:
     """The marker also persists the TABLE SCHEMA: a hive write of an
     EMPTY frame creates no data files at all (unlike the legacy flat
     write, which leaves a schema-carrying empty part file), so an
     empty bucketed table would otherwise be unreadable
     (UNABLE_TO_INFER_SCHEMA) — the empty-base-store bootstrap is a
-    real CLI path (tests/test_cli.py::test_admit_cli_empty_base_store)."""
+    real CLI path (tests/test_cli.py::test_admit_cli_empty_base_store).
+    `rows` (VERDICT r17 #5) caches the EXACT row count where the
+    writer knows it — full rewrites footer-count what they just
+    wrote — so `maybe_rebucket_table` reads a number instead of
+    scanning; appends invalidate it (`_set_marker_rows(path, None)`)
+    and the gate's count() fallback re-derives + re-persists.
+    Written atomically (tmp + rename): readers stat it on every
+    pruned read."""
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _TBL_META), "w") as f:
-        json.dump(
-            {
-                "buckets": buckets,
-                "key": key,
-                "schema": schema_json,
-                "pb": "xxh64",
-            },
-            f,
+    meta = {
+        "buckets": buckets,
+        "key": key,
+        "schema": schema_json,
+        "pb": "xxh64",
+    }
+    if rows is not None:
+        meta["rows"] = rows
+    p = os.path.join(path, _TBL_META)
+    with open(p + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.rename(p + ".tmp", p)
+
+
+def _footer_rows(path: str) -> int | None:
+    """Driver-side EXACT row count of a parquet dir from file footers
+    (no Spark job, no data read): O(files) metadata reads, bounded by
+    the just-written/compacted file count at every call site. None
+    when pyarrow is unavailable or any footer is unreadable — callers
+    fall back to a Spark count()."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    if not os.path.isdir(path):
+        return 0
+    try:
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
         )
+    except Exception:
+        return None
+
+
+def _marker_rows(path: str) -> int | None:
+    """The marker-cached exact row count, or None (no marker, a
+    pre-r18 marker, or a count invalidated by an append)."""
+    import json
+    import os
+
+    meta = os.path.join(path, _TBL_META)
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        rows = json.load(f).get("rows")
+    return int(rows) if rows is not None else None
+
+
+def _set_marker_rows(path: str, rows: int | None) -> None:
+    """Update (rows=int) or invalidate (rows=None) the marker's
+    cached row count, preserving every other field; no-op on tables
+    without a `_TBL_META` marker (legacy flat dirs, banded indexes).
+    Atomic (tmp + rename) — readers stat the marker on every pruned
+    read."""
+    import json
+    import os
+
+    meta = os.path.join(path, _TBL_META)
+    if not os.path.exists(meta):
+        return
+    with open(meta) as f:
+        lay = json.load(f)
+    if rows is None:
+        if "rows" not in lay:
+            return
+        lay.pop("rows")
+    else:
+        lay["rows"] = int(rows)
+    with open(meta + ".tmp", "w") as f:
+        json.dump(lay, f)
+    os.rename(meta + ".tmp", meta)
 
 
 def _table_schema(spark: SparkSession, path: str):
@@ -1022,7 +1089,16 @@ def write_table(
         .parquet(path)
     )
     if write_marker:
-        _write_tbl_marker(path, key, buckets, df.schema.json())
+        # a build/rewrite knows its exact row count for free — footer
+        # metadata of the files just written, no Spark job (VERDICT
+        # r17 #5: the rebucket gate reads this instead of scanning)
+        _write_tbl_marker(
+            path, key, buckets, df.schema.json(), rows=_footer_rows(path)
+        )
+    else:
+        # append: the cached count is stale now — invalidate; the
+        # next maintenance gate re-derives and re-persists it
+        _set_marker_rows(path, None)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -1107,7 +1183,6 @@ def bucket_table(
     skew-robust xxh64 bucket expression (data and marker rewritten
     together — the no-op early return requires the CURRENT
     expression version). Returns {buckets_before, buckets_after}."""
-    import os
     import shutil
 
     heal_swap(path)
@@ -1122,14 +1197,12 @@ def bucket_table(
         and lay["pb"] == "xxh64"
     ):
         return {"buckets_before": before, "buckets_after": buckets}
-    old, staging = path + ".old", path + ".rebucket"
+    staging = path + ".rebucket"
     shutil.rmtree(staging, ignore_errors=True)
     write_table(
         read_table(spark, path), staging, "overwrite", key=key, buckets=buckets
     )
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    _swap_aside(path, staging)
     return {"buckets_before": before, "buckets_after": buckets}
 
 
@@ -1165,7 +1238,13 @@ def maybe_rebucket_table(
     tables are left alone — `bucket_table` is the deliberate
     migration step. Returns {"rebucketed": bool, "rows": n,
     "buckets_before": b, "buckets_after": b'} (rows/buckets None for
-    legacy)."""
+    legacy).
+
+    The row count comes from the layout marker when a full rewrite
+    cached it there (VERDICT r17 #5 — exact at write/compact/fold
+    time, invalidated by appends), so a maintenance pass whose fold
+    already rewrote the table pays NO table scan here; the count()
+    fallback re-derives it once and re-persists."""
     lay = table_layout(path)
     if lay is None:
         return {
@@ -1174,7 +1253,10 @@ def maybe_rebucket_table(
             "buckets_before": None,
             "buckets_after": None,
         }
-    n = read_table(spark, path).count()
+    n = _marker_rows(path)
+    if n is None:
+        n = read_table(spark, path).count()
+        _set_marker_rows(path, n)
     before = lay["buckets"]
     out = {
         "rebucketed": False,
@@ -1201,7 +1283,6 @@ def _swap_write_table(df: DataFrame, path: str) -> None:
     is written into the staging dir before the swap, so no
     observable state pairs bucketed data with a missing marker.
     Legacy tables stay legacy."""
-    import os
     import shutil
 
     heal_swap(path)
@@ -1213,9 +1294,7 @@ def _swap_write_table(df: DataFrame, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     write_table(df, staging, "overwrite", key=lay["key"], buckets=lay["buckets"])
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_aside(path, staging)
 
 
 def rep_admission_frames(
@@ -2032,12 +2111,25 @@ def heal_swap(path: str) -> None:
     run BEFORE any read of `path` on a recovery path (self-review
     r13: building a read plan over the missing path raises
     PATH_NOT_FOUND before the healer inside the writer is ever
-    reached)."""
+    reached).
+
+    RACE-TOLERANT (ADVICE r17): a reader's heal can observe the live
+    maintainer's swap window — path absent between rename(path→old)
+    and rename(staging→path) — and lose the restore race to the
+    maintainer completing its swap (or to another reader's heal). If
+    the rename fails but `path` now exists, a complete table is live
+    and there is nothing to heal; only a failure with `path` still
+    missing is a real filesystem error. The maintainer's side of the
+    same race is `_swap_aside`'s retry."""
     import os
 
     old = path + ".old"
     if os.path.exists(old) and not os.path.exists(path):
-        os.rename(old, path)
+        try:
+            os.rename(old, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
 
 
 def retire_sidecar(path: str) -> None:
@@ -2052,6 +2144,49 @@ def retire_sidecar(path: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _swap_aside(live: str, staging: str) -> None:
+    """Publish a complete `staging` dir over `live` through the
+    rename-aside discipline, ROBUST to a racing reader heal
+    (ADVICE r17): a query node in ANOTHER process whose `heal_swap`
+    fires between this writer's rename(live→old) and
+    rename(staging→live) restores the superseded table into `live`,
+    failing the second rename (ENOTEMPTY). Since `staging` is still
+    complete, the restored dir is by construction the superseded
+    table — re-aside it and retry instead of aborting the
+    maintenance pass. Each retry consumes one reader's one-shot
+    heal, so the loop terminates against any finite set of racing
+    readers; exhausting it means a SECOND WRITER keeps re-creating
+    `live` (out of contract — every maintainer docstring pins ONE
+    maintenance process per artifact set) and raises with the
+    artifact set intact (live complete, staging complete — re-run
+    converges).
+
+    At every instant `live` or `live+'.old'` holds a complete table
+    (both, transiently, when a heal raced) — the invariant every
+    crash/heal path in this module relies on."""
+    import os
+    import shutil
+
+    old = live + ".old"
+    for _ in range(16):
+        if os.path.exists(live):
+            os.rename(live, old)
+        try:
+            os.rename(staging, live)
+        except OSError:
+            if os.path.isdir(staging) and os.path.exists(live):
+                continue  # racing heal restored old→live: re-aside
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    raise RuntimeError(
+        f"swap of {live!r} kept losing the rename race — a second "
+        "maintainer process is writing the same artifact set (the "
+        f"contract is ONE); staging is complete at {staging!r} and "
+        "the live table is intact — stop the other writer and re-run"
+    )
+
+
 def _swap_write(df: DataFrame, path: str) -> None:
     """Generic rename-aside swap rewrite: at every instant path or
     path+'.old' is complete. Callers own sizing and layout — the
@@ -2061,20 +2196,16 @@ def _swap_write(df: DataFrame, path: str) -> None:
     their own repartitioning (ADVICE r14: the old 'sidecars only'
     docstring had drifted — fold_ivf_retractions and
     compact_ivf_lists push the full inverted-lists table through
-    here)."""
-    import os
+    here). The final swap is `_swap_aside` — robust to a racing
+    reader heal (ADVICE r17)."""
     import shutil
 
     heal_swap(path)
     shutil.rmtree(path + ".old", ignore_errors=True)
-    old = path + ".old"
     staging = path + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.parquet(staging)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_aside(path, staging)
 
 
 def live_members(
@@ -2279,14 +2410,16 @@ def heal_table_fold(path: str) -> None:
     is a completed swap's remnant — drop it. No journal = one stat
     call, so every read path affords the check.
 
-    SINGLE MAINTAINER (ADVICE r16): the fold's per-partition swaps
-    and this healer are not coordinated across processes — a reader
-    in ANOTHER process healing mid-fold can restore an aside the
-    writer is about to swap, failing the writer's rename (the fold
-    converges on re-run, but it aborts). Run folds from one
-    maintenance process; concurrent READERS in the same process are
-    fine (the fold runs driver-side, and heal is called before
-    building read plans, never during a fold this process runs).
+    SINGLE MAINTAINER, MANY READERS (ADVICE r16/r17): one fold
+    WRITER per table — two concurrent folds corrupt nothing but
+    abort each other (rename collisions; both converge on re-run).
+    Concurrent READERS in other processes are safe: this healer
+    tolerates losing its restore race to the live fold completing a
+    swap (`_restore_aside`), and the fold's per-partition swaps
+    retry through a racing heal (`_granular_fold_rewrite`'s bounded
+    retry) instead of aborting — a reader whose already-built scan
+    plan raced a swap sees FileNotFound and retries the read, the
+    standard rename-swap caveat.
 
     An UNREADABLE journal (truncated/corrupt JSON — the writer
     crashed inside the journal write) is recovered, not raised
@@ -2319,25 +2452,52 @@ def heal_table_fold(path: str) -> None:
         ):
             parent, leaf = os.path.split(aside)
             live = os.path.join(parent, leaf[len(_BFOLD_PREFIX):])
-            if os.path.isdir(aside):
-                if os.path.isdir(live):
-                    shutil.rmtree(aside, ignore_errors=True)
-                else:
-                    os.rename(aside, live)
+            _restore_aside(aside, live)
         shutil.rmtree(path + ".bfold", ignore_errors=True)
-        os.remove(j)
+        _remove_quiet(j)
         return
     for rel in rels:
         parent, leaf = os.path.split(rel)
         live = os.path.join(path, rel)
         aside = os.path.join(path, parent, _BFOLD_PREFIX + leaf)
-        if os.path.isdir(aside):
-            if os.path.isdir(live):
-                shutil.rmtree(aside, ignore_errors=True)
-            else:
-                os.rename(aside, live)
+        _restore_aside(aside, live)
     shutil.rmtree(path + ".bfold", ignore_errors=True)
-    os.remove(j)
+    _remove_quiet(j)
+
+
+def _restore_aside(aside: str, live: str) -> None:
+    """Restore one fold aside dir, tolerating the races concurrent
+    READERS are allowed to run (ADVICE r17 — heal fires on every
+    read path, so two query processes can heal the same crash
+    remnant, and a heal can fire inside the live fold's own swap
+    window): losing the rename race to the fold writer completing
+    its swap (`live` appears) or to another healer (`aside`
+    vanishes) means the partition already holds a complete state —
+    nothing left to heal."""
+    import os
+    import shutil
+
+    if not os.path.isdir(aside):
+        return
+    if os.path.isdir(live):
+        shutil.rmtree(aside, ignore_errors=True)
+        return
+    try:
+        os.rename(aside, live)
+    except OSError:
+        if not os.path.isdir(live) and os.path.isdir(aside):
+            raise
+
+
+def _remove_quiet(p: str) -> None:
+    """os.remove tolerating a concurrent healer/writer having removed
+    the file first (two readers may heal the same journal)."""
+    import os
+
+    try:
+        os.remove(p)
+    except FileNotFoundError:
+        pass
 
 
 def _granular_fold_rewrite(path: str, staging: str, rels: list[str]) -> None:
@@ -2345,8 +2505,9 @@ def _granular_fold_rewrite(path: str, staging: str, rels: list[str]) -> None:
     journal. `staging` (already fully written — no live state is
     touched until the staged job has committed) holds the FOLDED
     content of exactly the partitions named by `rels` (relative dirs
-    like 'pb=3' or 'band=2/kb=7'); a rel with no staged dir was
-    emptied by the fold and its live dir is simply retired. Every
+    like 'pb=3' or 'band=2/kb=7'); a rel the fold EMPTIED (no staged
+    dir — recorded explicitly in the journal, ADVICE r17) has its
+    live dir retired. Every
     partition NOT in `rels` is left byte-invariant — the whole point
     (VERDICT r15 #2: full-table rewrites made fold cost scale with
     the bucket count instead of the retracted set). The journal is
@@ -2357,23 +2518,95 @@ def _granular_fold_rewrite(path: str, staging: str, rels: list[str]) -> None:
     import os
     import shutil
 
+    # record which partitions the fold EMPTIED explicitly (ADVICE
+    # r17 hardening): the old spelling inferred "emptied" from the
+    # staged dir's absence, so a reader's heal_table_fold in another
+    # process — which removes the staging dir when it rolls a
+    # crashed-looking fold back — could make this writer retire a
+    # NON-empty partition's rows. With the explicit list, a missing
+    # staged dir on a non-emptied rel is an abort (re-run converges),
+    # never a silent retire.
+    emptied = {
+        rel for rel in rels if not os.path.isdir(os.path.join(staging, rel))
+    }
+    # keep the marker's cached row count exact through the fold at
+    # O(retracted) cost (VERDICT r17 #5): footer-count only the
+    # affected partitions (pre-swap live vs staged), invalidate the
+    # cache BEFORE any swap (a crash or a raced abort leaves no stale
+    # number), and write the adjusted count back only on success.
+    prior = _marker_rows(path)
+    delta = 0
+    if prior is not None:
+        for rel in rels:
+            new_n = _footer_rows(os.path.join(staging, rel))
+            old_n = _footer_rows(os.path.join(path, rel))
+            if new_n is None or old_n is None:
+                prior = None  # unreadable footer: leave invalidated
+                break
+            delta += new_n - old_n
+        _set_marker_rows(path, None)
     j = os.path.join(path, _FOLD_JOURNAL)
     with open(j + ".tmp", "w") as f:
-        json.dump({"dirs": rels}, f)
+        json.dump({"dirs": rels, "emptied": sorted(emptied)}, f)
     os.rename(j + ".tmp", j)
     for rel in rels:
         parent, leaf = os.path.split(rel)
         live = os.path.join(path, rel)
         aside = os.path.join(path, parent, _BFOLD_PREFIX + leaf)
         shutil.rmtree(aside, ignore_errors=True)
-        if os.path.isdir(live):
-            os.rename(live, aside)
         staged = os.path.join(staging, rel)
-        if os.path.isdir(staged):
-            os.rename(staged, live)
-        shutil.rmtree(aside, ignore_errors=True)
+        # per-partition rename-aside with the `_swap_aside` retry
+        # (ADVICE r17): a reader's heal_table_fold in another process
+        # can restore `aside` into `live` inside this swap window —
+        # the restored dir is the pre-fold partition and `staged` is
+        # complete, so re-aside and retry rather than aborting the
+        # fold (exhaustion = a second fold writer, out of contract)
+        for attempt in range(16):
+            if os.path.isdir(live):
+                os.rename(live, aside)
+            if rel in emptied:
+                # fold emptied this partition: retire the aside. A
+                # racing heal can resurrect it into `live` before the
+                # rmtree lands — re-check and re-retire (otherwise the
+                # fold would REPORT success while the partition keeps
+                # its unfolded rows: wrong answers, not an abort).
+                shutil.rmtree(aside, ignore_errors=True)
+                if os.path.isdir(live):
+                    continue
+                break
+            if not os.path.isdir(staged):
+                # the journal may already be gone (the healer removes
+                # it last) — put this iteration's aside back ourselves
+                # or its rows would be invisible with nothing left to
+                # heal them
+                _restore_aside(aside, live)
+                raise RuntimeError(
+                    f"fold staging for {rel!r} vanished mid-fold — a "
+                    "reader's heal_table_fold in another process rolled "
+                    "this fold back (it restores asides and clears "
+                    "staging+journal when it finds them). The table is "
+                    "intact (pre-fold content + sidecars = the live "
+                    "view); re-run the fold"
+                )
+            try:
+                os.rename(staged, live)
+            except OSError:
+                if os.path.isdir(staged) and os.path.isdir(live):
+                    continue
+                raise
+            shutil.rmtree(aside, ignore_errors=True)
+            break
+        else:
+            raise RuntimeError(
+                f"fold swap of {live!r} kept losing the rename race — "
+                "a second maintenance process is folding the same "
+                "table (the contract is ONE); the journal and staging "
+                "are intact, re-run the fold"
+            )
     shutil.rmtree(staging, ignore_errors=True)
-    os.remove(j)
+    _remove_quiet(j)
+    if prior is not None:
+        _set_marker_rows(path, prior + delta)
 
 
 def _fold_table_granular(

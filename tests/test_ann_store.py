@@ -1585,3 +1585,137 @@ def test_auto_compact_fold_retires_tombstones_mid_insert_loop(
         F.col("n_id") == vid
     ).count() == 1
     qn.unpersist()
+
+
+def test_swap_survives_racing_heal(spark, sf_smoke, tmp_path, monkeypatch):
+    """MAINTAINER CONTRACT (module docstring / ADVICE r17): a query
+    node in another process whose heal_swap fires inside the
+    compactor's swap window — restoring the superseded lists between
+    rename(live→old) and rename(staging→live) — is absorbed by the
+    swap's bounded retry. The compaction COMPLETES (old behavior:
+    ENOTEMPTY abort) and search results are unchanged."""
+    import os
+
+    from fdblog2clickhouse_spark.operators import dedup_store
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    want = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(spark, qn, cb, lists).collect(),
+        )
+    )
+
+    real_rename = os.rename
+    fired = []
+
+    def racing(src, dst):
+        real_rename(src, dst)
+        if src == lists and dst == lists + ".old" and not fired:
+            fired.append(1)
+            dedup_store.heal_swap(lists)  # the query node's heal
+
+    monkeypatch.setattr(os, "rename", racing)
+    res = ann_store.compact_ivf_lists(spark, lists, n_files=1)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert fired and res["rewrote"] is True
+    assert not os.path.exists(lists + ".old")
+    assert not os.path.exists(lists + ".staging")
+    got = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(spark, qn, cb, lists).collect(),
+        )
+    )
+    assert got == want
+    qn.unpersist()
+
+
+def test_second_writer_aborts_not_corrupts(spark, sf_smoke, tmp_path, monkeypatch):
+    """MAINTAINER CONTRACT: a second WRITER re-creating the live
+    lists on every retry (out of contract) exhausts `_swap_aside`'s
+    bounded retry — the compaction ABORTS with the live table and the
+    staging dir both complete (searches still answer, identically),
+    and re-running once the other writer stops converges."""
+    import os
+
+    import pytest
+
+    from fdblog2clickhouse_spark.operators import dedup_store
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    ann_store.ivf_insert_batch(spark, batch, cb, lists)
+    want = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(spark, qn, cb, lists).collect(),
+        )
+    )
+
+    real_rename = os.rename
+
+    def always_racing(src, dst):
+        real_rename(src, dst)
+        if src == lists and dst == lists + ".old":
+            dedup_store.heal_swap(lists)
+
+    monkeypatch.setattr(os, "rename", always_racing)
+    with pytest.raises(RuntimeError, match="second"):
+        ann_store.compact_ivf_lists(spark, lists, n_files=1)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # abort, not corruption: the live index answers unchanged
+    got = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(spark, qn, cb, lists).collect(),
+        )
+    )
+    assert got == want
+    # converge once the other writer stops
+    res = ann_store.compact_ivf_lists(spark, lists, n_files=1)
+    assert res["rewrote"] is True
+    got = sorted(
+        map(
+            tuple,
+            ann_store.ivf_store_search_plan(spark, qn, cb, lists).collect(),
+        )
+    )
+    assert got == want
+    qn.unpersist()
+
+
+def test_maybe_compact_single_codes_rewrite_when_fold_runs(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """ADVICE r17: when the triggered lists compaction folds a
+    pending takedown it already rewrites the codes sibling —
+    maybe_compact_ivf_lists must not pay a second O(codes) rewrite
+    in the same pass."""
+    from fdblog2clickhouse_spark.operators import dedup_store
+
+    qn, cb, lists, batch = _build_ivfpq_fixture(spark, sf_smoke, tmp_path)
+    ann_store.ivf_insert_batch(
+        spark, batch, cb, lists, compact_trigger_files=0
+    )
+    # a pending takedown → the triggered compaction is also a fold
+    victim = spark.read.parquet(lists).limit(1)
+    dedup_store.retract_ivf_vectors(
+        spark, lists, victim.select(victim.n_id.alias("doc_id"))
+    )
+
+    calls = []
+    real = dedup_store._swap_write
+
+    def counting(df, path):
+        calls.append(path)
+        real(df, path)
+
+    monkeypatch.setattr(dedup_store, "_swap_write", counting)
+    # also patch the name ann_store's functions import lazily
+    out = ann_store.maybe_compact_ivf_lists(spark, lists, trigger_files=0)
+    assert out["compacted"] is True
+    codes_p = ann_store.ivf_codes_path(lists)
+    assert [p for p in calls if p == codes_p] == [codes_p]  # exactly once
+    assert out["codes_compacted"] is False  # the fold's rewrite counted

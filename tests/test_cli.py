@@ -1561,3 +1561,22 @@ def test_compact_store_auto_rebucket_aligns_banded_index(
                      "--evidence", evidence]) == 0
     out2 = capsys.readouterr().out
     assert "new_docs=1" in out2 and "rotation_pairs=1" in out2
+
+
+def test_refresh_ivf_split_flag_conflicts_error(tmp_path):
+    """ADVICE r17: --split-trigger silently dropped when combined
+    with --max-list (manual split wins the elif) or --no-auto-split
+    — both combinations must error loudly instead. Validated before
+    any Spark work, so no index fixtures are needed."""
+    import pytest
+
+    from fdblog2clickhouse_spark import cli
+
+    base = [
+        "refresh-ivf", str(tmp_path / "cb"), str(tmp_path / "lists"),
+        "--vectors", str(tmp_path / "vecs"), "--split-trigger", "100",
+    ]
+    with pytest.raises(SystemExit, match="max-list"):
+        cli.main(base + ["--max-list", "50"])
+    with pytest.raises(SystemExit, match="no-auto-split"):
+        cli.main(base + ["--no-auto-split"])

@@ -2764,3 +2764,288 @@ def test_fold_index_falls_back_when_dropped_sigs_already_folded(
     assert fold["folded"] is True
     assert fold["index_parts"] >= 1  # the scan fallback found them
     assert spark.read.parquet(bands).where("group_id = 3").count() == 0
+
+
+# ---------------- maintainer-vs-reader race machinery (ADVICE r17 /
+# VERDICT r17 #2): swaps retry through racing reader heals; heals
+# tolerate losing their own races; folds abort-then-converge, never
+# losing rows, when a cross-process heal rolls them back mid-flight.
+
+
+def _mkdir_with(path, name, content):
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        f.write(content)
+
+
+def test_swap_aside_survives_racing_heal(tmp_path, monkeypatch):
+    """A reader's heal_swap firing inside the writer's swap window
+    (between rename(live→old) and rename(staging→live)) restores the
+    superseded table; the writer's `_swap_aside` retries through it
+    instead of aborting (ADVICE r17)."""
+    import os
+
+    live = str(tmp_path / "tbl")
+    staging = live + ".staging"
+    _mkdir_with(live, "a.txt", "old")
+    _mkdir_with(staging, "b.txt", "new")
+
+    real_rename = os.rename
+    fired = []
+
+    def racing(src, dst):
+        real_rename(src, dst)
+        if src == live and dst == live + ".old" and not fired:
+            fired.append(1)
+            dedup_store.heal_swap(live)  # the reader in another process
+
+    monkeypatch.setattr(os, "rename", racing)
+    dedup_store._swap_aside(live, staging)
+    assert fired  # the race actually happened
+    assert os.listdir(live) == ["b.txt"]
+    assert not os.path.exists(live + ".old")
+    assert not os.path.exists(staging)
+
+
+def test_second_writer_aborts_not_corrupts_swap_aside(tmp_path, monkeypatch):
+    """A PERSISTENT racer (a second writer re-creating the live dir
+    every time — out of contract) exhausts the bounded retry: the
+    swap raises with the live table AND staging both complete, and a
+    re-run after the racer stops converges."""
+    import os
+
+    import pytest
+
+    live = str(tmp_path / "tbl")
+    staging = live + ".staging"
+    _mkdir_with(live, "a.txt", "old")
+    _mkdir_with(staging, "b.txt", "new")
+
+    real_rename = os.rename
+
+    def always_racing(src, dst):
+        real_rename(src, dst)
+        if src == live and dst == live + ".old":
+            dedup_store.heal_swap(live)
+
+    monkeypatch.setattr(os, "rename", always_racing)
+    with pytest.raises(RuntimeError, match="second"):
+        dedup_store._swap_aside(live, staging)
+    # abort, not corruption: both complete
+    assert os.listdir(live) == ["a.txt"]
+    assert os.listdir(staging) == ["b.txt"]
+
+    monkeypatch.setattr(os, "rename", real_rename)
+    dedup_store._swap_aside(live, staging)
+    assert os.listdir(live) == ["b.txt"]
+    assert not os.path.exists(staging)
+
+
+def test_heal_swap_tolerates_losing_race(tmp_path, monkeypatch):
+    """heal_swap's restore rename can lose to the writer completing
+    its swap between heal's existence check and its rename — if the
+    live path exists afterwards there is nothing to heal (no
+    raise)."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    old = path + ".old"
+    _mkdir_with(old, "a.txt", "old")
+
+    real_rename = os.rename
+
+    def lose(src, dst):
+        if src == old and dst == path:
+            # the writer's rename(staging→live) landed first
+            _mkdir_with(path, "b.txt", "new")
+            raise OSError(39, "Directory not empty")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", lose)
+    dedup_store.heal_swap(path)  # must not raise
+    assert os.listdir(path) == ["b.txt"]
+
+
+def test_fold_aborts_cleanly_when_reader_heal_rolls_back(
+    spark, tmp_path, monkeypatch
+):
+    """A cross-process reader's heal_table_fold firing mid-fold rolls
+    the fold back (restores asides, clears staging+journal). The fold
+    writer must ABORT with the table intact — in particular it must
+    NOT mistake the vanished staging for 'the fold emptied these
+    partitions' and retire live rows (the ADVICE r17 data-loss mode
+    the explicit journal 'emptied' list closes) — and a re-run must
+    converge."""
+    import os
+
+    import pytest
+
+    sig, bands, mem = _build_bucketed_rep_store(spark, tmp_path)
+    dedup_store.retract_docs(spark, sig, mem, _ids(spark, 1, 3))
+    live_s = {
+        tuple(r) for r in dedup_store.live_store_sigs(spark, sig).collect()
+    }
+    live_m = {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    }
+
+    real_rename = os.rename
+    fired = []
+
+    def racing(src, dst):
+        real_rename(src, dst)
+        if dedup_store._BFOLD_PREFIX in os.path.basename(dst) and not fired:
+            # the reader in another process: full heal of the TABLE
+            # whose partition is mid-swap (walk up from the aside to
+            # the dir holding the fold journal — band/kb rels nest)
+            d = os.path.dirname(dst)
+            while d and not os.path.exists(
+                os.path.join(d, dedup_store._FOLD_JOURNAL)
+            ):
+                nd = os.path.dirname(d)
+                if nd == d:
+                    return
+                d = nd
+            fired.append(1)
+            dedup_store.heal_table_fold(d)
+
+    monkeypatch.setattr(os, "rename", racing)
+    with pytest.raises(RuntimeError, match="vanished|losing the rename"):
+        dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fired
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # abort, not data loss: sidecars still stand, live views intact,
+    # no aside dirs or journals left anywhere
+    assert {
+        tuple(r) for r in dedup_store.live_store_sigs(spark, sig).collect()
+    } == live_s
+    assert {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    } == live_m
+    import glob
+
+    for p in (sig, bands, mem):
+        assert not glob.glob(
+            os.path.join(p, "**", dedup_store._BFOLD_PREFIX + "*"),
+            recursive=True,
+        )
+        assert not os.path.exists(
+            os.path.join(p, dedup_store._FOLD_JOURNAL)
+        )
+
+    # converge on re-run
+    fold = dedup_store.fold_retractions(spark, sig, bands, mem)
+    assert fold["folded"] is True
+    assert {
+        tuple(r) for r in dedup_store.live_store_sigs(spark, sig).collect()
+    } == live_s
+    assert {
+        tuple(r) for r in dedup_store.live_members(spark, mem, sig).collect()
+    } == live_m
+
+
+def test_fold_emptied_partition_not_resurrected_by_racing_heal(
+    spark, tmp_path, monkeypatch
+):
+    """The emptied-partition branch's race: the fold retires a
+    partition whose rows were all tombstoned; a racing heal can
+    resurrect the aside into the live dir before the writer's rmtree
+    lands. The writer re-checks and re-retires — the fold must never
+    REPORT success while the partition still holds its unfolded
+    rows."""
+    import glob
+    import os
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(32)], "doc_id long, gh string"
+    )
+    dedup_store.write_table(df, path, "overwrite", key="doc_id", buckets=4)
+    # tombstone EVERY doc in one physical bucket → the fold empties it
+    part_dir = sorted(glob.glob(os.path.join(path, "pb=*")))[0]
+    part = os.path.basename(part_dir)
+    victims = spark.read.parquet(part_dir).select("doc_id")
+    n_victims = victims.count()
+    assert n_victims > 0
+    survivors = 32 - n_victims
+
+    real_rename = os.rename
+    fired = []
+
+    def racing(src, dst):
+        real_rename(src, dst)
+        if dedup_store._BFOLD_PREFIX in os.path.basename(dst) and not fired:
+            fired.append(1)
+            # narrow racer: just the aside restore (heal_table_fold's
+            # per-partition rule), not the full staging rollback —
+            # the resurrection window specifically
+            dedup_store._restore_aside(dst, os.path.join(path, part))
+
+    monkeypatch.setattr(os, "rename", racing)
+    # sig_path = a dir with no sidecars → gdelta composes as a no-op
+    n = dedup_store._fold_table_granular(
+        spark, path, str(tmp_path / "nosuch"), None, victims
+    )
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert fired
+    assert n == 1
+    assert not os.path.isdir(part_dir)  # retired, not resurrected
+    assert dedup_store.read_table(spark, path).count() == survivors
+
+
+def test_marker_row_cache_lifecycle(spark, tmp_path):
+    """VERDICT r17 #5: the layout marker caches the EXACT row count
+    where writers know it for free — set by full rewrites (footer
+    metadata), invalidated by appends, adjusted O(retracted) by the
+    granular fold, re-derived+persisted by the gate's count()
+    fallback — so `maybe_rebucket_table` usually reads a number
+    instead of scanning the store."""
+    import glob
+    import os
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(32)], "doc_id long, gh string"
+    )
+    dedup_store.write_table(df, path, "overwrite", key="doc_id", buckets=4)
+    assert dedup_store._marker_rows(path) == 32  # build sets it
+
+    # append invalidates
+    extra = spark.createDataFrame(
+        [(100 + i, f"x{i}") for i in range(8)], "doc_id long, gh string"
+    )
+    dedup_store.write_table(extra, path, "append")
+    assert dedup_store._marker_rows(path) is None
+
+    # the gate's fallback counts once and re-persists
+    rb = dedup_store.maybe_rebucket_table(
+        spark, path, trigger_rows=1000, target_rows=100
+    )
+    assert rb["rows"] == 40
+    assert dedup_store._marker_rows(path) == 40
+
+    # the gate itself now reads the marker (no scan): poison the
+    # cache deliberately and observe the gate believe it
+    dedup_store._set_marker_rows(path, 7)
+    rb = dedup_store.maybe_rebucket_table(
+        spark, path, trigger_rows=1000, target_rows=100
+    )
+    assert rb["rows"] == 7
+    dedup_store._set_marker_rows(path, 40)
+
+    # granular fold adjusts by exactly the folded delta
+    part_dir = sorted(glob.glob(os.path.join(path, "pb=*")))[0]
+    victims = spark.read.parquet(part_dir).select("doc_id").limit(2)
+    n_victims = victims.count()
+    assert dedup_store._fold_table_granular(
+        spark, path, str(tmp_path / "nosuch"), None, victims
+    ) >= 1
+    assert dedup_store._marker_rows(path) == 40 - n_victims
+    assert dedup_store.read_table(spark, path).count() == 40 - n_victims
+
+    # full rewrite (rebucket) resets it exactly
+    dedup_store.bucket_table(spark, path, "doc_id", 8)
+    assert dedup_store._marker_rows(path) == 40 - n_victims
