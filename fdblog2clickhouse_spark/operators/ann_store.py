@@ -832,6 +832,7 @@ def _ivfpq_query(
     codes: DataFrame,
     cb: DataFrame,
     nprobe: int = _N_PROBE,
+    k: int = _IVF_TOPK,
 ) -> DataFrame:
     """The IVF-PQ QUERY side over arbitrary (possibly disk-read)
     index frames: probe assignment, per-(query, probed list) residual
@@ -880,7 +881,7 @@ def _ivfpq_query(
     w_top = Window.partitionBy("q_id").orderBy("approx_dist", "n_id")
     return (
         adc.withColumn("rank", F.row_number().over(w_top).cast("int"))
-        .where(F.col("rank") <= _IVF_TOPK)
+        .where(F.col("rank") <= k)
         .select("q_id", "n_id", "list_id", "approx_dist", "rank")
     )
 
@@ -925,6 +926,7 @@ def ivfpq_store_search_plan(
     lists_path: str,
     codes_path: str,
     nprobe: int = _N_PROBE,
+    k: int = _IVF_TOPK,
 ) -> DataFrame:
     """The production IVF-PQ QUERY-NODE plan: every index artifact —
     coarse codebook, inverted lists, PQ codes, trained PQ codebook —
@@ -949,6 +951,7 @@ def ivfpq_store_search_plan(
         spark.read.parquet(codes_path),
         spark.read.parquet(pq_codebook_path(codebook_path)),
         nprobe,
+        k,
     )
 
 
