@@ -119,6 +119,10 @@ HEADLINE = [
     # lifecycle — both tracked from birth
     "ann_ivf_filtered_search",
     "streaming_ivf_insert",
+    # round 18: the exact-rerank refinement stage (ADC top-3k pool →
+    # raw-vector re-score) — tracked from birth; its delta over
+    # ann_ivfpq_topk is the refinement's price
+    "ann_ivfpq_rerank_topk",
 ]
 
 # VERDICT r11 bench finding: the headline total had become dominated

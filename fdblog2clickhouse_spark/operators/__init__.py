@@ -52,8 +52,12 @@ from pyspark.sql import DataFrame, SparkSession
 #       ledger): trace_ops.py's 6, sketches.py's 5, sequence.py's 8,
 #       tpch q1-q4, multimodal.py's 8, training.py's 4, lm.py's 1,
 #       streaming_incremental_dedup + streaming_store_admission;
-#   (d) 3 spare slots → the stalest r15 greens: trace_partition_stats,
-#       severity_rollup, events_per_minute.
+#   (d) the round's NEW operator ann_ivfpq_rerank_topk (every new op
+#       takes a window slot — the round-7 policy), plus 2 spare
+#       slots → the stalest r15 greens: trace_partition_stats,
+#       severity_rollup. (events_per_minute, the third spare
+#       candidate, yields its slot to the new op and leads the r19
+#       ledger below.)
 # DEFERRED (named): ann_store.py search ops (ann_ivf_store_search,
 # ann_ivfpq_store_search, ann_ivfpq_topk, ann_ivf_filtered_search —
 # their functions are byte-untouched this round; the swap/heal work
@@ -64,8 +68,9 @@ from pyspark.sql import DataFrame, SparkSession
 # green whose file is untouched. Exactly 50.
 #
 # r19 freshness ledger (who should lead the next window): after
-# CORRECTNESS_r18, the stalest greens are the remaining r15 cohort —
-# trace_ops.py's 7 (top_event_types, error_rate_by_user,
+# CORRECTNESS_r18, the stalest greens are events_per_minute (r15,
+# bumped from this window by the new op) and the remaining r15
+# cohort — trace_ops.py's 7 (top_event_types, error_rate_by_user,
 # events_dedup_latest, events_decay_score, user_recent_events,
 # events_dow_hour_heatmap, user_first_last_event), tpch q5-q12 (8),
 # textops.py's 8 (token_count, text_quality_score, lang_id_ngram,
@@ -85,8 +90,10 @@ CHANGED_OPS = [
     "dedup_store_admission", "embedding_store_admission",
     "dedup_store_rep_admission", "embedding_store_rep_admission",
     # (b) r18-changed ann_store.py (the kernel + the refresh pair)
+    # + (d) the round's NEW operator
     "streaming_ivf_insert",
     "ann_ivf_refresh_recall", "ann_ivfpq_refresh_recall",
+    "ann_ivfpq_rerank_topk",
 ]
 
 _FRONT_WINDOW = CHANGED_OPS + [
@@ -115,8 +122,8 @@ _FRONT_WINDOW = CHANGED_OPS + [
     "doc_bigram_fluency",
     # streaming's 2
     "streaming_incremental_dedup", "streaming_store_admission",
-    # (d) spare slots → stalest r15 greens (3)
-    "trace_partition_stats", "severity_rollup", "events_per_minute",
+    # (d) spare slots → stalest r15 greens (2)
+    "trace_partition_stats", "severity_rollup",
 ]
 
 

@@ -757,6 +757,112 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(result)
 
 
+# Exact-rerank refinement pool: ADC keeps 3×k candidates, the exact
+# pass re-scores only those — the FAISS refine/RFlat shape (public
+# method). 3× is the conventional default; tools/recall_frontier.py
+# measures what the refinement buys at production geometry.
+_RERANK_POOL = 3 * _IVF_TOPK
+
+
+def _exact_rerank(
+    pool: DataFrame, queries: DataFrame, qn: DataFrame, k: int = _IVF_TOPK
+) -> DataFrame:
+    """Exact-distance re-rank of an ADC candidate pool — the standard
+    IVF-PQ refinement (FAISS's refine/RFlat, public method): PQ codes
+    do the SCAN (compressed candidates from probed lists), then only
+    the pool survivors touch raw vectors. At 100 TB the raw-vector
+    I/O is pool-bounded per query — |queries|·pool rows — never the
+    corpus: the corpus-side join broadcasts the pool ids, so the raw
+    table is one columnar scan with a broadcast semi, zero shuffles.
+    Distances are exact BIGINT (nq_a − 2·dot + nq_b on the quantized
+    domain), so the composed plan stays hash-exact against a DuckDB
+    oracle."""
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    nv = qn.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    cand = nv.join(F.broadcast(pool.select("q_id", "n_id")), "n_id")
+    d = cand.join(F.broadcast(qv), "q_id").select(
+        "q_id",
+        "n_id",
+        (
+            F.col("na")
+            - 2
+            * F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            + F.col("nb")
+        ).cast("long").alias("exact_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy("exact_dist", "n_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "exact_dist", "rank")
+    )
+
+
+def ivfpq_rerank_store_plan(
+    spark: SparkSession,
+    queries: DataFrame,
+    qn: DataFrame,
+    codebook_path: str,
+    lists_path: str,
+    codes_path: str,
+    nprobe: int = _N_PROBE,
+    k: int = _IVF_TOPK,
+    pool: int = _RERANK_POOL,
+) -> DataFrame:
+    """The refined production query: ADC top-`pool` from the
+    persisted four-artifact index, exact re-rank on raw vectors from
+    the corpus table `qn` (the store keeps codes, not raw vectors —
+    refinement reads the corpus, pool-bounded). This is the named
+    binder for the PQ-resolution recall gap tools/recall_frontier.py
+    measures: coverage losses need more nprobe, resolution losses
+    need exactly this."""
+    adc = ivfpq_store_search_plan(
+        spark, queries, codebook_path, lists_path, codes_path, nprobe, pool
+    )
+    return _exact_rerank(adc, queries, qn, k)
+
+
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact-rerank refinement — the third stage of the
+    production funnel (FAISS refine/RFlat, public method): IVF
+    prunes to nprobe lists, the PQ LUT scores the compressed
+    candidates, and the ADC top-3k pool is re-scored on raw vectors
+    for the final top-k. Compression accelerates the scan; the
+    refinement removes its ranking error for candidates that
+    survive — recall approaches the probe-coverage ceiling at
+    pool-bounded raw I/O (tools/recall_frontier.py separates the
+    two loss terms; this operator is the binder for the resolution
+    term). The oracle composes the full trained-PQ spelling
+    (`_ivfpq_sql`, pool-sized) with the exact BIGINT distance on the
+    pool — every stage hash-exact."""
+    qn = _quantized(spark, sf_dir).cache()
+    root = scratch_dir("ivfpq_rerank")
+    pq_path = root + "/pq_codebook"
+    _, _, _, _, resid = _ivfpq_parts(qn)
+    _ivfpq_train(resid).coalesce(1).write.mode("overwrite").parquet(pq_path)
+    pool = _ivfpq_plan(
+        spark, qn, pq_cb=spark.read.parquet(pq_path), k=_RERANK_POOL
+    )
+    queries = qn.where(F.col("vec_id") < _N_QUERIES).select(
+        "vec_id", "q", "nq"
+    )
+    out = _exact_rerank(pool, queries, qn)
+    result = root + "/result"
+    out.write.mode("overwrite").parquet(result)
+    qn.unpersist()
+    return spark.read.parquet(result)
+
+
 def _ivfpq_parts(
     qn: DataFrame, nprobe: int = _N_PROBE
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -891,6 +997,7 @@ def _ivfpq_plan(
     qn: DataFrame,
     pq_cb: DataFrame | None = None,
     nprobe: int = _N_PROBE,
+    k: int = _IVF_TOPK,
 ) -> DataFrame:
     """The lazy IVF-PQ plan over a (cached) quantized-vector frame —
     split from the operator so plan tests can assert on the join
@@ -916,7 +1023,7 @@ def _ivfpq_plan(
     cb = pq_cb if pq_cb is not None else _ivfpq_train(resid)
     codes = _ivfpq_codes(resid, cb)
     queries = qn.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "q", "nq")
-    return _ivfpq_query(queries, cent, lists, codes, cb, nprobe)
+    return _ivfpq_query(queries, cent, lists, codes, cb, nprobe, k)
 
 
 def ivfpq_store_search_plan(
@@ -2197,13 +2304,14 @@ FROM brute b LEFT JOIN ivfpq1 i ON i.q_id = b.q_id AND i.n_id = b.n_id
 """
 
 
-def _ivfpq_sql(train_on_base: bool = False) -> str:
+def _ivfpq_sql(train_on_base: bool = False, topk: int = _IVF_TOPK) -> str:
     """The one-shot IVF-PQ spelling. `train_on_base` restricts the
     PQ TRAINER to the base slice (vec_id ≢ 0 mod 10) — the persisted
     store op's shape, where the codebooks are built before the
     insert batch exists; codes/LUT/ADC still cover the full corpus
     (encoding is per-vector deterministic given the codebooks, so
-    encode-at-insert ≡ rebuild)."""
+    encode-at-insert ≡ rebuild). `topk` sizes the returned ranking
+    (the rerank oracle nests this spelling pool-sized)."""
     from .dedup import _QUANT_CTE
     from .similarity import (
         _COS_SQL,
@@ -2281,6 +2389,38 @@ SELECT q_id, n_id, list_id, approx_dist, CAST(rank AS INT) AS rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dist, n_id) AS rank
   FROM adc
+) r WHERE rank <= {topk}
+"""
+
+
+def _ivfpq_rerank_sql() -> str:
+    """`ann_ivfpq_rerank_topk`'s oracle: the full trained-PQ spelling
+    sized to the ADC pool (nested WITH — DuckDB scopes the inner qn
+    to the subquery), then the exact BIGINT distance on the pool and
+    a re-rank to top-k. Every stage shares the Spark plan's integer
+    domain, so the composition stays hash-exact."""
+    from .dedup import _QUANT_CTE
+
+    inner = _ivfpq_sql(topk=_RERANK_POOL)
+    dot = (
+        "list_sum(list_transform(list_zip(q.q, n.q), p -> p[1] * p[2]))"
+    )
+    return f"""
+WITH {_QUANT_CTE},
+pool AS (
+{inner}
+),
+exact AS (
+  SELECT p.q_id, p.n_id,
+         CAST(q.nq - 2 * {dot} + n.nq AS BIGINT) AS exact_dist
+  FROM pool p
+  JOIN qn q ON q.vec_id = p.q_id
+  JOIN qn n ON n.vec_id = p.n_id
+)
+SELECT q_id, n_id, exact_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY exact_dist, n_id) AS rank
+  FROM exact
 ) r WHERE rank <= {_IVF_TOPK}
 """
 
@@ -2330,6 +2470,7 @@ QUERIES = {
     "ann_ivf_store_search": ann_ivf_store_search,
     "ann_ivf_filtered_search": ann_ivf_filtered_search,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
     "ann_ivfpq_store_search": ann_ivfpq_store_search,
     "ann_ivf_refresh_recall": ann_ivf_refresh_recall,
     "ann_ivfpq_refresh_recall": ann_ivfpq_refresh_recall,
@@ -2345,6 +2486,9 @@ ORACLE = {
     # index path plus the codebook/lists roundtrip.
     "ann_ivf_filtered_search": _ANN_IVF_FILTERED_SQL,
     "ann_ivfpq_topk": _ivfpq_sql(),
+    # the refinement stage composed over the same spelling: the hash
+    # pins ADC-pool selection AND the exact re-rank's integer math.
+    "ann_ivfpq_rerank_topk": _ivfpq_rerank_sql(),
     # same spelling with the TRAINER restricted to the base slice —
     # the persisted store's codebooks predate the insert batch; the
     # hash pins encode-at-insert ≡ rebuild plus the 4-artifact

@@ -1719,3 +1719,67 @@ def test_maybe_compact_single_codes_rewrite_when_fold_runs(
     codes_p = ann_store.ivf_codes_path(lists)
     assert [p for p in calls if p == codes_p] == [codes_p]  # exactly once
     assert out["codes_compacted"] is False  # the fold's rewrite counted
+
+
+def test_rerank_recovers_adc_ranking_error(spark, sf_oracle):
+    """The refinement contract: exact re-rank of the ADC top-pool
+    can only improve recall against exact truth (same candidates,
+    better scores), and every rerank result must come FROM the ADC
+    pool — the refinement never widens the candidate set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+    from fdblog2clickhouse_spark.operators.similarity import _N_QUERIES
+
+    qn = _quantized(spark, sf_oracle).cache()
+    k = ann_store._IVF_TOPK
+
+    # exact truth (quantized-domain L2, self excluded)
+    qs = qn.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    pairs = qn.select(
+        F.col("vec_id").alias("n_id"), F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    ).join(F.broadcast(qs), F.col("n_id") != F.col("q_id"))
+    dexpr = (
+        F.col("na")
+        - 2 * F.aggregate(
+            F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+        + F.col("nb")
+    )
+    w = Window.partitionBy("q_id").orderBy(dexpr.asc(), F.col("n_id").asc())
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k).select("q_id", "n_id").cache()
+    )
+    n_truth = truth.count()
+
+    pool = ann_store._ivfpq_plan(spark, qn, k=ann_store._RERANK_POOL).cache()
+    adc_top = pool.where(F.col("rank") <= k).select("q_id", "n_id")
+    queries = qn.where(F.col("vec_id") < _N_QUERIES).select(
+        "vec_id", "q", "nq"
+    )
+    rr = ann_store._exact_rerank(pool, queries, qn, k).cache()
+
+    # every rerank hit came from the pool
+    assert rr.join(
+        pool.select("q_id", "n_id"), ["q_id", "n_id"], "left_anti"
+    ).count() == 0
+    # recall(rerank) >= recall(plain ADC) against exact truth
+    adc_recall = truth.join(adc_top, ["q_id", "n_id"], "left_semi").count()
+    rr_recall = truth.join(
+        rr.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi"
+    ).count()
+    assert rr_recall >= adc_recall, (rr_recall, adc_recall, n_truth)
+    # shape: exactly k rows per query that HAS >= k pool candidates
+    per_q = {r["q_id"]: r["cnt"] for r in
+             rr.groupBy("q_id").agg(F.count("*").alias("cnt")).collect()}
+    assert all(c <= k for c in per_q.values())
+    pool.unpersist()
+    rr.unpersist()
+    qn.unpersist()

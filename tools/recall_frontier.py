@@ -169,16 +169,20 @@ truth_lists = truth.join(
 ).cache()
 truth_lists.count()
 
-# Two loss terms, reported separately so the envelope names its
-# binder: PROBE COVERAGE (cov@k — the fraction of exact top-k that
-# lives in probed lists: the ceiling for ANY scorer at that nprobe)
-# and PQ RESOLUTION (recall@k vs cov@k gap — what 8-byte ADC codes
-# lose ranking the candidates; the standard refinement, exact
-# re-rank of the ADC top-R, recovers toward the coverage line).
+# Three measurements per (nprobe, k), separating the loss terms so
+# the envelope names its binder: recall@k (the plain ADC ranking),
+# rr@k (exact re-rank of the ADC top-5k pool — the refinement
+# `ivfpq_rerank_store_plan` ships; its gap to cov@k is what escaped
+# the POOL, not the probes), and cov@k (the fraction of exact top-k
+# living in probed lists — the ceiling for ANY scorer at that
+# nprobe; the recall@k→cov@k gap is PQ resolution loss).
+POOL_MULT = 5
 print(f"\nrecall vs nprobe at C={C} (x{K_REPL} corpus):", flush=True)
 print(
     "nprobe  "
     + "  ".join(f"recall@{k}" for k in KS)
+    + "  "
+    + "  ".join(f"rr@{k}" for k in KS)
     + "  "
     + "  ".join(f"cov@{k}" for k in KS)
     + "  probed_frac",
@@ -189,7 +193,8 @@ for nprobe in NPROBES:
         break
     got = (
         ann_store.ivfpq_store_search_plan(
-            spark, queries, cb, li, co, nprobe=nprobe, k=max(KS)
+            spark, queries, cb, li, co,
+            nprobe=nprobe, k=POOL_MULT * max(KS),
         )
         .select("q_id", "n_id", "rank")
         .cache()
@@ -199,6 +204,7 @@ for nprobe in NPROBES:
         F.col("v_id").alias("q_id"), F.col("c_id").alias("t_list")
     )
     row = [f"{nprobe:>6}"]
+    rr_cells = []
     cov_cells = []
     for k in KS:
         hits = (
@@ -209,12 +215,22 @@ for nprobe in NPROBES:
             .count()
         )
         row.append(f"{hits / (N_QUERIES * k):>8.3f}")
+        rr = ann_store._exact_rerank(
+            got.where(F.col("rank") <= POOL_MULT * k), queries, qn, k
+        )
+        rr_hits = (
+            truth.where(F.col("rn") <= k)
+            .join(rr, ["q_id", "n_id"], "left_semi")
+            .count()
+        )
+        rr_cells.append(f"{rr_hits / (N_QUERIES * k):>5.3f}")
         cov = (
             truth_lists.where(F.col("rn") <= k)
             .join(probes, ["q_id", "t_list"], "left_semi")
             .count()
         )
         cov_cells.append(f"{cov / (N_QUERIES * k):>6.3f}")
+    row.extend(rr_cells)
     row.extend(cov_cells)
     row.append(f"{nprobe / C:>11.3f}")
     print("  ".join(row), flush=True)
