@@ -2113,23 +2113,35 @@ def heal_swap(path: str) -> None:
     PATH_NOT_FOUND before the healer inside the writer is ever
     reached).
 
-    RACE-TOLERANT (ADVICE r17): a reader's heal can observe the live
-    maintainer's swap window — path absent between rename(path→old)
-    and rename(staging→path) — and lose the restore race to the
-    maintainer completing its swap (or to another reader's heal). If
-    the rename fails but `path` now exists, a complete table is live
-    and there is nothing to heal; only a failure with `path` still
-    missing is a real filesystem error. The maintainer's side of the
-    same race is `_swap_aside`'s retry."""
+    RACE-TOLERANT (ADVICE r17, hardened by tools/race_stress.py): a
+    reader's heal can observe the live maintainer's swap window —
+    path absent between rename(path→old) and rename(staging→path) —
+    and lose the restore race to the maintainer completing its swap
+    or to another reader's heal. The loss can surface as EITHER
+    rename error (ENOENT: someone moved `old` first; ENOTEMPTY:
+    `path` came back first), and a point-in-time guard is itself
+    racy — by the time this process re-checks, the live writer may
+    already have re-asided `path` for its NEXT swap (the TOCTOU the
+    stress tool caught at 5000 swaps × 8 healers). So: re-evaluate
+    the heal precondition and retry. A RACE cannot reproduce across
+    8 observations of a stable (old ∧ ¬path) state — races require
+    another process actively moving these dirs — so a persistent
+    failure on a stable state is a real filesystem error and
+    surfaces on the final attempt. The maintainer's side of the same
+    race is `_swap_aside`'s retry."""
     import os
 
     old = path + ".old"
-    if os.path.exists(old) and not os.path.exists(path):
+    for _ in range(8):
+        if not (os.path.exists(old) and not os.path.exists(path)):
+            return  # nothing to heal (or someone else already did)
         try:
             os.rename(old, path)
+            return
         except OSError:
-            if not os.path.exists(path):
-                raise
+            continue  # raced — re-check the precondition
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)  # stable state + still failing: surface it
 
 
 def retire_sidecar(path: str) -> None:
@@ -2473,20 +2485,26 @@ def _restore_aside(aside: str, live: str) -> None:
     window): losing the rename race to the fold writer completing
     its swap (`live` appears) or to another healer (`aside`
     vanishes) means the partition already holds a complete state —
-    nothing left to heal."""
+    nothing left to heal. A point-in-time failure guard is itself
+    racy (heal_swap's TOCTOU, caught by tools/race_stress.py), so
+    the precondition is re-evaluated and retried; a persistent
+    failure on a stable state is a real error and surfaces."""
     import os
     import shutil
 
-    if not os.path.isdir(aside):
-        return
-    if os.path.isdir(live):
-        shutil.rmtree(aside, ignore_errors=True)
-        return
-    try:
+    for _ in range(8):
+        if not os.path.isdir(aside):
+            return
+        if os.path.isdir(live):
+            shutil.rmtree(aside, ignore_errors=True)
+            return
+        try:
+            os.rename(aside, live)
+            return
+        except OSError:
+            continue  # raced — re-check
+    if os.path.isdir(aside) and not os.path.isdir(live):
         os.rename(aside, live)
-    except OSError:
-        if not os.path.isdir(live) and os.path.isdir(aside):
-            raise
 
 
 def _remove_quiet(p: str) -> None:
