@@ -1192,10 +1192,15 @@ def refresh_ivf_centroids(
     import shutil
 
     def _heal(path: str) -> None:
+        from .dedup_store import _claim_rmtree
+
         old = path + ".old"
         if os.path.exists(old) and not os.path.exists(path):
             os.rename(old, path)
-        shutil.rmtree(old, ignore_errors=True)
+        # claim-then-delete (r18): an in-place rmtree of '.old' races
+        # a reader's heal renaming content out of it / this writer's
+        # next aside renaming content into it
+        _claim_rmtree(old)
 
     _heal(codebook_path)
     _heal(lists_path)
@@ -1422,10 +1427,15 @@ def split_ivf_lists(
     import shutil
 
     def _heal(path: str) -> None:
+        from .dedup_store import _claim_rmtree
+
         old = path + ".old"
         if os.path.exists(old) and not os.path.exists(path):
             os.rename(old, path)
-        shutil.rmtree(old, ignore_errors=True)
+        # claim-then-delete (r18): an in-place rmtree of '.old' races
+        # a reader's heal renaming content out of it / this writer's
+        # next aside renaming content into it
+        _claim_rmtree(old)
 
     _heal(codebook_path)
     _heal(lists_path)

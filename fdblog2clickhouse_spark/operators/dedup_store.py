@@ -335,7 +335,7 @@ def compact_signature_store(
     old = path + ".old"
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _claim_rmtree(old)
     heal_table_fold(path)
 
     lay = table_layout(path)
@@ -745,7 +745,7 @@ def compact_banded_index(
     old = path + ".old"
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _claim_rmtree(old)
     heal_table_fold(path)
 
     part_dirs = glob.glob(os.path.join(path, "band=*", "kb=*"))
@@ -808,7 +808,7 @@ def rebucket_banded_index(
     old = path + ".old"
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _claim_rmtree(old)
     heal_table_fold(path)
     lay = banded_layout(path)
     if lay is None:
@@ -1187,7 +1187,7 @@ def bucket_table(
 
     heal_swap(path)
     heal_table_fold(path)
-    shutil.rmtree(path + ".old", ignore_errors=True)
+    _claim_rmtree(path + ".old")
     lay = table_layout(path)
     before = lay["buckets"] if lay else None
     if (
@@ -1291,7 +1291,7 @@ def _swap_write_table(df: DataFrame, path: str) -> None:
         _swap_write(df, path)
         return
     old, staging = path + ".old", path + ".staging"
-    shutil.rmtree(old, ignore_errors=True)
+    _claim_rmtree(old)
     shutil.rmtree(staging, ignore_errors=True)
     write_table(df, staging, "overwrite", key=lay["key"], buckets=lay["buckets"])
     _swap_aside(path, staging)
@@ -2105,6 +2105,54 @@ def _read_sidecar(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _pid_alive(pid: int) -> bool:
+    """Same-host process liveness (signal 0): True on EPERM (alive,
+    not ours), False only when the pid is gone."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+
+
+def _claim_rmtree(d: str) -> None:
+    """Delete a dir ANOTHER process may concurrently rename content
+    INTO (asides, '.old' swap remnants, retired sidecars): an
+    in-place rmtree races path reuse — its file walk can unlink the
+    FRESH content a racing rename just moved into the path, gutting
+    a dir some process then treats as a complete table (the r18 fold
+    stress's final loss chain: a healer's remnant rmtree gutted an
+    aside the writer had re-renamed the live partition into, and a
+    later restore published the gutted copy). So: atomically CLAIM
+    the dir by renaming it to a unique dot-prefixed trash name
+    (rename is atomic — after it, no other process's rename can
+    target the claimed content), then delete the claim at leisure.
+    Losing the claim race (dir gone / being claimed) means someone
+    else owns the deletion — done either way. Crash-leaked trash
+    dirs are invisible to readers (dot prefix) and reaped by
+    `_clear_orphan_fold_staging` / the next claim of the same
+    path."""
+    import os
+    import shutil
+    import uuid
+
+    parent, leaf = os.path.split(d.rstrip("/"))
+    trash = os.path.join(
+        parent, f".trash-{leaf}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        os.rename(d, trash)
+    except OSError:
+        return
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def heal_swap(path: str) -> None:
     """Complete a crash-interrupted rename-aside swap: if only
     path+'.old' exists it is the complete table — restore it. Must
@@ -2150,10 +2198,8 @@ def retire_sidecar(path: str) -> None:
     final cleanup would be resurrected by the next heal_swap as live
     state — e.g. re-inserted vectors silently vanishing because a
     long-retired tombstone set came back (self-review r14)."""
-    import shutil
-
     for p in (path, path + ".old", path + ".staging"):
-        shutil.rmtree(p, ignore_errors=True)
+        _claim_rmtree(p)
 
 
 def _swap_aside(live: str, staging: str) -> None:
@@ -2189,7 +2235,7 @@ def _swap_aside(live: str, staging: str) -> None:
             if os.path.isdir(staging) and os.path.exists(live):
                 continue  # racing heal restored old→live: re-aside
             raise
-        shutil.rmtree(old, ignore_errors=True)
+        _claim_rmtree(old)
         return
     raise RuntimeError(
         f"swap of {live!r} kept losing the rename race — a second "
@@ -2213,7 +2259,7 @@ def _swap_write(df: DataFrame, path: str) -> None:
     import shutil
 
     heal_swap(path)
-    shutil.rmtree(path + ".old", ignore_errors=True)
+    _claim_rmtree(path + ".old")
     staging = path + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.parquet(staging)
@@ -2452,10 +2498,49 @@ def heal_table_fold(path: str) -> None:
         return
     try:
         with open(j) as f:
-            rels = json.load(f)["dirs"]
+            jd = json.load(f)
+        rels = jd["dirs"]
         if not isinstance(rels, list):
             raise ValueError("journal dirs is not a list")
+    except FileNotFoundError:
+        # the exists()→open() window raced the live fold writer (or
+        # another healer) removing the journal — the fold completed;
+        # nothing to heal (tools/race_stress.py fold mode)
+        return
     except (json.JSONDecodeError, KeyError, ValueError, TypeError):
+        jd = None
+    if jd is not None:
+        # LIVE-WRITER DISCRIMINATION (r18, tools/race_stress.py fold
+        # mode): a journal names an in-flight fold, and rolling back
+        # a LIVE one both aborts useful work and — under many hot
+        # readers — livelocks the fold entirely. The journal records
+        # the writer's pid; while that process is alive, WAIT for
+        # the swap phase to finish (journal removed — typically
+        # milliseconds) instead of rolling back. Rollback remains the
+        # recovery for a DEAD writer (crash) and, after the bounded
+        # wait, for a hung one — abort-then-converge as before. Pid
+        # liveness is same-host; a multi-host shared-storage
+        # deployment needs a lease service in its place (the module
+        # contract already pins one maintainer per artifact set).
+        pid = jd.get("pid")
+        if pid and _pid_alive(int(pid)):
+            import time as _time
+
+            for _ in range(200):  # ≤ 10 s: swap phases are ms-scale
+                _time.sleep(0.05)
+                if not os.path.exists(j):
+                    return  # the live fold finished its swap phase
+                try:
+                    with open(j) as f:
+                        jd2 = json.load(f)
+                    if jd2.get("pid") != pid:
+                        # a different fold owns the journal now —
+                        # restart against the fresh state
+                        return heal_table_fold(path)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    return
+            # fall through: writer hung (or pid confusion) — roll back
+    if jd is None:
         # corrupt journal: no swap has happened — drop journal +
         # staging, restore any aside found on disk (missing live →
         # it IS the partition; live present → stale remnant)
@@ -2465,7 +2550,7 @@ def heal_table_fold(path: str) -> None:
             parent, leaf = os.path.split(aside)
             live = os.path.join(parent, leaf[len(_BFOLD_PREFIX):])
             _restore_aside(aside, live)
-        shutil.rmtree(path + ".bfold", ignore_errors=True)
+        _claim_rmtree(path + ".bfold")
         _remove_quiet(j)
         return
     for rel in rels:
@@ -2473,7 +2558,16 @@ def heal_table_fold(path: str) -> None:
         live = os.path.join(path, rel)
         aside = os.path.join(path, parent, _BFOLD_PREFIX + leaf)
         _restore_aside(aside, live)
-    shutil.rmtree(path + ".bfold", ignore_errors=True)
+    # remove ONLY the staging dir THIS journal names (r18 stress
+    # finding): a healer acting on a stale journal must never fire
+    # its rmtree into a later attempt's staging. Legacy journals
+    # (no 'staging' key) used the fixed '.bfold' name.
+    stg = jd.get("staging")
+    _claim_rmtree(
+        os.path.join(os.path.dirname(path), stg)
+        if stg
+        else path + ".bfold"
+    )
     _remove_quiet(j)
 
 
@@ -2496,7 +2590,7 @@ def _restore_aside(aside: str, live: str) -> None:
         if not os.path.isdir(aside):
             return
         if os.path.isdir(live):
-            shutil.rmtree(aside, ignore_errors=True)
+            _claim_rmtree(aside)
             return
         try:
             os.rename(aside, live)
@@ -2518,35 +2612,77 @@ def _remove_quiet(p: str) -> None:
         pass
 
 
-def _granular_fold_rewrite(path: str, staging: str, rels: list[str]) -> None:
+def _fold_staging_path(path: str) -> str:
+    """A UNIQUE staging dir per fold attempt, recorded in the
+    journal so healers only ever clean the staging of the fold they
+    actually observed (r18 stress finding, tools/race_stress.py fold
+    mode): with the old fixed `path + '.bfold'` name, a healer that
+    read an EARLIER aborted attempt's journal could fire its staging
+    rmtree into a LATER attempt's in-progress staging write."""
+    import os
+    import uuid
+
+    return f"{path}.bfold-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
+def _clear_orphan_fold_staging(path: str) -> None:
+    """Writer-side entry cleanup: remove fold staging dirs with no
+    journal left to name them (a crashed attempt after its journal
+    was healed away), and orphaned publish-handoff dirs ('.bpub-*',
+    dot-prefixed so readers never see them — a crash between the
+    handoff rename and the publish leaves one; its live partition
+    still holds the pre-fold content, so dropping the orphan and
+    re-folding is the correct recovery). Single-maintainer territory
+    — only the fold writer calls this, and only BEFORE it begins
+    staging."""
+    import glob
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(path, _FOLD_JOURNAL)):
+        return  # a journal exists: heal first, don't guess
+    for d in glob.glob(path + ".bfold*"):
+        shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(os.path.join(path, "**", ".bpub-*"), recursive=True):
+        shutil.rmtree(d, ignore_errors=True)
+    # reap crash-leaked claim-trash (`_claim_rmtree` died between its
+    # claim rename and the delete): inside the table (aside claims)
+    # and beside it (.old/staging claims) — all dot-prefixed, so
+    # readers never saw them
+    for d in glob.glob(os.path.join(path, "**", ".trash-*"), recursive=True):
+        shutil.rmtree(d, ignore_errors=True)
+    parent, leaf = os.path.split(path.rstrip("/"))
+    for d in glob.glob(os.path.join(parent, f".trash-{leaf}*")):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _granular_fold_rewrite(
+    path: str, staging: str, rels: list[str], emptied: set[str]
+) -> None:
     """Swap staged partition dirs into the live table under the fold
     journal. `staging` (already fully written — no live state is
     touched until the staged job has committed) holds the FOLDED
     content of exactly the partitions named by `rels` (relative dirs
-    like 'pb=3' or 'band=2/kb=7'); a rel the fold EMPTIED (no staged
-    dir — recorded explicitly in the journal, ADVICE r17) has its
-    live dir retired. Every
+    like 'pb=3' or 'band=2/kb=7'); a rel the fold EMPTIED has its
+    live dir retired. `emptied` is computed by the CALLER from the
+    folded frame's own lineage (distinct partition values — reads
+    the writer-owned live sources, never the staging dir), so no
+    amount of staging tampering by a racing healer can turn a
+    non-empty partition into a retire: tampering at worst fails the
+    staged-dir checks below and aborts (r18 stress finding — the
+    earlier staged-dir-absence inference lost a partition when a
+    stale healer gutted staging mid-write). Every
     partition NOT in `rels` is left byte-invariant — the whole point
     (VERDICT r15 #2: full-table rewrites made fold cost scale with
     the bucket count instead of the retracted set). The journal is
-    written ATOMICALLY (tmp + rename, ADVICE r16): heal runs on
-    every read path, so a truncated journal would otherwise make
-    every subsequent read of the table raise until hand-repaired."""
+    written ATOMICALLY (tmp + rename, ADVICE r16) and names this
+    attempt's staging dir; on ANY failure the writer rolls its own
+    attempt back (asides restored, staging + journal gone), so an
+    abort never leaves a journal inviting healers into a future
+    attempt's state."""
     import json
     import os
     import shutil
-
-    # record which partitions the fold EMPTIED explicitly (ADVICE
-    # r17 hardening): the old spelling inferred "emptied" from the
-    # staged dir's absence, so a reader's heal_table_fold in another
-    # process — which removes the staging dir when it rolls a
-    # crashed-looking fold back — could make this writer retire a
-    # NON-empty partition's rows. With the explicit list, a missing
-    # staged dir on a non-emptied rel is an abort (re-run converges),
-    # never a silent retire.
-    emptied = {
-        rel for rel in rels if not os.path.isdir(os.path.join(staging, rel))
-    }
     # keep the marker's cached row count exact through the fold at
     # O(retracted) cost (VERDICT r17 #5): footer-count only the
     # affected partitions (pre-swap live vs staged), invalidate the
@@ -2563,68 +2699,156 @@ def _granular_fold_rewrite(path: str, staging: str, rels: list[str]) -> None:
                 break
             delta += new_n - old_n
         _set_marker_rows(path, None)
+    # snapshot each staged partition's file set BEFORE the journal
+    # exists (until then no healer touches staging): a cross-process
+    # heal_table_fold rolling this fold back rmtree's the staging
+    # dir, and its in-flight deletion can GUT a staged partition's
+    # files in the instants before our rename publishes it — an
+    # isdir() check passes while the dir is already partial, and
+    # swapping a partial partition in would be silent row loss, not
+    # an abort. The post-swap verification below turns that
+    # interleaving into the documented abort-then-converge
+    # (tools/race_stress.py fold mode).
+    staged_files = {
+        rel: sorted(os.listdir(os.path.join(staging, rel)))
+        for rel in rels
+        if rel not in emptied
+    }
     j = os.path.join(path, _FOLD_JOURNAL)
     with open(j + ".tmp", "w") as f:
-        json.dump({"dirs": rels, "emptied": sorted(emptied)}, f)
+        json.dump(
+            {
+                "dirs": rels,
+                "emptied": sorted(emptied),
+                "staging": os.path.basename(staging),
+                # writer liveness (r18): healers WAIT out a live
+                # fold's swap phase instead of rolling it back —
+                # rollback is for dead/hung writers
+                "pid": os.getpid(),
+            },
+            f,
+        )
     os.rename(j + ".tmp", j)
+    try:
+        _fold_swap_loop(path, staging, rels, emptied, staged_files)
+    except BaseException:
+        # writer-side rollback: finish what a heal would do so NO
+        # journal survives this abort — a stale journal is what let
+        # a healer clean a FUTURE attempt's staging (the r18 stress
+        # loss chain). Already-swapped rels stay folded (consistent:
+        # sidecars are retired only after the whole fold succeeds);
+        # everything else is restored to its pre-fold content.
+        for rel in rels:
+            parent, leaf = os.path.split(rel)
+            _restore_aside(
+                os.path.join(path, parent, _BFOLD_PREFIX + leaf),
+                os.path.join(path, rel),
+            )
+            shutil.rmtree(
+                os.path.join(path, parent, ".bpub-" + leaf),
+                ignore_errors=True,
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        _remove_quiet(j)
+        raise
+    shutil.rmtree(staging, ignore_errors=True)
+    _remove_quiet(j)
+    if prior is not None:
+        _set_marker_rows(path, prior + delta)
+
+
+def _fold_swap_loop(
+    path: str,
+    staging: str,
+    rels: list[str],
+    emptied: set[str],
+    staged_files: dict[str, list[str]],
+) -> None:
+    import os
+    import shutil
+
     for rel in rels:
         parent, leaf = os.path.split(rel)
         live = os.path.join(path, rel)
         aside = os.path.join(path, parent, _BFOLD_PREFIX + leaf)
-        shutil.rmtree(aside, ignore_errors=True)
+        _claim_rmtree(aside)
         staged = os.path.join(staging, rel)
-        # per-partition rename-aside with the `_swap_aside` retry
-        # (ADVICE r17): a reader's heal_table_fold in another process
-        # can restore `aside` into `live` inside this swap window —
-        # the restored dir is the pre-fold partition and `staged` is
-        # complete, so re-aside and retry rather than aborting the
-        # fold (exhaustion = a second fold writer, out of contract)
+        if rel in emptied:
+            # fold emptied this partition: retire it. A racing heal
+            # can resurrect the aside into `live` before the rmtree
+            # lands — re-check and re-retire (otherwise the fold
+            # would REPORT success while the partition keeps its
+            # unfolded rows: wrong answers, not an abort).
+            for attempt in range(16):
+                if os.path.isdir(live):
+                    os.rename(live, aside)
+                _claim_rmtree(aside)
+                if not os.path.isdir(live):
+                    break
+            else:
+                raise RuntimeError(
+                    f"fold retire of {live!r} kept losing the rename "
+                    "race — a second maintenance process is folding "
+                    "the same table (the contract is ONE); re-run"
+                )
+            continue
+        # PUBLISH HANDOFF (r18 stress finding, the partial-publish
+        # loss chain): a racing heal's rollback rmtree's the staging
+        # tree, and a staged dir can be HALF-deleted at the instant
+        # we would publish it; the old spelling renamed it into
+        # `live` and verified after — but a concurrent heal then saw
+        # (aside ∧ live) and dropped the aside as a "completed swap
+        # remnant", deleting the only pre-fold copy before our
+        # rollback could use it. So: move the staged dir OUT of the
+        # healer-deletable staging tree first (after the rename, an
+        # in-flight rmtree holds only stale paths and can delete
+        # nothing more), verify the PRIVATE copy against the
+        # pre-journal snapshot, and only then touch `live`. A
+        # published live dir is therefore ALWAYS complete — which is
+        # exactly the invariant that makes the healer's
+        # 'live present ⇒ aside is a remnant' rule safe.
+        pub = os.path.join(path, parent, ".bpub-" + leaf)
+        shutil.rmtree(pub, ignore_errors=True)
+        try:
+            os.rename(staged, pub)
+        except OSError:
+            if not os.path.isdir(staged):
+                raise RuntimeError(
+                    f"fold staging for {rel!r} vanished mid-fold — a "
+                    "reader's heal_table_fold in another process "
+                    "rolled this fold back. The table is intact "
+                    "(pre-fold content + sidecars = the live view); "
+                    "re-run the fold"
+                )
+            raise
+        if sorted(os.listdir(pub)) != staged_files[rel]:
+            shutil.rmtree(pub, ignore_errors=True)
+            raise RuntimeError(
+                f"fold staging for {rel!r} was gutted mid-fold by a "
+                "reader's heal_table_fold in another process — the "
+                "live partition was never touched; re-run the fold"
+            )
+        # rename-aside with the `_swap_aside` retry (ADVICE r17): a
+        # reader's heal restoring the aside inside this window is
+        # re-asided and retried; `pub` is writer-private and verified
+        # complete, so the publish itself can no longer be gutted
         for attempt in range(16):
             if os.path.isdir(live):
                 os.rename(live, aside)
-            if rel in emptied:
-                # fold emptied this partition: retire the aside. A
-                # racing heal can resurrect it into `live` before the
-                # rmtree lands — re-check and re-retire (otherwise the
-                # fold would REPORT success while the partition keeps
-                # its unfolded rows: wrong answers, not an abort).
-                shutil.rmtree(aside, ignore_errors=True)
-                if os.path.isdir(live):
-                    continue
-                break
-            if not os.path.isdir(staged):
-                # the journal may already be gone (the healer removes
-                # it last) — put this iteration's aside back ourselves
-                # or its rows would be invisible with nothing left to
-                # heal them
-                _restore_aside(aside, live)
-                raise RuntimeError(
-                    f"fold staging for {rel!r} vanished mid-fold — a "
-                    "reader's heal_table_fold in another process rolled "
-                    "this fold back (it restores asides and clears "
-                    "staging+journal when it finds them). The table is "
-                    "intact (pre-fold content + sidecars = the live "
-                    "view); re-run the fold"
-                )
             try:
-                os.rename(staged, live)
+                os.rename(pub, live)
             except OSError:
-                if os.path.isdir(staged) and os.path.isdir(live):
+                if os.path.isdir(pub) and os.path.isdir(live):
                     continue
                 raise
-            shutil.rmtree(aside, ignore_errors=True)
+            _claim_rmtree(aside)
             break
         else:
             raise RuntimeError(
                 f"fold swap of {live!r} kept losing the rename race — "
                 "a second maintenance process is folding the same "
-                "table (the contract is ONE); the journal and staging "
-                "are intact, re-run the fold"
+                "table (the contract is ONE); re-run the fold"
             )
-    shutil.rmtree(staging, ignore_errors=True)
-    _remove_quiet(j)
-    if prior is not None:
-        _set_marker_rows(path, prior + delta)
 
 
 def _fold_table_granular(
@@ -2656,6 +2880,11 @@ def _fold_table_granular(
 
     from pyspark.errors import AnalysisException
 
+    # heal FIRST: a previous attempt's crash remnants (journal +
+    # asides) must be resolved before this attempt reads partitions
+    # or stages — most callers healed already; this is the fold's
+    # own belt (tools/race_stress.py fold mode)
+    heal_table_fold(path)
     lay = table_layout(path)
     key = lay["key"]
 
@@ -2716,8 +2945,25 @@ def _fold_table_granular(
             F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
         )
     folded = _apply_gdelta(spark, folded, sig_path, "group_id")
-    staging = path + ".bfold"
-    shutil.rmtree(staging, ignore_errors=True)
+    # SEMANTIC emptied-set, from the folded frame's own lineage: the
+    # distinct read touches the writer-owned live partitions, never
+    # the staging dir, so no staging tampering by a racing healer can
+    # reclassify a non-empty partition as "fold emptied it" (the r18
+    # stress's loss chain). O(affected partitions) rows — the bounded
+    # fold-discovery collect family (tests/test_plans.py allowlist).
+    present = {
+        f"{_TBL_PB}={r[0]}"
+        for r in folded.select(_TBL_PB).distinct().collect()
+    }
+    emptied = {rel for rel in rels if rel not in present}
+    if os.environ.get("FOLD_TRACE"):  # tools/race_stress.py forensics
+        print(
+            f"FOLD_TRACE table rels={rels} present={sorted(present)} "
+            f"emptied={sorted(emptied)}",
+            flush=True,
+        )
+    _clear_orphan_fold_staging(path)
+    staging = _fold_staging_path(path)
     (
         # carry the READ's own partition column through — bit-identical
         # layout by construction (the fold never changes a bucket key,
@@ -2727,7 +2973,7 @@ def _fold_table_granular(
         .mode("overwrite")
         .parquet(staging)
     )
-    _granular_fold_rewrite(path, staging, rels)
+    _granular_fold_rewrite(path, staging, rels, emptied)
     return len(rels)
 
 
@@ -2765,6 +3011,7 @@ def _fold_index_granular(
 
     from pyspark.errors import AnalysisException
 
+    heal_table_fold(band_path)  # same entry belt as the table fold
     pairs = None
     if aff_gh is not None:
         sig_rows = pruned_table(spark, sig_path, aff_gh, "gh").join(
@@ -2806,15 +3053,21 @@ def _fold_index_granular(
     except AnalysisException:
         return 0  # selected dirs hold no parquet (crash remnants)
     folded = _apply_gdelta(spark, src, sig_path, "group_id")
-    staging = band_path + ".bfold"
-    shutil.rmtree(staging, ignore_errors=True)
+    # semantic emptied-set from lineage — see _fold_table_granular
+    present = {
+        f"band={r['band']}/kb={r['kb']}"
+        for r in folded.select("band", "kb").distinct().collect()
+    }
+    emptied = {rel for rel in rels if rel not in present}
+    _clear_orphan_fold_staging(band_path)
+    staging = _fold_staging_path(band_path)
     (
         folded.repartition("band", "kb")
         .write.partitionBy("band", "kb")
         .mode("overwrite")
         .parquet(staging)
     )
-    _granular_fold_rewrite(band_path, staging, rels)
+    _granular_fold_rewrite(band_path, staging, rels, emptied)
     return len(rels)
 
 

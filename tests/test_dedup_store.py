@@ -2633,10 +2633,11 @@ def test_granular_fold_journal_written_atomically(spark, tmp_path, monkeypatch):
     # table and swap one partition under the journal
     import shutil
 
-    staging = path + ".bfold"
+    staging = ds._fold_staging_path(path)
     live0 = [p for p in os.listdir(path) if p.startswith("pb=")][0]
     shutil.copytree(path, staging, ignore=shutil.ignore_patterns("_*"))
-    ds._granular_fold_rewrite(path, staging, [live0])
+    # r18 signature: the caller passes the semantic emptied set
+    ds._granular_fold_rewrite(path, staging, [live0], set())
     assert seen and all(n.endswith(".tmp") for n in seen)
     assert not os.path.exists(os.path.join(path, ds._FOLD_JOURNAL))
 
@@ -3079,3 +3080,100 @@ def test_compaction_preserves_marker_row_cache(spark, tmp_path):
     ds.compact_signature_store(spark, path, sort_col="bk0", n_files=1)
     assert ds._marker_rows(path) == 80  # rode the marker copy
     assert ds.read_table(spark, path).count() == 80
+
+
+def test_heal_rolls_back_dead_writer_promptly(tmp_path):
+    """A fold journal whose writer pid is DEAD is a crash — heal
+    rolls it back immediately (no liveness wait): aside restored,
+    journal and the journal-NAMED staging gone."""
+    import json
+    import os
+    import subprocess
+    import time
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(path, dedup_store._BFOLD_PREFIX + "pb=0"))
+    with open(
+        os.path.join(path, dedup_store._BFOLD_PREFIX + "pb=0", "a.parquet"),
+        "w",
+    ) as f:
+        f.write("x")
+    stg = os.path.basename(dedup_store._fold_staging_path(path))
+    os.makedirs(os.path.join(str(tmp_path), stg))
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(os.path.join(path, dedup_store._FOLD_JOURNAL), "w") as f:
+        json.dump(
+            {"dirs": ["pb=0"], "emptied": [], "staging": stg,
+             "pid": dead.pid},
+            f,
+        )
+    t0 = time.perf_counter()
+    dedup_store.heal_table_fold(path)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 5, elapsed  # no 10s liveness wait for a dead pid
+    assert os.path.isdir(os.path.join(path, "pb=0"))  # aside restored
+    assert not os.path.exists(
+        os.path.join(path, dedup_store._FOLD_JOURNAL)
+    )
+    assert not os.path.isdir(os.path.join(str(tmp_path), stg))
+
+
+def test_heal_waits_out_live_fold_writer(tmp_path):
+    """A journal whose writer pid is ALIVE is an in-flight fold —
+    heal WAITS for the swap phase instead of rolling it back: when
+    the journal clears, heal returns without having restored the
+    aside (the live writer owns it)."""
+    import json
+    import os
+    import threading
+    import time
+
+    path = str(tmp_path / "tbl")
+    aside = os.path.join(path, dedup_store._BFOLD_PREFIX + "pb=0")
+    os.makedirs(aside)
+    j = os.path.join(path, dedup_store._FOLD_JOURNAL)
+    with open(j, "w") as f:
+        json.dump(
+            {"dirs": ["pb=0"], "emptied": [],
+             "staging": "tbl.bfold-x", "pid": os.getpid()},
+            f,
+        )
+
+    def finish_fold():
+        time.sleep(0.8)
+        os.remove(j)  # the live writer completes its swap phase
+
+    t = threading.Thread(target=finish_fold)
+    t.start()
+    t0 = time.perf_counter()
+    dedup_store.heal_table_fold(path)
+    elapsed = time.perf_counter() - t0
+    t.join()
+    assert 0.7 <= elapsed < 9, elapsed  # waited, didn't time out
+    # no rollback happened: the aside is untouched
+    assert os.path.isdir(aside)
+    assert not os.path.exists(j)
+
+
+def test_claim_rmtree_is_atomic_against_reuse(tmp_path):
+    """_claim_rmtree claims the dir by rename before deleting, so a
+    concurrent rename of fresh content INTO the old path can never
+    be gutted by the deleter's walk (the r18 fold-stress loss
+    chain). After a claim, re-creating the path and filling it is
+    safe while the delete proceeds."""
+    import os
+
+    d = str(tmp_path / "victim")
+    os.makedirs(d)
+    with open(os.path.join(d, "old.txt"), "w") as f:
+        f.write("old")
+    dedup_store._claim_rmtree(d)
+    assert not os.path.exists(d)
+    # reuse the path immediately — nothing can delete this content
+    os.makedirs(d)
+    with open(os.path.join(d, "new.txt"), "w") as f:
+        f.write("new")
+    assert os.listdir(d) == ["new.txt"]
+    # claiming a missing dir is a quiet no-op
+    dedup_store._claim_rmtree(str(tmp_path / "nope"))

@@ -325,6 +325,13 @@ def test_no_unbounded_driver_collect():
             # frames — still ≤ buckets distinct pb values by layout)
             "for r in df.select(pb.alias(_TBL_PB)).distinct().collect()",
             'pairs = [(r["band"], r["kb"]) for r in pair_rows.collect()]',
+            # the semantic emptied-set (r18: computed from the folded
+            # frame's lineage so staging tampering can't reclassify a
+            # non-empty partition as emptied) — same bounds as the
+            # discovery literals above: ≤ affected pb values /
+            # (band, kb) pairs
+            "for r in folded.select(_TBL_PB).distinct().collect()",
+            'for r in folded.select("band", "kb").distinct().collect()',
         },
         # split_ivf_lists' maintenance metadata: per-list counts,
         # empty list ids, and split-list ids — all bounded by the
