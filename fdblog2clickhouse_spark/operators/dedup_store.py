@@ -2945,6 +2945,10 @@ def _fold_table_granular(
             F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
         )
     folded = _apply_gdelta(spark, folded, sig_path, "group_id")
+    # materialize ONCE (batch-bounded: the affected partitions'
+    # folded rows) — the emptied-set distinct below and the staging
+    # write would otherwise each evaluate the join+gdelta DAG
+    folded = folded.localCheckpoint(eager=True)
     # SEMANTIC emptied-set, from the folded frame's own lineage: the
     # distinct read touches the writer-owned live partitions, never
     # the staging dir, so no staging tampering by a racing healer can
@@ -3053,6 +3057,9 @@ def _fold_index_granular(
     except AnalysisException:
         return 0  # selected dirs hold no parquet (crash remnants)
     folded = _apply_gdelta(spark, src, sig_path, "group_id")
+    # materialize once for the distinct + the staging write — see
+    # _fold_table_granular
+    folded = folded.localCheckpoint(eager=True)
     # semantic emptied-set from lineage — see _fold_table_granular
     present = {
         f"band={r['band']}/kb={r['kb']}"

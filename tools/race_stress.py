@@ -33,8 +33,23 @@ retry must converge. Pass criteria: after every cycle (with retries
 on documented aborts) the table holds EXACTLY the expected rows; no
 journal, aside, or staging remnants; racers never crash.
 
+STORE MODE (`python tools/race_stress.py store [CYCLES] [N_RACERS]`):
+the full three-table dedup store under the same fire — a real store
+(signature table, banded index, members table) built from sf0.001
+documents, cycling `retract_docs` → `fold_retractions` while racer
+processes loop `heal_table_fold` on ALL THREE paths. This is the
+only mode that drives `_fold_index_granular`'s two-level
+`band=*/kb=*` rels (nested parent dirs for asides and the publish
+handoff) under real cross-process heals. Pass criteria per cycle
+(with retries on documented aborts): members hold EXACTLY the
+surviving doc set; the signature store holds exactly the surviving
+groups with min-surviving-doc reps; the index's group set equals
+the signature store's; afterwards no journal/aside/staging/trash
+remnants anywhere; racers never crash.
+
 Usage: python tools/race_stress.py [N_SWAPS] [N_RACERS]
        python tools/race_stress.py fold [CYCLES] [N_RACERS]
+       python tools/race_stress.py store [CYCLES] [N_RACERS]
 """
 
 from __future__ import annotations
@@ -207,6 +222,173 @@ def fold_main() -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def store_racer(paths: list[str], stop, sightings) -> None:
+    """A query node healing before every read of the three-table
+    store: loop `heal_table_fold` over all three paths hot,
+    counting journal sightings on any of them."""
+    from fdblog2clickhouse_spark.operators.dedup_store import (
+        _FOLD_JOURNAL,
+        heal_table_fold,
+    )
+
+    while not stop.is_set():
+        for p in paths:
+            if os.path.exists(os.path.join(p, _FOLD_JOURNAL)):
+                with sightings.get_lock():
+                    sightings.value += 1
+            heal_table_fold(p)  # must never raise
+
+
+def store_main() -> None:
+    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    n_racers = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.session import get_spark
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="store_race_")
+    sig_path = os.path.join(root, "signatures")
+    band_path = os.path.join(root, "bands")
+    mem_path = os.path.join(root, "members")
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.col("text")
+    )
+    g = ds.rep_group_frame(docs).cache()
+    reps = ds.rep_reps(g)
+    ds.write_table(
+        ds.rep_signature_frame(reps), sig_path, "overwrite", key="gh"
+    )
+    ds.write_banded_index(
+        ds.read_table(spark, sig_path), band_path, "overwrite"
+    )
+    ds.write_table(
+        g.select("doc_id", "gh")
+        .join(reps.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        mem_path,
+        "overwrite",
+        key="doc_id",
+    )
+    # ground truth, driver-side: doc_id → gh for every admitted doc
+    # (sf0.001 documents — a few hundred rows)
+    doc_gh = {
+        r["doc_id"]: r["gh"] for r in g.select("doc_id", "gh").collect()
+    }
+    g.unpersist()
+    alive = set(doc_gh)
+
+    stop = mp.Event()
+    sightings = mp.Value("i", 0)
+    paths = [sig_path, band_path, mem_path]
+    procs = [
+        mp.Process(
+            target=store_racer, args=(paths, stop, sightings), daemon=True
+        )
+        for _ in range(n_racers)
+    ]
+    for p in procs:
+        p.start()
+
+    def expected():
+        groups = {}
+        for d in alive:
+            gh = doc_gh[d]
+            groups[gh] = min(groups.get(gh, d), d)
+        return groups  # gh → group_id (min surviving doc)
+
+    aborts = 0
+    t0 = time.perf_counter()
+    for c in range(cycles):
+        victims = sorted(alive)[: 2]
+        alive.difference_update(victims)
+        tomb = spark.createDataFrame(
+            [(v,) for v in victims], "doc_id long"
+        )
+        ds.retract_docs(spark, sig_path, mem_path, tomb)
+        for attempt in range(25):
+            try:
+                ds.fold_retractions(spark, sig_path, band_path, mem_path)
+                break
+            except RuntimeError as e:
+                msg = str(e)
+                assert (
+                    "vanished" in msg or "gutted" in msg
+                    or "losing the rename" in msg
+                ), f"undocumented fold failure: {msg}"
+                print(
+                    f"  cycle {c} attempt {attempt}: ABORT "
+                    f"{msg.splitlines()[0][:90]}"
+                )
+                aborts += 1
+        else:
+            raise AssertionError("fold never converged in 25 attempts")
+        exp = expected()
+        mem = {
+            (r["doc_id"], r["gh"], r["group_id"])
+            for r in ds.read_table(spark, mem_path).collect()
+        }
+        want_mem = {(d, doc_gh[d], exp[doc_gh[d]]) for d in alive}
+        assert mem == want_mem, (
+            f"cycle {c}: members diverged — missing "
+            f"{sorted(want_mem - mem)[:5]}, extra {sorted(mem - want_mem)[:5]}"
+        )
+        sig = {
+            (r["gh"], r["group_id"])
+            for r in ds.read_table(spark, sig_path)
+            .select("gh", "group_id")
+            .collect()
+        }
+        assert sig == set(exp.items()), (
+            f"cycle {c}: signature store diverged — missing "
+            f"{sorted(set(exp.items()) - sig)[:5]}, extra "
+            f"{sorted(sig - set(exp.items()))[:5]}"
+        )
+        idx = {
+            r["group_id"]
+            for r in spark.read.parquet(band_path)
+            .select("group_id")
+            .distinct()
+            .collect()
+        }
+        assert idx == set(exp.values()), (
+            f"cycle {c}: index groups diverged — missing "
+            f"{sorted(set(exp.values()) - idx)[:5]}, extra "
+            f"{sorted(idx - set(exp.values()))[:5]}"
+        )
+    dt = time.perf_counter() - t0
+
+    stop.set()
+    for p in procs:
+        p.join(timeout=5)
+        assert p.exitcode == 0, f"store racer crashed: {p.exitcode}"
+    import glob as _g
+
+    for p in paths:
+        assert not os.path.exists(os.path.join(p, ds._FOLD_JOURNAL)), p
+        assert not _g.glob(
+            os.path.join(p, "**", ds._BFOLD_PREFIX + "*"), recursive=True
+        ), p
+        assert not _g.glob(
+            os.path.join(p, "**", ".bpub-*"), recursive=True
+        ), p
+        assert not _g.glob(p + ".bfold*"), p
+    print(
+        f"store-race-stress: GREEN — {cycles} retract→fold cycles over "
+        f"the 3-table store vs {n_racers} healing processes in "
+        f"{dt:.1f}s, journal sightings={sightings.value}, documented "
+        f"aborts={aborts} (members/signatures/index exact after every "
+        "cycle, no remnants, no racer crash)",
+        flush=True,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     n_swaps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n_racers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -268,5 +450,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fold":
         fold_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "store":
+        store_main()
     else:
         main()
