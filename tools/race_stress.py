@@ -47,9 +47,25 @@ groups with min-surviving-doc reps; the index's group set equals
 the signature store's; afterwards no journal/aside/staging/trash
 remnants anywhere; racers never crash.
 
+IVF MODE (`python tools/race_stress.py ivf [BATCHES] [N_RACERS]`):
+the vector-family analog — a real IVF-PQ artifact set (centroid
+codebook, lists, codes, PQ codebook) built from sf0.001 embeddings,
+then a micro-batch insert stream through the real kernel
+`ivf_insert_batch` with the auto-compact trigger forced low (2
+files) so the stream performs rename-aside swaps of lists AND codes
+nearly every batch, while racer processes loop `heal_swap` over all
+four artifact paths (exactly what every query node does before
+building its read plan). Every third batch is a REDELIVERY of the
+previous batch, pinning the idempotence anti-joins under racer
+fire. Pass criteria per batch: lists vec_id set EXACTLY base ∪
+inserted-so-far, codes vec_ids == lists vec_ids (coherence),
+redeliveries append nothing; afterwards no '.old'/staging/trash
+remnants on any artifact; racers never crash.
+
 Usage: python tools/race_stress.py [N_SWAPS] [N_RACERS]
        python tools/race_stress.py fold [CYCLES] [N_RACERS]
        python tools/race_stress.py store [CYCLES] [N_RACERS]
+       python tools/race_stress.py ivf [BATCHES] [N_RACERS]
 """
 
 from __future__ import annotations
@@ -389,6 +405,149 @@ def store_main() -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def ivf_racer(paths: list[str], stop, hits) -> None:
+    """A query node healing all four IVF artifacts before every
+    read, run hot; counts how often a swap window ('.old' present,
+    live missing) was actually observed."""
+    from fdblog2clickhouse_spark.operators.dedup_store import heal_swap
+
+    while not stop.is_set():
+        for p in paths:
+            if os.path.exists(p + ".old") and not os.path.exists(p):
+                with hits.get_lock():
+                    hits.value += 1
+            heal_swap(p)  # must never raise
+
+
+def ivf_main() -> None:
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    n_racers = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.session import get_spark
+    from fdblog2clickhouse_spark.operators import ann_store
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="ivf_race_")
+    cb = os.path.join(root, "codebook")
+    lists = os.path.join(root, "lists")
+
+    qn = _quantized(spark, "/root/testdata/sf0.001").cache()
+    base = qn.where(F.pmod("vec_id", F.lit(10)) != 0)
+    base.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(base, spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.parquet(lists)
+    ann_store.train_pq_codebook(spark, base, cb, lists)
+    ann_store.reencode_ivf_codes(spark, base, cb, lists)
+    codes = ann_store.ivf_codes_path(lists)
+    pq_cb = ann_store.pq_codebook_path(cb)
+
+    stream_ids = sorted(
+        r["vec_id"]
+        for r in qn.where(F.pmod("vec_id", F.lit(10)) == 0)
+        .select("vec_id")
+        .collect()
+    )
+    base_ids = {
+        r["vec_id"] for r in base.select("vec_id").collect()
+    }
+    # slice the held-out vectors into n_batches micro-batches
+    # (round-robin so every batch is non-empty while any ids remain)
+    slices = [stream_ids[i::n_batches] for i in range(n_batches)]
+
+    stop = mp.Event()
+    hits = mp.Value("i", 0)
+    paths = [lists, codes, cb, pq_cb]
+    procs = [
+        mp.Process(target=ivf_racer, args=(paths, stop, hits), daemon=True)
+        for _ in range(n_racers)
+    ]
+    for p in procs:
+        p.start()
+
+    inserted: set = set()
+    compactions = 0
+    redeliveries = 0
+    t0 = time.perf_counter()
+    prev_slice: list = []
+    for b in range(n_batches):
+        if b % 3 == 2 and prev_slice:
+            ids, redelivery = prev_slice, True
+            redeliveries += 1
+        else:
+            ids, redelivery = slices[b], False
+            prev_slice = ids
+        if not ids:
+            continue
+        batch = qn.join(
+            spark.createDataFrame([(i,) for i in ids], "vec_id long"),
+            "vec_id",
+            "left_semi",
+        )
+        r = ann_store.ivf_insert_batch(
+            spark, batch, cb, lists, compact_trigger_files=2
+        )
+        if redelivery:
+            assert r["vectors"] == 0 and r["skipped"] == len(ids), (
+                f"batch {b}: redelivery not idempotent: {r}"
+            )
+        else:
+            assert r["vectors"] == len(set(ids) - inserted), (
+                f"batch {b}: {r} for {len(ids)} fresh ids"
+            )
+            inserted.update(ids)
+        compactions += bool(r["compacted"])
+        want = base_ids | inserted
+        got_l = {
+            x["n_id"]
+            for x in spark.read.parquet(lists).select("n_id").collect()
+        }
+        assert got_l == want, (
+            f"batch {b}: lists diverged — missing "
+            f"{sorted(want - got_l)[:5]}, extra {sorted(got_l - want)[:5]}"
+        )
+        got_c = {
+            x["vec_id"]
+            for x in spark.read.parquet(codes)
+            .select("vec_id")
+            .distinct()
+            .collect()
+        }
+        assert got_c == want, (
+            f"batch {b}: codes incoherent — missing "
+            f"{sorted(want - got_c)[:5]}, extra {sorted(got_c - want)[:5]}"
+        )
+    dt = time.perf_counter() - t0
+
+    stop.set()
+    for p in procs:
+        p.join(timeout=5)
+        assert p.exitcode == 0, f"ivf racer crashed: {p.exitcode}"
+    import glob as _g
+
+    for p in paths:
+        assert not os.path.exists(p + ".old"), p
+        assert not os.path.exists(p + ".staging"), p
+    assert not _g.glob(os.path.join(root, ".trash-*")), "trash leaked"
+    qn.unpersist()
+    print(
+        f"ivf-race-stress: GREEN — {n_batches} insert micro-batches "
+        f"({redeliveries} redeliveries, {compactions} auto-compactions "
+        f"at trigger=2) vs {n_racers} healing processes in {dt:.1f}s, "
+        f"swap windows observed={hits.value} (lists+codes exact and "
+        "coherent after every batch, redeliveries appended nothing, "
+        "no remnants, no racer crash)",
+        flush=True,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     n_swaps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n_racers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -452,5 +611,7 @@ if __name__ == "__main__":
         fold_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "store":
         store_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ivf":
+        ivf_main()
     else:
         main()
