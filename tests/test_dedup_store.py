@@ -3177,3 +3177,43 @@ def test_claim_rmtree_is_atomic_against_reuse(tmp_path):
     assert os.listdir(d) == ["new.txt"]
     # claiming a missing dir is a quiet no-op
     dedup_store._claim_rmtree(str(tmp_path / "nope"))
+
+
+def test_clear_orphan_fold_staging_rules(tmp_path):
+    """Writer-entry cleanup reaps exactly the three crash-leaked
+    shapes — journal-less fold staging, publish-handoff dirs, and
+    claim-trash — and refuses to guess while a journal exists
+    (heal first, then clean)."""
+    import json
+    import os
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(path, "pb=0"))
+
+    def mk(*rel):
+        d = os.path.join(*rel)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "x"), "w") as f:
+            f.write("x")
+        return d
+
+    stg = mk(path + ".bfold-123-abc")
+    legacy = mk(path + ".bfold")
+    pub = mk(path, "pb=0", ".bpub-f0")
+    tr_in = mk(path, ".trash-.bfold-pb=0-9-def")
+    tr_out = mk(str(tmp_path), ".trash-tbl-9-def")
+
+    # a journal exists: nothing is touched
+    j = os.path.join(path, dedup_store._FOLD_JOURNAL)
+    with open(j, "w") as f:
+        json.dump({"dirs": []}, f)
+    dedup_store._clear_orphan_fold_staging(path)
+    for d in (stg, legacy, pub, tr_in, tr_out):
+        assert os.path.isdir(d), d
+
+    # no journal: all five reaped, live partition untouched
+    os.remove(j)
+    dedup_store._clear_orphan_fold_staging(path)
+    for d in (stg, legacy, pub, tr_in, tr_out):
+        assert not os.path.exists(d), d
+    assert os.path.isdir(os.path.join(path, "pb=0"))
