@@ -62,10 +62,29 @@ inserted-so-far, codes vec_ids == lists vec_ids (coherence),
 redeliveries append nothing; afterwards no '.old'/staging/trash
 remnants on any artifact; racers never crash.
 
+CRASH MODE (`python tools/race_stress.py crash [KILLS]`): writer
+DEATH, not reader races — the dead-pid recovery that the other
+modes never reach (their healers always find a LIVE writer and
+wait). A child process loops real granular folds over a shared
+bucketed table, with the journal-present swap window widened to
+~1 s by a child-side wrapper around `_fold_swap_loop` (tool-side
+monkeypatch — product code untouched), and the parent SIGKILLs it
+at a random point, then plays the next maintenance pass: heal
+(a journal with a DEAD pid must roll back immediately — no
+liveness wait), re-run the interrupted fold, and verify. Pass
+criteria per kill: heal_table_fold returns leaving no
+journal/aside; the re-run fold converges; the table then holds
+EXACTLY the expected rows (kills landing before, inside, and after
+the journal window all recover); no staging/trash remnants at the
+end. The tool reports how many kills actually landed with the
+journal on disk so a run that never hit the window is visibly
+inconclusive.
+
 Usage: python tools/race_stress.py [N_SWAPS] [N_RACERS]
        python tools/race_stress.py fold [CYCLES] [N_RACERS]
        python tools/race_stress.py store [CYCLES] [N_RACERS]
        python tools/race_stress.py ivf [BATCHES] [N_RACERS]
+       python tools/race_stress.py crash [KILLS]
 """
 
 from __future__ import annotations
@@ -548,6 +567,176 @@ def ivf_main() -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def crash_child() -> None:
+    """The fold writer that will be SIGKILLed: loop real granular
+    folds over the shared table, one victim batch per fold, touching
+    `ready` once the session is up (so the parent's kill timer only
+    starts when fold work does) and appending each batch index to
+    `progress` AFTER its fold returns. The journal-present swap
+    window is widened to ~1 s by wrapping `_fold_swap_loop` —
+    a tool-side patch of the child's own process, so the parent's
+    kill has a realistic chance of landing between the journal write
+    and the journal removal (the state only a DEAD writer can
+    leave)."""
+    import json
+    import time as _t
+
+    path, batches_file, progress_file, ready_file = sys.argv[2:6]
+
+    from fdblog2clickhouse_spark.session import get_spark
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    with open(batches_file) as f:
+        batches = json.load(f)
+
+    orig = ds._fold_swap_loop
+
+    def slow_swap(*a, **k):
+        _t.sleep(1.0)
+        return orig(*a, **k)
+
+    ds._fold_swap_loop = slow_swap
+    with open(ready_file, "w") as f:
+        f.write("ready")
+    for idx, victims in enumerate(batches):
+        tomb = spark.createDataFrame(
+            [(v,) for v in victims], "doc_id long"
+        )
+        ds._fold_table_granular(
+            spark, path, os.path.dirname(path) + "/nosuch", None, tomb
+        )
+        with open(progress_file, "a") as f:
+            f.write(f"{idx}\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+
+def crash_main() -> None:
+    import json
+    import random
+    import signal
+    import subprocess
+
+    kills = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rng = random.Random(18)
+
+    from fdblog2clickhouse_spark.session import get_spark
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="crash_race_")
+    path = os.path.join(root, "tbl")
+    n0 = 512
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(n0)], "doc_id long, gh string"
+    )
+    ds.write_table(df, path, "overwrite", key="doc_id", buckets=8)
+
+    alive = set(range(n0))
+    batches = [[2 * k, 2 * k + 1] for k in range(8 * kills)]
+    i = 0
+    in_window = 0
+    t0 = time.perf_counter()
+    for k in range(kills):
+        bf = os.path.join(root, f"batches_{k}.json")
+        pf = os.path.join(root, f"progress_{k}")
+        rf = os.path.join(root, f"ready_{k}")
+        with open(bf, "w") as f:
+            json.dump(batches[i:], f)
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "crash-child",
+             path, bf, pf, rf],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,  # killpg takes the JVM down too
+        )
+        while not os.path.exists(rf):
+            time.sleep(0.05)
+            assert child.poll() is None, "crash child died before ready"
+        # odd kills: TARGETED — poll for the journal and kill the
+        # instant it appears, guaranteeing the dead-pid-with-journal
+        # recovery is exercised every other kill (still a real
+        # SIGKILL; the ~1 s widened window makes the poll reliable).
+        # even kills: random landing past the cold first fold
+        # (session-warm ~5-8 s), anywhere in the fold lifecycle.
+        j = os.path.join(path, ds._FOLD_JOURNAL)
+        if k % 2 == 1:
+            deadline = time.perf_counter() + 60
+            while not os.path.exists(j):
+                time.sleep(0.005)
+                assert time.perf_counter() < deadline, (
+                    "journal never appeared for a targeted kill"
+                )
+                assert child.poll() is None, "child exited early"
+        else:
+            time.sleep(rng.uniform(4.0, 15.0))
+        os.killpg(child.pid, signal.SIGKILL)
+        child.wait()
+        j_seen = os.path.exists(os.path.join(path, ds._FOLD_JOURNAL))
+        in_window += j_seen
+        done = []
+        if os.path.exists(pf):
+            with open(pf) as f:
+                done = [int(x) for x in f.read().split()]
+        for idx in done:
+            alive.difference_update(batches[i + idx])
+        i += len(done)
+        # the next maintenance pass: heal must roll a DEAD writer's
+        # journal back immediately (no 10 s liveness wait)
+        th = time.perf_counter()
+        ds.heal_table_fold(path)
+        heal_dt = time.perf_counter() - th
+        assert heal_dt < 5, f"kill {k}: dead-writer heal took {heal_dt:.1f}s"
+        assert not os.path.exists(os.path.join(path, ds._FOLD_JOURNAL))
+        # re-run the interrupted batch's fold (idempotent: partially
+        # swapped partitions converge) and verify exact content
+        if i < len(batches):
+            tomb = spark.createDataFrame(
+                [(v,) for v in batches[i]], "doc_id long"
+            )
+            ds._fold_table_granular(
+                spark, path, os.path.join(root, "nosuch"), None, tomb
+            )
+            alive.difference_update(batches[i])
+            i += 1
+        got = sorted(
+            r["doc_id"]
+            for r in ds.read_table(spark, path).select("doc_id").collect()
+        )
+        assert got == sorted(alive), (
+            f"kill {k}: row divergence — missing "
+            f"{sorted(set(alive) - set(got))[:5]}, extra "
+            f"{sorted(set(got) - set(alive))[:5]} (journal at kill: "
+            f"{j_seen}, child completed {len(done)} folds)"
+        )
+        print(
+            f"  kill {k}: child completed {len(done)} folds, journal "
+            f"on disk at kill={j_seen}, heal {heal_dt * 1000:.0f} ms, "
+            "re-run converged exact",
+            flush=True,
+        )
+    dt = time.perf_counter() - t0
+
+    import glob as _g
+
+    assert not os.path.exists(os.path.join(path, ds._FOLD_JOURNAL))
+    assert not _g.glob(
+        os.path.join(path, "**", ds._BFOLD_PREFIX + "*"), recursive=True
+    )
+    assert not _g.glob(path + ".bfold*")  # re-run's entry reaped orphans
+    print(
+        f"crash-race-stress: GREEN — {kills} SIGKILLs of a live fold "
+        f"writer in {dt:.1f}s, {in_window} landed with the journal on "
+        "disk (dead-pid immediate rollback), every recovery converged "
+        "to exact content, no remnants",
+        flush=True,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     n_swaps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n_racers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -613,5 +802,9 @@ if __name__ == "__main__":
         store_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "ivf":
         ivf_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "crash":
+        crash_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "crash-child":
+        crash_child()
     else:
         main()
