@@ -80,11 +80,28 @@ end. The tool reports how many kills actually landed with the
 journal on disk so a run that never hit the window is visibly
 inconclusive.
 
+CRASH-STORE MODE (`python tools/race_stress.py crash-store
+[KILLS]`): writer death over the FULL three-table lifecycle — a
+child process loops real `retract_docs` → `fold_retractions`
+cycles on a signature + banded index + members store, and the
+parent SIGKILLs its process group (alternating random landings
+with targeted kills fired when any of the three fold journals
+appears), then plays the documented recovery — re-run the
+retraction and the fold — and verifies. Kills land mid-retract
+(sidecar swaps half done), between the three tables' folds (sig
+folded, index not), and inside a table's journal window; the
+recovery contract is the same for all of them: re-run converges.
+Pass criteria per kill: members/signatures/index exactly match the
+driver-side ground truth and every retraction sidecar is retired
+afterwards; no journal/aside/.bpub/staging/trash remnants at the
+end.
+
 Usage: python tools/race_stress.py [N_SWAPS] [N_RACERS]
        python tools/race_stress.py fold [CYCLES] [N_RACERS]
        python tools/race_stress.py store [CYCLES] [N_RACERS]
        python tools/race_stress.py ivf [BATCHES] [N_RACERS]
        python tools/race_stress.py crash [KILLS]
+       python tools/race_stress.py crash-store [KILLS]
 """
 
 from __future__ import annotations
@@ -737,6 +754,225 @@ def crash_main() -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def crash_store_child() -> None:
+    """The lifecycle writer that will be SIGKILLed: loop real
+    retract_docs → fold_retractions cycles, appending each cycle
+    index to `progress` only after BOTH completed. The per-table
+    journal windows are widened (~0.4 s each) so targeted kills can
+    land inside them."""
+    import json
+    import time as _t
+
+    root, batches_file, progress_file, ready_file = sys.argv[2:6]
+    sig_path = os.path.join(root, "signatures")
+    band_path = os.path.join(root, "bands")
+    mem_path = os.path.join(root, "members")
+
+    from fdblog2clickhouse_spark.session import get_spark
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    with open(batches_file) as f:
+        batches = json.load(f)
+
+    orig = ds._fold_swap_loop
+
+    def slow_swap(*a, **k):
+        _t.sleep(0.4)
+        return orig(*a, **k)
+
+    ds._fold_swap_loop = slow_swap
+    with open(ready_file, "w") as f:
+        f.write("ready")
+    for idx, victims in enumerate(batches):
+        tomb = spark.createDataFrame(
+            [(v,) for v in victims], "doc_id long"
+        )
+        ds.retract_docs(spark, sig_path, mem_path, tomb)
+        ds.fold_retractions(spark, sig_path, band_path, mem_path)
+        with open(progress_file, "a") as f:
+            f.write(f"{idx}\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+
+def crash_store_main() -> None:
+    import json
+    import random
+    import signal
+    import subprocess
+
+    kills = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rng = random.Random(1818)
+
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.session import get_spark
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+    from fdblog2clickhouse_spark.sources.tables import table
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="crash_store_")
+    sig_path = os.path.join(root, "signatures")
+    band_path = os.path.join(root, "bands")
+    mem_path = os.path.join(root, "members")
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.col("text")
+    )
+    g = ds.rep_group_frame(docs).cache()
+    reps = ds.rep_reps(g)
+    ds.write_table(
+        ds.rep_signature_frame(reps), sig_path, "overwrite", key="gh"
+    )
+    ds.write_banded_index(
+        ds.read_table(spark, sig_path), band_path, "overwrite"
+    )
+    ds.write_table(
+        g.select("doc_id", "gh")
+        .join(reps.select("gh", "group_id"), "gh")
+        .select("doc_id", "gh", "group_id"),
+        mem_path,
+        "overwrite",
+        key="doc_id",
+    )
+    doc_gh = {
+        r["doc_id"]: r["gh"] for r in g.select("doc_id", "gh").collect()
+    }
+    g.unpersist()
+    alive = set(doc_gh)
+    ids0 = sorted(alive)
+    batches = [ids0[2 * k : 2 * k + 2] for k in range(4 * kills)]
+
+    journals = [
+        os.path.join(p, ds._FOLD_JOURNAL)
+        for p in (sig_path, band_path, mem_path)
+    ]
+
+    def expected():
+        groups = {}
+        for d in alive:
+            gh = doc_gh[d]
+            groups[gh] = min(groups.get(gh, d), d)
+        return groups
+
+    def verify(tag):
+        exp = expected()
+        mem = {
+            (r["doc_id"], r["gh"], r["group_id"])
+            for r in ds.read_table(spark, mem_path).collect()
+        }
+        want_mem = {(d, doc_gh[d], exp[doc_gh[d]]) for d in alive}
+        assert mem == want_mem, (
+            f"{tag}: members diverged — missing "
+            f"{sorted(want_mem - mem)[:5]}, extra "
+            f"{sorted(mem - want_mem)[:5]}"
+        )
+        sig = {
+            (r["gh"], r["group_id"])
+            for r in ds.read_table(spark, sig_path)
+            .select("gh", "group_id")
+            .collect()
+        }
+        assert sig == set(exp.items()), f"{tag}: signature store diverged"
+        idx = {
+            r["group_id"]
+            for r in spark.read.parquet(band_path)
+            .select("group_id")
+            .distinct()
+            .collect()
+        }
+        assert idx == set(exp.values()), f"{tag}: index groups diverged"
+        for sp in (
+            ds.tombstones_path(mem_path),
+            ds.gdelta_path(sig_path),
+            ds.gdelta_keys_path(sig_path),
+        ):
+            assert not os.path.isdir(sp), f"{tag}: sidecar not retired: {sp}"
+
+    i = 0
+    in_window = 0
+    t0 = time.perf_counter()
+    for k in range(kills):
+        bf = os.path.join(root, f"batches_{k}.json")
+        pf = os.path.join(root, f"progress_{k}")
+        rf = os.path.join(root, f"ready_{k}")
+        with open(bf, "w") as f:
+            json.dump(batches[i:], f)
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "crash-store-child", root, bf, pf, rf],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        while not os.path.exists(rf):
+            time.sleep(0.05)
+            assert child.poll() is None, "crash child died before ready"
+        if k % 2 == 1:
+            deadline = time.perf_counter() + 90
+            while not any(os.path.exists(j) for j in journals):
+                time.sleep(0.005)
+                assert time.perf_counter() < deadline, (
+                    "no fold journal appeared for a targeted kill"
+                )
+                assert child.poll() is None, "child exited early"
+        else:
+            time.sleep(rng.uniform(3.0, 14.0))
+        os.killpg(child.pid, signal.SIGKILL)
+        child.wait()
+        j_seen = [os.path.basename(os.path.dirname(j))
+                  for j in journals if os.path.exists(j)]
+        in_window += bool(j_seen)
+        done = []
+        if os.path.exists(pf):
+            with open(pf) as f:
+                done = [int(x) for x in f.read().split()]
+        for idx_ in done:
+            alive.difference_update(batches[i + idx_])
+        i += len(done)
+        # the documented recovery: re-run the retraction (a no-op for
+        # ids already retracted) and the fold, in the parent
+        if i < len(batches):
+            tomb = spark.createDataFrame(
+                [(v,) for v in batches[i]], "doc_id long"
+            )
+            ds.retract_docs(spark, sig_path, mem_path, tomb)
+            ds.fold_retractions(spark, sig_path, band_path, mem_path)
+            alive.difference_update(batches[i])
+            i += 1
+        verify(f"kill {k}")
+        print(
+            f"  kill {k}: child completed {len(done)} cycles, journals "
+            f"at kill={j_seen or 'none'}, re-run converged exact",
+            flush=True,
+        )
+    dt = time.perf_counter() - t0
+
+    import glob as _g
+
+    for p in (sig_path, band_path, mem_path):
+        assert not os.path.exists(os.path.join(p, ds._FOLD_JOURNAL)), p
+        assert not _g.glob(
+            os.path.join(p, "**", ds._BFOLD_PREFIX + "*"), recursive=True
+        ), p
+        assert not _g.glob(
+            os.path.join(p, "**", ".bpub-*"), recursive=True
+        ), p
+        assert not _g.glob(p + ".bfold*"), p
+    print(
+        f"crash-store-race-stress: GREEN — {kills} SIGKILLs of a live "
+        f"retract→fold lifecycle writer in {dt:.1f}s, {in_window} "
+        "landed with a fold journal on disk, every re-run recovery "
+        "converged (members/signatures/index exact, sidecars retired, "
+        "no remnants)",
+        flush=True,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     n_swaps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n_racers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -806,5 +1042,9 @@ if __name__ == "__main__":
         crash_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "crash-child":
         crash_child()
+    elif len(sys.argv) > 1 and sys.argv[1] == "crash-store":
+        crash_store_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "crash-store-child":
+        crash_store_child()
     else:
         main()
