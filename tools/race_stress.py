@@ -96,12 +96,29 @@ driver-side ground truth and every retraction sidecar is retired
 afterwards; no journal/aside/.bpub/staging/trash remnants at the
 end.
 
+CRASH-IVF MODE (`python tools/race_stress.py crash-ivf [KILLS]`):
+writer death for the vector insert stream — a child loops real
+`ivf_insert_batch` micro-batches (auto-compact trigger 2, so kills
+can land mid-swap too) and the parent SIGKILLs its process group at
+a random point, classifies the state the death actually left
+(half-inserted: lists rows whose codes are missing; mid-compact:
+an artifact present only at '.old'), then plays the documented
+at-least-once recovery: heal_swap on all four artifacts and a
+REDELIVERY of the in-flight batch through the same kernel. Pass
+criteria per kill: after redelivery the lists hold exactly base ∪
+delivered vec_ids and the codes cover exactly the lists (the
+half-inserted rows got their codes, not duplicate lists rows); no
+remnants at the end. The tool reports how many kills landed in the
+half-inserted and mid-swap states so an all-boring run is visibly
+inconclusive.
+
 Usage: python tools/race_stress.py [N_SWAPS] [N_RACERS]
        python tools/race_stress.py fold [CYCLES] [N_RACERS]
        python tools/race_stress.py store [CYCLES] [N_RACERS]
        python tools/race_stress.py ivf [BATCHES] [N_RACERS]
        python tools/race_stress.py crash [KILLS]
        python tools/race_stress.py crash-store [KILLS]
+       python tools/race_stress.py crash-ivf [KILLS]
 """
 
 from __future__ import annotations
@@ -973,6 +990,212 @@ def crash_store_main() -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def crash_ivf_child() -> None:
+    """The insert-stream writer that will be SIGKILLed: loop real
+    ivf_insert_batch micro-batches (auto-compact at trigger 2),
+    appending each batch index to `progress` after the kernel
+    returns."""
+    import json
+
+    root, batches_file, progress_file, ready_file = sys.argv[2:6]
+    cb = os.path.join(root, "codebook")
+    lists = os.path.join(root, "lists")
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fdblog2clickhouse_spark.session import get_spark
+    from fdblog2clickhouse_spark.operators import ann_store
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qn = _quantized(spark, "/root/testdata/sf0.001").cache()
+    qn.count()
+    with open(batches_file) as f:
+        batches = json.load(f)
+
+    # widen the lists-appended-codes-missing window to ~1.2 s (the
+    # kernel's crash state that only an insert stream can leave):
+    # _ivfpq_codes runs between the two appends — a tool-side patch
+    # of this child's own process, product code untouched
+    import time as _t
+
+    orig_codes = ann_store._ivfpq_codes
+
+    def slow_codes(*a, **k):
+        _t.sleep(1.2)
+        return orig_codes(*a, **k)
+
+    ann_store._ivfpq_codes = slow_codes
+    with open(ready_file, "w") as f:
+        f.write("ready")
+    for idx, ids in enumerate(batches):
+        batch = qn.join(
+            spark.createDataFrame([(i,) for i in ids], "vec_id long"),
+            "vec_id",
+            "left_semi",
+        )
+        ann_store.ivf_insert_batch(
+            spark, batch, cb, lists, compact_trigger_files=2
+        )
+        with open(progress_file, "a") as f:
+            f.write(f"{idx}\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+
+def crash_ivf_main() -> None:
+    import json
+    import random
+    import signal
+    import subprocess
+
+    kills = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    rng = random.Random(99)
+
+    from pyspark.sql import functions as F
+
+    from fdblog2clickhouse_spark.session import get_spark
+    from fdblog2clickhouse_spark.operators import ann_store
+    from fdblog2clickhouse_spark.operators.dedup import _quantized
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="crash_ivf_")
+    cb = os.path.join(root, "codebook")
+    lists = os.path.join(root, "lists")
+
+    qn = _quantized(spark, "/root/testdata/sf0.001").cache()
+    base = qn.where(F.pmod("vec_id", F.lit(10)) != 0)
+    base.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.parquet(cb)
+    ann_store._assign(base, spark.read.parquet(cb), 1).select(
+        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+    ).write.parquet(lists)
+    ann_store.train_pq_codebook(spark, base, cb, lists)
+    ann_store.reencode_ivf_codes(spark, base, cb, lists)
+    codes = ann_store.ivf_codes_path(lists)
+    pq_cb = ann_store.pq_codebook_path(cb)
+    paths = [lists, codes, cb, pq_cb]
+
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    stream_ids = sorted(
+        r["vec_id"]
+        for r in qn.where(F.pmod("vec_id", F.lit(10)) == 0)
+        .select("vec_id")
+        .collect()
+    )
+    n_batches = 4 * kills
+    batches = [stream_ids[j::n_batches] for j in range(n_batches)]
+
+    from fdblog2clickhouse_spark.operators.dedup_store import heal_swap
+
+    def vec_ids(path, col):
+        return {
+            r[col]
+            for r in spark.read.parquet(path).select(col).distinct().collect()
+        }
+
+    delivered: set = set()
+    i = 0
+    half_inserted = 0
+    mid_swap = 0
+    t0 = time.perf_counter()
+    for k in range(kills):
+        bf = os.path.join(root, f"batches_{k}.json")
+        pf = os.path.join(root, f"progress_{k}")
+        rf = os.path.join(root, f"ready_{k}")
+        with open(bf, "w") as f:
+            json.dump(batches[i:], f)
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "crash-ivf-child", root, bf, pf, rf],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        while not os.path.exists(rf):
+            time.sleep(0.05)
+            assert child.poll() is None, "crash child died before ready"
+        time.sleep(rng.uniform(1.0, 8.0))
+        os.killpg(child.pid, signal.SIGKILL)
+        child.wait()
+        # classify the state death left, BEFORE healing
+        swapped = [
+            os.path.basename(p)
+            for p in paths
+            if os.path.exists(p + ".old") and not os.path.exists(p)
+        ]
+        mid_swap += bool(swapped)
+        for p in paths:
+            heal_swap(p)
+        lists_now = vec_ids(lists, "n_id")
+        codes_now = vec_ids(codes, "vec_id")
+        gap = lists_now - codes_now
+        half_inserted += bool(gap)
+        done = []
+        if os.path.exists(pf):
+            with open(pf) as f:
+                done = [int(x) for x in f.read().split()]
+        for idx_ in done:
+            delivered.update(batches[i + idx_])
+        i += len(done)
+        # the at-least-once recovery: REDELIVER the in-flight batch
+        # through the same kernel (idempotent anti-joins fill the
+        # lists/codes gaps, append nothing twice)
+        if i < len(batches):
+            ids = batches[i]
+            batch = qn.join(
+                spark.createDataFrame([(x,) for x in ids], "vec_id long"),
+                "vec_id",
+                "left_semi",
+            )
+            ann_store.ivf_insert_batch(
+                spark, batch, cb, lists, compact_trigger_files=2
+            )
+            delivered.update(ids)
+            i += 1
+        want = base_ids | delivered
+        got_l = vec_ids(lists, "n_id")
+        got_c = vec_ids(codes, "vec_id")
+        assert got_l == want, (
+            f"kill {k}: lists diverged — missing "
+            f"{sorted(want - got_l)[:5]}, extra {sorted(got_l - want)[:5]}"
+        )
+        assert got_c == want, (
+            f"kill {k}: codes incoherent after redelivery — missing "
+            f"{sorted(want - got_c)[:5]}, extra {sorted(got_c - want)[:5]}"
+        )
+        # lists must also be row-exact (no duplicate assignment rows
+        # from a replayed append)
+        n_rows = spark.read.parquet(lists).count()
+        assert n_rows == len(want), (
+            f"kill {k}: duplicate lists rows — {n_rows} rows for "
+            f"{len(want)} vec_ids"
+        )
+        print(
+            f"  kill {k}: child completed {len(done)} batches, state at "
+            f"death: mid-swap={swapped or 'no'}, half-inserted gap="
+            f"{len(gap)}, redelivery converged exact",
+            flush=True,
+        )
+    dt = time.perf_counter() - t0
+    for p in paths:
+        assert not os.path.exists(p + ".old"), p
+        assert not os.path.exists(p + ".staging"), p
+    qn.unpersist()
+    print(
+        f"crash-ivf-race-stress: GREEN — {kills} SIGKILLs of a live "
+        f"insert stream in {dt:.1f}s ({half_inserted} left the "
+        f"half-inserted lists-without-codes state, {mid_swap} died "
+        "mid-swap), every redelivery recovery converged to exact, "
+        "coherent, duplicate-free lists+codes; no remnants",
+        flush=True,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     n_swaps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n_racers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -1046,5 +1269,9 @@ if __name__ == "__main__":
         crash_store_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "crash-store-child":
         crash_store_child()
+    elif len(sys.argv) > 1 and sys.argv[1] == "crash-ivf":
+        crash_ivf_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "crash-ivf-child":
+        crash_ivf_child()
     else:
         main()
