@@ -839,7 +839,7 @@ def test_compact_store_rebucket_members_and_kept_count(spark, tmp_path, capsys):
     assert cli.main(["compact-store", store, "--buckets", "64"]) == 0
     out = capsys.readouterr().out
     assert "members_files_before=" in out
-    assert "bands_rebucketed=16->64" in out
+    assert "bands_rebucketed=2->64" in out  # fresh builds auto-size (r18)
     assert max(_tbl_file_counts(members_path(store))) == 1
     assert banded_layout(banded_path(store))["buckets"] == 64
 
@@ -1084,7 +1084,7 @@ def test_admit_vectors_long_lifecycle_with_rebucket(spark, tmp_path, capsys):
                      "--sort-col", "bv0"]) == 0
     out = capsys.readouterr().out
     assert "members_files_before=" in out
-    assert "bands_rebucketed=16->64" in out
+    assert "bands_rebucketed=2->64" in out  # fresh builds auto-size (r18)
     assert banded_layout(banded_path(store))["buckets"] == 64
 
     # post-migration admission: the near-dup of 55 must be found
@@ -1545,14 +1545,15 @@ def test_compact_store_auto_rebucket_aligns_banded_index(
 
     assert cli.main(["build-store", base, store, "--buckets", "1"]) == 0
     capsys.readouterr()
-    assert banded_layout(banded_path(store))["buckets"] == 16
+    # the banded index auto-sizes from the store's group count (r18)
+    assert banded_layout(banded_path(store))["buckets"] == 2
 
     # 81 groups in 1 bucket, trigger 1 → store jumps to 128, and the
-    # 16-bucket index must follow
+    # 2-bucket index must follow
     assert cli.main(["compact-store", store, "--rebucket-trigger", "1"]) == 0
     out = capsys.readouterr().out
     assert "store_rebucketed=1->128" in out
-    assert "bands_rebucketed=16->128 (aligned)" in out
+    assert "bands_rebucketed=2->128 (aligned)" in out
     assert table_layout(store)["buckets"] == 128
     assert banded_layout(banded_path(store))["buckets"] == 128
     assert table_layout(members_path(store))["buckets"] == 128

@@ -534,7 +534,10 @@ def test_banded_bucket_layout_is_persisted(spark, tmp_path):
     )
     bands = str(tmp_path / "bands")
     dedup_store.write_banded_index(sigs, bands, "overwrite")
-    assert dedup_store.banded_buckets(bands) == dedup_store._BANDED_BUCKETS
+    # fresh builds auto-size from the flat signature count (r18):
+    # 14 groups → the 2-bucket floor
+    built = dedup_store.banded_buckets(bands)
+    assert built == dedup_store._auto_buckets(sigs.count())
 
     gb = dedup_store.rep_group_frame(
         spark.createDataFrame(
@@ -555,7 +558,7 @@ def test_banded_bucket_layout_is_persisted(spark, tmp_path):
         }
         assert 7 in got, "pruned read bucketed with the wrong layout"
         dedup_store.write_banded_index(batch, bands, "append")
-        assert dedup_store.banded_buckets(bands) == orig  # layout kept
+        assert dedup_store.banded_buckets(bands) == built  # layout kept
         got2 = {
             r["id"]
             for r in dedup_store.pruned_store_rows(spark, bands, batch).collect()
@@ -566,7 +569,7 @@ def test_banded_bucket_layout_is_persisted(spark, tmp_path):
 
     # compaction carries the layout marker through the swap
     dedup_store.compact_banded_index(spark, bands)
-    assert dedup_store.banded_buckets(bands) == orig
+    assert dedup_store.banded_buckets(bands) == built
 
 
 def test_pruned_store_rows_missing_index_raises_and_restores(spark, tmp_path):
@@ -961,7 +964,8 @@ def test_rebucket_banded_index_preserves_pruned_reads(spark, tmp_path):
     dedup_store.write_banded_index(spark.read.parquet(store), bands, "overwrite")
     # crash-leaked duplicate rows: the rebuild-from-store retires them
     dedup_store.write_banded_index(sigs.limit(4), bands, "append")
-    assert dedup_store.banded_buckets(bands) == 16
+    # fresh builds auto-size (r18): a test-sized store gets the floor
+    assert dedup_store.banded_buckets(bands) == 2
 
     # batch: NEW ids carrying exact-dup texts of three store docs —
     # guaranteed band-key matches so the candidate pin is non-vacuous
@@ -993,7 +997,7 @@ def test_rebucket_banded_index_preserves_pruned_reads(spark, tmp_path):
     assert cands_before, "batch produced no candidates — test is vacuous"
 
     got = dedup_store.rebucket_banded_index(spark, store, bands, 256)
-    assert got == {"buckets_before": 16, "buckets_after": 256}
+    assert got == {"buckets_before": 2, "buckets_after": 256}
     lay = dedup_store.banded_layout(bands)
     assert lay == {"buckets": 256, "key_cols": ["bk0", "bk1", "bk2", "bk3"]}
     pruned = dedup_store.pruned_store_rows(spark, bands, batch)
@@ -1120,7 +1124,8 @@ def test_rebucket_banded_index_vector_family(spark, tmp_path):
         key_cols=dedup_store._EMB_KEY_COLS,
     )
     assert dedup_store.banded_layout(bands) == {
-        "buckets": 16, "key_cols": dedup_store._EMB_KEY_COLS,
+        # auto-sized fresh build (r18): test-sized store → the floor
+        "buckets": 2, "key_cols": dedup_store._EMB_KEY_COLS,
     }
 
     batch = sigs.limit(5)
@@ -1143,7 +1148,7 @@ def test_rebucket_banded_index_vector_family(spark, tmp_path):
     before = cands()
     assert before, "vector batch produced no candidates — test is vacuous"
     got = dedup_store.rebucket_banded_index(spark, store, bands, 64)
-    assert got == {"buckets_before": 16, "buckets_after": 64}
+    assert got == {"buckets_before": 2, "buckets_after": 64}
     assert dedup_store.banded_layout(bands) == {
         "buckets": 64, "key_cols": dedup_store._EMB_KEY_COLS,
     }
@@ -1871,6 +1876,53 @@ def test_pruned_table_legacy_falls_back_to_full_scan(spark, tmp_path):
     assert ds.table_layout(path) is None
     pr = ds.pruned_table(spark, path, keys)
     assert pr.count() == 20  # full scan — correctness never needs the layout
+
+
+def test_auto_buckets_sizing():
+    """Build-time bucket sizing (r18): smallest power of two keeping
+    rows/bucket ≤ _BUILD_ROWS_PER_BUCKET, floored at 2, capped at
+    _REBUCKET_MAX — so a small bootstrap writes few partition dirs
+    (the measured write-overhead fix) while a huge one still bounds
+    rows/bucket, and neither trips maybe_rebucket_table's 4096-row
+    trigger on its first maintenance pass."""
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    per = ds._BUILD_ROWS_PER_BUCKET
+    assert ds._auto_buckets(0) == 2
+    assert ds._auto_buckets(2 * per) == 2
+    assert ds._auto_buckets(2 * per + 1) == 4
+    assert ds._auto_buckets(16 * per) == 16
+    assert ds._auto_buckets(10**12) == ds._REBUCKET_MAX
+    # every sized build starts under the rebucket trigger
+    for rows in (1, 5_000, 100_000, 10**7):
+        b = ds._auto_buckets(rows)
+        assert rows / b <= ds._REBUCKET_TRIGGER_ROWS or b == ds._REBUCKET_MAX
+
+
+def test_write_table_build_auto_sizes_buckets(spark, tmp_path):
+    """A fresh keyed build with no explicit bucket count derives it
+    from the frame's own rows (one persist+count, then the write);
+    appends keep honoring the auto-sized persisted layout."""
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    path = str(tmp_path / "auto_sigs")
+    df = spark.createDataFrame(
+        [(i, f"gh{i}") for i in range(50)], "group_id long, gh string"
+    )
+    ds.write_table(df, path, "overwrite", key="gh")
+    lay = ds.table_layout(path)
+    assert lay["buckets"] == ds._auto_buckets(50) == 2
+    # the build frame is left unpersisted (no cache leak)
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    # marker carries the exact row count (rebucket gate reads it free)
+    assert ds._marker_rows(path) == 50
+    ds.write_table(
+        spark.createDataFrame([(99, "gh99")], "group_id long, gh string"),
+        path,
+        "append",
+    )
+    assert ds.table_layout(path)["buckets"] == 2
+    assert ds.read_table(spark, path).count() == 51
 
 
 def test_write_table_append_honors_persisted_layout(spark, tmp_path):
