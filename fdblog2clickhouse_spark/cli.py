@@ -275,7 +275,8 @@ def cmd_build_store(args) -> int:
     # read prunes to the batch's (band, kb) partitions instead of
     # scanning the whole store (VERDICT r10 item #4)
     write_banded_index(
-        read_table(spark, args.store), banded_path(args.store), "overwrite"
+        read_table(spark, args.store), banded_path(args.store), "overwrite",
+        sized_from=args.store,
     )
     write_table(
         g.select("doc_id", "gh")
@@ -351,6 +352,7 @@ def cmd_build_vstore(args) -> int:
         banded_path(args.store),
         "overwrite",
         key_cols=_EMB_KEY_COLS,
+        sized_from=args.store,
     )
     write_table(
         g.select("doc_id", "gh")

@@ -585,6 +585,7 @@ def write_banded_index(
     mode: str,
     key_cols: list[str] | None = None,
     buckets: int | None = None,
+    sized_from: str | None = None,
 ) -> None:
     """One file per (band, kb) partition per write: without the
     repartition, EVERY shuffle partition of the source writes into
@@ -625,7 +626,14 @@ def write_banded_index(
             # store's read_table, so the count is a single columnar
             # scan. Growth keeps the rebucket story: compact-store
             # aligns the index UP with the flat store's decision.
-            if sigs.storageLevel.useMemory or sigs.storageLevel.useDisk:
+            # `sized_from` (a flat-store path whose marker caches its
+            # exact row count) skips even that job — the bootstrap
+            # call sites build the index from the store they just
+            # wrote, whose count the write recorded for free.
+            rows = _marker_rows(sized_from) if sized_from else None
+            if rows is not None:
+                buckets = _auto_buckets(rows)
+            elif sigs.storageLevel.useMemory or sigs.storageLevel.useDisk:
                 buckets = _auto_buckets(sigs.count())
             else:
                 persisted = sigs.persist()
@@ -1125,6 +1133,7 @@ def write_table(
         df.write.mode(mode).parquet(path)
         return
     persisted = None
+    sized_rows = None
     if buckets is None:
         # data-derived initial bucket count (see _auto_buckets): one
         # persist + count materializes the build frame exactly once —
@@ -1135,10 +1144,11 @@ def write_table(
         # already persisted is counted in place, never re-persisted
         # (so the unpersist below can't drop the caller's cache).
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
-            buckets = _auto_buckets(df.count())
+            sized_rows = df.count()
         else:
             persisted = df.persist()
-            buckets = _auto_buckets(persisted.count())
+            sized_rows = persisted.count()
+        buckets = _auto_buckets(sized_rows)
     pb = _tbl_pb_expr(df.schema[key].dataType, key, buckets, variant)
     (
         df.withColumn(_TBL_PB, pb)
@@ -1150,11 +1160,16 @@ def write_table(
     if persisted is not None:
         persisted.unpersist()
     if write_marker:
-        # a build/rewrite knows its exact row count for free — footer
-        # metadata of the files just written, no Spark job (VERDICT
-        # r17 #5: the rebucket gate reads this instead of scanning)
+        # a build/rewrite knows its exact row count for free — the
+        # sizing count above when it ran, else footer metadata of the
+        # files just written, no Spark job (VERDICT r17 #5: the
+        # rebucket gate reads this instead of scanning)
         _write_tbl_marker(
-            path, key, buckets, df.schema.json(), rows=_footer_rows(path)
+            path,
+            key,
+            buckets,
+            df.schema.json(),
+            rows=sized_rows if sized_rows is not None else _footer_rows(path),
         )
     else:
         # append: the cached count is stale now — invalidate; the
@@ -1184,7 +1199,12 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def pruned_table(
-    spark: SparkSession, path: str, keys: DataFrame, key_col: str | None = None
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str | None = None,
+    *,
+    vals: list[int] | None = None,
 ) -> DataFrame:
     """Read ONLY the partitions the batch's keys can match: bucket
     the batch's key column with the table's PERSISTED layout,
@@ -1195,7 +1215,12 @@ def pruned_table(
     sweep measurement), and push the isin down as a partition
     filter. Legacy tables (no marker) fall back to the full scan —
     correctness never depends on the layout, only the read bound
-    does."""
+    does. `vals` (r18): a caller that already collected the batch's
+    bucket ids with THIS table's layout (`batch_bucket_vals` — one
+    combined job instead of one collect per table) passes them in and
+    the collect here is skipped; correctness is the caller's layout
+    match, which `batch_bucket_vals` guarantees by deriving the
+    expression from the same persisted marker."""
     import os
 
     from pyspark.errors import AnalysisException
@@ -1205,13 +1230,14 @@ def pruned_table(
     if lay is None:
         return read_table(spark, path)
     buckets = lay["buckets"]
-    kc = key_col or lay["key"]
-    pb = _tbl_pb_expr(keys.schema[kc].dataType, kc, buckets, lay["pb"])
-    vals = sorted(
-        r[0]
-        for r in keys.select(pb.alias(_TBL_PB)).distinct().collect()
-        if r[0] is not None
-    )
+    if vals is None:
+        kc = key_col or lay["key"]
+        pb = _tbl_pb_expr(keys.schema[kc].dataType, kc, buckets, lay["pb"])
+        vals = sorted(
+            r[0]
+            for r in keys.select(pb.alias(_TBL_PB)).distinct().collect()
+            if r[0] is not None
+        )
     dirs = [
         d
         for v in vals
@@ -1229,6 +1255,41 @@ def pruned_table(
     # self-describing (and plan-assertable) about WHICH partitions
     # this read may touch
     return src.where(F.col(_TBL_PB).isin(vals)).drop(_TBL_PB)
+
+
+def batch_bucket_vals(
+    batch: DataFrame, tables: list[tuple[str, str]]
+) -> list[list[int] | None]:
+    """Collect the batch's distinct bucket ids for SEVERAL bucketed
+    tables in ONE Spark job (r18: the admission step paid one
+    driver collect per pruned table — members by doc_id, flat store
+    by gh — each a full pass over the batch frame for one tiny value
+    set). `tables` is [(path, key_col)]; the bucket expression for
+    each comes from that table's own persisted marker (the layout-
+    honoring rule), so the returned ids are exactly what
+    `pruned_table`'s internal collect would produce. A legacy table
+    (no marker) yields None at its position — the caller passes
+    keys instead and `pruned_table` falls back to the full scan."""
+    exprs = []
+    slots: list[int | None] = []
+    for path, kc in tables:
+        heal_table_fold(path)  # marker read below must see live state
+        lay = table_layout(path)
+        if lay is None:
+            slots.append(None)
+            continue
+        pb = _tbl_pb_expr(
+            batch.schema[kc].dataType, kc, lay["buckets"], lay["pb"]
+        )
+        slots.append(len(exprs))
+        exprs.append(F.collect_set(pb).alias(f"v{len(exprs)}"))
+    if not exprs:
+        return [None] * len(tables)
+    row = batch.agg(*exprs).collect()[0]
+    return [
+        None if s is None else sorted(v for v in row[s] if v is not None)
+        for s in slots
+    ]
 
 
 def bucket_table(
@@ -1364,8 +1425,10 @@ def rep_admission_frames(
     """Classify one batch's content groups against the persisted rep
     store and build the band join's batch side. Returns
     (group_map, new_sigs, batch_side, touched_sigs):
-      group_map  — (gh, group_id) for EVERY batch gh (existing id for
-                   known content, min batch doc_id for new content);
+      group_map  — (gh, group_id, is_new) for EVERY batch gh
+                   (existing id for known content, min batch doc_id
+                   for new content; is_new distinguishes the two so
+                   one aggregation yields both step stats);
       new_sigs   — signature rows for the new groups only (the only
                    rows an append adds — known content never grows
                    the store);
@@ -1402,8 +1465,15 @@ def rep_admission_frames(
     g_new = g_batch.join(touched.select("gh"), "gh", "left_anti")
     new_sigs = rep_builder(g_new)
     batch_side = new_sigs.unionByName(touched_sigs)
+    # is_new tags the union so the step reads BOTH stats (total
+    # groups, new groups) off one aggregation job instead of two
+    # counts (r18); consumers project it away.
     return (
-        touched.unionByName(new_sigs.select("gh", "group_id")),
+        touched.withColumn("is_new", F.lit(False)).unionByName(
+            new_sigs.select("gh", "group_id").withColumn(
+                "is_new", F.lit(True)
+            )
+        ),
         new_sigs,
         batch_side,
         touched_sigs,
@@ -1488,6 +1558,13 @@ def rep_admission_step(
     # classification all re-read it, and in the CLI shape its lineage
     # is a JSON corpus scan per re-read. Batch-bounded by definition.
     g_batch = g_batch.cache()
+    # ONE footprint job for both pruned reads (r18): the members
+    # (doc_id) and flat-store (gh) bucket sets are collected from the
+    # cached batch in a single aggregation — this is also the action
+    # that fills the g_batch cache — instead of one collect per table.
+    mem_vals, sig_vals = batch_bucket_vals(
+        g_batch, [(mem_path, "doc_id"), (sig_path, "gh")]
+    )
     # RAW members on purpose: a tombstoned (retracted) doc_id still
     # anti-joins here, so a redelivered batch can never resurrect a
     # takedown — the id stays out until fold_retractions retires the
@@ -1496,7 +1573,9 @@ def rep_admission_step(
     # only live in a bucket some batch doc_id hashes into, so the
     # pruned read is a provable superset of every match — the last
     # O(store) members term, now bounded by batch footprint.
-    members = pruned_table(spark, mem_path, g_batch.select("doc_id"))
+    members = pruned_table(
+        spark, mem_path, g_batch.select("doc_id"), vals=mem_vals
+    )
     mem_new = (
         g_batch.select("doc_id", "gh")
         .join(members.select("doc_id"), "doc_id", "left_anti")
@@ -1518,7 +1597,9 @@ def rep_admission_step(
     # the last O(store) flat-scan term, now bounded by batch
     # footprint (gdelta composes AFTER the prune; it relabels and
     # drops rows row-locally, never moves a row across gh).
-    store_sigs = live_store_sigs(spark, sig_path, g_batch.select("gh"))
+    store_sigs = live_store_sigs(
+        spark, sig_path, g_batch.select("gh"), vals=sig_vals
+    )
     group_map, new_sigs, batch_side, touched_sigs = rep_admission_frames(
         store_sigs, g_batch, rep_builder
     )
@@ -1534,9 +1615,16 @@ def rep_admission_step(
         len(key_cols),
     ).cache()
     # group_map — whose first consumer is the post-append members
-    # write — needs the explicit count, and counting it also yields
-    # the stats.
-    n_groups, n_new_groups = group_map.count(), new_sigs.count()
+    # write — must be cache-materialized BEFORE the appends mutate
+    # the store it reads; ONE aggregation over the is_new tag does
+    # that and yields both stats (r18: this replaced two counts —
+    # new_sigs' cache is already filled through batch_side's
+    # footprint evaluation above).
+    srow = group_map.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.count(F.when(F.col("is_new"), 1)).alias("n"),
+    ).collect()[0]
+    n_groups, n_new_groups = srow["g"], srow["n"]
     cand_ids = (
         cand.select(F.col("da").alias("doc_id"))
         .unionByName(cand.select(F.col("db").alias("doc_id")))
@@ -1613,7 +1701,10 @@ def dedup_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_table(
         rep_signature_frame(reps_base), sig_path, "overwrite", key="gh"
     )
-    write_banded_index(read_table(spark, sig_path), band_path, "overwrite")
+    write_banded_index(
+        read_table(spark, sig_path), band_path, "overwrite",
+        sized_from=sig_path,
+    )
     write_table(
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
@@ -2020,7 +2111,7 @@ def embedding_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     write_banded_index(
         read_table(spark, sig_path), band_path, "overwrite",
-        key_cols=_EMB_KEY_COLS,
+        key_cols=_EMB_KEY_COLS, sized_from=sig_path,
     )
     write_table(
         g_base.select("doc_id", "gh")
@@ -2342,15 +2433,20 @@ def live_members(
 
 
 def live_store_sigs(
-    spark: SparkSession, sig_path: str, gh_keys: DataFrame | None = None
+    spark: SparkSession,
+    sig_path: str,
+    gh_keys: DataFrame | None = None,
+    *,
+    vals: list[int] | None = None,
 ) -> DataFrame:
     """The flat signature store with retractions applied. `gh_keys`
     (a frame with a gh column) prunes the read to the keys' buckets
     — exact for any consumer that only joins the store on gh (the
     admission kernel); omit it for whole-store passes (folds,
-    rebuilds)."""
+    rebuilds). `vals`: pre-collected bucket ids (see
+    `batch_bucket_vals`) — skips the per-table collect."""
     src = (
-        pruned_table(spark, sig_path, gh_keys, "gh")
+        pruned_table(spark, sig_path, gh_keys, "gh", vals=vals)
         if gh_keys is not None
         else read_table(spark, sig_path)
     )
@@ -2442,8 +2538,13 @@ def retract_docs(
         .select(F.col("group_id").alias("eff"), "new_eff")
         .cache()
     )
-    n_changes = eff_changes.count()
-    n_dropped = eff_changes.where(F.col("new_eff").isNull()).count()
+    # one aggregation fills the cache and yields both stats (r18:
+    # replaced a count plus a filtered recount)
+    crow = eff_changes.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count(F.when(F.col("new_eff").isNull(), 1)).alias("d"),
+    ).collect()[0]
+    n_changes, n_dropped = crow["c"], crow["d"]
 
     # Compose onto PHYSICAL row keys: old sidecar entries pointing at
     # a changed effective id are rewritten to chain stored → latest,
@@ -3416,7 +3517,10 @@ def dedup_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_table(
         rep_signature_frame(reps_base), sig_path, "overwrite", key="gh"
     )
-    write_banded_index(read_table(spark, sig_path), band_path, "overwrite")
+    write_banded_index(
+        read_table(spark, sig_path), band_path, "overwrite",
+        sized_from=sig_path,
+    )
     write_table(
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
@@ -3529,7 +3633,7 @@ def embedding_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_banded_index(
         read_table(spark, sig_path), band_path, "overwrite",
-        key_cols=_EMB_KEY_COLS,
+        key_cols=_EMB_KEY_COLS, sized_from=sig_path,
     )
     write_table(
         g_base.select("doc_id", "gh")

@@ -92,7 +92,10 @@ def streaming_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_table(
         rep_signature_frame(reps_base), sig_path, "overwrite", key="gh"
     )
-    write_banded_index(read_table(spark, sig_path), band_path, "overwrite")
+    write_banded_index(
+        read_table(spark, sig_path), band_path, "overwrite",
+        sized_from=sig_path,
+    )
     write_table(
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
@@ -191,6 +194,7 @@ def streaming_embedding_rep_admission(
         band_path,
         "overwrite",
         key_cols=_EMB_KEY_COLS,
+        sized_from=sig_path,
     )
     write_table(
         g_base.select("doc_id", "gh")

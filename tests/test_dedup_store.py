@@ -1925,6 +1925,55 @@ def test_write_table_build_auto_sizes_buckets(spark, tmp_path):
     assert ds.read_table(spark, path).count() == 51
 
 
+def test_batch_bucket_vals_matches_per_table_collects(spark, tmp_path):
+    """The combined one-job footprint collect (r18) returns exactly
+    the bucket ids `pruned_table`'s own per-table collect derives —
+    same marker-derived expression — and yields None for a legacy
+    table (no marker), which keeps the full-scan fallback."""
+    from fdblog2clickhouse_spark.operators import dedup_store as ds
+
+    mem = str(tmp_path / "members")
+    sig = str(tmp_path / "sigs")
+    legacy = str(tmp_path / "legacy")
+    mems = spark.createDataFrame(
+        [(i, f"gh{i % 7}", i) for i in range(40)],
+        "doc_id long, gh string, group_id long",
+    )
+    sigs = spark.createDataFrame(
+        [(i, f"gh{i}") for i in range(12)], "group_id long, gh string"
+    )
+    ds.write_table(mems, mem, "overwrite", key="doc_id", buckets=8)
+    ds.write_table(sigs, sig, "overwrite", key="gh", buckets=4)
+    mems.write.parquet(legacy)
+
+    batch = spark.createDataFrame(
+        [(3, "gh3"), (11, "gh11"), (25, "gh25")], "doc_id long, gh string"
+    )
+    got = ds.batch_bucket_vals(
+        batch, [(mem, "doc_id"), (sig, "gh"), (legacy, "doc_id")]
+    )
+    # reference: what pruned_table's internal collect computes
+    for vals, (path, kc) in zip(got[:2], [(mem, "doc_id"), (sig, "gh")]):
+        lay = ds.table_layout(path)
+        pb = ds._tbl_pb_expr(
+            batch.schema[kc].dataType, kc, lay["buckets"], lay["pb"]
+        )
+        ref = sorted(
+            r[0]
+            for r in batch.select(pb.alias("v")).distinct().collect()
+            if r[0] is not None
+        )
+        assert vals == ref
+    assert got[2] is None  # legacy: no marker → caller falls back
+    # and the pruned read fed with the precomputed vals matches the
+    # self-collected one
+    a = ds.pruned_table(spark, mem, batch.select("doc_id"), vals=got[0])
+    b = ds.pruned_table(spark, mem, batch.select("doc_id"))
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
 def test_write_table_append_honors_persisted_layout(spark, tmp_path):
     """Appends bucket with the MARKER's layout (never in-process
     defaults), and a legacy dir's append stays flat."""

@@ -58,8 +58,14 @@ def main() -> None:
             _wrap(ds, fn)
 
     # --- instrument DataFrame actions ----------------------------
+    # Spark 4: the runtime class is pyspark.sql.classic.dataframe
+    # .DataFrame, which overrides the actions — patch it, not the base.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+    except ImportError:
+        CDF = DataFrame
     for fn in ("count", "collect"):
-        orig = getattr(DataFrame, fn)
+        orig = getattr(CDF, fn)
 
         def make(orig, fn):
             def timed(self, *a, **kw):
@@ -70,7 +76,7 @@ def main() -> None:
 
             return timed
 
-        setattr(DataFrame, fn, make(orig, fn))
+        setattr(CDF, fn, make(orig, fn))
 
     # time parquet writes via DataFrameWriter.parquet
     from pyspark.sql.readwriter import DataFrameWriter
