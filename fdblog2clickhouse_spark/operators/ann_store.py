@@ -82,9 +82,16 @@ _INSERT_MOD = 10  # vec_id % 10 == 0 → the incremental-insert batch
 
 def _assign(sub: DataFrame, cent: DataFrame, rank_cap: int) -> DataFrame:
     """Rank each vector's nearest centroids against a (possibly
-    disk-read) codebook: broadcast cross-join + per-vector window —
-    one row per vector in, rank_cap rows out, no data-keyed
-    shuffle."""
+    disk-read) codebook: broadcast cross-join, then rank_cap rows per
+    vector out, no data-keyed shuffle of the vector table. rank_cap=1
+    (the lists-build/insert path) aggregates with max_by — a hash
+    aggregate with MAP-SIDE partial combine, so the exchange carries
+    one row per vector instead of one per (vector, centroid) and
+    needs no sort (r18, guide §2.3 aggregate-before-shuffle); the
+    ordering struct (cosine, -c_id) reproduces the window's
+    (desc cosine NULLS LAST, asc c_id) exactly — a NULL cosine (zero
+    vector) loses to any scored centroid, all-NULL picks the smallest
+    c_id. rank_cap>1 (probes) keeps the window."""
     scored = sub.select(
         F.col("vec_id").alias("v_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
     ).crossJoin(
@@ -93,11 +100,26 @@ def _assign(sub: DataFrame, cent: DataFrame, rank_cap: int) -> DataFrame:
                 F.col("c_id"), F.col("q").alias("qb"), F.col("nq").alias("nb")
             )
         )
-    )
+    ).select("v_id", "c_id", _cosine_cols())
+    if rank_cap == 1:
+        return (
+            scored.groupBy("v_id")
+            .agg(
+                F.max_by(
+                    F.struct("c_id", "cosine"),
+                    F.struct(F.col("cosine"), (-F.col("c_id")).alias("nc")),
+                ).alias("b")
+            )
+            .select(
+                "v_id",
+                F.col("b.c_id").alias("c_id"),
+                F.col("b.cosine").alias("cosine"),
+                F.lit(1).alias("crank"),
+            )
+        )
     wa = Window.partitionBy("v_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        scored.select("v_id", "c_id", _cosine_cols())
-        .withColumn("crank", F.row_number().over(wa))
+        scored.withColumn("crank", F.row_number().over(wa))
         .where(F.col("crank") <= rank_cap)
     )
 
@@ -923,10 +945,14 @@ def _ivfpq_codes(resid: DataFrame, cb: DataFrame) -> DataFrame:
     scored = resid.crossJoin(F.broadcast(cb)).select(
         "vec_id", "sub", "code", _pq_sub_d2("q").alias("d2")
     )
-    w_arg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    # min_by instead of a rank-1 window (r18): hash aggregate with
+    # map-side partial combine — the exchange carries one row per
+    # (vector, subspace) instead of one per candidate code, and no
+    # sort. Ordering struct (d2, code) == the window's (d2 asc,
+    # code asc) tiebreak; d2 is exact BIGINT, never NULL.
     return (
-        scored.withColumn("rn", F.row_number().over(w_arg))
-        .where(F.col("rn") == 1)
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
         .select("vec_id", "sub", "code")
     )
 

@@ -1620,10 +1620,11 @@ def rep_admission_step(
     # that and yields both stats (r18: this replaced two counts —
     # new_sigs' cache is already filled through batch_side's
     # footprint evaluation above).
-    srow = group_map.agg(
+    gstats = group_map.agg(
         F.count(F.lit(1)).alias("g"),
         F.count(F.when(F.col("is_new"), 1)).alias("n"),
-    ).collect()[0]
+    )
+    srow = gstats.collect()[0]
     n_groups, n_new_groups = srow["g"], srow["n"]
     cand_ids = (
         cand.select(F.col("da").alias("doc_id"))
@@ -2540,10 +2541,11 @@ def retract_docs(
     )
     # one aggregation fills the cache and yields both stats (r18:
     # replaced a count plus a filtered recount)
-    crow = eff_changes.agg(
+    cstats = eff_changes.agg(
         F.count(F.lit(1)).alias("c"),
         F.count(F.when(F.col("new_eff").isNull(), 1)).alias("d"),
-    ).collect()[0]
+    )
+    crow = cstats.collect()[0]
     n_changes, n_dropped = crow["c"], crow["d"]
 
     # Compose onto PHYSICAL row keys: old sidecar entries pointing at

@@ -550,8 +550,15 @@ def _pq_train_cb(src: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("d2"),
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    asg = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # min_by instead of a rank-1 window (r18): map-side partial
+    # combine shuffles one row per (vector, subspace) instead of one
+    # per candidate code, no sort; ordering struct (d2, code) == the
+    # window's (d2 asc, code asc) tiebreak on exact BIGINTs.
+    asg = (
+        d.groupBy("vec_id", "sub")
+        .agg(F.min_by(F.struct("code", "sv"), F.struct("d2", "code")).alias("b"))
+        .select("vec_id", "sub", F.col("b.code").alias("code"), F.col("b.sv").alias("sv"))
+    )
     ms = (
         asg.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
         .groupBy("sub", "code", "pos")
@@ -656,10 +663,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = qn.crossJoin(broadcast(cb)).select(
         "vec_id", "sub", "code", sub_d2("q").alias("d2")
     )
-    w_arg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    # min_by instead of a rank-1 window (r18): map-side partial
+    # combine, no sort — same (d2 asc, code asc) selection on exact
+    # BIGINTs as the window it replaces.
     codes = (
-        scored.withColumn("rn", F.row_number().over(w_arg))
-        .where(F.col("rn") == 1)
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
         .select("vec_id", "sub", "code")
     )
 

@@ -332,6 +332,15 @@ def test_no_unbounded_driver_collect():
             # (band, kb) pairs
             "for r in folded.select(_TBL_PB).distinct().collect()",
             'for r in folded.select("band", "kb").distinct().collect()',
+            # r18 single-row stat/footprint aggregations: each is one
+            # .agg(...).collect()[0] — exactly ONE row by construction
+            # (batch_bucket_vals' combined bucket-id sets, themselves
+            # ≤ buckets literals per table; the admission step's
+            # (groups, new-groups) pair; retract_docs' (changes,
+            # dropped) pair)
+            "row = batch.agg(*exprs).collect()[0]",
+            "srow = gstats.collect()[0]",
+            "crow = cstats.collect()[0]",
         },
         # split_ivf_lists' maintenance metadata: per-list counts,
         # empty list ids, and split-list ids — all bounded by the
