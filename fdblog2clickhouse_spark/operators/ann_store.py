@@ -896,6 +896,16 @@ def _ivfpq_parts(
     cent = qn.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
         F.col("vec_id").alias("c_id"), "q", "nq"
     )
+    # Deliberately NOT cached (r19, measured): caching `lists` /
+    # `probes` here looked like the classic reused-subtree win
+    # (lists feeds both the codes residuals and the candidate join),
+    # but a 3-round interleaved A/B measured the cached variant
+    # 1.2-2× SLOWER on ann_ivfpq_topk (min-of-3 12.4/8.2/7.1 s vs
+    # 5.5/5.7/6.2 s uncached) — the materialization barriers
+    # serialize stages that otherwise run concurrently inside one
+    # job, and the cached relation breaks the fused
+    # broadcast-assign→codes pipeline. Pinned so the next round
+    # doesn't re-try it.
     lists = _assign(qn, cent, 1).select(
         F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
     )
@@ -1285,25 +1295,39 @@ def refresh_ivf_centroids(
     shutil.rmtree(li_staging, ignore_errors=True)
     lists1.write.mode("overwrite").parquet(li_staging)
 
-    # stats BEFORE the swap (reads old + staged tables)
+    # stats BEFORE the swap (reads old + staged tables). ONE driver
+    # action (r19, guide §1.2): the four stat subtrees — centroid
+    # count off the STAGED parquet (counting cb1 would re-run the
+    # whole M-step), moved rows, max list size before/after — are
+    # independent single-row aggregations, so a crossJoin runs them
+    # as concurrent stages of one job instead of four sequential
+    # fixed-cost actions.
     new_lists = spark.read.parquet(li_staging)
-    sizes_before = lists.groupBy("list_id").count()
-    sizes_after = new_lists.groupBy("list_id").count()
-    moved = (
-        lists.join(
-            new_lists.withColumnRenamed("list_id", "new_list"), "n_id"
+    rstats = (
+        spark.read.parquet(cb_staging)
+        .agg(F.count(F.lit(1)).alias("n_lists"))
+        .crossJoin(
+            lists.join(
+                new_lists.withColumnRenamed("list_id", "new_list"), "n_id"
+            )
+            .where(F.col("list_id") != F.col("new_list"))
+            .agg(F.count(F.lit(1)).alias("moved"))
         )
-        .where(F.col("list_id") != F.col("new_list"))
-        .count()
+        .crossJoin(
+            lists.groupBy("list_id").count().agg(F.max("count").alias("mb"))
+        )
+        .crossJoin(
+            new_lists.groupBy("list_id")
+            .count()
+            .agg(F.max("count").alias("ma"))
+        )
     )
+    rrow = rstats.collect()[0]
     stats = {
-        # count the STAGED parquet, not cb1 — counting the frame
-        # would re-run the whole M-step aggregation (a full pass
-        # over the lists at scale) just to learn a centroid count
-        "n_lists": spark.read.parquet(cb_staging).count(),
-        "moved": moved,
-        "max_list_before": sizes_before.agg(F.max("count")).first()[0],
-        "max_list_after": sizes_after.agg(F.max("count")).first()[0],
+        "n_lists": rrow["n_lists"],
+        "moved": rrow["moved"],
+        "max_list_before": rrow["mb"],
+        "max_list_after": rrow["ma"],
     }
 
     from .dedup_store import _swap_aside
@@ -1870,27 +1894,20 @@ def ann_ivf_refresh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook_path = root + "/codebook"
     lists_path = root + "/lists"
 
-    qn0 = _quantized(spark, sf_dir)
-    corpus = _drifted_corpus(qn0).cache()
+    corpus = _drifted_corpus(_quantized(spark, sf_dir)).cache()
+    # the ORIGINAL-distribution rows, read back THROUGH the corpus
+    # cache (r19): the old spelling built codebook + lists from the
+    # uncached _quantized lineage, re-running the quantization scan
+    # per build action while the cache sat unfilled until the drifted
+    # insert; the filter returns exactly the pre-drift rows (drift
+    # ids are offset by _DRIFT_ID_OFFSET), so results are unchanged.
+    qn0 = corpus.where(F.col("vec_id") < _DRIFT_ID_OFFSET)
 
-    # build on the ORIGINAL distribution only
-    qn0.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
-        F.col("vec_id").alias("c_id"), "q", "nq"
-    ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
-    cb_disk = spark.read.parquet(codebook_path)
-    _assign(qn0.select("vec_id", "q", "nq"), cb_disk, 1).select(
-        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
-    ).write.mode("overwrite").parquet(lists_path)
-    # drifted INSERT through the stale codebook
-    _assign(
-        corpus.where(F.col("vec_id") >= _DRIFT_ID_OFFSET),
-        spark.read.parquet(codebook_path),
-        1,
-    ).select(
-        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
-    ).write.mode("append").parquet(lists_path)
-
-    # exact ground truth over the grown corpus
+    # exact ground truth over the grown corpus — defined up front so
+    # its cache fill can OVERLAP the build/insert phase (guide §2.6:
+    # the brute pass depends only on the cached corpus, never on the
+    # index artifacts; the first build write below materializes the
+    # corpus cache, so the concurrent job cannot double-compute it)
     queries = corpus.where(_refresh_query_pred()).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
     )
@@ -1906,6 +1923,29 @@ def ann_ivf_refresh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id")
         .cache()
     )
+
+    # build on the ORIGINAL distribution only
+    qn0.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        brute_f = pool.submit(brute.count)
+        cb_disk = spark.read.parquet(codebook_path)
+        _assign(qn0.select("vec_id", "q", "nq"), cb_disk, 1).select(
+            F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+        ).write.mode("overwrite").parquet(lists_path)
+        # drifted INSERT through the stale codebook
+        _assign(
+            corpus.where(F.col("vec_id") >= _DRIFT_ID_OFFSET),
+            spark.read.parquet(codebook_path),
+            1,
+        ).select(
+            F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+        ).write.mode("append").parquet(lists_path)
+        brute_f.result()
 
     before = _ivf_search_hits(spark, corpus, brute, codebook_path, lists_path)
     before.withColumn("phase", F.lit("before")).select(
@@ -1980,44 +2020,12 @@ def ann_ivfpq_refresh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _drifted_corpus(_quantized(spark, sf_dir)).cache()
     qn0 = corpus.where(F.col("vec_id") < _DRIFT_ID_OFFSET)
 
-    # BUILD on the ORIGINAL distribution: four artifacts to disk
-    qn0.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
-        F.col("vec_id").alias("c_id"), "q", "nq"
-    ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
-    cent_d = spark.read.parquet(codebook_path)
-    _assign(qn0, cent_d, 1).select(
-        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
-    ).write.mode("overwrite").parquet(lists_path)
-    train_pq_codebook(spark, qn0, codebook_path, lists_path)
-    pq_d = spark.read.parquet(pq_codebook_path(codebook_path))
-    centv_d = cent_d.select("c_id", F.col("q").alias("cq"))
-
-    def resid_of(sub: DataFrame, lists: DataFrame) -> DataFrame:
-        return (
-            sub.join(lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
-            .join(broadcast(centv_d), F.col("list_id") == F.col("c_id"))
-            .select(
-                "vec_id",
-                F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x - y).alias("q"),
-            )
-        )
-
-    _ivfpq_codes(
-        resid_of(qn0, spark.read.parquet(lists_path)), pq_d
-    ).write.mode("overwrite").parquet(codes_path)
-
-    # drifted INSERT purely through the stale persisted codebooks
-    drift = corpus.where(F.col("vec_id") >= _DRIFT_ID_OFFSET)
-    b_lists = _assign(drift, cent_d, 1).select(
-        F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
-    )
-    b_lists.write.mode("append").parquet(lists_path)
-    _ivfpq_codes(resid_of(drift, b_lists), pq_d).write.mode("append").parquet(
-        codes_path
-    )
-
     # exact ground truth over the grown corpus (same brute as the
-    # plain-IVF sibling)
+    # plain-IVF sibling) — defined up front so its cache fill can
+    # OVERLAP the build/insert phase (guide §2.6: it depends only on
+    # the cached corpus, never on the index artifacts; the codebook
+    # write below fills the corpus cache first, so the concurrent
+    # job cannot double-compute it)
     queries = corpus.where(_refresh_query_pred()).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
     )
@@ -2033,6 +2041,54 @@ def ann_ivfpq_refresh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id")
         .cache()
     )
+
+    # BUILD on the ORIGINAL distribution: four artifacts to disk
+    qn0.where(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("c_id"), "q", "nq"
+    ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        brute_f = pool.submit(brute.count)
+        cent_d = spark.read.parquet(codebook_path)
+        _assign(qn0, cent_d, 1).select(
+            F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+        ).write.mode("overwrite").parquet(lists_path)
+        train_pq_codebook(spark, qn0, codebook_path, lists_path)
+        pq_d = spark.read.parquet(pq_codebook_path(codebook_path))
+        centv_d = cent_d.select("c_id", F.col("q").alias("cq"))
+
+        def resid_of(sub: DataFrame, lists: DataFrame) -> DataFrame:
+            return (
+                sub.join(lists.withColumnRenamed("n_id", "vec_id"), "vec_id")
+                .join(broadcast(centv_d), F.col("list_id") == F.col("c_id"))
+                .select(
+                    "vec_id",
+                    F.zip_with(
+                        F.col("q"), F.col("cq"), lambda x, y: x - y
+                    ).alias("q"),
+                )
+            )
+
+        _ivfpq_codes(
+            resid_of(qn0, spark.read.parquet(lists_path)), pq_d
+        ).write.mode("overwrite").parquet(codes_path)
+
+        # drifted INSERT purely through the stale persisted codebooks;
+        # the assignment frame is CACHED because two consumers read it
+        # (the lists append and the drift codes' residuals) — uncached
+        # it re-ran the whole broadcast-assign per consumer (r19)
+        drift = corpus.where(F.col("vec_id") >= _DRIFT_ID_OFFSET)
+        b_lists = _assign(drift, cent_d, 1).select(
+            F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
+        ).cache()
+        b_lists.write.mode("append").parquet(lists_path)
+        _ivfpq_codes(resid_of(drift, b_lists), pq_d).write.mode(
+            "append"
+        ).parquet(codes_path)
+        b_lists.unpersist()
+        brute_f.result()
 
     before = _ivfpq_search_hits(
         spark, corpus, brute, codebook_path, lists_path, codes_path

@@ -1419,6 +1419,47 @@ def _swap_write_table(df: DataFrame, path: str) -> None:
     _swap_aside(path, staging)
 
 
+def bootstrap_rep_store(
+    spark: SparkSession,
+    sig_frame: DataFrame,
+    members_frame: DataFrame,
+    sig_path: str,
+    band_path: str,
+    mem_path: str,
+    *,
+    key_cols: list[str] | None = None,
+) -> None:
+    """Fresh three-table rep-store bootstrap (flat signatures, banded
+    index, members), shared by the proof ops and the streaming
+    lifecycles: the flat store is written first (the banded index
+    auto-sizes from its just-written marker via `sized_from`), then
+    the banded index and the members table build CONCURRENTLY (r19,
+    guide §2.6 — they write to different dirs and neither reads the
+    other's output, so a bootstrap pays max(banded, members) instead
+    of their sum). Appends never come through here; the
+    crash-ordering contract belongs to `rep_admission_step`, and a
+    crashed BOOTSTRAP is re-run from scratch wholesale (every caller
+    builds into a fresh root), so the banded/members completion order
+    is not load-bearing."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    write_table(sig_frame, sig_path, "overwrite", key="gh")
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        mem_f = pool.submit(
+            write_table, members_frame, mem_path, "overwrite", key="doc_id"
+        )
+        try:
+            write_banded_index(
+                read_table(spark, sig_path),
+                band_path,
+                "overwrite",
+                sized_from=sig_path,
+                **({"key_cols": key_cols} if key_cols else {}),
+            )
+        finally:
+            mem_f.result()
+
+
 def rep_admission_frames(
     store_sigs: DataFrame, g_batch: DataFrame, rep_builder=None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -1581,11 +1622,20 @@ def rep_admission_step(
         .join(members.select("doc_id"), "doc_id", "left_anti")
         .cache()
     )
-    n_mem_new = mem_new.count()
-    if skip_when_no_new_docs and n_mem_new == 0:
-        mem_new.unpersist()
-        g_batch.unpersist()
-        return {"new_docs": 0, "groups": 0, "new_groups": 0, "scored": False}
+    # Redelivery fast path keeps its own cheap count: a
+    # fully-delivered batch must skip BEFORE any classification /
+    # candidate work runs — folding this count into the combined
+    # step-stats job below (r19) would make every replayed no-op
+    # batch pay the full scoring plan just to learn it can skip.
+    # Batch ops (skip_when_no_new_docs=False) read new_docs off the
+    # combined job instead — one driver action fewer per step.
+    n_mem_new = None
+    if skip_when_no_new_docs:
+        n_mem_new = mem_new.count()
+        if n_mem_new == 0:
+            mem_new.unpersist()
+            g_batch.unpersist()
+            return {"new_docs": 0, "groups": 0, "new_groups": 0, "scored": False}
 
     # LIVE store views: classification must not recognize a dropped
     # group's gh (its content re-admits fresh), and both the flat and
@@ -1614,18 +1664,6 @@ def rep_admission_step(
         store_band_rows(batch_side, key_cols, id_col="group_id"),
         len(key_cols),
     ).cache()
-    # group_map — whose first consumer is the post-append members
-    # write — must be cache-materialized BEFORE the appends mutate
-    # the store it reads; ONE aggregation over the is_new tag does
-    # that and yields both stats (r18: this replaced two counts —
-    # new_sigs' cache is already filled through batch_side's
-    # footprint evaluation above).
-    gstats = group_map.agg(
-        F.count(F.lit(1)).alias("g"),
-        F.count(F.when(F.col("is_new"), 1)).alias("n"),
-    )
-    srow = gstats.collect()[0]
-    n_groups, n_new_groups = srow["g"], srow["n"]
     cand_ids = (
         cand.select(F.col("da").alias("doc_id"))
         .unionByName(cand.select(F.col("db").alias("doc_id")))
@@ -1636,29 +1674,70 @@ def rep_admission_step(
     # uncached feats recomputes its whole lineage twice — and in the
     # production shape (the admit CLIs, where feats_for reads the
     # corpus JSON) that means scanning the ENTIRE corpus twice, since
-    # a JSON scan gets no semi-join pushdown. The count action also
-    # fills the new_sigs and cand caches through batch_side's lineage
-    # before any append runs. Round-12 interleaved audits
-    # (median-of-5, sf0.1): CLI-shaped step (JSON corpus) 7.3 →
-    # 6.7 s — the win grows with corpus size; proof-op level a wash
-    # (31.0 vs 31.4 s) because those feats read an already-cached
-    # group frame. feats stays bounded by the candidate set.
+    # a JSON scan gets no semi-join pushdown. feats stays bounded by
+    # the candidate set.
     feats = feats_for(cand_ids).cache()
-    feats.count()
+    # ONE combined step-stats job (r19, guide §1.2/§2.6): group_map —
+    # whose first consumer is the post-append members write — must be
+    # cache-materialized BEFORE the appends mutate the store it
+    # reads, and feats must be cache-filled before verify joins it on
+    # both pair sides. A crossJoin of single-row aggregations does
+    # all of it in one driver action (the subtrees run as concurrent
+    # stages of one job), where r18 still paid one count per cache
+    # plus a stats aggregation: new-docs stat (batch ops only — the
+    # redelivery fast path above counted it already), (groups,
+    # new-groups) off the is_new tag, and the feats cache fill whose
+    # count value nothing reads. The heavy shared lineages
+    # (touched_sigs, new_sigs, cand) are already cached by the banded
+    # footprint's evaluation, so the concurrent subtrees cannot
+    # double-compute them.
+    step_stats = group_map.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.count(F.when(F.col("is_new"), 1)).alias("n"),
+    ).crossJoin(feats.agg(F.count(F.lit(1)).alias("nf")))
+    if n_mem_new is None:
+        step_stats = step_stats.crossJoin(
+            mem_new.agg(F.count(F.lit(1)).alias("nd"))
+        )
+    srow = step_stats.collect()[0]
+    n_groups, n_new_groups = srow["g"], srow["n"]
+    if n_mem_new is None:
+        n_mem_new = srow["nd"]
     verified = verify(cand, feats)
-    write_evidence(verified)
     if apply_appends:
         # banded BEFORE flat: a crash between the two re-admits the
         # group as new next retry and the index read's dropDuplicates
         # absorbs the re-appended rows — the reverse order would
-        # strand a group with no index rows at all
-        write_banded_index(new_sigs, band_path, "append")
-        write_table(new_sigs, sig_path, "append")
+        # strand a group with no index rows at all. The evidence
+        # write OVERLAPS the banded + flat appends (r19, guide §2.6:
+        # independent jobs back-fill each other's stragglers): it
+        # reads only cached frames (cand, feats) and its own output
+        # dir, and every crash state the overlap can produce —
+        # evidence without banded rows, banded rows without evidence
+        # — is one the sequential order already reaches (crash after
+        # / before the evidence write) and recovers from by the same
+        # idempotence (rotation-scoped evidence overwrite, banded
+        # dropDuplicates, gh classification). The members append —
+        # the step's commit point, which flips a redelivered batch to
+        # "skip" — still runs LAST, strictly after the evidence
+        # result is in (ev.result() re-raises a failed evidence write
+        # before the batch can commit).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            ev = pool.submit(write_evidence, verified)
+            try:
+                write_banded_index(new_sigs, band_path, "append")
+                write_table(new_sigs, sig_path, "append")
+            finally:
+                ev.result()
         write_table(
             mem_new.join(group_map, "gh").select("doc_id", "gh", "group_id"),
             mem_path,
             "append",
         )
+    else:
+        write_evidence(verified)
     for c in (mem_new, group_map, new_sigs, cand, feats, touched_sigs, g_batch):
         c.unpersist()
     return {
@@ -1699,20 +1778,15 @@ def dedup_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g_base = g_all.where(_base_pred(F.col("doc_id")))
     reps_base = rep_reps(g_base)
-    write_table(
-        rep_signature_frame(reps_base), sig_path, "overwrite", key="gh"
-    )
-    write_banded_index(
-        read_table(spark, sig_path), band_path, "overwrite",
-        sized_from=sig_path,
-    )
-    write_table(
+    bootstrap_rep_store(
+        spark,
+        rep_signature_frame(reps_base),
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
         .select("doc_id", "gh", "group_id"),
+        sig_path,
+        band_path,
         mem_path,
-        "overwrite",
-        key="doc_id",
     )
 
     # a group id IS its rep's doc_id, so rep features come straight
@@ -2104,23 +2178,16 @@ def embedding_store_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame
 
     g_base = g_all.where(_base_pred(F.col("doc_id")))
     reps_base = emb_rep_reps(g_base)
-    write_table(
+    bootstrap_rep_store(
+        spark,
         emb_rep_signature_frame(spark, reps_base),
-        sig_path,
-        "overwrite",
-        key="gh",
-    )
-    write_banded_index(
-        read_table(spark, sig_path), band_path, "overwrite",
-        key_cols=_EMB_KEY_COLS, sized_from=sig_path,
-    )
-    write_table(
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
         .select("doc_id", "gh", "group_id"),
+        sig_path,
+        band_path,
         mem_path,
-        "overwrite",
-        key="doc_id",
+        key_cols=_EMB_KEY_COLS,
     )
 
     # a group id IS its rep's vec_id, so verify-side vectors come
@@ -3516,20 +3583,15 @@ def dedup_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g_base = g_all.where(_base_pred(F.col("doc_id")))
     reps_base = rep_reps(g_base)
-    write_table(
-        rep_signature_frame(reps_base), sig_path, "overwrite", key="gh"
-    )
-    write_banded_index(
-        read_table(spark, sig_path), band_path, "overwrite",
-        sized_from=sig_path,
-    )
-    write_table(
+    bootstrap_rep_store(
+        spark,
+        rep_signature_frame(reps_base),
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
         .select("doc_id", "gh", "group_id"),
+        sig_path,
+        band_path,
         mem_path,
-        "overwrite",
-        key="doc_id",
     )
 
     def feats_for(cand_ids: DataFrame) -> DataFrame:
@@ -3627,23 +3689,16 @@ def embedding_store_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g_base = g_all.where(_base_pred(F.col("doc_id")))
     reps_base = emb_rep_reps(g_base)
-    write_table(
+    bootstrap_rep_store(
+        spark,
         emb_rep_signature_frame(spark, reps_base),
-        sig_path,
-        "overwrite",
-        key="gh",
-    )
-    write_banded_index(
-        read_table(spark, sig_path), band_path, "overwrite",
-        key_cols=_EMB_KEY_COLS, sized_from=sig_path,
-    )
-    write_table(
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
         .select("doc_id", "gh", "group_id"),
+        sig_path,
+        band_path,
         mem_path,
-        "overwrite",
-        key="doc_id",
+        key_cols=_EMB_KEY_COLS,
     )
 
     def feats_for(cand_ids: DataFrame) -> DataFrame:

@@ -126,6 +126,13 @@ def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = _quantized(spark, sf_dir)
+    # `withb` feeds both the broadcast query side and the candidate
+    # side. Deliberately NOT cached (r19, measured): the query-side
+    # branch is pushdown-cheap (vec_id < _N_QUERIES reaches the scan)
+    # and both branches run as concurrent stages of one job; a cache
+    # forces the FULL corpus bucketing to materialize behind a
+    # barrier before the tiny query side can read — interleaved A/B
+    # measured the cached variant slower (1.23-1.48 → 1.53-1.57 s).
     withb = qn.join(_buckets(spark, sf_dir), "vec_id")
     queries = withb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -219,6 +226,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("v_id", "c_id", cos)
         .withColumn("crank", F.row_number().over(wa))
     )
+    # Deliberately NOT cached (r19, measured): the probes branch is
+    # pushdown-cheap (v_id < _N_QUERIES cuts the window's input at
+    # the scan), so the apparent duplication costs one tiny window
+    # beside the full lists pass, both running as concurrent stages
+    # of one job — a cache of the rank-filtered assignment forced the
+    # full pass behind a barrier and measured slower in interleaved
+    # A/B (1.04-1.07 → 1.20-1.27 s min-of-3). The persisted-store
+    # sibling (`ann_store._ivfpq_parts`) is the shape where caching
+    # DOES pay (its lists feed two full-corpus consumers).
     lists = assign.where(F.col("crank") == 1).select(
         F.col("v_id").alias("n_id"), F.col("c_id").alias("list_id")
     )

@@ -88,6 +88,13 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # `local` feeds both the carry chain and the final join, so the
+    # plan tree re-tokenizes the corpus once per branch (3 scans).
+    # Deliberately NOT cached (r19, measured): the branches run as
+    # CONCURRENT stages of one job, so at bench scale the duplication
+    # is nearly free, while a cache inserts a materialization barrier
+    # that serializes them — interleaved A/B measured the cached
+    # variant ≥ 1.4× slower (0.72-0.93 s → 1.08-6.4 s min-of-3).
     local = t.withColumn("incl", F.sum("n_tok").over(w_in))
     per_bucket = local.groupBy("bucket").agg(F.sum("n_tok").alias("tot")).withColumn(
         "sb", (F.col("bucket") / F.lit(_PACK_BUCKET)).cast("long")
@@ -307,6 +314,11 @@ def doc_skyline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tk").alias("n_tokens"),
         F.size(F.array_distinct("tk")).alias("n_distinct"),
     ).where(F.col("n_tokens") >= 1)
+    # `st` feeds both the frontier aggregation and the final join —
+    # uncached it re-scanned and re-tokenized the corpus per branch
+    # (2 parquet scans in the r19-open plan). The cached projection
+    # is 3 integers/doc; same rationale as sequence_packing's.
+    st = st.cache()
     per_x = st.groupBy("n_tokens").agg(F.max("n_distinct").alias("ymax"))
     w = (
         Window.orderBy(F.desc("n_tokens"))

@@ -74,6 +74,34 @@ def _run_to_memory(
     return spark.table(name)
 
 
+def _run_to_scratch(
+    spark: SparkSession, df: DataFrame, prefix: str
+) -> DataFrame:
+    """Run a (finite, AvailableNow) APPEND-mode streaming plan into a
+    scratch parquet sink and return the scan (r19, guide §5: the
+    driver should do almost no data work). The memory sink ships
+    EVERY result row to the driver and serves later reads from
+    driver memory — fine for the complete-mode aggregates (tiny
+    final state), but a stream-stream JOIN's append output is
+    row-count-bound, and funneling it through one driver thread is
+    the serial stage that made the join anti-scale with cores. The
+    file sink keeps rows executor-side; complete-mode callers stay
+    on `_run_to_memory` (the file sink is append-only)."""
+    base = tempfile.mkdtemp(prefix=f"{prefix}_")
+    out = os.path.join(base, "out")
+    with _state_sized_shuffle(spark):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(df.schema).parquet(out)
+
+
 def _export_trace_logs(
     spark: SparkSession,
     sf_dir: str,
@@ -457,7 +485,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_SS_JOIN_WINDOW_MIN} MINUTES")),
     )
-    return _run_to_memory(spark, joined, "ss_join", "append").select(
+    return _run_to_scratch(spark, joined, "ss_join").select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "view_id",

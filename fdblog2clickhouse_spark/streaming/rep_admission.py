@@ -43,6 +43,7 @@ from ..operators.dedup_store import (
     _EMB_STORE_ADMISSION_SQL,
     _STORE_ADMISSION_SQL,
     _base_pred,
+    bootstrap_rep_store,
     cosine_on_candidates_nullsafe,
     emb_rep_group_frame,
     emb_rep_reps,
@@ -54,8 +55,6 @@ from ..operators.dedup_store import (
     rep_group_frame,
     rep_reps,
     rep_signature_frame,
-    write_banded_index,
-    write_table,
 )
 from ..sources.tables import table
 
@@ -89,20 +88,15 @@ def streaming_rep_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g_base = g_all.where(_base_pred(F.col("doc_id")))
     reps_base = rep_reps(g_base)
-    write_table(
-        rep_signature_frame(reps_base), sig_path, "overwrite", key="gh"
-    )
-    write_banded_index(
-        read_table(spark, sig_path), band_path, "overwrite",
-        sized_from=sig_path,
-    )
-    write_table(
+    bootstrap_rep_store(
+        spark,
+        rep_signature_frame(reps_base),
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
         .select("doc_id", "gh", "group_id"),
+        sig_path,
+        band_path,
         mem_path,
-        "overwrite",
-        key="doc_id",
     )
 
     from ..functions.text import shingles_expr
@@ -183,26 +177,16 @@ def streaming_embedding_rep_admission(
 
     g_base = g_all.where(_base_pred(F.col("doc_id")))
     reps_base = emb_rep_reps(g_base)
-    write_table(
+    bootstrap_rep_store(
+        spark,
         emb_rep_signature_frame(spark, reps_base),
-        sig_path,
-        "overwrite",
-        key="gh",
-    )
-    write_banded_index(
-        read_table(spark, sig_path),
-        band_path,
-        "overwrite",
-        key_cols=_EMB_KEY_COLS,
-        sized_from=sig_path,
-    )
-    write_table(
         g_base.select("doc_id", "gh")
         .join(reps_base.select("gh", "group_id"), "gh")
         .select("doc_id", "gh", "group_id"),
+        sig_path,
+        band_path,
         mem_path,
-        "overwrite",
-        key="doc_id",
+        key_cols=_EMB_KEY_COLS,
     )
 
     def feats_for(cand_ids: DataFrame) -> DataFrame:

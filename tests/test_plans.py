@@ -332,14 +332,15 @@ def test_no_unbounded_driver_collect():
             # (band, kb) pairs
             "for r in folded.select(_TBL_PB).distinct().collect()",
             'for r in folded.select("band", "kb").distinct().collect()',
-            # r18 single-row stat/footprint aggregations: each is one
-            # .agg(...).collect()[0] — exactly ONE row by construction
-            # (batch_bucket_vals' combined bucket-id sets, themselves
-            # ≤ buckets literals per table; the admission step's
-            # (groups, new-groups) pair; retract_docs' (changes,
-            # dropped) pair)
+            # r18/r19 single-row stat/footprint aggregations: each is
+            # one .agg(...).collect()[0] — exactly ONE row by
+            # construction (batch_bucket_vals' combined bucket-id
+            # sets, themselves ≤ buckets literals per table; the
+            # admission step's combined (groups, new-groups,
+            # feats-fill[, new-docs]) crossJoin of single-row aggs;
+            # retract_docs' (changes, dropped) pair)
             "row = batch.agg(*exprs).collect()[0]",
-            "srow = gstats.collect()[0]",
+            "srow = step_stats.collect()[0]",
             "crow = cstats.collect()[0]",
         },
         # split_ivf_lists' maintenance metadata: per-list counts,
@@ -349,6 +350,10 @@ def test_no_unbounded_driver_collect():
             'over = [(r["list_id"], r["count"]) for r in over_rows.collect()]',
             'empties = sorted(r["c_id"] for r in empty_rows.collect())',
             'eff = {r["list_id"] for r in child2_lists.collect()}',
+            # r19: refresh_ivf_centroids' combined maintenance stats —
+            # a crossJoin of four single-row aggregations, exactly ONE
+            # row by construction
+            "rrow = rstats.collect()[0]",
         },
         # search-ivfpq's terminal print: ≤ --queries × topk ranked
         # rows by construction (the window caps rank at _IVF_TOPK)
